@@ -1,0 +1,75 @@
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line with per-query
+wall seconds. Usage: python bench.py [--sf-dir DIR] [--repeat N]."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from incubator_beam_spark import registry
+from incubator_beam_spark.session import get_spark
+
+# Headline set: one per major operator family (kept fast but representative).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "topk_per_key",
+    "cogroup_by_key",
+    "set_union_distinct",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--warmup", type=int, default=1, help="untimed passes per query")
+    ap.add_argument("--all", action="store_true", help="bench every registered query")
+    args = ap.parse_args()
+
+    registry.load_all()
+    names = sorted(registry.QUERIES) if args.all else [
+        n for n in HEADLINE if n in registry.QUERIES
+    ]
+
+    spark = get_spark("incubator_beam_spark-bench")
+    # JVM + codegen warmup on a trivial action so q1 isn't charged for startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        q = registry.QUERIES[name]
+        for _ in range(max(args.warmup, 0)):
+            q.fn(spark, args.sf_dir).count()  # JVM/codegen/IO warmup, untimed
+        best = None
+        for _ in range(max(args.repeat, 1)):
+            t0 = time.perf_counter()
+            df = q.fn(spark, args.sf_dir)
+            n = df.count()  # materialize the full result
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        per_query[name] = round(best, 4)
+        print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
+
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "total_wall_sec_headline_queries",
+        "value": round(sum(per_query.values()), 4),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else args.sf_dir,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

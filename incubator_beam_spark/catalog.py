@@ -1,0 +1,51 @@
+"""Table catalog over the driver-generated parquet fixtures.
+
+Mirrors the reference's ``TableProvider`` catalogs
+(``sdks/java/extensions/sql/.../meta/provider/TableProvider.java``): names
+resolve to sources; here every table is a parquet directory under a
+scale-factor dir and resolution is a ``spark.read.parquet`` — DataSource V2
+gives predicate pushdown + column pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough to broadcast at any scale factor we target
+# (region/nation are bounded by geography; at 100 TB they are still tiny).
+BROADCAST_SAFE = {"region", "nation"}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (for the SQL front door)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

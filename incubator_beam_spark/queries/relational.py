@@ -1,0 +1,467 @@
+"""Relational core: scans, filters, aggregation, joins, set ops, top-k.
+
+Covers the reference's relational surface (SURVEY.md §2.3, §2.5, §2.8):
+Beam SQL's ``BeamAggregationRel``/``BeamCoGBKJoinRel``/``BeamSortRel``/
+``BeamUnionRel``/``BeamIntersectRel``/``BeamMinusRel`` (reference:
+``sdks/java/extensions/sql/src/main/java/org/apache/beam/sdk/extensions/sql/impl/rel/``)
+and the join library (``sdks/java/extensions/join-library/.../Join.java``),
+re-expressed as Catalyst plans.
+
+Scale notes (100 TB design stance):
+- Aggregations are plain ``groupBy().agg`` → Catalyst partial aggregation
+  (map-side combine) — the same lifting Beam does in
+  ``runners/portability/fn_api_runner/translations.py:1093`` — for free.
+- Dim tables (region/nation/supplier at TPC-H ratios) are broadcast, so
+  the only shuffles left are on fact-table keys; AQE handles skew.
+- Every filter is expressed on base columns before joins so it reaches
+  the parquet scan (PushedFilters).
+- Float aggregates are ROUND()ed identically in the Spark plan and the
+  DuckDB oracle so value-hashes are order-insensitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (scan → filter → agg).
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                         AS sum_qty,
+           round(sum(l_extendedprice), 2)                                    AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                 AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)   AS sum_charge,
+           round(avg(l_quantity), 4)                                         AS avg_qty,
+           round(avg(l_extendedprice), 4)                                    AS avg_price,
+           round(avg(l_discount), 4)                                         AS avg_disc,
+           count(*)                                                          AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: the canonical scan→filter→hash-agg plan."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way joins
+# ---------------------------------------------------------------------------
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join fact→dims with pre-join filters, agg, deterministic top-k."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way star join; dims broadcast, facts shuffle only on join keys."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS total
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join (Beam join-library innerJoin)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey).select(
+        "c_custkey", "c_name", "o_orderkey", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 400000
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a non-key condition (null-padded misses)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    cond = (cust.c_custkey == orders.o_custkey) & (orders.o_totalprice > 400000)
+    return cust.join(orders, cond, "left").select("c_custkey", "c_name", "o_orderkey")
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_name
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey AND o_orderstatus = 'P'
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    cond = (orders.o_custkey == cust.c_custkey) & (orders.o_orderstatus == "P")
+    return orders.join(cust, cond, "right").select("o_orderkey", "c_custkey", "c_name")
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000)
+    SELECT c.c_custkey, c.c_name, b.o_custkey AS big_spender_key
+    FROM customer c FULL OUTER JOIN big b ON c.c_custkey = b.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join."""
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+        .distinct()
+    )
+    return cust.join(big, cust.c_custkey == big.o_custkey, "full").select(
+        "c_custkey", "c_name", F.col("o_custkey").alias("big_spender_key")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS)."""
+    cust = table(spark, sf_dir, "customer")
+    urgent = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two small dims."""
+    region = table(spark, sf_dir, "region").select(F.col("r_name").alias("region_name"))
+    nation = table(spark, sf_dir, "nation").select(F.col("n_name").alias("nation_name"))
+    return region.crossJoin(nation)
+
+
+@query(
+    "cogroup_by_key",
+    oracle="""
+    WITH o AS (SELECT o_custkey AS k, count(*) AS n_orders,
+                      round(sum(o_totalprice), 2) AS sum_total
+               FROM orders GROUP BY o_custkey),
+         c AS (SELECT c_custkey AS k, count(*) AS n_customers,
+                      round(sum(c_acctbal), 2) AS sum_bal
+               FROM customer GROUP BY c_custkey)
+    SELECT coalesce(o.k, c.k) AS k,
+           coalesce(n_orders, 0)    AS n_orders,
+           coalesce(sum_total, 0.0) AS sum_total,
+           coalesce(n_customers, 0) AS n_customers,
+           coalesce(sum_bal, 0.0)   AS sum_bal
+    FROM o FULL OUTER JOIN c ON o.k = c.k
+    """,
+)
+def cogroup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoGroupByKey (reference ``transforms/util.py:99``): n-way grouping of
+    two keyed inputs — expressed as per-side pre-aggregation + full outer
+    join, so each side combines map-side before the single shuffle."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_custkey").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+    return (
+        o.join(c, "k", "full")
+        .select(
+            "k",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("sum_total", F.lit(0.0)).alias("sum_total"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("sum_bal", F.lit(0.0)).alias("sum_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (Beam Sets.java / BeamUnionRel / BeamIntersectRel / BeamMinusRel)
+# ---------------------------------------------------------------------------
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten / UNION ALL."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.unionByName(s)
+
+
+@query(
+    "set_union_distinct",
+    oracle="SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey AS nk FROM supplier",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.unionByName(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT DISTINCT."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT DISTINCT."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.subtract(s)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics)."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_orderkey").alias("k"))
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_orderkey").alias("k"))
+    return a.intersectAll(r)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT l_orderkey AS k FROM lineitem WHERE l_linestatus = 'O'
+    EXCEPT ALL
+    SELECT l_orderkey AS k FROM lineitem WHERE l_linestatus = 'F'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = li.filter(F.col("l_linestatus") == "O").select(F.col("l_orderkey").alias("k"))
+    f = li.filter(F.col("l_linestatus") == "F").select(F.col("l_orderkey").alias("k"))
+    return o.exceptAll(f)
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (reference ``transforms/util.py:249``)."""
+    return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Top-k / sort-limit (BeamSortRel requires LIMIT; we match that shape)
+# ---------------------------------------------------------------------------
+@query(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (no full sort at scale)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@query(
+    "topk_per_key",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per key (Beam ``Top.PerKey``, ``combiners.py:167``) via ranked
+    window — single shuffle on the key, no per-key list materialization."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rn")
+    )

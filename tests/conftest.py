@@ -1,0 +1,94 @@
+"""Shared fixtures: one SparkSession per test session + a DuckDB oracle
+comparator that mirrors the driver's check (row count, column names,
+order-insensitive value multiset)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from incubator_beam_spark.catalog import TABLES
+from incubator_beam_spark.session import get_spark
+
+SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("incubator_beam_spark-tests", cpus=int(os.environ.get("TEST_CPUS", "8")))
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 and fp noise below the rounding we apply in queries
+        return round(v, 9) + 0.0
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    try:  # Decimal and friends
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 9) + 0.0
+    except ImportError:
+        pass
+    return v
+
+
+def normalize(columns, rows):
+    """Sort columns by name, normalize cells, return a sorted multiset."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return [columns[i] for i in order], out
+
+
+def assert_matches_oracle(spark_df, duck_con, oracle: str, name: str = "query"):
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = list(spark_df.columns)
+    rel = duck_con.sql(oracle)
+    d_cols = list(rel.columns)
+    d_rows = [tuple(r) for r in rel.fetchall()]
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}"
+    )
+    _, s_norm = normalize(s_cols, s_rows)
+    _, d_norm = normalize(d_cols, d_rows)
+    if s_norm != d_norm:
+        diffs = [(a, b) for a, b in zip(s_norm, d_norm) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
