@@ -36,7 +36,19 @@ BROADCAST_SAFE = {"region", "nation"}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is stored as TIMESTAMP(NANOS) which Spark reads as epoch-nanos
+        # long (see session.py nanosAsLong); restore event-time semantics at
+        # microsecond precision (the fixture's actual resolution).
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # integer DIV: epoch-nanos exceeds double's 2^53 mantissa, so
+            # float division would round the microsecond digit
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

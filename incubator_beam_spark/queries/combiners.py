@@ -1,0 +1,436 @@
+"""Combiner/aggregation library + SQL analytic (OVER) functions.
+
+Reference surface: ``sdks/python/apache_beam/transforms/combiners.py``
+(Count/Mean/Top/Sample/ToList/ToSet/Latest/TupleCombineFn), ``stats.py``
+(ApproximateUnique/ApproximateQuantiles), the SQL UDAFs
+(``impl/udaf/{ArrayAgg,StringAgg}.java``, ``impl/transform/agg/*``) and
+``BeamWindowRel``/``BeamBuiltinAnalyticFunctions.java`` (SURVEY.md §2.4,
+§2.5, §2.8).
+
+All lower to native Spark aggregates/window functions — single shuffle on
+the grouping key, partial aggregation map-side. Collected lists are always
+``sort_array``ed so results are deterministic (Beam's iterables are
+unordered; we canonicalize instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "agg_count_per_element",
+    oracle="""
+    SELECT event_type AS element, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def agg_count_per_element(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count.PerElement (reference ``combiners.py:119``)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("element"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "agg_mean_per_key",
+    oracle="""
+    SELECT event_type, round(avg(value), 4) AS mean_value FROM events GROUP BY event_type
+    """,
+)
+def agg_mean_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean.PerKey (reference ``combiners.py:72``)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.avg("value"), 4).alias("mean_value"))
+    )
+
+
+@query(
+    "agg_tuple_combine",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           round(avg(l_extendedprice), 4) AS avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_tuple_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TupleCombineFn (reference ``combiners.py:641``): N combiners fused in
+    one aggregation pass by Catalyst."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "agg_top_per_key_array",
+    oracle="""
+    SELECT event_type, (list_sort(array_agg(value), 'DESC'))[1:5] AS top5
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_top_per_key_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top.PerKey as a bounded array (reference ``combiners.py:167``,
+    ``TopCombineFn:386``): bundle-local heap + merge becomes
+    sort_array(collect_list)[:n] — Catalyst keeps the collect grouped."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.slice(F.sort_array(F.collect_list("value"), asc=False), 1, 5).alias("top5"))
+    )
+
+
+@query(
+    "agg_latest_per_key",
+    oracle="""
+    SELECT user_id, arg_max(value, ts) AS latest_value, max(ts) AS latest_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest.PerKey (reference ``combiners.py:842``) via max_by."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("value", "ts").alias("latest_value"),
+            F.max("ts").alias("latest_ts"),
+        )
+    )
+
+
+@query(
+    "agg_to_list_sorted",
+    oracle="""
+    SELECT l_orderkey, list_sort(array_agg(l_quantity)) AS quantities
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def agg_to_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ToList / GroupByKey iterable (reference ``combiners.py:673``),
+    canonicalized by sorting."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_quantity")).alias("quantities"))
+    )
+
+
+@query(
+    "agg_to_set",
+    oracle="""
+    SELECT l_orderkey, list_sort(list_distinct(array_agg(l_returnflag))) AS flags
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def agg_to_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ToSet (reference ``combiners.py:738``)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_returnflag")).alias("flags"))
+    )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT c_nationkey, string_agg(c_mktsegment, '|' ORDER BY c_mktsegment, c_custkey) AS segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING_AGG (reference ``impl/udaf/StringAgg.java``) with canonical
+    order."""
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("c_mktsegment", "c_custkey"))
+                    ),
+                    lambda s: s.c_mktsegment,
+                ),
+                "|",
+            ).alias("segments")
+        )
+    )
+
+
+@query(
+    "agg_count_if_any_value",
+    oracle="""
+    SELECT event_type,
+           count_if(value > 100) AS n_big,
+           any_value(event_type) AS sample_type
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count_if_any_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT_IF + ANY_VALUE (reference ``impl/transform/agg/CountIf.java``,
+    ``BeamBuiltinAggregations.java:58-72``); any_value applied to the group
+    key so it is deterministic."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 100).alias("n_big"),
+            F.any_value("event_type").alias("sample_type"),
+        )
+    )
+
+
+@query(
+    "agg_variance_covariance",
+    oracle="""
+    SELECT l_returnflag,
+           round(var_pop(l_quantity), 6)               AS vpop,
+           round(var_samp(l_quantity), 6)              AS vsamp,
+           round(stddev_pop(l_quantity), 6)            AS sdpop,
+           round(covar_pop(l_quantity, l_discount), 6) AS cvpop,
+           round(covar_samp(l_quantity, l_discount), 6) AS cvsamp,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_variance_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAR_POP/VAR_SAMP/COVAR_POP/COVAR_SAMP (reference
+    ``impl/transform/agg/{VarianceFn,CovarianceFn}.java``) + CORR."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.var_pop("l_quantity"), 6).alias("vpop"),
+        F.round(F.var_samp("l_quantity"), 6).alias("vsamp"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("sdpop"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("cvpop"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cvsamp"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+    )
+
+
+@query(
+    "agg_bit_xor",
+    oracle="SELECT l_returnflag, bit_xor(l_orderkey) AS x FROM lineitem GROUP BY l_returnflag",
+)
+def agg_bit_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIT_XOR (reference ``BeamBuiltinAggregations.java:58-72``)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.bit_xor("l_orderkey").alias("x"))
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregation."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@query("agg_approx_count_distinct")
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApproximateUnique (reference ``transforms/stats.py:90``) →
+    approx_count_distinct (HLL++). No oracle: sketch estimates are
+    engine-specific; accuracy asserted in tests instead."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"))
+    )
+
+
+@query("agg_approx_quantiles")
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApproximateQuantiles (reference ``transforms/stats.py:284``) →
+    percentile_approx. No oracle: buffer-based estimates are
+    engine-specific; accuracy asserted in tests."""
+    return table(spark, sf_dir, "lineitem").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("quartiles")
+    )
+
+
+@query("agg_sample_fixed")
+def agg_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample.FixedSizeGlobally (reference ``combiners.py:522``): uniform
+    reservoir sample. No oracle (randomness is engine-specific); size and
+    uniqueness asserted in tests."""
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.rand(42))
+        .limit(100)
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic (OVER-clause) functions — BeamWindowRel (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_rank_functions",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           row_number()   OVER w AS rn,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist()    OVER w, 6) AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER/RANK/DENSE_RANK/PERCENT_RANK (+NTILE/CUME_DIST, which the
+    reference lacks) — ``BeamBuiltinAnalyticFunctions.java:41-47``."""
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "win_lead_lag",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           lag(o_totalprice)  OVER w AS prev_total,
+           lead(o_totalprice) OVER w AS next_total,
+           round(o_totalprice - coalesce(lag(o_totalprice) OVER w, o_totalprice), 2) AS delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD/LAG over a deterministic per-key order."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    tp = F.col("o_totalprice")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag(tp).over(w).alias("prev_total"),
+        F.lead(tp).over(w).alias("next_total"),
+        F.round(tp - F.coalesce(F.lag(tp).over(w), tp), 2).alias("delta"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total,
+           first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS first_order,
+           last_value(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_order
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate with ROWS frame + FIRST_VALUE/LAST_VALUE."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2
+        ).alias("running_total"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey")
+        .over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("last_order"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_similar
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window bounds) — ``BeamWindowRel`` RANGE
+    support."""
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-50000, 0)
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_similar"),
+    )

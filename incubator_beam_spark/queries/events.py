@@ -1,0 +1,362 @@
+"""Event-time windowing on the events table (batch semantics; the same
+plans run under Structured Streaming — see ``streaming/``).
+
+Reference surface: WindowFns (``transforms/window.py:356,393,463,537`` —
+Global/Fixed/Sliding/Sessions), WindowInto (``core.py:2747``),
+TimestampCombiner (``window.py:95``), GroupIntoBatches
+(``transforms/util.py:787``), and NEXMark queries
+(``sdks/java/testing/nexmark/.../queries/``) re-expressed on the events
+fixture (SURVEY.md §2.6, §5).
+
+Window boundaries are reported as epoch seconds (BIGINT) so hashes are
+timezone-representation-proof. Fixed/sliding windows align to the Unix
+epoch exactly like Spark's ``F.window`` and the reference's
+``FixedWindows(offset=0)``.
+
+Scale: every query here groups on (window, key) — one shuffle, partial
+aggregation map-side; sliding windows explode each row into size/period
+rows *after* projection to the needed columns only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+_HOUR = 3600
+
+
+def _win_start_epoch(col: str = "window") -> F.Column:
+    return F.unix_timestamp(F.col(f"{col}.start")).alias("window_start")
+
+
+@query(
+    "evt_tumbling_window",
+    oracle=f"""
+    SELECT (floor(epoch(ts))::BIGINT // {_HOUR}) * {_HOUR} AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FixedWindows(1h) + GBK (reference ``window.py:393``)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(_win_start_epoch(), "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "evt_sliding_window",
+    oracle="""
+    WITH assigned AS (
+      SELECT unnest(generate_series(
+               ((floor(epoch(ts))::BIGINT // 900) * 900) - 2700,
+               (floor(epoch(ts))::BIGINT // 900) * 900,
+               900)) AS window_start,
+             event_type, value
+      FROM events
+    )
+    SELECT window_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SlidingWindows(size=1h, period=15m) (reference ``window.py:463``):
+    each element lands in 4 windows (size/period), exactly what
+    ``F.window(ts, size, slide)`` produces."""
+    e = table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(_win_start_epoch(), "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "evt_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       >= 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           floor(epoch(min(ts)))::BIGINT AS session_start,
+           floor(epoch(max(ts)))::BIGINT + 1800 AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions(gap=30m) (reference ``window.py:537``): merging windows via
+    ``F.session_window`` — Spark's session end is last-event + gap, matching
+    Beam's window [start, last+gap)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+            F.unix_timestamp(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "evt_window_reify",
+    oracle=f"""
+    SELECT event_id,
+           (floor(epoch(ts))::BIGINT // {_HOUR}) * {_HOUR}            AS window_start,
+           (floor(epoch(ts))::BIGINT // {_HOUR}) * {_HOUR} + {_HOUR}  AS window_end,
+           floor(epoch(ts))::BIGINT                                    AS ts_epoch
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def evt_window_reify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WindowInto + Reify.Window/Timestamp (reference ``core.py:2747``,
+    ``transforms/util.py:1030``): window assignment as data columns."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = F.window("ts", "1 hour")
+    return e.select(
+        "event_id",
+        F.unix_timestamp(w.start).alias("window_start"),
+        F.unix_timestamp(w.end).alias("window_end"),
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
+@query(
+    "evt_timestamp_combiners",
+    oracle=f"""
+    SELECT (floor(epoch(ts))::BIGINT // {_HOUR}) * {_HOUR} AS window_start,
+           user_id,
+           floor(epoch(min(ts)))::BIGINT AS earliest,
+           floor(epoch(max(ts)))::BIGINT AS latest,
+           (floor(epoch(ts))::BIGINT // {_HOUR}) * {_HOUR} + {_HOUR} AS end_of_window
+    FROM events GROUP BY 1, 2, 5
+    """,
+)
+def evt_timestamp_combiners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimestampCombiner EARLIEST/LATEST/END_OF_WINDOW (reference
+    ``window.py:95``) as output-timestamp choices for a windowed GBK."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("earliest"),
+            F.unix_timestamp(F.max("ts")).alias("latest"),
+        )
+        .select(
+            _win_start_epoch(),
+            "user_id",
+            "earliest",
+            "latest",
+            F.unix_timestamp(F.col("window.end")).alias("end_of_window"),
+        )
+    )
+
+
+@query(
+    "evt_windowed_join",
+    oracle=f"""
+    WITH p AS (SELECT (floor(epoch(ts))::BIGINT // {_HOUR}) * {_HOUR} AS w, user_id,
+                      count(*) AS n_purchase, round(sum(value), 2) AS purchase_value
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         c AS (SELECT (floor(epoch(ts))::BIGINT // {_HOUR}) * {_HOUR} AS w, user_id,
+                      count(*) AS n_click
+               FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT p.w AS window_start, p.user_id, n_purchase, purchase_value, n_click
+    FROM p JOIN c ON p.w = c.w AND p.user_id = c.user_id
+    """,
+)
+def evt_windowed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed stream-stream join shape (NEXMark Q3/Q8 style,
+    ``BeamCoGBKJoinRel`` windowed-unbounded case): per-window per-key join
+    of two event streams; pre-aggregated per side so the join input is one
+    row per (window, key)."""
+    e = table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(w.alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchase"),
+            F.round(F.sum("value"), 2).alias("purchase_value"),
+        )
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(w.alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_click"))
+    )
+    return p.join(c, ["w", "user_id"]).select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start"),
+        "user_id",
+        "n_purchase",
+        "purchase_value",
+        "n_click",
+    )
+
+
+@query(
+    "evt_group_into_batches",
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id,
+             (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 10
+               AS batch_idx
+      FROM events)
+    SELECT user_id, batch_idx, count(*) AS batch_size
+    FROM numbered GROUP BY user_id, batch_idx
+    """,
+)
+def evt_group_into_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupIntoBatches(10) (reference ``transforms/util.py:787``): per-key
+    deterministic chunking; batch path needs no state kernel."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("batch_idx", ((F.row_number().over(w) - F.lit(1)) / 10).cast("long"))
+        .groupBy("user_id", "batch_idx")
+        .agg(F.count(F.lit(1)).alias("batch_size"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# NEXMark-style queries (reference sdks/java/testing/nexmark/.../queries/)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nexmark_q1_currency",
+    oracle="""
+    SELECT event_id, user_id, round(value * 0.908, 2) AS eur_value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def nexmark_q1_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark Q1 (currency conversion — ``queries/Query1.java``): stateless
+    Map over the bid stream."""
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.round(F.col("value") * 0.908, 2).alias("eur_value"))
+    )
+
+
+@query(
+    "nexmark_q2_filter",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events WHERE event_type = 'purchase' AND user_id % 5 = 0
+    """,
+)
+def nexmark_q2_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark Q2 (selection — ``queries/Query2.java``)."""
+    return (
+        table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") % 5 == 0))
+        .select("event_id", "user_id", "value")
+    )
+
+
+@query(
+    "nexmark_q5_hot_items",
+    oracle=f"""
+    WITH counts AS (
+      SELECT (floor(epoch(ts))::BIGINT // {_HOUR}) * {_HOUR} AS window_start, user_id,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, user_id) AS rn
+      FROM counts)
+    SELECT window_start, user_id, n FROM ranked WHERE rn = 1
+    """,
+)
+def nexmark_q5_hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark Q5 (hot items — ``queries/Query5.java``): per window, the key
+    with the most events (deterministic tie-break by key)."""
+    e = table(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(_win_start_epoch(), "user_id", "n")
+    )
+    w = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("window_start", "user_id", "n")
+    )
+
+
+@query(
+    "nexmark_q7_highest_value",
+    oracle=f"""
+    WITH mx AS (
+      SELECT (floor(epoch(ts))::BIGINT // {_HOUR}) * {_HOUR} AS window_start,
+             max(value) AS max_value
+      FROM events GROUP BY 1)
+    SELECT e2.window_start, e2.max_value, min(event_id) AS event_id
+    FROM (SELECT (floor(epoch(ts))::BIGINT // {_HOUR}) * {_HOUR} AS ws, event_id, value
+          FROM events) e
+    JOIN mx e2 ON e.ws = e2.window_start AND e.value = e2.max_value
+    GROUP BY e2.window_start, e2.max_value
+    """,
+)
+def nexmark_q7_highest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark Q7 (highest bid per window — ``queries/Query7.java``):
+    windowed global max + winner; the max side is tiny so it broadcasts."""
+    e = table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    mx = (
+        e.groupBy(w.alias("w"))
+        .agg(F.max("value").alias("max_value"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), "max_value")
+    )
+    ev = e.select(
+        F.unix_timestamp(w.start).alias("window_start"), "event_id", "value"
+    )
+    return (
+        ev.join(F.broadcast(mx), ["window_start"])
+        .filter(F.col("value") == F.col("max_value"))
+        .groupBy("window_start", "max_value")
+        .agg(F.min("event_id").alias("event_id"))
+    )
+
+
+@query(
+    "evt_distinct_users_per_window",
+    oracle=f"""
+    SELECT (floor(epoch(ts))::BIGINT // {_HOUR}) * {_HOUR} AS window_start,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def evt_distinct_users_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed COUNT DISTINCT (exact; the approximate variant is
+    agg_approx_count_distinct)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(_win_start_epoch(), "n_users")
+    )

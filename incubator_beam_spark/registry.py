@@ -35,6 +35,7 @@ QUERIES: dict[str, Query] = {}
 _QUERY_MODULES = (
     "incubator_beam_spark.queries.relational",
     "incubator_beam_spark.queries.combiners",
+    "incubator_beam_spark.queries.functions",
     "incubator_beam_spark.queries.events",
     "incubator_beam_spark.queries.sqlfront",
     "incubator_beam_spark.queries.dataops",

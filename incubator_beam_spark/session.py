@@ -38,6 +38,10 @@ def get_spark(app_name: str = "incubator_beam_spark", cpus: int | None = None) -
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The events fixture stores TIMESTAMP(NANOS); Spark's reader rejects
+        # it natively. Read as epoch-nanos long; catalog.py converts back to
+        # a (microsecond) timestamp column.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
