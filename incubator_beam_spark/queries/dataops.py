@@ -1,0 +1,301 @@
+"""LLM-data operator queries on documents/embeddings, with DuckDB oracles
+that replicate each operator's exact semantics (md5-based hashing and
+shared regex classes make them engine-portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..dataops import dedup, similarity, text
+from ..registry import query
+
+# Shared oracle fragments ----------------------------------------------------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_WORDS = f"string_split({_NORM}, ' ')"
+_SHINGLES = f"""
+  CASE WHEN len({_WORDS}) >= 3
+       THEN list_transform(generate_series(1, len({_WORDS}) - 2),
+                           i -> {_WORDS}[i] || ' ' || {_WORDS}[i+1] || ' ' || {_WORDS}[i+2])
+       ELSE [array_to_string({_WORDS}, ' ')] END
+"""
+_SIG = ", ".join(
+    f"list_min(list_transform(sh, s -> md5(s || '#{i}')))" for i in range(8)
+)
+_TOKENS = r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')"
+
+
+@query(
+    "doc_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+'))          AS n_words,
+           len({_TOKENS})                                        AS n_tokens,
+           round(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) / length(text), 6)
+             AS punct_ratio,
+           round(length(regexp_replace(text, '[^A-Z]', '', 'g')) / length(text), 6)
+             AS upper_ratio
+    FROM documents
+    """,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text statistics: word/token counts, punctuation + uppercase ratios
+    (quality-scoring inputs). Pure codegen expressions over the scan."""
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        text.word_count(t).alias("n_words"),
+        text.token_count(t).alias("n_tokens"),
+        F.round(text.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(text.upper_ratio(t), 6).alias("upper_ratio"),
+    )
+
+
+@query(
+    "doc_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(
+             (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.4 ELSE 0.0 END)
+             + least((len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in)\\b'))
+                      / len(string_split_regex(trim(text), '\\s+'))) * 2, 0.4)
+             + (CASE WHEN length(regexp_replace(text, '[^.,!?;:]', '', 'g')) / length(text) <= 0.1
+                     THEN 0.2 ELSE 0.0 END), 4) AS quality
+    FROM documents
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (C4/Gopher-style rule filter)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "doc_langid",
+    oracle="""
+    WITH scores AS (
+      SELECT doc_id, lang AS labeled_lang,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in)\\b'))   AS s_en,
+             len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht)\\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|y)\\b'))    AS s_es,
+             len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|dans)\\b')) AS s_fr
+      FROM documents)
+    SELECT doc_id, labeled_lang,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS detected
+    FROM scores
+    """,
+)
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram/stopword heuristic with deterministic
+    tie-breaking."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        text.detect_lang(F.col("text")).alias("detected"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, substr(md5({_NORM}), 1, 16) AS fp FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit document fingerprint over normalized text."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "doc_exact_dedup",
+    oracle=f"""
+    SELECT substr(md5({_NORM}), 1, 16) AS fp,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via fingerprint groupBy (shuffles 24B/row, not text)."""
+    return dedup.exact_dedup(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_minhash_signature",
+    oracle=f"""
+    WITH sh_t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+    SELECT doc_id, [{_SIG}] AS sig FROM sh_t
+    """,
+)
+def doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 md5 permutations over word-3-gram shingles),
+    computed scan-side with array expressions — no UDF, no explode."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        dedup.minhash_signature(dedup.shingles(F.col("text"))).alias("sig"),
+    )
+
+
+@query(
+    "doc_minhash_lsh_pairs",
+    oracle=f"""
+    WITH sh_t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    sig_t AS (SELECT doc_id, sh, [{_SIG}] AS sig FROM sh_t),
+    bands AS (
+      SELECT doc_id, b AS band, md5(sig[2*b + 1] || '|' || sig[2*b + 2]) AS key
+      FROM sig_t, unnest(generate_series(0, 3)) AS t(b)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+    SELECT id_a, id_b,
+           round(len(list_intersect(a.sh, b.sh))
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM cand JOIN sig_t a ON cand.id_a = a.doc_id
+              JOIN sig_t b ON cand.id_b = b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+)
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup pairs (banded buckets → candidate join → exact
+    Jaccard verify). The fixture corpus has no near-dups, so correctness of
+    a non-empty result is exercised in tests with synthetic dups."""
+    return dedup.minhash_lsh_pairs(table(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    hashes = f"list_transform({_TOKENS}, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)"
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(h, x -> (x >> {b}) & 1 = 1)) >= len(h) "
+        f"THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH h_t AS (SELECT doc_id, {hashes} AS h FROM documents)
+    SELECT doc_id, {terms} AS simhash FROM h_t
+    """
+
+
+@query("doc_simhash", oracle=_simhash_oracle())
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit) per document — near-dup fingerprint packed to one
+    BIGINT; Hamming-distance banding joins on it at scale."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", dedup.simhash64(F.col("text"), bits=32).alias("simhash"))
+
+
+@query(
+    "doc_ngram_jaccard",
+    oracle=f"""
+    WITH sh_t AS (SELECT doc_id, source, {_SHINGLES} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+      FROM sh_t a JOIN sh_t b
+        ON a.source = b.source AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           round(len(list_intersect(sh_a, sh_b))
+                 / len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
+    FROM pairs WHERE id_a < 20
+    """,
+)
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise n-gram Jaccard within a blocking key (source) — the
+    blocked-comparison shape used when LSH recall is insufficient."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", "source", dedup.shingles(F.col("text")).alias("sh"))
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src"), F.col("sh").alias("sh_a")
+    ).filter(F.col("id_a") < 20)
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src"), F.col("sh").alias("sh_b")
+    )
+    return (
+        a.join(b, (a.src == b.src) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dedup.jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "emb_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 3),
+         c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         s AS (SELECT query_id, match_id,
+                      round(list_dot_product(qv, cv)
+                            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+                        AS cos
+               FROM q, c WHERE query_id != match_id)
+    SELECT query_id, match_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
+      FROM s) WHERE rank <= 5
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search (exact ANN baseline)."""
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(e.filter(F.col("vec_id") < 3), e, k=5)
+
+
+@query("emb_lsh_topk")
+def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH bucketing (the scale
+    path: ~N/2^planes comparisons per query). Recall vs brute force is
+    asserted in tests; no SQL oracle (bucket boundaries are engine-exact
+    but the operator is approximate by design)."""
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(e.filter(F.col("vec_id") < 3), e, dim=64, k=5, n_planes=4)
+
+
+@query(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text)                  AS content_hash
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: treat payloads as opaque binary + typed
+    metadata computed scan-side (documents.text stands in for media bytes;
+    see dataops/multimodal.py for the decode stage)."""
+    from ..dataops.multimodal import with_binary_meta
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return with_binary_meta(d).select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.content_hash").alias("content_hash"),
+    )
+
+
+@query("mm_image_decode")
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode stage (stubbed kernel, real mapInPandas plumbing):
+    binary payload -> feature columns via Arrow batches. Rows-only check
+    (the stub's fake features are engine-internal)."""
+    from ..dataops.multimodal import decode_images
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return decode_images(d)

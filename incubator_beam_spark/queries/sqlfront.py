@@ -1,0 +1,333 @@
+"""SQL front door coverage: Beam-SQL-dialect queries executed via
+``plans.sqlfront.run_sql`` (temp views + Catalyst), including the Calcite
+TUMBLE/HOP/SESSION rewrite, subquery shapes, CTEs, grouping sets, VALUES,
+and ORDER BY/LIMIT/OFFSET (SURVEY.md §2.8 rel-node inventory).
+
+The reference needs a Java expansion service for any of this
+(``transforms/sql.py:34``); here the SQL string hits Catalyst directly, so
+every query below also inherits predicate pushdown/column pruning/join
+reordering from the optimizer rather than Beam's rule set (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
+from ..plans.sqlfront import run_sql
+from ..registry import query
+
+
+def _sql(spark: SparkSession, sf_dir: str, q: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return run_sql(spark, q)
+
+
+@query(
+    "sql_tumble",
+    oracle="""
+    SELECT floor(epoch(time_bucket(INTERVAL 1 hour, ts)))::BIGINT AS window_start,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def sql_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY TUMBLE — Calcite windowing syntax through the rewriter
+    (``BeamAggregationRule.java:121-153`` equivalent)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT unix_timestamp(TUMBLE_START(ts, INTERVAL '1' HOUR)) AS window_start,
+               event_type, count(*) AS n
+        FROM events
+        GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), event_type
+        """,
+    )
+
+
+@query(
+    "sql_hop",
+    oracle="""
+    WITH assigned AS (
+      SELECT unnest(generate_series(
+               ((floor(epoch(ts))::BIGINT // 900) * 900) - 2700,
+               (floor(epoch(ts))::BIGINT // 900) * 900, 900)) AS window_start,
+             value
+      FROM events)
+    SELECT window_start, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM assigned GROUP BY 1
+    """,
+)
+def sql_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY HOP (sliding) through the rewriter; Calcite argument order
+    is (ts, slide, size)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT unix_timestamp(HOP_START(ts, INTERVAL '15' MINUTE, INTERVAL '1' HOUR))
+                 AS window_start,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY HOP(ts, INTERVAL '15' MINUTE, INTERVAL '1' HOUR)
+        """,
+    )
+
+
+@query(
+    "sql_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       >= 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start, count(*) AS n
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def sql_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY SESSION through the rewriter -> session_window."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT user_id,
+               unix_timestamp(SESSION_START(ts, INTERVAL '30' MINUTE)) AS session_start,
+               count(*) AS n
+        FROM events
+        GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id
+        """,
+    )
+
+
+@query(
+    "sql_exists_subquery",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape) — decorrelated by Catalyst into a
+    semi join."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority
+        """,
+    )
+
+
+@query(
+    "sql_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, round(c_acctbal, 2) AS bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (side-input AsSingleton shape, ``pvalue.py:475``)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, round(c_acctbal, 2) AS bal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        """,
+    )
+
+
+@query(
+    "sql_in_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+    """,
+)
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery -> semi join."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        """,
+    )
+
+
+@query(
+    "sql_correlated_avg",
+    oracle="""
+    SELECT c_custkey, round(c_acctbal, 2) AS bal
+    FROM customer c1
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c1.c_nationkey)
+    """,
+)
+def sql_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-group average comparison)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, round(c_acctbal, 2) AS bal
+        FROM customer c1
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c1.c_nationkey)
+        """,
+    )
+
+
+@query(
+    "sql_cte_chain",
+    oracle="""
+    WITH big_orders AS (
+      SELECT o_custkey, count(*) AS n FROM orders
+      WHERE o_totalprice > 200000 GROUP BY o_custkey),
+    ranked AS (
+      SELECT c_nationkey, b.n
+      FROM customer JOIN big_orders b ON c_custkey = b.o_custkey)
+    SELECT c_nationkey, CAST(sum(n) AS BIGINT) AS total_big
+    FROM ranked GROUP BY c_nationkey
+    """,
+)
+def sql_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained CTEs."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        WITH big_orders AS (
+          SELECT o_custkey, count(*) AS n FROM orders
+          WHERE o_totalprice > 200000 GROUP BY o_custkey),
+        ranked AS (
+          SELECT c_nationkey, b.n
+          FROM customer JOIN big_orders b ON c_custkey = b.o_custkey)
+        SELECT c_nationkey, CAST(sum(n) AS BIGINT) AS total_big
+        FROM ranked GROUP BY c_nationkey
+        """,
+    )
+
+
+@query(
+    "sql_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """,
+    )
+
+
+@query(
+    "sql_values_join",
+    oracle="""
+    SELECT v.nk, n_name, v.tag
+    FROM (VALUES (1, 'one'), (2, 'two'), (3, 'three')) AS v(nk, tag)
+    JOIN nation ON n_nationkey = v.nk
+    """,
+)
+def sql_values_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES literal table (BeamValuesRel) joined to a view."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT v.nk, n_name, v.tag
+        FROM VALUES (1, 'one'), (2, 'two'), (3, 'three') AS v(nk, tag)
+        JOIN nation ON n_nationkey = v.nk
+        """,
+    )
+
+
+@query(
+    "sql_order_limit_offset",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5
+    """,
+)
+def sql_order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT + OFFSET (BeamSortRel with offset)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS total
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5
+        """,
+    )
+
+
+@query(
+    "sql_unnest_lateral",
+    oracle="""
+    SELECT vec_id, round(unnest(embedding[1:4])::DOUBLE, 6) AS component
+    FROM embeddings WHERE vec_id < 20
+    """,
+)
+def sql_unnest_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST via LATERAL VIEW explode (BeamUnnestRel)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT vec_id, round(CAST(component AS DOUBLE), 6) AS component
+        FROM embeddings
+        LATERAL VIEW explode(slice(embedding, 1, 4)) t AS component
+        WHERE vec_id < 20
+        """,
+    )
+
+
+@query(
+    "sql_case_insensitive_agg",
+    oracle="""
+    SELECT upper(o_orderpriority) AS prio,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           round(max(o_totalprice), 2) AS max_total
+    FROM orders GROUP BY 1
+    """,
+)
+def sql_case_insensitive_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE inside aggregation + expression GROUP BY."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT upper(o_orderpriority) AS prio,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_finished,
+               round(max(o_totalprice), 2) AS max_total
+        FROM orders GROUP BY upper(o_orderpriority)
+        """,
+    )

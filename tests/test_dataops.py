@@ -1,0 +1,106 @@
+"""Behavioral tests for the LLM-data operators: synthetic near-dups for
+MinHash/SimHash (the fixture corpus has none), ANN recall vs brute force,
+multimodal batch plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_beam_spark.dataops import dedup, similarity
+from incubator_beam_spark.dataops.multimodal import decode_images, with_binary_meta
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest where tall trees grow near the river"
+    )
+    near = base.replace("lazy", "sleepy")  # 1-word edit → high jaccard
+    other = "completely different content about spark query engines and shuffles at scale"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup_groups_identical(spark, dup_docs):
+    out = {r.keep_id: r.n_copies for r in dedup.exact_dedup(dup_docs).collect()}
+    assert out[1] == 2  # docs 1+2 identical
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_minhash_identical_docs_identical_sigs(spark, dup_docs):
+    sigs = {
+        r.doc_id: tuple(r.sig)
+        for r in dup_docs.select(
+            "doc_id", dedup.minhash_signature(dedup.shingles(F.col("text"))).alias("sig")
+        ).collect()
+    }
+    assert sigs[1] == sigs[2]
+    # near-dup shares most signature positions; unrelated doc shares none
+    shared_near = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    shared_far = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    assert shared_near >= 4
+    assert shared_far == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark, dup_docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(dup_docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.7
+    assert all(4 not in p for p in pairs)
+
+
+def test_simhash_near_dups_close_in_hamming(spark, dup_docs):
+    out = {
+        r.doc_id: r.sh
+        for r in dup_docs.select(
+            "doc_id", dedup.simhash64(F.col("text"), bits=32).alias("sh")
+        ).collect()
+    }
+    assert out[1] == out[2]
+    ham_near = bin(out[1] ^ out[3]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(queries, emb, k=5)
+    approx = similarity.lsh_topk(queries, emb, dim=64, k=5, n_planes=2)
+    exact_set = {(r.query_id, r.match_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.match_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 2 planes → 4 buckets → ~25% of corpus scanned; recall well above random
+    assert recall >= 0.4, f"LSH recall too low: {recall}"
+
+
+def test_cosine_self_similarity(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(10)
+    v = similarity.as_double(F.col("embedding"))
+    out = emb.select(F.round(similarity.cosine(v, v), 6).alias("c")).collect()
+    assert all(abs(r.c - 1.0) < 1e-6 for r in out)
+
+
+def test_multimodal_meta_and_decode(spark, dup_docs):
+    with_payload = dup_docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    meta = with_binary_meta(with_payload).select("doc_id", "media_meta.*").collect()
+    by_id = {r.doc_id: r for r in meta}
+    assert by_id[1].n_bytes == by_id[2].n_bytes > 0
+    assert by_id[1].content_hash == by_id[2].content_hash
+
+    feats = decode_images(with_payload).collect()
+    assert len(feats) == 4
+    assert all(r.width > 0 and r.height > 0 and r.n_channels == 3 for r in feats)
+    # deterministic stub: identical payloads → identical features
+    fmap = {r.doc_id: (r.width, r.height) for r in feats}
+    assert fmap[1] == fmap[2]
