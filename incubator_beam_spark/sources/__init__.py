@@ -1,0 +1,16 @@
+"""Sources and sinks (IO connector matrix, SURVEY.md §2.10)."""
+
+from .io import (  # noqa: F401
+    ReadFromAvro,
+    ReadFromCsv,
+    ReadFromJdbc,
+    ReadFromJson,
+    ReadFromKafka,
+    ReadFromParquet,
+    ReadFromText,
+    WriteToAvro,
+    WriteToCsv,
+    WriteToJson,
+    WriteToParquet,
+    WriteToText,
+)

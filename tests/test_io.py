@@ -1,0 +1,84 @@
+"""IO connector round-trips (reference test model: textio_test /
+parquetio_test round-trip pattern)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import incubator_beam_spark.core as ibs
+from incubator_beam_spark.sources import (
+    ReadFromAvro,
+    ReadFromCsv,
+    ReadFromJson,
+    ReadFromParquet,
+    ReadFromText,
+    WriteToCsv,
+    WriteToJson,
+    WriteToParquet,
+    WriteToText,
+)
+from incubator_beam_spark.testing import assert_that, equal_to
+
+
+@pytest.fixture(scope="module")
+def p(spark):
+    return ibs.Pipeline(spark)
+
+
+def test_text_roundtrip(p, tmp_path):
+    out = str(tmp_path / "txt")
+    p | ibs.Create(["alpha", "beta", "gamma"]) | WriteToText(out)
+    back = p | ReadFromText(out)
+    assert_that(back, equal_to(["alpha", "beta", "gamma"]))
+
+
+def test_parquet_roundtrip(p, tmp_path):
+    out = str(tmp_path / "pq")
+    p | ibs.Create([("a", 1), ("b", 2)]) | WriteToParquet(out)
+    back = p | ReadFromParquet(out)
+    assert_that(back, equal_to([("a", 1), ("b", 2)]))
+
+
+def test_parquet_partitioned_write(p, tmp_path):
+    out = str(tmp_path / "pq_dyn")
+    p | ibs.Create([("a", 1), ("a", 2), ("b", 3)]) | WriteToParquet(
+        out, partition_by=["key"]
+    )
+    # dynamic destinations: one dir per key (fileio WriteToFiles analog)
+    assert sorted(d for d in os.listdir(out) if d.startswith("key=")) == ["key=a", "key=b"]
+    back = p | ReadFromParquet(out)
+    assert sorted((r.key, r.value) for r in back.df.collect()) == [
+        ("a", 1), ("a", 2), ("b", 3),
+    ]
+
+
+def test_csv_roundtrip(p, tmp_path):
+    out = str(tmp_path / "csv")
+    p | ibs.Create([("x", 10), ("y", 20)]) | WriteToCsv(out)
+    back = p | ReadFromCsv(out, schema="key string, value int")
+    assert_that(back, equal_to([("x", 10), ("y", 20)]))
+
+
+def test_json_roundtrip(p, tmp_path):
+    out = str(tmp_path / "json")
+    p | ibs.Create([("k1", 5)]) | WriteToJson(out)
+    back = p | ReadFromJson(out, schema="key string, value long")
+    assert_that(back, equal_to([("k1", 5)]))
+
+
+def test_avro_gated(p, tmp_path):
+    """Avro needs the spark-avro jar; absent here, the connector must fail
+    with Spark's clear data-source error, not a crash elsewhere."""
+    try:
+        p | ibs.Create([("a", 1)]) | __import__(
+            "incubator_beam_spark.sources", fromlist=["WriteToAvro"]
+        ).WriteToAvro(str(tmp_path / "avro"))
+        readable = True
+    except Exception as e:  # noqa: BLE001
+        readable = False
+        assert "avro" in str(e).lower() or "FAILED_TO_LOAD" in str(e)
+    if readable:  # jar present: verify the round-trip instead
+        back = p | ReadFromAvro(str(tmp_path / "avro"))
+        assert_that(back, equal_to([("a", 1)]))

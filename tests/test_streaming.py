@@ -1,0 +1,160 @@
+"""Streaming semantics tests: the ValidatesRunner analog (SURVEY.md §5) —
+the same logical plans run in batch and micro-batch streaming and must
+agree; plus stateful kernel and TestStream scripted-time behavior."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from incubator_beam_spark.streaming import (
+    TestStream,
+    deduplicate_stream,
+    group_into_batches_stream,
+    per_key_counter,
+)
+from incubator_beam_spark.streaming.source import run_to_completion, stream_events
+
+from .conftest import SF_DIR
+
+
+def _ts(minute: int, second: int = 0) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, minute, second)
+
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def test_stream_batch_parity_windowed_agg(spark):
+    """The same windowed-agg plan over the events fixture agrees between
+    spark.read and spark.readStream (complete/update-free comparison via
+    final state)."""
+    from incubator_beam_spark.catalog import table
+
+    def plan(df):
+        return (
+            df.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.unix_timestamp("window.start").alias("ws"), "event_type", "n"
+            )
+        )
+
+    batch = {tuple(r) for r in plan(table(spark, SF_DIR, "events")).collect()}
+    streamed = run_to_completion(
+        plan(stream_events(spark, SF_DIR)), "parity_agg", output_mode="complete"
+    )
+    stream_rows = {tuple(r) for r in streamed.collect()}
+    assert batch == stream_rows
+
+
+def test_watermark_append_drops_open_windows(spark):
+    """Append mode only emits windows the watermark has passed: without a
+    sentinel the last window stays open."""
+    with TestStream(spark, EVENT_SCHEMA) as ts:
+        agg = (
+            ts.stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_timestamp("window.start").alias("ws"), "user_id", "n")
+        )
+        ts.start(agg, output_mode="append")
+        ts.add_elements([( _ts(1), 1, 1.0), (_ts(2), 1, 2.0)]).advance()
+        assert ts.results().count() == 0  # window [0,10) still open
+        # advance watermark far past the first window
+        ts.add_elements([(_ts(59), 99, 0.0)]).advance()
+        rows = {(r.ws, r.user_id, r.n) for r in ts.results().collect()}
+        assert (1704067200, 1, 2) in rows
+
+
+def test_watermark_drops_late_data(spark):
+    """An element older than watermark - delay is dropped (reference:
+    allowed-lateness horizon, trigger.py GC)."""
+    with TestStream(spark, EVENT_SCHEMA) as ts:
+        agg = (
+            ts.stream.withWatermark("ts", "5 minutes")
+            .groupBy(F.window("ts", "10 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_timestamp("window.start").alias("ws"), "n")
+        )
+        ts.start(agg, output_mode="append")
+        ts.add_elements([(_ts(1), 1, 1.0)]).advance()
+        ts.add_elements([(_ts(40), 2, 1.0)]).advance()  # watermark → 00:35
+        ts.add_elements([(_ts(2), 3, 1.0)]).advance()   # late for [0,10)
+        ts.add_elements([(_ts(59), 4, 1.0)]).advance()  # close remaining
+        by_ws = {r.ws: r.n for r in ts.results().collect()}
+        assert by_ws[1704067200] == 1  # late element NOT counted
+
+
+def test_deduplicate_stream_within_watermark(spark):
+    with TestStream(spark, EVENT_SCHEMA) as ts:
+        dedup = deduplicate_stream(
+            ts.stream, ["user_id"], event_time_col="ts", within="10 minutes"
+        ).select("user_id", "value")
+        ts.start(dedup, output_mode="append")
+        ts.add_elements([(_ts(1), 1, 10.0), (_ts(2), 1, 20.0), (_ts(2), 2, 5.0)]).advance()
+        rows = sorted((r.user_id, r.value) for r in ts.results().collect())
+        assert rows == [(1, 10.0), (2, 5.0)]  # first per key kept
+
+
+def test_per_key_counter_state(spark):
+    with TestStream(spark, EVENT_SCHEMA) as ts:
+        counted = per_key_counter(ts.stream, "user_id")
+        ts.start(counted, output_mode="update")
+        ts.add_elements([(_ts(1), 1, 0.0), (_ts(2), 1, 0.0), (_ts(3), 2, 0.0)]).advance()
+        ts.add_elements([(_ts(4), 1, 0.0)]).advance()
+        rows = [(r.key, r.total) for r in ts.results().collect()]
+        # state persisted across micro-batches: key 1 reaches 3
+        assert (1, 2) in rows and (2, 1) in rows and (1, 3) in rows
+
+
+def test_group_into_batches_stream(spark):
+    with TestStream(spark, EVENT_SCHEMA) as ts:
+        batched = group_into_batches_stream(ts.stream, "user_id", "value", batch_size=2)
+        ts.start(batched, output_mode="append")
+        ts.add_elements([(_ts(1), 1, 1.0), (_ts(2), 1, 2.0), (_ts(3), 1, 3.0)]).advance()
+        first = [(r.key, list(r.batch)) for r in ts.results().collect()]
+        assert first == [(1, ["1.0", "2.0"])]  # remainder buffered in state
+        ts.add_elements([(_ts(4), 1, 4.0)]).advance()
+        rows = [(r.key, list(r.batch)) for r in ts.results().collect()]
+        assert (1, ["3.0", "4.0"]) in rows
+
+
+def test_after_count_trigger_panes(spark):
+    from incubator_beam_spark.streaming.stateful import after_count_trigger
+
+    with TestStream(spark, EVENT_SCHEMA) as ts:
+        fired = after_count_trigger(ts.stream, "user_id", "value", count_n=2)
+        ts.start(fired, output_mode="append")
+        ts.add_elements([(_ts(1), 1, 1.0), (_ts(2), 1, 2.0), (_ts(3), 1, 3.0)]).advance()
+        ts.add_elements([(_ts(4), 1, 4.0), (_ts(5), 1, 5.0)]).advance()
+        rows = sorted(
+            (r.key, r.pane_index, r.pane_count, r.pane_sum)
+            for r in ts.results().collect()
+        )
+        # discarding panes: [1,2] then [3,4]; 5 still pending
+        assert rows == [(1, 0, 2, 3.0), (1, 1, 2, 7.0)]
+
+
+def test_after_count_trigger_accumulating(spark):
+    from incubator_beam_spark.streaming.stateful import after_count_trigger
+
+    with TestStream(spark, EVENT_SCHEMA) as ts:
+        fired = after_count_trigger(ts.stream, "user_id", "value", count_n=2, accumulating=True)
+        ts.start(fired, output_mode="append")
+        ts.add_elements([(_ts(1), 1, 1.0), (_ts(2), 1, 2.0)]).advance()
+        ts.add_elements([(_ts(3), 1, 3.0), (_ts(4), 1, 4.0)]).advance()
+        rows = sorted(
+            (r.pane_index, r.pane_count, r.pane_sum) for r in ts.results().collect()
+        )
+        # accumulating: pane 1 includes pane 0's elements
+        assert rows == [(0, 2, 3.0), (1, 4, 10.0)]
