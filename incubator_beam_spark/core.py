@@ -36,11 +36,14 @@ __all__ = [
     "PTransform",
     "Create",
     "Map",
+    "MapTuple",
     "FlatMap",
+    "FlatMapTuple",
     "Filter",
     "ParDo",
     "DoFn",
     "GroupByKey",
+    "CoGroupByKey",
     "CombinePerKey",
     "CombineGlobally",
     "Flatten",
@@ -74,6 +77,9 @@ class PCollection:
         """Materialize as plain Python elements (driver-side; tests only)."""
         cols = self.df.columns
         rows = self.df.collect()
+        names = getattr(self, "_cogbk_names", None)
+        if names:
+            return [(r["key"], {n: list(r[n]) for n in names}) for r in rows]
         if cols == ["element"]:
             return [r.element for r in rows]
         if cols == ["key", "value"]:
@@ -214,19 +220,45 @@ class Create(PTransform):
 # ---------------------------------------------------------------------------
 
 
+def _resolve_sides(side_inputs: tuple) -> tuple:
+    """Side-input views (pvalue.AsSingleton/AsDict/...) resolve to plain
+    values at expansion time; already-plain values pass through (matches
+    the reference: views are windowed broadcasts, here driver broadcasts)."""
+    from .pvalue import _View
+
+    return tuple(s.resolve() if isinstance(s, _View) else s for s in side_inputs)
+
+
 class Map(PTransform):
     """1->1 element map (reference ``core.py:1535``). Column expressions run
-    JVM-side; Python callables batch through Arrow."""
+    JVM-side; Python callables batch through Arrow. Extra args are side
+    inputs (``pvalue.AsSingleton`` etc.) passed through to the callable."""
 
-    def __init__(self, fn: Callable[[Any], Any] | Column):
+    def __init__(self, fn: Callable[..., Any] | Column, *side_inputs):
         self.fn = fn
+        self.side_inputs = side_inputs
 
     def expand(self, pcoll: PCollection) -> PCollection:
         if isinstance(self.fn, Column):
             return PCollection(pcoll.df.select(self.fn.alias("element")), pcoll.pipeline)
-        fn = self.fn
+        fn, sides = self.fn, _resolve_sides(self.side_inputs)
         return PCollection(
-            _python_flatmap(pcoll.df, lambda e: [fn(e)], pcoll.pipeline.spark),
+            _python_flatmap(pcoll.df, lambda e: [fn(e, *sides)], pcoll.pipeline.spark),
+            pcoll.pipeline,
+        )
+
+
+class MapTuple(PTransform):
+    """Unpack KV/tuple elements into fn args (reference ``core.py:1590``)."""
+
+    def __init__(self, fn: Callable[..., Any], *side_inputs):
+        self.fn = fn
+        self.side_inputs = side_inputs
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        fn, sides = self.fn, _resolve_sides(self.side_inputs)
+        return PCollection(
+            _python_flatmap(pcoll.df, lambda e: [fn(*e, *sides)], pcoll.pipeline.spark),
             pcoll.pipeline,
         )
 
@@ -234,12 +266,30 @@ class Map(PTransform):
 class FlatMap(PTransform):
     """1->N element map (reference ``core.py:1501``)."""
 
-    def __init__(self, fn: Callable[[Any], Iterable[Any]]):
+    def __init__(self, fn: Callable[..., Iterable[Any]], *side_inputs):
         self.fn = fn
+        self.side_inputs = side_inputs
 
     def expand(self, pcoll: PCollection) -> PCollection:
+        fn, sides = self.fn, _resolve_sides(self.side_inputs)
         return PCollection(
-            _python_flatmap(pcoll.df, self.fn, pcoll.pipeline.spark), pcoll.pipeline
+            _python_flatmap(pcoll.df, lambda e: fn(e, *sides), pcoll.pipeline.spark),
+            pcoll.pipeline,
+        )
+
+
+class FlatMapTuple(PTransform):
+    """reference ``core.py:1661``."""
+
+    def __init__(self, fn: Callable[..., Iterable[Any]], *side_inputs):
+        self.fn = fn
+        self.side_inputs = side_inputs
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        fn, sides = self.fn, _resolve_sides(self.side_inputs)
+        return PCollection(
+            _python_flatmap(pcoll.df, lambda e: fn(*e, *sides), pcoll.pipeline.spark),
+            pcoll.pipeline,
         )
 
 
@@ -279,17 +329,20 @@ class DoFn:
 
 
 class ParDo(PTransform):
-    """Apply a DoFn (reference ``core.py:1181``)."""
+    """Apply a DoFn (reference ``core.py:1181``); extra args are side
+    inputs passed to ``process``."""
 
-    def __init__(self, dofn: DoFn):
+    def __init__(self, dofn: DoFn, *side_inputs):
         self.dofn = dofn
+        self.side_inputs = side_inputs
 
     def expand(self, pcoll: PCollection) -> PCollection:
         dofn = self.dofn
+        sides = _resolve_sides(self.side_inputs)
         dofn.setup()
 
         def fn(e):
-            return list(dofn.process(e))
+            return list(dofn.process(e, *sides))
 
         return PCollection(
             _python_flatmap(pcoll.df, fn, pcoll.pipeline.spark), pcoll.pipeline
@@ -309,6 +362,36 @@ class GroupByKey(PTransform):
     def expand(self, pcoll: PCollection) -> PCollection:
         df = pcoll.df.groupBy("key").agg(F.collect_list("value").alias("value"))
         return PCollection(df, pcoll.pipeline)
+
+
+class CoGroupByKey(PTransform):
+    """n-way join-by-key (reference ``transforms/util.py:99``):
+    ``CoGroupByKey(a=pc1, b=pc2)`` -> elements ``(key, {'a': [...], 'b':
+    [...]})``. Implemented as per-side grouped arrays + full outer join —
+    each side combines before the single shuffle."""
+
+    def __init__(self, **named: PCollection):
+        if len(named) < 2:
+            raise ValueError("CoGroupByKey needs >= 2 named PCollections")
+        self.named = named
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        items = list(self.named.items())
+        joined = None
+        for name, pc in items:
+            side = pc.df.groupBy("key").agg(F.collect_list("value").alias(name))
+            joined = side if joined is None else joined.join(side, "key", "full")
+        names = [n for n, _ in items]
+        empty_filled = joined.select(
+            "key",
+            *[F.coalesce(F.col(n), F.array()).alias(n) for n in names],
+        )
+        pipeline = next(iter(self.named.values())).pipeline
+        # DataFrame carries key + one array column per side; collect() maps
+        # rows to (key, {name: [values]}) via _cogbk_names
+        out = PCollection(empty_filled, pipeline)
+        out._cogbk_names = names
+        return out
 
 
 _BUILTIN_COMBINES: dict[str, Callable[[str], Column]] = {

@@ -1,0 +1,366 @@
+"""Element-wise sugar + combiner library as Beam-named PTransforms
+(SURVEY.md §2.2, §2.4).
+
+Reference: ``transforms/combiners.py`` (Count/Mean/Top/Sample/ToList/
+ToDict/ToSet/Latest), ``transforms/util.py`` (Regex, ToString,
+GroupIntoBatches, Deduplicate batch shape), ``transforms/stats.py``
+(ApproximateUnique/Quantiles), Java schema transforms
+(``schemas/transforms/``: AddFields/DropFields/RenameFields/Select).
+
+Everything lowers to native aggregates/expressions — these classes exist
+so reference pipelines port by renaming imports only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .core import PCollection, PTransform
+
+__all__ = [
+    "Count",
+    "Mean",
+    "Top",
+    "Sample",
+    "ToList",
+    "ToDict",
+    "ToSet",
+    "Latest",
+    "ApproximateUnique",
+    "ApproximateQuantiles",
+    "Regex",
+    "ToString",
+    "GroupIntoBatches",
+    "Deduplicate",
+    "AddFields",
+    "DropFields",
+    "RenameFields",
+    "SelectFields",
+    "WithTimestamps",
+]
+
+
+# -- combiners (reference combiners.py) -------------------------------------
+
+
+class Count:
+    class Globally(PTransform):
+        """``combiners.py:119`` Count.Globally."""
+
+        def expand(self, pcoll: PCollection) -> PCollection:
+            return PCollection(
+                pcoll.df.agg(F.count(F.lit(1)).alias("element")), pcoll.pipeline
+            )
+
+    class PerKey(PTransform):
+        def expand(self, pcoll: PCollection) -> PCollection:
+            return PCollection(
+                pcoll.df.groupBy("key").agg(F.count(F.lit(1)).alias("value")),
+                pcoll.pipeline,
+            )
+
+    class PerElement(PTransform):
+        def expand(self, pcoll: PCollection) -> PCollection:
+            df = pcoll.df.groupBy(F.col("element").alias("key")).agg(
+                F.count(F.lit(1)).alias("value")
+            )
+            return PCollection(df, pcoll.pipeline)
+
+
+class Mean:
+    class Globally(PTransform):
+        """``combiners.py:72``."""
+
+        def expand(self, pcoll: PCollection) -> PCollection:
+            return PCollection(pcoll.df.agg(F.avg("element").alias("element")), pcoll.pipeline)
+
+    class PerKey(PTransform):
+        def expand(self, pcoll: PCollection) -> PCollection:
+            return PCollection(
+                pcoll.df.groupBy("key").agg(F.avg("value").alias("value")), pcoll.pipeline
+            )
+
+
+class Top:
+    """``combiners.py:167`` — bounded top-k without a global sort."""
+
+    class Largest(PTransform):
+        def __init__(self, n: int):
+            self.n = n
+
+        def expand(self, pcoll: PCollection) -> PCollection:
+            df = pcoll.df.agg(
+                F.slice(F.sort_array(F.collect_list("element"), asc=False), 1, self.n).alias(
+                    "element"
+                )
+            )
+            return PCollection(df, pcoll.pipeline)
+
+    class Smallest(PTransform):
+        def __init__(self, n: int):
+            self.n = n
+
+        def expand(self, pcoll: PCollection) -> PCollection:
+            df = pcoll.df.agg(
+                F.slice(F.sort_array(F.collect_list("element")), 1, self.n).alias("element")
+            )
+            return PCollection(df, pcoll.pipeline)
+
+    class PerKey(PTransform):
+        def __init__(self, n: int, largest: bool = True):
+            self.n, self.largest = n, largest
+
+        def expand(self, pcoll: PCollection) -> PCollection:
+            df = pcoll.df.groupBy("key").agg(
+                F.slice(
+                    F.sort_array(F.collect_list("value"), asc=not self.largest), 1, self.n
+                ).alias("value")
+            )
+            return PCollection(df, pcoll.pipeline)
+
+
+class Sample:
+    class FixedSizeGlobally(PTransform):
+        """``combiners.py:522`` — uniform reservoir sample of n."""
+
+        def __init__(self, n: int, seed: int = 42):
+            self.n, self.seed = n, seed
+
+        def expand(self, pcoll: PCollection) -> PCollection:
+            df = pcoll.df.orderBy(F.rand(self.seed)).limit(self.n)
+            return PCollection(df, pcoll.pipeline)
+
+
+class ToList(PTransform):
+    """``combiners.py:673`` — canonicalized (sorted) for determinism."""
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        return PCollection(
+            pcoll.df.agg(F.sort_array(F.collect_list("element")).alias("element")),
+            pcoll.pipeline,
+        )
+
+
+class ToDict(PTransform):
+    """``combiners.py:701`` — KV pairs to one map element."""
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        df = pcoll.df.agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("key", "value")))
+            ).alias("element")
+        )
+        return PCollection(df, pcoll.pipeline)
+
+
+class ToSet(PTransform):
+    """``combiners.py:738``."""
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        return PCollection(
+            pcoll.df.agg(F.sort_array(F.collect_set("element")).alias("element")),
+            pcoll.pipeline,
+        )
+
+
+class Latest:
+    class PerKey(PTransform):
+        """``combiners.py:842`` — value with max timestamp per key; input
+        elements are (key, (value, ts))."""
+
+        def __init__(self, ts_fn: Column | None = None):
+            self.ts_fn = ts_fn
+
+        def expand(self, pcoll: PCollection) -> PCollection:
+            df = pcoll.df.groupBy("key").agg(
+                F.max_by(F.col("value._1"), F.col("value._2")).alias("value")
+            )
+            return PCollection(df, pcoll.pipeline)
+
+
+class ApproximateUnique:
+    class Globally(PTransform):
+        """``stats.py:90`` → HLL++ approx_count_distinct."""
+
+        def __init__(self, rsd: float = 0.05):
+            self.rsd = rsd
+
+        def expand(self, pcoll: PCollection) -> PCollection:
+            return PCollection(
+                pcoll.df.agg(F.approx_count_distinct("element", self.rsd).alias("element")),
+                pcoll.pipeline,
+            )
+
+
+class ApproximateQuantiles:
+    class Globally(PTransform):
+        """``stats.py:284`` → percentile_approx."""
+
+        def __init__(self, num_quantiles: int):
+            self.num_quantiles = num_quantiles
+
+        def expand(self, pcoll: PCollection) -> PCollection:
+            probs = [i / (self.num_quantiles - 1) for i in range(self.num_quantiles)]
+            return PCollection(
+                pcoll.df.agg(
+                    F.percentile_approx("element", probs, 10000).alias("element")
+                ),
+                pcoll.pipeline,
+            )
+
+
+# -- element-wise sugar (reference util.py) ---------------------------------
+
+
+class Regex:
+    """``transforms/util.py:1088`` — regex suite over string elements."""
+
+    class Matches(PTransform):
+        def __init__(self, pattern: str):
+            self.pattern = pattern
+
+        def expand(self, pcoll: PCollection) -> PCollection:
+            df = pcoll.df.filter(F.col("element").rlike(self.pattern))
+            return PCollection(df, pcoll.pipeline)
+
+    class FindAll(PTransform):
+        def __init__(self, pattern: str):
+            self.pattern = pattern
+
+        def expand(self, pcoll: PCollection) -> PCollection:
+            df = pcoll.df.select(
+                F.explode(
+                    F.regexp_extract_all("element", F.lit(self.pattern), 0)
+                ).alias("element")
+            )
+            return PCollection(df, pcoll.pipeline)
+
+    class ReplaceAll(PTransform):
+        def __init__(self, pattern: str, replacement: str):
+            self.pattern, self.replacement = pattern, replacement
+
+        def expand(self, pcoll: PCollection) -> PCollection:
+            df = pcoll.df.select(
+                F.regexp_replace("element", self.pattern, self.replacement).alias("element")
+            )
+            return PCollection(df, pcoll.pipeline)
+
+    class Split(PTransform):
+        def __init__(self, pattern: str):
+            self.pattern = pattern
+
+        def expand(self, pcoll: PCollection) -> PCollection:
+            df = pcoll.df.select(
+                F.explode(F.split("element", self.pattern)).alias("element")
+            )
+            return PCollection(df, pcoll.pipeline)
+
+
+class ToString:
+    """``transforms/util.py:999``."""
+
+    class Element(PTransform):
+        def expand(self, pcoll: PCollection) -> PCollection:
+            return PCollection(
+                pcoll.df.select(F.col("element").cast("string").alias("element")),
+                pcoll.pipeline,
+            )
+
+    class Kvs(PTransform):
+        def __init__(self, delimiter: str = ","):
+            self.delimiter = delimiter
+
+        def expand(self, pcoll: PCollection) -> PCollection:
+            df = pcoll.df.select(
+                F.concat_ws(
+                    self.delimiter, F.col("key").cast("string"), F.col("value").cast("string")
+                ).alias("element")
+            )
+            return PCollection(df, pcoll.pipeline)
+
+
+class GroupIntoBatches(PTransform):
+    """Batch shape of ``util.py:787``: per-key arrays of <= n elements
+    (deterministic chunking by sorted order; streaming shape lives in
+    streaming/stateful.py)."""
+
+    def __init__(self, batch_size: int):
+        self.n = batch_size
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("key").orderBy("value")
+        df = (
+            pcoll.df.withColumn(
+                "__batch", ((F.row_number().over(w) - 1) / self.n).cast("long")
+            )
+            .groupBy("key", "__batch")
+            .agg(F.sort_array(F.collect_list("value")).alias("value"))
+            .drop("__batch")
+        )
+        return PCollection(df, pcoll.pipeline)
+
+
+class Deduplicate(PTransform):
+    """Batch shape of ``transforms/deduplicate.py:111`` (the time-bounded
+    streaming variant is streaming/stateful.deduplicate_stream)."""
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        return PCollection(pcoll.df.distinct(), pcoll.pipeline)
+
+
+class WithTimestamps(PTransform):
+    """beam.window.TimestampedValue analog: attach/derive the event-time
+    column (reference ``transforms/window.py`` TimestampedValue)."""
+
+    def __init__(self, ts_expr: Column):
+        self.ts_expr = ts_expr
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        return PCollection(pcoll.df.withColumn("ts", self.ts_expr), pcoll.pipeline)
+
+
+# -- schema field surgery (reference sdks/java/core/.../schemas/transforms/) -
+
+
+class AddFields(PTransform):
+    def __init__(self, **fields: Column):
+        self.fields = fields
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        df = pcoll.df
+        for name, expr in self.fields.items():
+            df = df.withColumn(name, expr)
+        return PCollection(df, pcoll.pipeline)
+
+
+class DropFields(PTransform):
+    def __init__(self, *names: str):
+        self.names = names
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        return PCollection(pcoll.df.drop(*self.names), pcoll.pipeline)
+
+
+class RenameFields(PTransform):
+    def __init__(self, **renames: str):
+        self.renames = renames  # old -> new
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        df = pcoll.df
+        for old, new in self.renames.items():
+            df = df.withColumnRenamed(old, new)
+        return PCollection(df, pcoll.pipeline)
+
+
+class SelectFields(PTransform):
+    def __init__(self, *names: str):
+        self.names = names
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        return PCollection(pcoll.df.select(*self.names), pcoll.pipeline)

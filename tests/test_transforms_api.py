@@ -1,0 +1,141 @@
+"""Tests for the combiner/sugar PTransform library + side inputs +
+CoGroupByKey (reference test model: combiners_test.py / util_test.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import incubator_beam_spark.core as ibs
+import incubator_beam_spark.transforms as tx
+from incubator_beam_spark import pvalue
+from incubator_beam_spark.testing import assert_that, equal_to
+
+
+@pytest.fixture(scope="module")
+def p(spark):
+    return ibs.Pipeline(spark)
+
+
+def test_count_variants(p):
+    pc = p | ibs.Create(["a", "b", "a"])
+    assert_that(pc | tx.Count.Globally(), equal_to([3]))
+    assert_that(pc | tx.Count.PerElement(), equal_to([("a", 2), ("b", 1)]))
+    kv = p | "kv" >> ibs.Create([("x", 1), ("x", 2), ("y", 9)])
+    assert_that(kv | tx.Count.PerKey(), equal_to([("x", 2), ("y", 1)]))
+
+
+def test_mean(p):
+    assert_that(p | ibs.Create([1, 2, 3]) | tx.Mean.Globally(), equal_to([2.0]))
+    kv = p | "kvm" >> ibs.Create([("x", 1.0), ("x", 3.0)])
+    assert_that(kv | tx.Mean.PerKey(), equal_to([("x", 2.0)]))
+
+
+def test_top(p):
+    pc = p | ibs.Create([5, 1, 9, 3])
+    assert_that(pc | tx.Top.Largest(2), equal_to([[9, 5]]))
+    assert_that(pc | tx.Top.Smallest(2), equal_to([[1, 3]]))
+    kv = p | "kvt" >> ibs.Create([("a", 3), ("a", 7), ("a", 1), ("b", 2)])
+    assert_that(kv | tx.Top.PerKey(2), equal_to([("a", [7, 3]), ("b", [2])]))
+
+
+def test_sample_fixed_size(p):
+    pc = p | ibs.Create(list(range(100))) | tx.Sample.FixedSizeGlobally(10)
+    out = pc.collect()
+    assert len(out) == 10 and len(set(out)) == 10
+
+
+def test_to_containers(p):
+    pc = p | ibs.Create([3, 1, 2])
+    assert_that(pc | tx.ToList(), equal_to([[1, 2, 3]]))
+    assert_that(pc | tx.ToSet(), equal_to([[1, 2, 3]]))
+    kv = p | "kvd" >> ibs.Create([("a", 1), ("b", 2)])
+    out = (kv | tx.ToDict()).collect()
+    assert out == [{"a": 1, "b": 2}]
+
+
+def test_approximate_unique_and_quantiles(p):
+    pc = p | ibs.Create(list(range(1000)))
+    (approx,) = (pc | tx.ApproximateUnique.Globally(rsd=0.02)).collect()
+    assert abs(approx - 1000) < 60
+    (quartiles,) = (pc | tx.ApproximateQuantiles.Globally(5)).collect()
+    assert quartiles[0] == 0 and quartiles[-1] == 999
+    assert abs(quartiles[2] - 500) < 20
+
+
+def test_regex_suite(p):
+    pc = p | ibs.Create(["cat hat", "dog", "mat"])
+    assert_that(pc | tx.Regex.Matches(".*at.*"), equal_to(["cat hat", "mat"]))
+    assert_that(
+        p | "f" >> ibs.Create(["a1b2"]) | tx.Regex.FindAll(r"\d"), equal_to(["1", "2"])
+    )
+    assert_that(
+        p | "r" >> ibs.Create(["a-b"]) | tx.Regex.ReplaceAll("-", "+"), equal_to(["a+b"])
+    )
+    assert_that(
+        p | "s" >> ibs.Create(["a,b,c"]) | tx.Regex.Split(","), equal_to(["a", "b", "c"])
+    )
+
+
+def test_tostring(p):
+    assert_that(p | ibs.Create([1, 2]) | tx.ToString.Element(), equal_to(["1", "2"]))
+    kv = p | "kvs" >> ibs.Create([("a", 1)])
+    assert_that(kv | tx.ToString.Kvs(":"), equal_to(["a:1"]))
+
+
+def test_group_into_batches(p):
+    kv = p | ibs.Create([("a", i) for i in range(5)] + [("b", 9)])
+    out = {(k, tuple(v)) for k, v in (kv | tx.GroupIntoBatches(2)).collect()}
+    assert out == {("a", (0, 1)), ("a", (2, 3)), ("a", (4,)), ("b", (9,))}
+
+
+def test_schema_surgery(p):
+    pc = p | ibs.Create([("a", 1), ("b", 2)])
+    widened = pc | tx.AddFields(doubled=F.col("value") * 2)
+    assert set(widened.df.columns) == {"key", "value", "doubled"}
+    renamed = widened | tx.RenameFields(doubled="twice")
+    assert "twice" in renamed.df.columns
+    selected = renamed | tx.SelectFields("key", "twice")
+    assert selected.df.columns == ["key", "twice"]
+    dropped = renamed | tx.DropFields("twice", "value")
+    assert dropped.df.columns == ["key"]
+
+
+def test_side_inputs(p):
+    factors = p | "factors" >> ibs.Create([10])
+    lookup = p | "lookup" >> ibs.Create([("a", 1), ("b", 2)])
+    pc = p | ibs.Create([1, 2]) | ibs.Map(
+        lambda x, f: x * f, pvalue.AsSingleton(factors)
+    )
+    assert_that(pc, equal_to([10, 20]))
+    pc2 = p | "m" >> ibs.Create(["a", "b"]) | ibs.Map(
+        lambda k, d: d[k], pvalue.AsDict(lookup)
+    )
+    assert_that(pc2, equal_to([1, 2]))
+
+
+def test_map_tuple(p):
+    kv = p | ibs.Create([("a", 1), ("b", 2)])
+    assert_that(kv | ibs.MapTuple(lambda k, v: f"{k}={v}"), equal_to(["a=1", "b=2"]))
+    assert_that(
+        p | "fmt" >> ibs.Create([("x", 2)]) | ibs.FlatMapTuple(lambda k, v: [k] * v),
+        equal_to(["x", "x"]),
+    )
+
+
+def test_cogroup_by_key(p):
+    emails = p | "emails" >> ibs.Create([("amy", "amy@x.com"), ("bob", "bob@x.com")])
+    phones = p | "phones" >> ibs.Create([("amy", "111"), ("amy", "222")])
+    out = dict((p | ibs.CoGroupByKey(emails=emails, phones=phones)).collect())
+    assert out["amy"]["emails"] == ["amy@x.com"]
+    assert sorted(out["amy"]["phones"]) == ["111", "222"]
+    assert out["bob"] == {"emails": ["bob@x.com"], "phones": []}
+
+
+def test_deduplicate_and_with_timestamps(p):
+    pc = p | ibs.Create([("a", 1), ("a", 1), ("b", 2)]) | tx.Deduplicate()
+    assert_that(pc, equal_to([("a", 1), ("b", 2)]))
+    stamped = p | "wt" >> ibs.Create([("a", 100)]) | tx.WithTimestamps(
+        F.timestamp_seconds(F.col("value"))
+    )
+    assert "ts" in stamped.df.columns
