@@ -23,6 +23,17 @@ HEADLINE = [
     "topk_per_key",
     "cogroup_by_key",
     "set_union_distinct",
+    "win_rank_functions",
+    "evt_tumbling_window",
+    "evt_sliding_window",
+    "evt_session_window",
+    "nexmark_q5_hot_items",
+    "sql_exists_subquery",
+    "fn_string_suite",
+    "doc_exact_dedup",
+    "doc_minhash_lsh_pairs",
+    "doc_simhash",
+    "emb_cosine_topk",
 ]
 
 

@@ -1,0 +1,94 @@
+"""Plan-quality regression tests: the 100-TB discipline, enforced.
+
+These assert properties of the *physical plan* (pushdown reached the
+scan, dims broadcast, top-k avoided a global sort, codegen applied) so a
+refactor that silently degrades the plan fails CI even though results
+stay correct. (SURVEY.md §4 — the optimizations Beam implements as graph
+rewrites must hold in our Catalyst plans.)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from incubator_beam_spark import registry
+
+from .conftest import SF_DIR
+
+ALL = registry.load_all()
+
+
+def plan_of(spark, name: str) -> str:
+    df = ALL[name].fn(spark, SF_DIR)
+    df.count()  # materialize so AQE reports the FINAL plan with codegen ids
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: untouched wide columns must not be read
+    assert "l_partkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_q3_broadcasts_dims(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # top-k must not global-sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_star_join_no_cartesian(spark):
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier/nation/region
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_global_take_ordered(spark):
+    plan = plan_of(spark, "topk_global")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort exchange
+
+
+def test_windowed_agg_partial_aggregation(spark):
+    plan = plan_of(spark, "evt_tumbling_window")
+    # partial (map-side) + final aggregation around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning" in plan
+
+
+def test_minhash_scan_side_signatures(spark):
+    plan = plan_of(spark, "doc_minhash_lsh_pairs")
+    assert "CartesianProduct" not in plan  # band join is an equi-join
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_exact_dedup_shuffles_fingerprints_only(spark):
+    plan = plan_of(spark, "doc_exact_dedup")
+    # the shuffle payload must be the fingerprint aggregation, not text
+    m = re.search(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert m, "no Exchange detail block found"
+    assert "text#" not in m.group(1)
+
+
+def test_scalar_suite_single_stage(spark):
+    plan = plan_of(spark, "fn_string_suite")
+    assert "Exchange" not in plan  # pure projection: no shuffle at all
+    assert "codegen id" in plan
+
+
+def test_no_python_udfs_in_relational_plans(spark):
+    """Everything except explicitly-Python stages must stay JVM-side."""
+    for name in ["q1_pricing_summary", "evt_session_window", "doc_simhash",
+                 "emb_cosine_topk", "agg_variance_covariance"]:
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
