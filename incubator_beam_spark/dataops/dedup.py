@@ -27,34 +27,81 @@ def shingles(text: Column, n: int = 3) -> Column:
 
     Documents with fewer than ``n`` words contribute one whole-text
     shingle, so every doc has a non-empty shingle set.
+
+    The word split is LET-BOUND by wrapping it in a single-element array
+    and transforming over it: inside the lambda, ``ws`` is a bound
+    variable, so the regex split runs once per document. Referencing the
+    split Column directly would inline the whole split expression into
+    every element_at — O(words^2) regex work per document (measured 8s at
+    sf0.1 vs <1s bound).
     """
+
+    def build(ws: Column) -> Column:
+        k = F.size(ws) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)]),
+        )
+        return F.when(F.size(ws) >= n, grams).otherwise(
+            F.array(F.concat_ws(" ", ws))
+        )
+
     words = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
-    k = F.size(words) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(words) >= n, grams).otherwise(
-        F.array(F.concat_ws(" ", words))
-    )
+    return F.element_at(F.transform(F.array(words), build), 1)
+
+
+#: Mersenne prime 2^61-1: the modulus of the permutation family. With
+#: 44-bit hash bases and 17-bit multipliers, a*h1 + b*h2 < 2^62 — no
+#: 64-bit overflow in Spark OR DuckDB (which errors on BIGINT overflow).
+MINHASH_P = 2305843009213693951
+MINHASH_A = [100003, 122887, 63809, 94307, 54617, 115249, 77681, 38917]
+MINHASH_B = [76091, 41183, 110017, 66553, 126989, 59359, 87803, 102559]
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 8) -> Column:
-    """MinHash signature: for seed i, min over shingles of md5(shingle#i).
+    """MinHash signature as ``array<bigint>``: permutation i is the
+    2-universal hash ``(a_i*h1 + b_i*h2) mod (2^61-1)`` over two 44-bit
+    bases cut from ONE md5 per shingle (hex chars 1-11 and 12-22).
 
-    Lexicographic min over fixed-length hex == numeric min over the 128-bit
-    hash, so plain string min is a valid permutation-min.
+    Implemented as a single ``F.aggregate`` pass keeping all ``num_hashes``
+    running minima in a struct accumulator — the shingle array is walked
+    once and each shingle is hashed once, instead of the naive
+    per-permutation re-hash (8x the md5 work). The finish lambda emits the
+    array so the aggregate subtree appears exactly once in the plan.
     """
-    def perm(i: int):
-        # single-arg lambda: a 2-arg lambda would make Spark pass the
-        # element index as the second argument
-        return lambda s: F.md5(F.concat(s, F.lit(f"#{i}")))
-
-    return F.array(
-        *[F.array_min(F.transform(shingle_col, perm(i))) for i in range(num_hashes)]
+    # Chained transforms let-bind each stage: md5 runs once per shingle,
+    # the base pair is cut once, and the aggregate's merge touches only
+    # bound variables + cheap arithmetic. Referencing an md5 Column from
+    # inside the per-permutation terms would inline (re-evaluate) it per
+    # permutation — interpreted higher-order exprs do no CSE.
+    md5s = F.transform(shingle_col, F.md5)
+    pairs = F.transform(
+        md5s,
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 11), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 12, 11), 16, 10).cast("long").alias("h2"),
+        ),
     )
+    init = F.struct(
+        *[F.lit(MINHASH_P).cast("long").alias(f"m{i}") for i in range(num_hashes)]
+    )
+
+    def merge(acc: Column, p: Column) -> Column:
+        return F.struct(
+            *[
+                F.least(
+                    acc[f"m{i}"],
+                    (F.lit(MINHASH_A[i]) * p["h1"] + F.lit(MINHASH_B[i]) * p["h2"])
+                    % F.lit(MINHASH_P),
+                ).alias(f"m{i}")
+                for i in range(num_hashes)
+            ]
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.array(*[acc[f"m{i}"] for i in range(num_hashes)])
+
+    return F.aggregate(pairs, init, merge, finish)
 
 
 def lsh_band_keys(sig_col: Column, rows_per_band: int = 2) -> Column:
@@ -70,7 +117,9 @@ def lsh_band_keys(sig_col: Column, rows_per_band: int = 2) -> Column:
                     F.concat_ws(
                         "|",
                         *[
-                            F.element_at(sig_col, b * rows_per_band + r + 1)
+                            F.element_at(sig_col, b * rows_per_band + r + 1).cast(
+                                "string"
+                            )
                             for r in range(rows_per_band)
                         ],
                     )
@@ -88,6 +137,18 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the scan has fewer splits than the
+    cluster has slots (small files -> one partition -> one core does all
+    the hash work). At 100 TB parquet yields thousands of natural splits
+    and this is a no-op — the full-width shuffle never happens at scale.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -99,14 +160,20 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs via MinHash LSH, verified with exact
     Jaccard over shingle sets.
 
-    Plan shape (scale-critical): signature+bands computed in the scan
-    stage; shuffle only (band, key, doc_id); self-join per bucket;
-    candidates deduped before the (expensive) verify join.
+    Plan shape (scale-critical): signatures computed in a parallel scan
+    stage, then hash-repartitioned by doc_id — that one Exchange is
+    computed once and REUSED by all four consumers (band self-join left +
+    right, verify join a + b), so the md5 work runs exactly once (Spark's
+    ReuseExchange; the 100 TB equivalent of checkpointing signatures).
+    Only (band, key, doc_id) — ~24 B/doc/band — flows into the candidate
+    join; raw text never shuffles.
     """
-    sig = docs.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col)).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    sig = (
+        ensure_parallelism(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select("doc_id", shingles(F.col(text_col)).alias("sh"))
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+        .repartition("doc_id")
+    )
 
     bands = sig.select(
         "doc_id", F.explode(lsh_band_keys(F.col("sig"), rows_per_band)).alias("bk")
@@ -142,25 +209,43 @@ def simhash64(text: Column, bits: int = 32) -> Column:
     Per bit b: count tokens whose 60-bit md5-derived hash has bit b set;
     set output bit when 2*count >= n_tokens. Pure array expressions —
     computed during the scan, nothing shuffled.
+
+    One ``F.aggregate`` pass maintains all per-bit counters in a struct
+    accumulator, so each token is hashed exactly once (the per-bit
+    ``F.filter`` formulation re-walks — and re-hashes — the token array
+    ``bits`` times).
     """
     from .text import tokens
 
-    tok = tokens(text)
+    # Pre-hash via transform so the merge sees a bound bigint — md5 once
+    # per token; inlining it in merge would re-hash once per bit.
     hashes = F.transform(
-        tok, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+        tokens(text),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
     )
-    n = F.size(hashes)
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("n"),
+        *[F.lit(0).cast("bigint").alias(f"c{b}") for b in range(bits)],
+    )
 
-    def bit_set(b: int):
-        return lambda h: F.shiftright(h, b).bitwiseAND(1) == 1
-
-    out = F.lit(0).cast("bigint")
-    for b in range(bits):
-        cnt = F.size(F.filter(hashes, bit_set(b)))
-        out = out + F.when(cnt * 2 >= n, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
+    def merge(acc: Column, h: Column) -> Column:
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            *[
+                (acc[f"c{b}"] + F.shiftright(h, b).bitwiseAND(1)).alias(f"c{b}")
+                for b in range(bits)
+            ],
         )
-    return out
+
+    def finish(acc: Column) -> Column:
+        out = F.lit(0).cast("bigint")
+        for b in range(bits):
+            out = out + F.when(
+                acc[f"c{b}"] * 2 >= acc["n"], F.lit(1 << b).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        return out
+
+    return F.aggregate(hashes, init, merge, finish)
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

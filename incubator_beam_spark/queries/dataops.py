@@ -22,8 +22,13 @@ _SHINGLES = f"""
                            i -> {_WORDS}[i] || ' ' || {_WORDS}[i+1] || ' ' || {_WORDS}[i+2])
        ELSE [array_to_string({_WORDS}, ' ')] END
 """
+# Mirror of dedup.minhash_signature: one md5 per shingle, two 44-bit hex
+# bases, permutation i = (a_i*h1 + b_i*h2) mod 2^61-1 (no BIGINT overflow).
 _SIG = ", ".join(
-    f"list_min(list_transform(sh, s -> md5(s || '#{i}')))" for i in range(8)
+    f"list_min(list_transform(sh, s -> "
+    f"({a} * ('0x' || substr(md5(s), 1, 11))::BIGINT"
+    f" + {b} * ('0x' || substr(md5(s), 12, 11))::BIGINT) % {dedup.MINHASH_P}))"
+    for a, b in zip(dedup.MINHASH_A, dedup.MINHASH_B)
 )
 _TOKENS = r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')"
 

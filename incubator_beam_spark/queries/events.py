@@ -360,3 +360,142 @@ def evt_distinct_users_per_window(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.countDistinct("user_id").alias("n_users"))
         .select(_win_start_epoch(), "n_users")
     )
+
+
+@query(
+    "nexmark_q0_passthrough",
+    oracle="SELECT event_id, user_id, event_type, round(value, 2) AS value FROM events",
+)
+def nexmark_q0_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark Q0 (passthrough — ``queries/Query0.java``): the no-op
+    baseline that measures pure scan + (de)serialization cost. A
+    column-pruned parquet scan with zero shuffles."""
+    return table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+@query(
+    "nexmark_q3_local_item",
+    oracle="""
+    SELECT s.user_id, s.event_id AS signup_event, p.event_id AS purchase_event,
+           round(p.value, 2) AS purchase_value
+    FROM (SELECT user_id, event_id FROM events
+          WHERE event_type = 'signup' AND user_id % 3 = 0) s
+    JOIN (SELECT user_id, event_id, value FROM events
+          WHERE event_type = 'purchase' AND value > 100) p
+      ON s.user_id = p.user_id
+    """,
+)
+def nexmark_q3_local_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark Q3 (local-item suggestion — ``queries/Query3.java``): an
+    incremental join of two filtered substreams of the same source
+    (persons x auctions -> signups x purchases per user). Catalyst shares
+    the scan between the two branches and both filters reach parquet; the
+    join shuffles only the pruned (user_id, event_id, value) columns."""
+    e = table(spark, sf_dir, "events")
+    signups = (
+        e.filter((F.col("event_type") == "signup") & (F.col("user_id") % 3 == 0))
+        .select("user_id", F.col("event_id").alias("signup_event"))
+    )
+    purchases = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 100))
+        .select("user_id", F.col("event_id").alias("purchase_event"),
+                F.round("value", 2).alias("purchase_value"))
+    )
+    return signups.join(purchases, "user_id").select(
+        "user_id", "signup_event", "purchase_event", "purchase_value"
+    )
+
+
+@query(
+    "nexmark_q4_avg_closing",
+    oracle=f"""
+    WITH closing AS (
+      SELECT (floor(epoch(ts))::BIGINT // {_HOUR}) * {_HOUR} AS window_start,
+             event_type, max(value) AS closing
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, round(avg(closing), 2) AS avg_closing
+    FROM closing GROUP BY event_type
+    """,
+)
+def nexmark_q4_avg_closing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark Q4 (average price per category — ``queries/Query4.java``):
+    winning (max) value per closed (window, category), then the running
+    average of winners per category. Two aggregations; the second input is
+    |windows|x|categories| rows -- tiny, so the re-agg is nearly free."""
+    e = table(spark, sf_dir, "events")
+    closing = (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.max("value").alias("closing"))
+    )
+    return (
+        closing.groupBy("event_type")
+        .agg(F.round(F.avg("closing"), 2).alias("avg_closing"))
+    )
+
+
+@query(
+    "nexmark_q6_avg_selling_last10",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase')
+    SELECT user_id, round(avg(value), 2) AS avg_last10
+    FROM ranked WHERE rn <= 10 GROUP BY user_id
+    """,
+)
+def nexmark_q6_avg_selling_last10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark Q6 (avg selling price per seller, last 10 sales —
+    ``queries/Query6.java``; reference keeps a bounded per-key buffer).
+    Batch form: per-key row_number over event-time desc, keep 10, avg.
+    One shuffle on user_id; the window sort is per-key, never global."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.select("user_id", "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value"), 2).alias("avg_last10"))
+    )
+
+
+@query(
+    "nexmark_q8_new_users",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id, min(epoch(ts)) AS first_ts FROM events GROUP BY user_id),
+    news AS (
+      SELECT user_id, (floor(first_ts)::BIGINT // {_HOUR}) * {_HOUR} AS window_start
+      FROM firsts)
+    SELECT n.window_start, n.user_id, count(*) AS n_events
+    FROM news n
+    JOIN (SELECT user_id, (floor(epoch(ts))::BIGINT // {_HOUR}) * {_HOUR} AS ws
+          FROM events) e
+      ON e.user_id = n.user_id AND e.ws = n.window_start
+    GROUP BY 1, 2
+    """,
+)
+def nexmark_q8_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark Q8 (monitor new users — ``queries/Query8.java``): users whose
+    FIRST event falls in a window, joined back to their activity in that
+    same window. The firsts side aggregates to one row per user (small);
+    the join is on (user_id, window) so it co-partitions with the agg."""
+    e = table(spark, sf_dir, "events")
+    ws = (F.floor(F.unix_timestamp("ts") / _HOUR) * _HOUR).cast("long")
+    evs = e.select("user_id", ws.alias("window_start"))
+    firsts = (
+        e.groupBy("user_id")
+        .agg(F.min(F.unix_timestamp("ts")).alias("first_ts"))
+        .select(F.col("user_id").alias("n_user_id"),
+                ((F.floor(F.col("first_ts") / _HOUR)) * _HOUR).cast("long").alias("n_ws"))
+    )
+    return (
+        evs.join(firsts, (evs.user_id == firsts.n_user_id)
+                 & (evs.window_start == firsts.n_ws))
+        .groupBy("window_start", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
