@@ -1,0 +1,154 @@
+"""MATCH_RECOGNIZE-style complex event processing (CEP) on DataFrames.
+
+Reference surface: Beam SQL's ``BeamMatchRel`` compiles SQL
+``MATCH_RECOGNIZE`` to an NFA over per-key ordered rows
+(``sdks/java/extensions/sql/.../impl/rel/BeamMatchRel.java`` + the
+``impl/cep/`` operator set and ``impl/nfa/NFA.java``). Spark has no
+native equivalent (SURVEY.md §2.8), so this is one of the few genuinely
+custom operators.
+
+Spark-first design (not a port of the NFA):
+- Symbol predicates are Catalyst ``Column`` expressions, evaluated
+  JVM-side inside whole-stage codegen during the scan — the Python
+  boundary only ever sees one char per row.
+- Each row is classified to at most one symbol (first matching DEFINE in
+  declaration order — the deterministic subset of SQL MATCH_RECOGNIZE
+  where the classifier does not depend on pattern context; Calcite
+  behaves identically for patterns whose defines are mutually
+  exclusive).
+- Per key, rows are ordered and the symbol chars form a string; the
+  PATTERN (symbols with ``? * +`` quantifiers and ``|`` alternation) is
+  compiled to a host regex. ``finditer`` yields greedy, non-overlapping
+  matches == AFTER MATCH SKIP PAST LAST ROW semantics.
+- The per-key run is an ``applyInPandas``: one shuffle on the partition
+  keys, Arrow-batched, state-free. At 100 TB the only scale hazard is a
+  single giant key (all rows of one key sit in one task) — same
+  contract as SQL MATCH_RECOGNIZE's PARTITION BY everywhere.
+
+Measures supported: ``("first", SYM, col)``, ``("last", SYM, col)``,
+``("count", SYM)`` plus ``match_number`` implicitly; ``SYM=None`` means
+any row of the match.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TOKEN = re.compile(
+    r"\s+|(?P<sym>[A-Za-z_][A-Za-z_0-9]*)(?P<quant>[?*+]?)"
+    r"|(?P<punct>[()|])(?P<pquant>[?*+]?)"
+)
+
+
+def _compile_pattern(pattern: str, sym_chars: dict[str, str]) -> re.Pattern:
+    """Translate 'A B* C' / 'A (B|C)+' style symbol patterns into a char
+    regex. Unknown symbols raise; chars are the per-symbol classifier
+    output."""
+    out = []
+    pos = 0
+    while pos < len(pattern):
+        m = _TOKEN.match(pattern, pos)
+        if not m:
+            raise ValueError(f"bad pattern token at: {pattern[pos:]!r}")
+        pos = m.end()
+        if m.group("sym"):
+            name = m.group("sym")
+            if name not in sym_chars:
+                raise ValueError(f"pattern symbol {name!r} not in define")
+            out.append(re.escape(sym_chars[name]) + m.group("quant"))
+        elif m.group("punct"):
+            out.append(m.group("punct") + m.group("pquant"))
+    return re.compile("".join(out))
+
+
+def match_recognize(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    define: dict[str, Column],
+    pattern: str,
+    measures: dict[str, tuple],
+) -> DataFrame:
+    """Find per-key ordered event patterns; one output row per match.
+
+    ``define`` maps symbol names to boolean Columns (evaluated JVM-side);
+    ``pattern`` is a regex over symbols (quantifiers ``? * +``,
+    alternation ``|``, grouping); ``measures`` defines the output.
+    """
+    if not define:
+        raise ValueError("define must not be empty")
+    sym_chars = {name: string.ascii_uppercase[i] for i, name in enumerate(define)}
+    rx = _compile_pattern(pattern, sym_chars)
+
+    # classifier: first DEFINE that matches, else '.' (match-breaking)
+    classifier: Column = F.lit(".")
+    for name in reversed(list(define)):
+        classifier = F.when(define[name], F.lit(sym_chars[name])).otherwise(classifier)
+
+    measure_cols = sorted(
+        {spec[2] for spec in measures.values() if len(spec) > 2 and spec[2]}
+    )
+    keep = list(dict.fromkeys([*partition_by, *order_by, *measure_cols]))
+    proj = df.select(*keep, classifier.alias("__sym"))
+
+    part_fields = [proj.schema[c] for c in partition_by]
+
+    def _measure_field(name: str, spec: tuple) -> T.StructField:
+        if spec[0] == "count":
+            return T.StructField(name, T.LongType())
+        return T.StructField(name, proj.schema[spec[2]].dataType)
+
+    out_schema = T.StructType(
+        [*part_fields]
+        + [T.StructField("match_number", T.LongType())]
+        + [_measure_field(n, s) for n, s in measures.items()]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    specs = list(measures.values())
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        # The whole inner loop runs on a char string + numpy arrays:
+        # str.find/rfind/count are C-level, no pandas indexing per match.
+        pdf = pdf.sort_values(order_by, kind="mergesort")
+        syms = "".join(pdf["__sym"])
+        arrs = {c: pdf[c].to_numpy() for c in measure_cols}
+        key_vals = [pdf.iloc[0][c] for c in partition_by]
+        rows = []
+        for match_no, m in enumerate(rx.finditer(syms), start=1):
+            lo, hi = m.start(), m.end()
+            if lo == hi:  # zero-width (fully-optional pattern): skip
+                continue
+            vals = []
+            for spec in specs:
+                kind, sym = spec[0], spec[1]
+                if kind == "count":
+                    vals.append(
+                        hi - lo if sym is None else syms.count(sym_chars[sym], lo, hi)
+                    )
+                    continue
+                if kind == "first":
+                    i = lo if sym is None else syms.find(sym_chars[sym], lo, hi)
+                elif kind == "last":
+                    i = hi - 1 if sym is None else syms.rfind(sym_chars[sym], lo, hi)
+                else:
+                    raise ValueError(f"unknown measure kind {kind!r}")
+                vals.append(arrs[spec[2]][i] if i >= 0 else None)
+            rows.append([*key_vals, match_no, *vals])
+        return pd.DataFrame(rows, columns=out_cols)
+
+    # Explicit repartition: AQE would coalesce this tiny shuffle to 1-2
+    # tasks, serializing the (CPU-bound) Python stage; a user repartition
+    # by the grouping keys both provides the required hash partitioning
+    # and is exempt from AQE coalescing.
+    n_part = proj.sparkSession.sparkContext.defaultParallelism
+    return proj.repartition(n_part, *partition_by).groupBy(*partition_by).applyInPandas(
+        run, out_schema
+    )

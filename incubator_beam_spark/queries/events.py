@@ -499,3 +499,54 @@ def nexmark_q8_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_start", "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "cep_match_recognize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    np AS (
+      SELECT user_id, event_id, event_type, rn,
+             lag(event_type) OVER w AS prev_type,
+             lag(event_id) OVER w AS prev_event,
+             lag(rn) OVER w AS prev_rn
+      FROM ordered WHERE event_type <> 'click'
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+    matches AS (
+      SELECT user_id, prev_event AS start_event, event_id AS end_event,
+             rn - prev_rn - 1 AS n_clicks, prev_rn
+      FROM np WHERE event_type = 'purchase' AND prev_type = 'signup')
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY prev_rn) AS match_number,
+           start_event, end_event, n_clicks
+    FROM matches
+    """,
+)
+def cep_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE (reference ``BeamMatchRel.java`` + ``impl/nfa/``):
+    per user ordered by event time, find ``signup click* purchase`` runs
+    with AFTER MATCH SKIP PAST LAST ROW. The oracle is the lag-over-
+    non-click formulation of the same pattern, valid because the defines
+    are mutually exclusive."""
+    from ..plans.cep import match_recognize
+
+    e = table(spark, sf_dir, "events")
+    return match_recognize(
+        e,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "P": F.col("event_type") == "purchase",
+        },
+        pattern="S C* P",
+        measures={
+            "start_event": ("first", "S", "event_id"),
+            "end_event": ("last", "P", "event_id"),
+            "n_clicks": ("count", "C"),
+        },
+    )
