@@ -12,3 +12,18 @@ harness, and sinks.
 from .source import stream_events, stream_table
 from .stateful import deduplicate_stream, group_into_batches_stream, per_key_counter
 from .teststream import TestStream
+from .triggers import (
+    ACCUMULATING,
+    DISCARDING,
+    AfterAll,
+    AfterAny,
+    AfterCount,
+    AfterEach,
+    AfterProcessingTime,
+    AfterWatermark,
+    Always,
+    DefaultTrigger,
+    Repeatedly,
+    TriggerDriver,
+    triggered_window_agg,
+)

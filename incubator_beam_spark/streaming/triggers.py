@@ -1,0 +1,579 @@
+"""The trigger VM: Beam's windowing-strategy trigger semantics as a
+reusable per-(key, window) kernel.
+
+Reference surface (SURVEY.md §2.6): ``transforms/trigger.py`` —
+DefaultTrigger (:313), AfterWatermark (:510), AfterProcessingTime (:362),
+AfterCount (:638), Repeatedly (:695), AfterAny/AfterAll/AfterEach
+(:835,852,863), AccumulationMode (:72), and the runner-side
+GeneralTriggerDriver (:1341) / trigger_manager.py. This is the one piece
+of the streaming model Spark has no counterpart for (Spark fires exactly
+once per watermark close in append mode); everything else in §2.6 rides
+on native watermarks + window functions.
+
+Design: the kernel is PURE PYTHON and deterministic — elements,
+watermark advances, and processing-time advances are explicit inputs,
+outputs are Pane records. That makes the semantics unit-testable as
+scripted transcripts (the reference validates against
+``testing/data/trigger_transcripts.yaml`` the same way). The Spark
+adapter (``triggered_window_agg``) embeds the kernel in
+``applyInPandasWithState``: one state cell per key holds all of that
+key's open windows; watermark/processing-time come from GroupState.
+
+Scale: state per (key, window) is O(#trigger nodes) counters plus the
+running SUM/COUNT accumulator — elements are never buffered (combining
+happens eagerly, as Beam's combiner-lifted CombinePerKey does), so a
+hot key with a million elements per window holds ~100 bytes of state.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+# --------------------------------------------------------------------------
+# Trigger specs (mirrors transforms/trigger.py class-for-class)
+# --------------------------------------------------------------------------
+
+
+class Trigger:
+    """Base trigger. Subclasses implement the 4 VM hooks over a dict
+    state cell (JSON-serializable so Spark state can hold it)."""
+
+    def new_state(self) -> dict:
+        return {}
+
+    def on_element(self, st: dict, ctx: "TriggerContext") -> None:
+        pass
+
+    def should_fire(self, st: dict, ctx: "TriggerContext") -> bool:
+        raise NotImplementedError
+
+    def on_fire(self, st: dict, ctx: "TriggerContext") -> bool:
+        """Reset/advance state after firing; returns True if FINISHED."""
+        return True
+
+
+@dataclass(frozen=True)
+class AfterWatermark(Trigger):
+    """Fire once when the watermark passes end-of-window; optional early
+    (before) and late (after) sub-triggers (reference trigger.py:510).
+    With no late trigger the window finishes at the on-time pane."""
+
+    early: "Trigger | None" = None
+    late: "Trigger | None" = None
+
+    def new_state(self) -> dict:
+        st: dict = {"on_time_fired": False}
+        if self.early:
+            st["early"] = self.early.new_state()
+        if self.late:
+            st["late"] = self.late.new_state()
+        return st
+
+    def on_element(self, st: dict, ctx: "TriggerContext") -> None:
+        if not st["on_time_fired"] and self.early:
+            self.early.on_element(st["early"], ctx)
+        elif st["on_time_fired"] and self.late:
+            self.late.on_element(st["late"], ctx)
+
+    def should_fire(self, st: dict, ctx: "TriggerContext") -> bool:
+        if not st["on_time_fired"]:
+            if ctx.watermark >= ctx.window_end:
+                return True
+            return bool(self.early) and self.early.should_fire(st["early"], ctx)
+        return bool(self.late) and self.late.should_fire(st["late"], ctx)
+
+    def on_fire(self, st: dict, ctx: "TriggerContext") -> bool:
+        if not st["on_time_fired"]:
+            if ctx.watermark >= ctx.window_end:
+                st["on_time_fired"] = True
+                return self.late is None
+            # early firing: restart the early trigger (Repeatedly semantics)
+            if self.early.on_fire(st["early"], ctx):
+                st["early"] = self.early.new_state()
+            return False
+        if self.late.on_fire(st["late"], ctx):
+            st["late"] = self.late.new_state()
+        return False
+
+
+class DefaultTrigger(AfterWatermark):
+    """Beam's default (trigger.py:313): on-time at the watermark, then one
+    late pane per incoming late bundle (== AfterWatermark(late=Always))."""
+
+    def __init__(self) -> None:
+        object.__setattr__(self, "early", None)
+        object.__setattr__(self, "late", Always())
+
+
+@dataclass(frozen=True)
+class AfterCount(Trigger):
+    """Fire when >= n elements arrived since the last firing
+    (trigger.py:638). One-shot unless wrapped in Repeatedly."""
+
+    n: int
+
+    def new_state(self) -> dict:
+        return {"seen": 0}
+
+    def on_element(self, st: dict, ctx: "TriggerContext") -> None:
+        st["seen"] += 1
+
+    def should_fire(self, st: dict, ctx: "TriggerContext") -> bool:
+        return st["seen"] >= self.n
+
+    def on_fire(self, st: dict, ctx: "TriggerContext") -> bool:
+        st["seen"] = 0
+        return True
+
+
+@dataclass(frozen=True)
+class AfterProcessingTime(Trigger):
+    """Fire when processing time reaches first-element-time + delay
+    (trigger.py:362). One-shot unless wrapped in Repeatedly."""
+
+    delay: float = 0.0
+
+    def new_state(self) -> dict:
+        return {"deadline": None}
+
+    def on_element(self, st: dict, ctx: "TriggerContext") -> None:
+        if st["deadline"] is None:
+            st["deadline"] = ctx.processing_time + self.delay
+
+    def should_fire(self, st: dict, ctx: "TriggerContext") -> bool:
+        return st["deadline"] is not None and ctx.processing_time >= st["deadline"]
+
+    def on_fire(self, st: dict, ctx: "TriggerContext") -> bool:
+        st["deadline"] = None
+        return True
+
+
+class Always(Trigger):
+    """Fire on every bundle with pending input (trigger.py:414)."""
+
+    def should_fire(self, st: dict, ctx: "TriggerContext") -> bool:
+        return ctx.pending > 0
+
+    def on_fire(self, st: dict, ctx: "TriggerContext") -> bool:
+        return False
+
+
+class _Never(Trigger):
+    """Only the final (GC-time) firing emits (trigger.py:458)."""
+
+    def should_fire(self, st: dict, ctx: "TriggerContext") -> bool:
+        return False
+
+
+@dataclass(frozen=True)
+class Repeatedly(Trigger):
+    """Re-arm the sub-trigger forever (trigger.py:695)."""
+
+    sub: Trigger
+
+    def new_state(self) -> dict:
+        return {"sub": self.sub.new_state()}
+
+    def on_element(self, st: dict, ctx: "TriggerContext") -> None:
+        self.sub.on_element(st["sub"], ctx)
+
+    def should_fire(self, st: dict, ctx: "TriggerContext") -> bool:
+        return self.sub.should_fire(st["sub"], ctx)
+
+    def on_fire(self, st: dict, ctx: "TriggerContext") -> bool:
+        if self.sub.on_fire(st["sub"], ctx):
+            st["sub"] = self.sub.new_state()
+        return False
+
+
+@dataclass(frozen=True)
+class AfterAny(Trigger):
+    """Fire when ANY sub-trigger fires; finish when any finishes
+    (trigger.py:835)."""
+
+    subs: tuple
+
+    def new_state(self) -> dict:
+        return {"subs": [s.new_state() for s in self.subs]}
+
+    def on_element(self, st: dict, ctx: "TriggerContext") -> None:
+        for s, ss in zip(self.subs, st["subs"]):
+            s.on_element(ss, ctx)
+
+    def should_fire(self, st: dict, ctx: "TriggerContext") -> bool:
+        return any(s.should_fire(ss, ctx) for s, ss in zip(self.subs, st["subs"]))
+
+    def on_fire(self, st: dict, ctx: "TriggerContext") -> bool:
+        finished = False
+        for s, ss in zip(self.subs, st["subs"]):
+            if s.should_fire(ss, ctx):
+                finished = s.on_fire(ss, ctx) or finished
+        return finished
+
+
+@dataclass(frozen=True)
+class AfterAll(Trigger):
+    """Fire when ALL sub-triggers are ready; finish when all finish
+    (trigger.py:852)."""
+
+    subs: tuple
+
+    def new_state(self) -> dict:
+        return {"subs": [s.new_state() for s in self.subs], "fin": [False] * len(self.subs)}
+
+    def on_element(self, st: dict, ctx: "TriggerContext") -> None:
+        for s, ss in zip(self.subs, st["subs"]):
+            s.on_element(ss, ctx)
+
+    def should_fire(self, st: dict, ctx: "TriggerContext") -> bool:
+        return all(
+            fin or s.should_fire(ss, ctx)
+            for s, ss, fin in zip(self.subs, st["subs"], st["fin"])
+        )
+
+    def on_fire(self, st: dict, ctx: "TriggerContext") -> bool:
+        for i, (s, ss) in enumerate(zip(self.subs, st["subs"])):
+            if not st["fin"][i]:
+                st["fin"][i] = s.on_fire(ss, ctx)
+        return all(st["fin"])
+
+
+@dataclass(frozen=True)
+class AfterEach(Trigger):
+    """Run sub-triggers in sequence, advancing as each finishes
+    (trigger.py:863)."""
+
+    subs: tuple
+
+    def new_state(self) -> dict:
+        return {"idx": 0, "sub": self.subs[0].new_state()}
+
+    def _cur(self, st: dict) -> "Trigger | None":
+        return self.subs[st["idx"]] if st["idx"] < len(self.subs) else None
+
+    def on_element(self, st: dict, ctx: "TriggerContext") -> None:
+        cur = self._cur(st)
+        if cur:
+            cur.on_element(st["sub"], ctx)
+
+    def should_fire(self, st: dict, ctx: "TriggerContext") -> bool:
+        cur = self._cur(st)
+        return bool(cur) and cur.should_fire(st["sub"], ctx)
+
+    def on_fire(self, st: dict, ctx: "TriggerContext") -> bool:
+        cur = self._cur(st)
+        if cur and cur.on_fire(st["sub"], ctx):
+            st["idx"] += 1
+            nxt = self._cur(st)
+            st["sub"] = nxt.new_state() if nxt else {}
+        return st["idx"] >= len(self.subs)
+
+
+# --------------------------------------------------------------------------
+# The driver (reference GeneralTriggerDriver, trigger.py:1341)
+# --------------------------------------------------------------------------
+
+EARLY, ON_TIME, LATE = "EARLY", "ON_TIME", "LATE"
+DISCARDING, ACCUMULATING = "DISCARDING", "ACCUMULATING"
+
+
+@dataclass
+class TriggerContext:
+    window_end: float
+    watermark: float
+    processing_time: float
+    pending: int
+
+
+@dataclass
+class Pane:
+    window_start: float
+    index: int
+    timing: str
+    count: int
+    sum: float
+    is_final: bool = False
+
+
+@dataclass
+class WindowState:
+    trigger_state: dict
+    pane_index: int = 0
+    on_time_done: bool = False
+    pending_count: int = 0
+    pending_sum: float = 0.0
+    acc_count: int = 0
+    acc_sum: float = 0.0
+    closed: bool = False
+
+
+class TriggerDriver:
+    """Per-key trigger VM over fixed windows with a SUM/COUNT combiner.
+
+    Deterministic inputs: ``on_elements`` (event-time values),
+    ``advance_watermark``, ``advance_processing_time``. Output: ``Pane``
+    records. Window assignment is fixed-size tumbling (the general
+    WindowFn case composes upstream — this kernel only needs window
+    boundaries).
+    """
+
+    def __init__(
+        self,
+        window_size: float,
+        trigger: Trigger | None = None,
+        accumulation: str = DISCARDING,
+        allowed_lateness: float = 0.0,
+    ) -> None:
+        self.window_size = window_size
+        self.trigger = trigger or DefaultTrigger()
+        self.accumulation = accumulation
+        self.allowed_lateness = allowed_lateness
+        self.windows: dict[float, WindowState] = {}
+        self.watermark = float("-inf")
+        self.processing_time = 0.0
+
+    # -- input hooks --------------------------------------------------------
+
+    def on_elements(self, ts_values: list[tuple[float, float]]) -> list[Pane]:
+        """Add (event_ts, value) elements; returns panes fired by them."""
+        panes: list[Pane] = []
+        touched: list[float] = []
+        for ts, v in ts_values:
+            ws = (ts // self.window_size) * self.window_size
+            end = ws + self.window_size
+            if self.watermark >= end + self.allowed_lateness:
+                continue  # expired: dropped (trigger.py GC / lateness horizon)
+            st = self.windows.get(ws)
+            if st is None:
+                st = self.windows[ws] = WindowState(self.trigger.new_state())
+            if st.closed:
+                continue
+            st.pending_count += 1
+            st.pending_sum += v
+            st.acc_count += 1
+            st.acc_sum += v
+            self.trigger.on_element(st.trigger_state, self._ctx(ws, st))
+            if ws not in touched:
+                touched.append(ws)
+        for ws in touched:
+            panes.extend(self._maybe_fire(ws))
+        return panes
+
+    def advance_watermark(self, wm: float) -> list[Pane]:
+        self.watermark = wm
+        panes: list[Pane] = []
+        for ws in sorted(self.windows):
+            panes.extend(self._maybe_fire(ws))
+            panes.extend(self._maybe_gc(ws))
+        return panes
+
+    def advance_processing_time(self, pt: float) -> list[Pane]:
+        self.processing_time = pt
+        panes: list[Pane] = []
+        for ws in sorted(self.windows):
+            panes.extend(self._maybe_fire(ws))
+        return panes
+
+    # -- internals -----------------------------------------------------------
+
+    def _ctx(self, ws: float, st: WindowState) -> TriggerContext:
+        return TriggerContext(
+            window_end=ws + self.window_size,
+            watermark=self.watermark,
+            processing_time=self.processing_time,
+            pending=st.pending_count,
+        )
+
+    def _timing(self, ws: float, st: WindowState) -> str:
+        if self.watermark < ws + self.window_size:
+            return EARLY
+        return LATE if st.on_time_done else ON_TIME
+
+    def _maybe_fire(self, ws: float) -> list[Pane]:
+        st = self.windows.get(ws)
+        panes: list[Pane] = []
+        if st is None or st.closed:
+            return panes
+        # loop: a single advance can justify several firings (e.g. AfterEach)
+        while not st.closed and self.trigger.should_fire(
+            st.trigger_state, self._ctx(ws, st)
+        ):
+            timing = self._timing(ws, st)
+            if self.accumulation == ACCUMULATING:
+                count, total = st.acc_count, st.acc_sum
+            else:
+                count, total = st.pending_count, st.pending_sum
+            finished = self.trigger.on_fire(st.trigger_state, self._ctx(ws, st))
+            if count > 0 or timing == ON_TIME:
+                panes.append(Pane(ws, st.pane_index, timing, count, total))
+                st.pane_index += 1
+            if timing == ON_TIME:
+                st.on_time_done = True
+            st.pending_count, st.pending_sum = 0, 0.0
+            if finished:
+                st.closed = True
+        return panes
+
+    def _maybe_gc(self, ws: float) -> list[Pane]:
+        st = self.windows.get(ws)
+        if st is None:
+            return []
+        if self.watermark >= ws + self.window_size + self.allowed_lateness:
+            del self.windows[ws]
+            if not st.closed and st.pending_count > 0:
+                # closing behavior: emit the final pane with leftovers
+                count = st.acc_count if self.accumulation == ACCUMULATING else st.pending_count
+                total = st.acc_sum if self.accumulation == ACCUMULATING else st.pending_sum
+                return [
+                    Pane(ws, st.pane_index, self._timing(ws, st), count, total, True)
+                ]
+        return []
+
+    def next_deadline(self) -> float | None:
+        """Earliest event-time instant at which an open window needs a
+        wake-up even without new data: its end (on-time pane) or its GC
+        horizon (final pane / cleanup)."""
+        deadlines = [
+            ws + self.window_size
+            if not st.on_time_done
+            else ws + self.window_size + self.allowed_lateness
+            for ws, st in self.windows.items()
+            if not st.closed or not st.on_time_done
+        ]
+        # closed windows still need GC, but nothing will fire: include them
+        deadlines += [
+            ws + self.window_size + self.allowed_lateness
+            for ws, st in self.windows.items()
+            if st.closed
+        ]
+        return min(deadlines) if deadlines else None
+
+    # -- state (de)serialization for the Spark adapter ----------------------
+
+    def dump(self) -> str:
+        return json.dumps(
+            {
+                "wm": self.watermark if self.watermark != float("-inf") else None,
+                "windows": {
+                    str(ws): {
+                        "t": st.trigger_state,
+                        "p": st.pane_index,
+                        "o": st.on_time_done,
+                        "pc": st.pending_count,
+                        "ps": st.pending_sum,
+                        "ac": st.acc_count,
+                        "as": st.acc_sum,
+                        "c": st.closed,
+                    }
+                    for ws, st in self.windows.items()
+                },
+            }
+        )
+
+    def load(self, blob: str) -> "TriggerDriver":
+        d = json.loads(blob)
+        self.watermark = d["wm"] if d["wm"] is not None else float("-inf")
+        self.windows = {
+            float(ws): WindowState(
+                trigger_state=s["t"],
+                pane_index=s["p"],
+                on_time_done=s["o"],
+                pending_count=s["pc"],
+                pending_sum=s["ps"],
+                acc_count=s["ac"],
+                acc_sum=s["as"],
+                closed=s["c"],
+            )
+            for ws, s in d["windows"].items()
+        }
+        return self
+
+
+# --------------------------------------------------------------------------
+# Spark adapter
+# --------------------------------------------------------------------------
+
+
+def triggered_window_agg(
+    df,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_size: float,
+    trigger: Trigger | None = None,
+    accumulation: str = DISCARDING,
+    allowed_lateness: float = 0.0,
+):
+    """Windowed SUM/COUNT per key under full Beam trigger semantics, as a
+    streaming transform (``applyInPandasWithState``).
+
+    Output rows: (key, window_start, pane_index, timing, n, total) — one
+    per pane, exactly as the kernel fires them. Spark's own watermark
+    (``withWatermark`` upstream) feeds the kernel via
+    ``GroupState.getCurrentWatermarkMs``; processing time via
+    ``getCurrentProcessingTimeMs``. With a watermark, the adapter arms an
+    EventTimeTimeout at the kernel's next deadline so on-time/GC panes
+    fire even when the key receives no further data (Spark only invokes
+    the state fn for keys present in a micro-batch otherwise).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    # EventTimeTimeout is only legal when the stream has a watermark;
+    # detect it from the analyzed plan.
+    has_watermark = "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString()
+    timeout = "EventTimeTimeout" if has_watermark else "NoTimeout"
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("window_start", T.DoubleType()),
+            T.StructField("pane_index", T.IntegerType()),
+            T.StructField("timing", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("blob", T.StringType())])
+
+    def fn(key, pdfs, state):
+        driver = TriggerDriver(window_size, trigger, accumulation, allowed_lateness)
+        if state.exists:
+            driver.load(state.get[0])
+        driver.processing_time = state.getCurrentProcessingTimeMs() / 1000.0
+        wm = state.getCurrentWatermarkMs() / 1000.0 if has_watermark else float("-inf")
+        panes: list[Pane] = []
+        if not state.hasTimedOut:
+            elems: list[tuple[float, float]] = []
+            for pdf in pdfs:
+                ts_s = pdf[ts_col].astype("int64") / 1e9  # epoch seconds
+                elems.extend(zip(ts_s, pdf[value_col].astype(float)))
+            panes.extend(driver.on_elements(elems))
+        if wm > driver.watermark:
+            panes.extend(driver.advance_watermark(wm))
+        panes.extend(driver.advance_processing_time(driver.processing_time))
+        state.update((driver.dump(),))
+        if timeout == "EventTimeTimeout":
+            deadline = driver.next_deadline()
+            if deadline is not None:
+                # timestamps must be strictly beyond the current watermark
+                state.setTimeoutTimestamp(max(int(deadline * 1000), int(wm * 1000) + 1))
+        if panes:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(panes),
+                    "window_start": [p.window_start for p in panes],
+                    "pane_index": [p.index for p in panes],
+                    "timing": [p.timing for p in panes],
+                    "n": [p.count for p in panes],
+                    "total": [p.sum for p in panes],
+                }
+            )
+
+    return (
+        df.groupBy(F.col(key_col))
+        .applyInPandasWithState(fn, out_schema, state_schema, "Append", timeout)
+    )

@@ -158,3 +158,72 @@ def test_after_count_trigger_accumulating(spark):
         )
         # accumulating: pane 1 includes pane 0's elements
         assert rows == [(0, 2, 3.0), (1, 4, 10.0)]
+
+
+def test_triggered_window_agg_after_count_early_firings(spark):
+    """Trigger VM on the streaming adapter: Repeatedly(AfterCount(2))
+    fires an early pane per 2 elements per key, before any watermark."""
+    from incubator_beam_spark.streaming.triggers import (
+        DISCARDING,
+        AfterCount,
+        Repeatedly,
+        triggered_window_agg,
+    )
+
+    with TestStream(spark, EVENT_SCHEMA) as ts:
+        out = triggered_window_agg(
+            ts.stream,
+            key_col="user_id",
+            ts_col="ts",
+            value_col="value",
+            window_size=600.0,
+            trigger=Repeatedly(AfterCount(2)),
+            accumulation=DISCARDING,
+            allowed_lateness=1e12,
+        )
+        ts.start(out, output_mode="append")
+        ts.add_elements([(_ts(1), 1, 1.0)]).advance()
+        assert ts.results().count() == 0  # 1 element: no pane yet
+        ts.add_elements([(_ts(2), 1, 2.0)]).advance()
+        rows = [(r.pane_index, r.timing, r.n, r.total) for r in ts.results().collect()]
+        assert rows == [(0, "EARLY", 2, 3.0)]
+        ts.add_elements([(_ts(3), 1, 4.0), (_ts(4), 1, 8.0)]).advance()
+        rows = sorted(
+            (r.pane_index, r.timing, r.n, r.total) for r in ts.results().collect()
+        )
+        assert rows == [(0, "EARLY", 2, 3.0), (1, "EARLY", 2, 12.0)]
+
+
+def test_triggered_window_agg_watermark_on_time_pane(spark):
+    """AfterWatermark on-time pane fires once Spark's watermark passes the
+    window end (driven by a far-future sentinel element on another key)."""
+    from incubator_beam_spark.streaming.triggers import (
+        DISCARDING,
+        AfterWatermark,
+        triggered_window_agg,
+    )
+
+    with TestStream(spark, EVENT_SCHEMA) as ts:
+        out = triggered_window_agg(
+            ts.stream.withWatermark("ts", "1 second"),
+            key_col="user_id",
+            ts_col="ts",
+            value_col="value",
+            window_size=600.0,
+            trigger=AfterWatermark(),
+            accumulation=DISCARDING,
+            allowed_lateness=1e12,
+        )
+        ts.start(out, output_mode="append")
+        ts.add_elements([(_ts(1), 1, 1.0), (_ts(2), 1, 2.0)]).advance()
+        assert ts.results().count() == 0  # watermark has not passed window end
+        # watermark only advances between micro-batches: push the sentinel,
+        # then one more batch so the new watermark is visible to the kernel
+        ts.add_elements([(datetime.datetime(2024, 1, 2), 99, 0.0)]).advance()
+        ts.add_elements([(datetime.datetime(2024, 1, 2), 99, 0.0)]).advance()
+        rows = [
+            (r.key, r.pane_index, r.timing, r.n, r.total)
+            for r in ts.results().collect()
+            if r.key == 1
+        ]
+        assert rows == [(1, 0, "ON_TIME", 2, 3.0)]
