@@ -66,21 +66,23 @@ def brute_force_topk(
     )
 
 
+def plane_components(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component d derives from
+    md5(plane_idx:d) mapped to [-0.5, 0.5). Computed driver-side with
+    hashlib so the identical literals can be embedded in oracle SQL (and
+    Catalyst sees plain constants instead of 64 md5 calls per plane)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{plane_idx}:{d}".encode()).hexdigest()[:8], 16)
+        / float(16**8)
+        - 0.5
+        for d in range(dim)
+    ]
+
+
 def _plane(dim: int, plane_idx: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component d is derived from
-    md5(plane_idx:d) mapped to [-0.5, 0.5). Engine-independent."""
-    return F.array(
-        *[
-            (
-                F.conv(F.substring(F.md5(F.lit(f"{plane_idx}:{d}")), 1, 8), 16, 10).cast(
-                    "double"
-                )
-                / F.lit(float(16**8))
-                - 0.5
-            )
-            for d in range(dim)
-        ]
-    )
+    return F.array(*[F.lit(v) for v in plane_components(dim, plane_idx)])
 
 
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
@@ -123,4 +125,34 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "cos", "rank")
+    )
+
+
+def neardup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.8,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket self-join, then
+    exact cosine verify (the embedding analog of MinHash LSH dedup).
+
+    One bucket per vector (sign bits of ``n_planes`` projections), so a
+    pair is compared at most once — no candidate dedup pass needed. Only
+    (bucket, id, vector) shuffles; at 100 TB the bucket join replaces the
+    O(N^2) all-pairs comparison with ~N^2/2^planes bucket-local work.
+    """
+    v = emb.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), dim, n_planes))
+    a = v.select(F.col("bucket"), F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("bucket"), F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
     )

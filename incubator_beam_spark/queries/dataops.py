@@ -258,14 +258,64 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(e.filter(F.col("vec_id") < 3), e, k=5)
 
 
-@query("emb_lsh_topk")
+def _bucket_sql(vec_expr: str, dim: int = 64, n_planes: int = 4) -> str:
+    """DuckDB mirror of similarity.lsh_bucket: the hyperplanes are the
+    SAME Python-computed literals Catalyst sees, so bucket ids agree
+    bit-for-bit across engines."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, "
+        f"[{', '.join(repr(c) for c in similarity.plane_components(dim, p))}]) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+
+
+@query(
+    "emb_lsh_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 3),
+         qb AS (SELECT query_id, qv, {_bucket_sql('qv')} AS bucket FROM q),
+         c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         cb AS (SELECT match_id, cv, {_bucket_sql('cv')} AS bucket FROM c),
+         s AS (SELECT query_id, match_id,
+                      round(list_dot_product(qv, cv)
+                            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+                        AS cos
+               FROM qb JOIN cb USING (bucket) WHERE query_id != match_id)
+    SELECT query_id, match_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, match_id) AS rank
+      FROM s) WHERE rank <= 5
+    """,
+)
 def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing (the scale
     path: ~N/2^planes comparisons per query). Recall vs brute force is
-    asserted in tests; no SQL oracle (bucket boundaries are engine-exact
-    but the operator is approximate by design)."""
+    asserted in tests; the oracle replicates the bucketing exactly via
+    shared literal hyperplanes."""
     e = table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(e.filter(F.col("vec_id") < 3), e, dim=64, k=5, n_planes=4)
+
+
+@query(
+    "emb_neardup_pairs",
+    oracle=f"""
+    WITH vv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         bb AS (SELECT id, v, {_bucket_sql('v')} AS bucket FROM vv),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+                  round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                    AS cos
+           FROM bb a JOIN bb b ON a.bucket = b.bucket AND a.id < b.id)
+    SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.5
+    """,
+)
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (SURVEY training-data ops): LSH
+    bucket self-join + exact cosine verify at threshold 0.5."""
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs(e, dim=64, threshold=0.5, n_planes=4)
 
 
 @query(
