@@ -34,6 +34,9 @@ HEADLINE = [
     "doc_minhash_lsh_pairs",
     "doc_simhash",
     "emb_cosine_topk",
+    "emb_neardup_pairs",
+    "nexmark_q6_avg_selling_last10",
+    "cep_match_recognize",
 ]
 
 

@@ -145,7 +145,9 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 md5 permutations over word-3-gram shingles),
     computed scan-side with array expressions — no UDF, no explode."""
-    d = table(spark, sf_dir, "documents")
+    d = dedup.ensure_parallelism(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return d.select(
         "doc_id",
         dedup.minhash_signature(dedup.shingles(F.col("text"))).alias("sig"),
@@ -197,7 +199,9 @@ def _simhash_oracle(bits: int = 32) -> str:
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit) per document — near-dup fingerprint packed to one
     BIGINT; Hamming-distance banding joins on it at scale."""
-    d = table(spark, sf_dir, "documents")
+    d = dedup.ensure_parallelism(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return d.select("doc_id", dedup.simhash64(F.col("text"), bits=32).alias("simhash"))
 
 

@@ -12,6 +12,7 @@ harness, and sinks.
 from .source import stream_events, stream_table
 from .stateful import deduplicate_stream, group_into_batches_stream, per_key_counter
 from .teststream import TestStream
+from .userstate import EVENT_TIME, PROCESSING_TIME, StatefulContext, stateful_pardo
 from .triggers import (
     ACCUMULATING,
     DISCARDING,

@@ -1,0 +1,130 @@
+"""Stateful ParDo with user state cells and multiple named timers.
+
+Reference surface (SURVEY.md §2.7): state cells
+``ReadModifyWriteStateSpec/BagStateSpec/SetStateSpec/CombiningValueStateSpec``
+(``transforms/userstate.py:73,82,91,100``) and ``TimerSpec`` +
+``@on_timer`` with event-time and processing-time families
+(``userstate.py:162,186``).
+
+Spark's ``applyInPandasWithState`` gives exactly ONE timeout per key;
+Beam allows any number of named timers per key. The adapter multiplexes:
+all pending timers live in the state blob as a name->instant map, the
+Spark timeout is armed at the MINIMUM pending instant, and on wake-up
+(or on any data delivery) every timer whose instant has passed fires in
+instant order. That is the reference's own trick for runners with a
+single-timer primitive (min-heap over timer families).
+
+State cells are a JSON dict per key: value cells hold scalars, bag cells
+lists, combining cells the accumulator. At scale this rides Spark's
+state store (RocksDB) partitioned by key; cell payloads must stay
+small-ish (bags are for bounded buffers, exactly as in Beam — unbounded
+aggregation belongs in a CombiningValue cell).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from typing import Any, Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_TIME = "event"
+PROCESSING_TIME = "processing"
+
+
+class StatefulContext:
+    """What a DoFn sees: state cells + timers + clocks (reference
+    ``DoFn.StateParam`` / ``DoFn.TimerParam``)."""
+
+    def __init__(self, cells: dict, timers: dict, watermark: float, processing_time: float):
+        self._cells = cells
+        self._timers = timers
+        self.watermark = watermark
+        self.processing_time = processing_time
+
+    # state cells ---------------------------------------------------------
+    def read(self, cell: str, default: Any = None) -> Any:
+        return self._cells.get(cell, default)
+
+    def write(self, cell: str, value: Any) -> None:
+        self._cells[cell] = value
+
+    def clear(self, cell: str) -> None:
+        self._cells.pop(cell, None)
+
+    def bag_add(self, cell: str, value: Any) -> None:
+        self._cells.setdefault(cell, []).append(value)
+
+    def bag_read(self, cell: str) -> list:
+        return self._cells.get(cell, [])
+
+    # timers --------------------------------------------------------------
+    def set_timer(self, name: str, instant: float) -> None:
+        self._timers[name] = instant
+
+    def clear_timer(self, name: str) -> None:
+        self._timers.pop(name, None)
+
+
+def stateful_pardo(
+    df: DataFrame,
+    key_col: str,
+    output_schema: T.StructType,
+    process: Callable[[Any, pd.DataFrame, StatefulContext], list],
+    on_timer: Callable[[Any, str, StatefulContext], list] | None = None,
+    timer_domain: str = EVENT_TIME,
+):
+    """Beam-style stateful ParDo on a keyed stream.
+
+    ``process(key, rows_pdf, ctx) -> list[tuple]`` handles each delivered
+    bundle; ``on_timer(key, timer_name, ctx) -> list[tuple]`` handles each
+    fired timer. Both emit output rows matching ``output_schema`` (which
+    must lead with the key column). ``timer_domain`` picks the Spark
+    timeout conf: EVENT_TIME requires an upstream ``withWatermark``.
+    """
+    has_watermark = "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString()
+    if timer_domain == EVENT_TIME and not has_watermark:
+        raise ValueError("event-time timers require withWatermark upstream")
+    timeout = "EventTimeTimeout" if timer_domain == EVENT_TIME else "ProcessingTimeTimeout"
+
+    state_schema = T.StructType([T.StructField("blob", T.StringType())])
+    out_cols = [f.name for f in output_schema.fields]
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        blob = json.loads(state.get[0]) if state.exists else {"cells": {}, "timers": {}}
+        wm = state.getCurrentWatermarkMs() / 1000.0 if has_watermark else float("-inf")
+        pt = state.getCurrentProcessingTimeMs() / 1000.0
+        ctx = StatefulContext(blob["cells"], blob["timers"], wm, pt)
+        out_rows: list = []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf):
+                    out_rows.extend(process(key[0], pdf, ctx) or [])
+        # fire every due timer in instant order (the multiplexer)
+        now = wm if timer_domain == EVENT_TIME else pt
+        while blob["timers"]:
+            name = min(blob["timers"], key=blob["timers"].get)
+            instant = blob["timers"][name]
+            if instant > now:
+                break
+            del blob["timers"][name]
+            if on_timer:
+                out_rows.extend(on_timer(key[0], name, ctx) or [])
+        state.update((json.dumps(blob),))
+        if blob["timers"]:
+            nxt = min(blob["timers"].values())
+            if timer_domain == EVENT_TIME:
+                state.setTimeoutTimestamp(max(int(nxt * 1000), int(wm * 1000) + 1))
+            else:
+                state.setTimeoutDuration(max(int((nxt - pt) * 1000), 1))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=out_cols)
+
+    return (
+        df.groupBy(F.col(key_col))
+        .applyInPandasWithState(fn, output_schema, state_schema, "Append", timeout)
+    )

@@ -227,3 +227,52 @@ def test_triggered_window_agg_watermark_on_time_pane(spark):
             if r.key == 1
         ]
         assert rows == [(1, 0, "ON_TIME", 2, 3.0)]
+
+
+def test_stateful_pardo_multi_timer_families(spark):
+    """Two named event-time timers per key on Spark's single-timeout
+    primitive: a 'flush' timer (early) and a 'gc' timer (later) both fire,
+    in instant order (reference userstate.py:162 multi-family timers)."""
+    from pyspark.sql import types as T
+
+    from incubator_beam_spark.streaming.userstate import StatefulContext, stateful_pardo
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("event", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def process(key, rows, ctx: StatefulContext):
+        for v in rows["value"]:
+            ctx.bag_add("buf", float(v))
+        base = 1704067200  # 2024-01-01 00:00 UTC epoch
+        ctx.set_timer("flush", base + 300)   # 00:05
+        ctx.set_timer("gc", base + 600)      # 00:10
+        return []
+
+    def on_timer(key, name, ctx: StatefulContext):
+        buf = ctx.bag_read("buf")
+        if name == "gc":
+            ctx.clear("buf")
+        return [(key, name, len(buf))]
+
+    with TestStream(spark, EVENT_SCHEMA) as ts:
+        out = stateful_pardo(
+            ts.stream.withWatermark("ts", "1 second"),
+            key_col="user_id",
+            output_schema=out_schema,
+            process=process,
+            on_timer=on_timer,
+        )
+        ts.start(out, output_mode="append")
+        ts.add_elements([(_ts(0, 1), 1, 1.0), (_ts(0, 2), 1, 2.0)]).advance()
+        assert ts.results().count() == 0  # no timer due yet
+        # advance the watermark past both timer instants (sentinel key),
+        # then one more batch so timed-out keys are evaluated
+        ts.add_elements([(datetime.datetime(2024, 1, 1, 1), 99, 0.0)]).advance()
+        ts.add_elements([(datetime.datetime(2024, 1, 1, 1), 99, 0.0)]).advance()
+        rows = [(r.event, r.n) for r in ts.results().collect() if r.key == 1]
+        assert rows == [("flush", 2), ("gc", 2)]  # fired in instant order
