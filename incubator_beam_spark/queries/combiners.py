@@ -434,3 +434,45 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.count(F.lit(1)).over(w).alias("n_similar"),
     )
+
+
+@query(
+    "agg_hotkey_fanout",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(avg(l_extendedprice), 2) AS avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_hotkey_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key combiner fanout (reference ``core.py:2194``,
+    ``_CombinePerKeyWithHotKeyFanout``): two-level combine via key
+    salting. lineitem has only 3 return flags — the canonical hot-key
+    shape: a plain groupBy would route ~1/3 of ALL rows to each of 3
+    reducers. Level 1 aggregates (key, salt-of-16) — 48 parallel partial
+    groups; level 2 merges 16 tiny accumulators per key.
+
+    Catalyst's partial aggregation already handles sum/count skew; the
+    explicit fanout pattern is for accumulators whose merge is cheap but
+    whose per-row add is expensive, and it is the building block the
+    Beam-API CombinePerKey(fanout=) sugar lowers to. Results are
+    identical to the unsalted aggregation — the oracle is the plain
+    GROUP BY.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    salted = li.select(
+        "l_returnflag", "l_quantity", "l_extendedprice",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(16)).alias("salt"),
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("l_quantity").alias("pq"),
+        F.sum("l_extendedprice").alias("pp"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pq"), 2).alias("sum_qty"),
+        F.round(F.sum("pp") / F.sum("pn"), 2).alias("avg_price"),
+    )

@@ -92,3 +92,24 @@ def test_no_python_udfs_in_relational_plans(spark):
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_cep_single_shuffle_and_pruned_scan(spark):
+    plan = plan_of(spark, "cep_match_recognize")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") <= 2  # one key repartition (+AQE read)
+    # measures touch event_id/ts/user_id/event_type only: props/value pruned
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "props" not in read and "value" not in read
+
+
+def test_neardup_bucket_join_no_cartesian(spark):
+    plan = plan_of(spark, "emb_neardup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hotkey_fanout_two_level_aggregation(spark):
+    plan = plan_of(spark, "agg_hotkey_fanout")
+    # partial+final per level = 4 HashAggregates around 2 exchanges
+    assert plan.count("HashAggregate") >= 4

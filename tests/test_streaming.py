@@ -276,3 +276,21 @@ def test_stateful_pardo_multi_timer_families(spark):
         ts.add_elements([(datetime.datetime(2024, 1, 1, 1), 99, 0.0)]).advance()
         rows = [(r.event, r.n) for r in ts.results().collect() if r.key == 1]
         assert rows == [("flush", 2), ("gc", 2)]  # fired in instant order
+
+
+def test_stream_batch_parity_nexmark_stateless(spark):
+    """NEXMark Q1/Q2 (stateless map/filter) produce identical results on
+    spark.read and spark.readStream — the unified-model contract for the
+    bid-stream queries."""
+    from incubator_beam_spark.catalog import table
+
+    def q1q2(df):
+        purchases = df.filter(F.col("event_type") == "purchase")
+        return purchases.select(
+            "event_id",
+            F.round(F.col("value") * 0.908, 2).alias("eur_value"),
+        ).filter(F.col("event_id") % 5 == 0)
+
+    batch = {tuple(r) for r in q1q2(table(spark, SF_DIR, "events")).collect()}
+    streamed = run_to_completion(q1q2(stream_events(spark, SF_DIR)), "parity_nexmark")
+    assert {tuple(r) for r in streamed.collect()} == batch
