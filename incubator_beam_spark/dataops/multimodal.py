@@ -88,3 +88,47 @@ def sample_frames(df: DataFrame, every_n: int = 10, frame_col: str = "frame_idx"
     """Frame sampling for video-like rows: keep every n-th frame.
     Pure filter — pushed to the scan."""
     return df.filter(F.col(frame_col) % every_n == 0)
+
+
+def extract_frames(
+    df: DataFrame,
+    binary_col: str = "payload",
+    n_frames_hint: int = 4,
+) -> DataFrame:
+    """Video frame extraction (1 -> N): each payload yields one row per
+    sampled frame with per-frame metadata. The frame decoder is STUBBED
+    (deterministic fake derived from the bytes; a real deployment plugs
+    pyav/ffmpeg) but the batch shape — mapInPandas fan-out with the
+    payload dropped from the output — is the real contract: downstream
+    shuffles frame features, never video bytes.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_ts_ms", T.LongType(), False),
+            T.StructField("luma_mean", T.DoubleType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, lumas = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[binary_col]):
+                n = n_frames_hint if payload else 0
+                for i in range(n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i * 40)  # 25 fps stub timeline
+                    byte = payload[i % len(payload)]
+                    lumas.append(round(byte / 255.0, 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "luma_mean": pd.Series(lumas, dtype="float64"),
+                }
+            )
+
+    return df.select("doc_id", binary_col).mapInPandas(run, out_schema)

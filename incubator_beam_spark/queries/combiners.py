@@ -476,3 +476,30 @@ def agg_hotkey_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("pq"), 2).alias("sum_qty"),
         F.round(F.sum("pp") / F.sum("pn"), 2).alias("avg_price"),
     )
+
+
+@query("agg_count_min_sketch")
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch per group (reference sketching extension
+    ``SketchFrequencies.java``): Spark's count_min_sketch aggregate.
+    Rows-only check — the sketch is an opaque mergeable binary (the
+    estimate path is exercised in tests)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("count_min_sketch(l_partkey, 0.01d, 0.95d, 42)").alias("cms")
+    )
+
+
+@query("agg_hll_sketch")
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketches (reference zetasketch ``HllCount.java``):
+    hll_sketch_agg per group, hll_union across groups, estimate extract —
+    the Init/MergePartial/Extract triple. Rows-only (sketch encodings are
+    engine-specific; estimate accuracy asserted in tests)."""
+    li = table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sketch")
+    )
+    return per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_parts_est")
+    )

@@ -358,3 +358,26 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return decode_images(d)
+
+
+@query(
+    "mm_frame_extract",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id, unnest(generate_series(0, 3)) AS frame_idx
+      FROM documents WHERE length(text) > 0)
+    SELECT doc_id, frame_idx::INTEGER AS frame_idx,
+           (frame_idx * 40)::BIGINT AS frame_ts_ms
+    FROM frames
+    """,
+)
+def mm_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (1 -> N mapInPandas fan-out; stubbed decoder).
+    The oracle checks the fan-out shape (ids x frame indices/timestamps);
+    the stub's luma feature is engine-internal and excluded."""
+    from ..dataops.multimodal import extract_frames
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return extract_frames(d).select("doc_id", "frame_idx", "frame_ts_ms")

@@ -104,3 +104,22 @@ def test_multimodal_meta_and_decode(spark, dup_docs):
     # deterministic stub: identical payloads → identical features
     fmap = {r.doc_id: (r.width, r.height) for r in feats}
     assert fmap[1] == fmap[2]
+
+
+def test_hll_sketch_estimate_accuracy(spark, duck):
+    """HLL++ Init/Merge/Extract (zetasketch analog): union of per-group
+    sketches estimates the global distinct count within 5%."""
+    from incubator_beam_spark import registry
+
+    q = registry.load_all()["agg_hll_sketch"]
+    est = q.fn(spark, SF_DIR).collect()[0][0]
+    exact = duck.execute("SELECT count(DISTINCT l_partkey) FROM lineitem").fetchone()[0]
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_count_min_sketch_is_mergeable_binary(spark):
+    from incubator_beam_spark import registry
+
+    q = registry.load_all()["agg_count_min_sketch"]
+    rows = q.fn(spark, SF_DIR).collect()
+    assert len(rows) == 3 and all(isinstance(r.cms, (bytes, bytearray)) for r in rows)

@@ -294,3 +294,37 @@ def test_stream_batch_parity_nexmark_stateless(spark):
     batch = {tuple(r) for r in q1q2(table(spark, SF_DIR, "events")).collect()}
     streamed = run_to_completion(q1q2(stream_events(spark, SF_DIR)), "parity_nexmark")
     assert {tuple(r) for r in streamed.collect()} == batch
+
+
+def test_refreshing_side_input_sees_updates(spark, tmp_path):
+    """Side input re-read per micro-batch (foreachBatch rebroadcast —
+    Beam windowed side-input views, pvalue.py:475): a dim-table update
+    between batches is visible to the next batch's join."""
+    from incubator_beam_spark.streaming.sideinput import join_with_refreshing_side_input
+
+    side_path = str(tmp_path / "dim")
+    spark.createDataFrame([(1, "v1")], "user_id long, tag string").write.mode(
+        "overwrite"
+    ).parquet(side_path)
+
+    collected = []
+
+    def sink(df, batch_id):
+        collected.extend((r.user_id, r.tag) for r in df.collect())
+
+    with TestStream(spark, EVENT_SCHEMA) as ts:
+        q = join_with_refreshing_side_input(
+            ts.stream,
+            side_loader=lambda s: s.read.parquet(side_path),
+            join_fn=lambda batch, side: batch.join(side, "user_id").select(
+                "user_id", "tag"
+            ),
+            sink=sink,
+        )
+        ts._query = q  # let the harness drive/stop this query
+        ts.add_elements([(_ts(1), 1, 1.0)]).advance()
+        spark.createDataFrame([(1, "v2")], "user_id long, tag string").write.mode(
+            "overwrite"
+        ).parquet(side_path)
+        ts.add_elements([(_ts(2), 1, 2.0)]).advance()
+    assert collected == [(1, "v1"), (1, "v2")]
