@@ -465,3 +465,295 @@ def topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style breadth (adapted to the fixture's reduced schemas; the
+# reference's SQL coverage model is the TPC-DS harness,
+# sdks/java/testing/tpcds/ — same idea, DuckDB as the oracle).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter+agg — every predicate must reach the scan
+    (PushedFilters) and the plan is one partial+final agg, no shuffle of
+    data rows (only the two accumulators)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: two-nation volume by year. supplier/customer/nation all
+    broadcast; the only big shuffle is lineitem⨝orders on orderkey."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top returners. Date filter reaches the orders scan,
+    returnflag filter the lineitem scan; customer/nation broadcast;
+    TakeOrderedAndProject for the top-20 (no global sort)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.00 * sum(CASE WHEN p.p_type = 'PROMO'
+                                   THEN l.l_extendedprice * (1 - l.l_discount)
+                                   ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share. part broadcasts; the month filter
+    prunes lineitem at the scan."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier by quarterly revenue — agg + scalar-max
+    self-reference; the revenue relation is tiny so both its reuses are
+    cheap and the max broadcasts."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-quantity orders — HAVING-filtered agg feeding a
+    semi-join (the big-order keyset is small, so it broadcasts)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "big_key")),
+                F.col("l_orderkey") == F.col("big_key"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive brand/size/quantity predicates over a
+    broadcast part join (container->p_size adaptation for the reduced
+    fixture schema)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
