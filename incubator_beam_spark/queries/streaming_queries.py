@@ -1,0 +1,99 @@
+"""Streaming queries IN the correctness gate: each entry reads the
+fixture through ``spark.readStream``, drains the bounded stream through
+micro-batch execution, and returns the final result DataFrame — which
+must hash-match the SAME DuckDB oracle as the equivalent batch plan.
+
+This is the reference's ValidatesRunner contract (SURVEY.md §5: one
+semantic suite, every execution mode) made driver-checkable: the oracle
+does not know or care that Spark executed the plan as a sequence of
+micro-batches with state in between.
+
+Scale: these run identical logical plans to their batch twins; the
+streaming-only additions (watermark columns, state store) are exactly
+what production unbounded runs use.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..streaming.source import stream_table
+
+_HOUR = 3600
+
+
+def _drain(df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Run the bounded file-backed stream to completion through a memory
+    sink; returns the sink contents as a batch DataFrame."""
+    name = f"gate_stream_{uuid.uuid4().hex[:10]}"
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+@query(
+    "stream_tumbling_agg",
+    oracle=f"""
+    SELECT (floor(epoch(ts))::BIGINT // {_HOUR}) * {_HOUR} AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """evt_tumbling_window executed as a STREAM (micro-batch, complete
+    mode): same oracle as the batch twin — the ValidatesRunner check."""
+    e = stream_table(spark, sf_dir, "events")
+    agg = (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return _drain(agg, "complete")
+
+
+@query(
+    "stream_stateless_map_filter",
+    oracle="""
+    SELECT event_id, user_id, round(value * 0.908, 2) AS eur_value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def stream_stateless_map_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark Q1 as a stream (append mode, stateless): Map/Filter parity
+    between read and readStream."""
+    e = stream_table(spark, sf_dir, "events")
+    out = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.round(F.col("value") * 0.908, 2).alias("eur_value")
+    )
+    return _drain(out, "append")
+
+
+@query(
+    "stream_distinct_users",
+    oracle="SELECT count(DISTINCT user_id) AS n_users FROM events",
+)
+def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact distinct-count: stateful dropDuplicates feeding a
+    complete-mode count (streaming bans COUNT(DISTINCT) directly; chained
+    stateful operators are the supported form)."""
+    e = stream_table(spark, sf_dir, "events")
+    return _drain(
+        e.select("user_id").dropDuplicates(["user_id"]).agg(
+            F.count(F.lit(1)).alias("n_users")
+        ),
+        "complete",
+    )
