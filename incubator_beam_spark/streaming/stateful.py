@@ -172,3 +172,38 @@ def after_count_trigger(
         df.groupBy(F.col(key_col))
         .applyInPandasWithState(fn, out_schema, state_schema, "Append", "NoTimeout")
     )
+
+
+def deduplicate_stream_processing_time(
+    df: DataFrame,
+    id_col: str,
+    within_seconds: float,
+    emit_cols: list[str],
+) -> DataFrame:
+    """Processing-time-domain Deduplicate (reference ``deduplicate.py:43``
+    with processing_time_duration): emit the first element per id; after
+    ``within_seconds`` of processing time the id may be emitted again.
+
+    Expiry is LAZY — state stores ``seen_at`` and each delivery compares
+    against the current processing time — rather than timer-driven: an
+    armed ProcessingTimeTimeout makes Structured Streaming schedule
+    micro-batches continuously to poll for timed-out keys (measured:
+    hundreds of empty epochs per minute), which burns cluster time and
+    never lets ``processAllAvailable`` settle. Lazy expiry keeps the
+    exact same emission semantics; per-key state is one float (GC of
+    cold keys is the state-TTL concern production configures on the
+    state store)."""
+    from .userstate import StatefulContext, stateful_pardo
+
+    assert emit_cols[0] == id_col, "output schema must lead with the id column"
+    out_schema = T.StructType([df.schema[c] for c in emit_cols])
+
+    def process(key, rows, ctx: StatefulContext):
+        seen_at = ctx.read("seen_at")
+        if seen_at is not None and ctx.processing_time - seen_at < within_seconds:
+            return []
+        ctx.write("seen_at", ctx.processing_time)
+        first = rows.iloc[0]
+        return [tuple(first[c] for c in emit_cols)]
+
+    return stateful_pardo(df, id_col, out_schema, process, timer_domain="none")

@@ -84,12 +84,25 @@ def stateful_pardo(
     bundle; ``on_timer(key, timer_name, ctx) -> list[tuple]`` handles each
     fired timer. Both emit output rows matching ``output_schema`` (which
     must lead with the key column). ``timer_domain`` picks the Spark
-    timeout conf: EVENT_TIME requires an upstream ``withWatermark``.
+    timeout conf: EVENT_TIME requires an upstream ``withWatermark``;
+    ``"none"`` disables timer wake-ups (pending timers then only fire on
+    data delivery — lazy evaluation).
+
+    CAVEAT: PROCESSING_TIME timeouts make Structured Streaming poll with
+    continuous micro-batches while any timer is armed (the engine cannot
+    know a key's deadline without running the state fn), so
+    ``processAllAvailable`` never settles and idle clusters stay busy.
+    Prefer lazy ``"none"``-domain checks against ``ctx.processing_time``
+    when the semantics allow (see deduplicate_stream_processing_time).
     """
     has_watermark = "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString()
     if timer_domain == EVENT_TIME and not has_watermark:
         raise ValueError("event-time timers require withWatermark upstream")
-    timeout = "EventTimeTimeout" if timer_domain == EVENT_TIME else "ProcessingTimeTimeout"
+    timeout = {
+        EVENT_TIME: "EventTimeTimeout",
+        PROCESSING_TIME: "ProcessingTimeTimeout",
+        "none": "NoTimeout",
+    }[timer_domain]
 
     state_schema = T.StructType([T.StructField("blob", T.StringType())])
     out_cols = [f.name for f in output_schema.fields]
@@ -115,7 +128,7 @@ def stateful_pardo(
             if on_timer:
                 out_rows.extend(on_timer(key[0], name, ctx) or [])
         state.update((json.dumps(blob),))
-        if blob["timers"]:
+        if blob["timers"] and timer_domain != "none":
             nxt = min(blob["timers"].values())
             if timer_domain == EVENT_TIME:
                 state.setTimeoutTimestamp(max(int(nxt * 1000), int(wm * 1000) + 1))

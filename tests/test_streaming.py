@@ -328,3 +328,22 @@ def test_refreshing_side_input_sees_updates(spark, tmp_path):
         ).parquet(side_path)
         ts.add_elements([(_ts(2), 1, 2.0)]).advance()
     assert collected == [(1, "v1"), (1, "v2")]
+
+
+def test_deduplicate_processing_time_domain(spark):
+    """Processing-time Deduplicate (reference deduplicate.py:43): the
+    first element per key is emitted, subsequent duplicates within the
+    horizon are suppressed."""
+    from incubator_beam_spark.streaming.stateful import (
+        deduplicate_stream_processing_time,
+    )
+
+    with TestStream(spark, EVENT_SCHEMA) as ts:
+        out = deduplicate_stream_processing_time(
+            ts.stream, "user_id", within_seconds=3600.0, emit_cols=["user_id", "value"]
+        )
+        ts.start(out, output_mode="append")
+        ts.add_elements([(_ts(1), 1, 1.0), (_ts(2), 1, 2.0), (_ts(3), 2, 5.0)]).advance()
+        ts.add_elements([(_ts(4), 1, 9.0), (_ts(5), 2, 9.0)]).advance()
+        rows = sorted((r.user_id, r.value) for r in ts.results().collect())
+        assert rows == [(1, 1.0), (2, 5.0)]
