@@ -325,8 +325,12 @@ class TriggerDriver:
         trigger: Trigger | None = None,
         accumulation: str = DISCARDING,
         allowed_lateness: float = 0.0,
+        slide: float | None = None,
     ) -> None:
         self.window_size = window_size
+        self.slide = slide if slide is not None else window_size
+        if self.slide > window_size:
+            raise ValueError("slide must be <= window_size")
         self.trigger = trigger or DefaultTrigger()
         self.accumulation = accumulation
         self.allowed_lateness = allowed_lateness
@@ -341,22 +345,22 @@ class TriggerDriver:
         panes: list[Pane] = []
         touched: list[float] = []
         for ts, v in ts_values:
-            ws = (ts // self.window_size) * self.window_size
-            end = ws + self.window_size
-            if self.watermark >= end + self.allowed_lateness:
-                continue  # expired: dropped (trigger.py GC / lateness horizon)
-            st = self.windows.get(ws)
-            if st is None:
-                st = self.windows[ws] = WindowState(self.trigger.new_state())
-            if st.closed:
-                continue
-            st.pending_count += 1
-            st.pending_sum += v
-            st.acc_count += 1
-            st.acc_sum += v
-            self.trigger.on_element(st.trigger_state, self._ctx(ws, st))
-            if ws not in touched:
-                touched.append(ws)
+            for ws in self._assign(ts):
+                end = ws + self.window_size
+                if self.watermark >= end + self.allowed_lateness:
+                    continue  # expired: dropped (trigger.py GC / lateness horizon)
+                st = self.windows.get(ws)
+                if st is None:
+                    st = self.windows[ws] = WindowState(self.trigger.new_state())
+                if st.closed:
+                    continue
+                st.pending_count += 1
+                st.pending_sum += v
+                st.acc_count += 1
+                st.acc_sum += v
+                self.trigger.on_element(st.trigger_state, self._ctx(ws, st))
+                if ws not in touched:
+                    touched.append(ws)
         for ws in touched:
             panes.extend(self._maybe_fire(ws))
         return panes
@@ -377,6 +381,19 @@ class TriggerDriver:
         return panes
 
     # -- internals -----------------------------------------------------------
+
+    def _assign(self, ts: float) -> list[float]:
+        """WindowFn.assign (reference window.py:119): tumbling -> one
+        window; sliding -> size/slide windows per element, exactly like
+        SlidingWindows.assign (window.py:463) and F.window(ts, size,
+        slide)."""
+        last_start = (ts // self.slide) * self.slide
+        starts = []
+        s = last_start
+        while s > ts - self.window_size:
+            starts.append(s)
+            s -= self.slide
+        return starts
 
     def _ctx(self, ws: float, st: WindowState) -> TriggerContext:
         return TriggerContext(

@@ -177,3 +177,25 @@ def test_state_roundtrip_resumes_exactly():
                        ACCUMULATING, allowed_lateness=100).load(blob)
     assert pane_tuples(d2.on_elements([(2, 2.0)])) == [(0, 0, EARLY, 2, 3.0)]
     assert pane_tuples(d2.advance_watermark(10)) == [(0, 1, ON_TIME, 2, 3.0)]
+
+
+def test_sliding_windows_multi_assignment():
+    """SlidingWindows(size=10, slide=5): each element joins 2 windows;
+    panes fire per window at its own end (window.py:463 semantics)."""
+    d = TriggerDriver(10, DefaultTrigger(), DISCARDING, allowed_lateness=100, slide=5)
+    d.on_elements([(7, 1.0)])  # windows [0,10) and [5,15)
+    assert pane_tuples(d.advance_watermark(10)) == [(0, 0, ON_TIME, 1, 1.0)]
+    assert pane_tuples(d.advance_watermark(15)) == [(5, 0, ON_TIME, 1, 1.0)]
+
+
+def test_sliding_windows_with_early_trigger():
+    d = TriggerDriver(
+        10, AfterWatermark(early=AfterCount(2)), DISCARDING, 100, slide=5
+    )
+    # both elements land in [0,10) and [5,15): each window's early count
+    # trigger fires independently
+    panes = d.on_elements([(6, 1.0), (7, 2.0)])
+    assert sorted(pane_tuples(panes)) == [
+        (0, 0, EARLY, 2, 3.0),
+        (5, 0, EARLY, 2, 3.0),
+    ]
