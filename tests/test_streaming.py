@@ -21,6 +21,14 @@ from incubator_beam_spark.streaming.source import run_to_completion, stream_even
 from .conftest import SF_DIR
 
 
+try:  # transformWithStateInPandas needs protobuf in the state-server worker
+    import google.protobuf  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
+
 def _ts(minute: int, second: int = 0) -> datetime.datetime:
     return datetime.datetime(2024, 1, 1, 0, minute, second)
 
@@ -347,3 +355,58 @@ def test_deduplicate_processing_time_domain(spark):
         ts.add_elements([(_ts(4), 1, 9.0), (_ts(5), 2, 9.0)]).advance()
         rows = sorted((r.user_id, r.value) for r in ts.results().collect())
         assert rows == [(1, 1.0), (2, 5.0)]
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithState workers require google.protobuf (not in this env)",
+)
+def test_stateful_pardo_tws_native_timers(spark):
+    """transformWithStateInPandas backend: two named event-time timers per
+    key via NATIVE engine timers (registerTimer/handleExpiredTimer), same
+    semantics as the applyInPandasWithState multiplexer."""
+    from pyspark.sql import types as T
+
+    from incubator_beam_spark.streaming.userstate_tws import (
+        TwsContext,
+        stateful_pardo_tws,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("event", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    base = 1704067200  # 2024-01-01 00:00 UTC
+
+    def process(key, rows, ctx: TwsContext):
+        for v in rows["value"]:
+            ctx.bag_add("buf", float(v))
+        ctx.set_timer("flush", base + 300)
+        ctx.set_timer("gc", base + 600)
+        return []
+
+    def on_timer(key, name, ctx: TwsContext):
+        buf = ctx.bag_read("buf")
+        if name == "gc":
+            ctx.clear("buf")
+        return [(int(key), name, len(buf))]
+
+    with TestStream(spark, EVENT_SCHEMA) as ts:
+        out = stateful_pardo_tws(
+            ts.stream.withWatermark("ts", "1 second"),
+            key_col="user_id",
+            output_schema=out_schema,
+            process=process,
+            on_timer=on_timer,
+            time_mode="EventTime",
+        )
+        ts.start(out, output_mode="append")
+        ts.add_elements([(_ts(0, 1), 1, 1.0), (_ts(0, 2), 1, 2.0)]).advance()
+        assert ts.results().where("key = 1").count() == 0
+        ts.add_elements([(datetime.datetime(2024, 1, 1, 1), 99, 0.0)]).advance()
+        ts.add_elements([(datetime.datetime(2024, 1, 1, 1), 99, 0.0)]).advance()
+        rows = [(r.event, r.n) for r in ts.results().collect() if r.key == 1]
+        assert rows == [("flush", 2), ("gc", 2)]
