@@ -563,3 +563,78 @@ class Sql(PTransform):
 
         pcoll.df.createOrReplaceTempView("PCOLLECTION")
         return PCollection(run_sql(pcoll.pipeline.spark, self.query), pcoll.pipeline)
+
+
+class CombineFn:
+    """Beam CombineFn (reference ``core.py:778``): create_accumulator /
+    add_input / merge_accumulators / extract_output. Use with
+    ``combine_per_key_lifted`` for runner-style combiner lifting."""
+
+    def create_accumulator(self):
+        raise NotImplementedError
+
+    def add_input(self, acc, value):
+        raise NotImplementedError
+
+    def merge_accumulators(self, accs):
+        raise NotImplementedError
+
+    def extract_output(self, acc):
+        return acc
+
+
+def combine_per_key_lifted(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    fn: CombineFn,
+    output_field: str = "value",
+    output_type=None,
+):
+    """CombinePerKey for arbitrary Python CombineFns WITH combiner
+    lifting (reference ``translations.py:1093`` lift_combiners): phase 1
+    folds inputs into per-(partition, key) accumulators inside
+    ``mapInPandas`` — the map-side combine — so the shuffle carries one
+    pickled accumulator per key per partition instead of every element;
+    phase 2 merges accumulators per key and extracts output.
+
+    This is what Catalyst's partial aggregation does for native
+    aggregates, recreated for opaque Python combiners. Accumulator size
+    must be O(1)-ish per key (same contract as Beam).
+    """
+    import pickle
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    output_type = output_type or T.DoubleType()
+    key_field = df.schema[key_col]
+    acc_schema = T.StructType(
+        [key_field, T.StructField("__acc", T.BinaryType(), False)]
+    )
+    out_schema = T.StructType(
+        [key_field, T.StructField(output_field, output_type, True)]
+    )
+
+    def partial(batches):
+        accs: dict = {}
+        for pdf in batches:
+            for k, v in zip(pdf[key_col], pdf[value_col]):
+                if k in accs:
+                    accs[k] = fn.add_input(accs[k], v)
+                else:
+                    accs[k] = fn.add_input(fn.create_accumulator(), v)
+        if accs:
+            yield pd.DataFrame(
+                {
+                    key_col: list(accs.keys()),
+                    "__acc": [pickle.dumps(a) for a in accs.values()],
+                }
+            )
+
+    def merge(key, pdf):
+        acc = fn.merge_accumulators([pickle.loads(b) for b in pdf["__acc"]])
+        return pd.DataFrame({key_col: [key[0]], output_field: [fn.extract_output(acc)]})
+
+    partials = df.select(key_col, value_col).mapInPandas(partial, acc_schema)
+    return partials.groupBy(key_col).applyInPandas(merge, out_schema)

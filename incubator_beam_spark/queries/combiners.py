@@ -503,3 +503,44 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_flag.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_parts_est")
     )
+
+
+@query(
+    "combine_lifted_geomean",
+    oracle="""
+    SELECT event_type,
+           round(exp(avg(ln(value))), 4) AS geo_mean
+    FROM events WHERE value > 0 GROUP BY event_type
+    """,
+)
+def combine_lifted_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python CombineFn (geometric mean) with runner-style
+    combiner LIFTING (reference core.py:778 + translations.py:1093):
+    phase 1 folds into per-partition accumulators in mapInPandas (map-
+    side combine), the shuffle moves one ~50-byte pickled accumulator
+    per (partition, key) — never the elements; phase 2 merges+extracts.
+    The oracle is the closed-form exp(avg(ln(x)))."""
+    import math
+
+    from ..core import CombineFn, combine_per_key_lifted
+
+    class GeoMean(CombineFn):
+        def create_accumulator(self):
+            return (0.0, 0)  # (sum of logs, count)
+
+        def add_input(self, acc, v):
+            return (acc[0] + math.log(float(v)), acc[1] + 1)
+
+        def merge_accumulators(self, accs):
+            return (sum(a[0] for a in accs), sum(a[1] for a in accs))
+
+        def extract_output(self, acc):
+            return round(math.exp(acc[0] / acc[1]), 4) if acc[1] else None
+
+    e = table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    from pyspark.sql import types as T
+
+    return combine_per_key_lifted(
+        e, "event_type", "value", GeoMean(), output_field="geo_mean",
+        output_type=T.DoubleType(),
+    )

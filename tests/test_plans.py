@@ -113,3 +113,11 @@ def test_hotkey_fanout_two_level_aggregation(spark):
     plan = plan_of(spark, "agg_hotkey_fanout")
     # partial+final per level = 4 HashAggregates around 2 exchanges
     assert plan.count("HashAggregate") >= 4
+
+
+def test_lifted_combine_shuffles_accumulators_not_elements(spark):
+    plan = plan_of(spark, "combine_lifted_geomean")
+    m = re.search(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert m, "no Exchange detail block found"
+    # the shuffle payload is (key, pickled accumulator) — not raw values
+    assert "__acc" in m.group(1) and "value#" not in m.group(1)
