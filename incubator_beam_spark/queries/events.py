@@ -550,3 +550,42 @@ def cep_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clicks": ("count", "C"),
         },
     )
+
+
+@query(
+    "nexmark_q9_winning_bids",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT (floor(epoch(ts))::BIGINT // {_HOUR}) * {_HOUR} AS window_start,
+             user_id, event_id, value,
+             row_number() OVER (
+               PARTITION BY (floor(epoch(ts))::BIGINT // {_HOUR}), user_id
+               ORDER BY value DESC, event_id) AS rn
+      FROM events WHERE event_type = 'purchase')
+    SELECT window_start, user_id,
+           event_id AS winning_event, round(value, 2) AS winning_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def nexmark_q9_winning_bids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark Q9 (winning bids — ``queries/Query9.java``): per (window,
+    auction) the highest bid with its details — the argmax shape, done
+    with max_by over a struct so ties break deterministically on
+    (value DESC, event_id ASC) without a window sort."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    # max_by comparator: lexicographic struct(value, -event_id) so higher
+    # value wins, then LOWER event_id (negate for the tie-break)
+    best = F.max_by(
+        F.struct(F.col("event_id"), F.col("value")),
+        F.struct(F.col("value"), (-F.col("event_id")).alias("neg_id")),
+    )
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(best.alias("w"))
+        .select(
+            _win_start_epoch(),
+            "user_id",
+            F.col("w.event_id").alias("winning_event"),
+            F.round(F.col("w.value"), 2).alias("winning_value"),
+        )
+    )

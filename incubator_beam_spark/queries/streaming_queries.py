@@ -97,3 +97,43 @@ def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "complete",
     )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       >= 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           floor(epoch(min(ts)))::BIGINT AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merging session windows under micro-batch execution (complete
+    mode): Sessions(gap=30m) per user, same oracle as the batch twin
+    evt_session_window — session MERGING across micro-batches is the
+    interesting part (state stores partial sessions between batches)."""
+    e = stream_table(spark, sf_dir, "events").withWatermark("ts", "0 seconds")
+    agg = (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _drain(agg, "complete")
