@@ -185,3 +185,71 @@ def neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its nearest centroid
+    (max cosine; ties broken by lowest centroid id). Centroids broadcast;
+    the assignment is a broadcast join + per-vector argmax — one pass
+    over the corpus, no shuffle of vectors.
+    """
+    v = emb.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("vn", norm(F.col("v")))
+    c = centroids.select(
+        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    scored = v.join(F.broadcast(c)).withColumn(
+        "cos_c", dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
+    )
+    best = F.max_by(
+        F.col("cid"), F.struct(F.col("cos_c"), (-F.col("cid")).alias("neg"))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(best.alias("cell"), F.first("v").alias("v"), F.first("vn").alias("vn"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k (nprobe=1): queries search only their own
+    centroid cell. The scale path for ANN when hyperplane LSH recall is
+    insufficient: cells are data-adaptive (real centroids), cell
+    assignment is a broadcast argmax, and the search join is a cell
+    equi-join — N^2/K bucket-local work, vectors shuffled once by cell.
+    """
+    qa = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("cell"),
+        F.col("v").alias("qv"), F.col("vn").alias("qn"),
+    )
+    ca = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col("id").alias("match_id"), F.col("cell"),
+        F.col("v").alias("cv"), F.col("vn").alias("cn"),
+    )
+    scored = (
+        ca.join(F.broadcast(qa), "cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn(
+            "cos",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
+        .select("query_id", "match_id", "cos")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cos", "rank")
+    )

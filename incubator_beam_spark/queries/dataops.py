@@ -381,3 +381,43 @@ def mm_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return extract_frames(d).select("doc_id", "frame_idx", "frame_ts_ms")
+
+
+_IVF_COS = ("list_dot_product(v, cv) / (sqrt(list_dot_product(v, v))"
+            " * sqrt(list_dot_product(cv, cv)))")
+
+
+@query(
+    "emb_ivf_topk",
+    oracle=f"""
+    WITH vv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT id, v, cid AS cell,
+             sqrt(list_dot_product(v, v)) AS vn
+      FROM (SELECT vv.id, vv.v, cent.cid, {_IVF_COS} AS cos_c
+            FROM vv CROSS JOIN cent) s
+      QUALIFY row_number() OVER (PARTITION BY id ORDER BY cos_c DESC, cid) = 1),
+    qa AS (SELECT id AS query_id, cell, v AS qv, vn AS qn
+           FROM assigned WHERE id < 3),
+    scored AS (
+      SELECT query_id, a.id AS match_id,
+             round(list_dot_product(qv, a.v) / (qn * a.vn), 6) AS cos
+      FROM qa JOIN assigned a USING (cell) WHERE a.id != query_id)
+    SELECT query_id, match_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, match_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (nprobe=1): data-adaptive coarse quantizer
+    (centroids = the first 8 corpus vectors here; k-means centroids in a
+    real deployment), broadcast argmax cell assignment, cell-restricted
+    exact search. Complements emb_lsh_topk as the second ANN scale path."""
+    e = table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8)
+    return similarity.ivf_topk(
+        e.filter(F.col("vec_id") < 3), e, centroids, k=5
+    )

@@ -320,3 +320,35 @@ def fn_tostring_kvs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")).alias("kv"),
     )
+
+
+@query(
+    "fn_bitwise_suite",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255            AS b_and,
+           o_orderkey | 4096           AS b_or,
+           xor(o_orderkey, o_custkey)  AS b_xor,
+           o_orderkey << 2             AS b_shl,
+           o_orderkey >> 3             AS b_shr,
+           bit_count(o_orderkey)       AS b_cnt,
+           ~o_orderkey                 AS b_not
+    FROM orders
+    """,
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator suite (Calcite standard operator table + BIT_XOR
+    family, SURVEY §2.8). DuckDB spells xor as a function (its ^ is
+    power); Spark's ^ is bitxor — the oracle uses xor() for parity."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(4096)).alias("b_or"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("b_xor"),
+        F.shiftleft(k, 2).alias("b_shl"),
+        F.shiftright(k, 3).alias("b_shr"),
+        F.bit_count(k).alias("b_cnt"),
+        F.bitwise_not(k).alias("b_not"),
+    )
