@@ -77,6 +77,15 @@ def rewrite(query: str) -> str:
         q,
         flags=re.IGNORECASE,
     )
+    # DDL: Beam's CREATE EXTERNAL TABLE ... TYPE fmt LOCATION 'p'
+    # (reference parserImpls.ftl:149) -> Spark CREATE TABLE ... USING fmt
+    q = re.sub(r"CREATE\s+EXTERNAL\s+TABLE", "CREATE TABLE", q, flags=re.IGNORECASE)
+    q = re.sub(
+        r"\bTYPE\s+(text|parquet|csv|json|avro)\b",
+        lambda m: f"USING {m.group(1)}",
+        q,
+        flags=re.IGNORECASE,
+    )
     return q
 
 

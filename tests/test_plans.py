@@ -121,3 +121,52 @@ def test_lifted_combine_shuffles_accumulators_not_elements(spark):
     assert m, "no Exchange detail block found"
     # the shuffle payload is (key, pickled accumulator) — not raw values
     assert "__acc" in m.group(1) and "value#" not in m.group(1)
+
+
+def test_sqlfront_ddl_create_external_table(spark, tmp_path):
+    """Beam DDL (parserImpls.ftl:149): CREATE EXTERNAL TABLE ... TYPE
+    parquet LOCATION -> Spark CREATE TABLE ... USING parquet; the table
+    is then queryable through the same front door."""
+    from incubator_beam_spark.plans.sqlfront import rewrite, run_sql
+
+    path = str(tmp_path / "ext")
+    spark.range(5).selectExpr("id", "id * 2 AS v").write.parquet(path)
+    ddl = f"CREATE EXTERNAL TABLE ext_t (id BIGINT, v BIGINT) TYPE parquet LOCATION '{path}'"
+    assert "USING parquet" in rewrite(ddl) and "EXTERNAL" not in rewrite(ddl)
+    run_sql(spark, ddl)
+    try:
+        assert run_sql(spark, "SELECT sum(v) AS s FROM ext_t").collect()[0].s == 20
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ext_t")
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located join via bucketing (SURVEY 'Partitioning & shuffle'):
+    both sides bucketed by the join key -> SortMergeJoin with NO Exchange
+    on either side. At 100 TB this is the difference between joining in
+    place and re-shuffling the fact table every query."""
+    import contextlib, io as _io
+
+    from incubator_beam_spark.catalog import table as _table
+
+    li = _table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = _table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("b_li")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_o")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_li").join(
+            spark.table("b_o"),
+            spark.table("b_li").l_orderkey == spark.table("b_o").o_orderkey,
+        )
+        j.count()
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+        spark.sql("DROP TABLE IF EXISTS b_li")
+        spark.sql("DROP TABLE IF EXISTS b_o")
