@@ -137,3 +137,39 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(agg, "complete")
+
+
+@query(
+    "stream_stream_join",
+    oracle=f"""
+    SELECT p.user_id, (floor(epoch(p.ts))::BIGINT // {_HOUR}) * {_HOUR} AS window_start,
+           p.event_id AS p_event, c.event_id AS c_event
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND floor(epoch(p.ts))::BIGINT // {_HOUR} = floor(epoch(c.ts))::BIGINT // {_HOUR}
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (NEXMark Q3/Q8 shape,
+    ``BeamCoGBKJoinRel`` unbounded x unbounded): purchases x clicks per
+    (user, 1h window), both sides watermarked so join state is bounded —
+    Spark evicts rows once the watermark passes their window. Oracle is
+    the identical batch join."""
+    e1 = stream_table(spark, sf_dir, "events").withWatermark("ts", "1 hour")
+    e2 = stream_table(spark, sf_dir, "events").withWatermark("ts", "1 hour")
+    p = e1.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.window("ts", "1 hour").alias("w"),
+        F.col("event_id").alias("p_event"),
+    )
+    c = e2.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.window("ts", "1 hour").alias("w"),
+        F.col("event_id").alias("c_event"),
+    )
+    j = p.join(c, (p.user_id == c.c_user) & (p.w == c.w)).select(
+        "user_id",
+        F.unix_timestamp(p.w.start).alias("window_start"),
+        "p_event",
+        "c_event",
+    )
+    return _drain(j, "append")
