@@ -33,9 +33,28 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_SAFE = {"region", "nation"}
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make a FOREIGN SparkSession (e.g. the driver's vanilla one) able to
+    read the fixtures correctly. Both confs are runtime-settable:
+    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which Spark's
+      reader rejects outright without this flag;
+    - UTC session timezone: unix_timestamp()/window() interpret naive
+      timestamps in the session zone — anything else shifts epoch values
+      away from the (UTC-naive) DuckDB oracle.
+    """
+    try:
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf API unavailable (shouldn't happen); session.py covers ours
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is stored as TIMESTAMP(NANOS) which Spark reads as epoch-nanos
