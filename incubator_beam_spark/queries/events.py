@@ -589,3 +589,37 @@ def nexmark_q9_winning_bids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("w.value"), 2).alias("winning_value"),
         )
     )
+
+
+@query(
+    "nexmark_q11_user_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       >= 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start,
+           count(*) AS n_bids
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def nexmark_q11_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark Q11 (bids per user per session — ``queries/Query11.java``):
+    Sessions(gap=30m) per user with a per-session bid count; the merging
+    session window is native (F.session_window)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_bids"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+            "n_bids",
+        )
+    )

@@ -364,3 +364,20 @@ class SelectFields(PTransform):
 
     def expand(self, pcoll: PCollection) -> PCollection:
         return PCollection(pcoll.df.select(*self.names), pcoll.pipeline)
+
+
+class WaitOn(PTransform):
+    """Wait.on (reference ``sdks/java/core/.../transforms/Wait.java``):
+    process the main input only after the signal collection(s) are fully
+    computed. Spark batch is driver-sequenced, so the barrier is an
+    eager materialization of each signal before the main plan is
+    returned (in Beam this also orders side effects, e.g. write-then-
+    read; the same holds here because the signal's sinks have run)."""
+
+    def __init__(self, *signals: PCollection):
+        self.signals = signals
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        for s in self.signals:
+            s.df.count()  # materialize: the barrier
+        return pcoll

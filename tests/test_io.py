@@ -82,3 +82,28 @@ def test_avro_gated(p, tmp_path):
     if readable:  # jar present: verify the round-trip instead
         back = p | ReadFromAvro(str(tmp_path / "avro"))
         assert_that(back, equal_to([("a", 1)]))
+
+
+def test_nexmark_q10_sharded_log_write(p, tmp_path):
+    """NEXMark Q10 (log to sharded files — queries/Query10.java): events
+    written partitioned by event date and sharded within each partition;
+    reading back through the partition column round-trips and prunes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from incubator_beam_spark.catalog import table
+    from .conftest import SF_DIR
+
+    spark = p.spark if hasattr(p, "spark") else p
+    e = table(spark, SF_DIR, "events").withColumn("event_date", F.to_date("ts"))
+    out = str(tmp_path / "sharded_log")
+    (e.repartition(4, "user_id")  # 4 shards per date partition
+      .write.partitionBy("event_date").mode("overwrite").parquet(out))
+    dates = [d for d in os.listdir(out) if d.startswith("event_date=")]
+    assert len(dates) >= 1
+    back = spark.read.parquet(out)
+    assert back.count() == e.count()
+    # partition pruning: filtering one date reads only that directory
+    one = dates[0].split("=", 1)[1]
+    assert back.filter(F.col("event_date") == one).count() > 0

@@ -139,3 +139,20 @@ def test_deduplicate_and_with_timestamps(p):
         F.timestamp_seconds(F.col("value"))
     )
     assert "ts" in stamped.df.columns
+
+
+def test_wait_on_barrier_orders_side_effects(spark, tmp_path):
+    """Wait.on (Wait.java): the main branch only runs after the signal's
+    side effects completed — write-then-read sequencing."""
+    p = ibs.Pipeline(spark)
+    out = str(tmp_path / "signal_out")
+
+    # signal: a branch whose side effect is a parquet write
+    signal = p | "mk" >> ibs.Create([(1, "a"), (2, "b")])
+    signal.df.write.mode("overwrite").parquet(out)  # side effect staged eagerly
+
+    main = p | "main" >> ibs.Create([10, 20])
+    gated = main | tx.WaitOn(signal)
+    # after the barrier, the signal's output is fully readable
+    assert spark.read.parquet(out).count() == 2
+    assert sorted(r[0] for r in gated.df.collect()) == [10, 20]
