@@ -757,3 +757,92 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: order-count histogram over a LEFT join (customers with
+    zero orders count as c_count=0 — the outer-join-then-aggregate shape;
+    count(o_orderkey) skips NULLs exactly like SQL)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+          FROM lineitem GROUP BY l_partkey) t
+      ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11' AND l.l_quantity < t.qty_thresh
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: per-part correlated scalar subquery (avg quantity),
+    decorrelated into an aggregate + join — the rewrite Catalyst (and
+    Calcite) perform; the per-part averages relation is small and
+    broadcasts."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    thresh = (
+        li.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_thresh"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(thresh), li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0),
+    cand AS (
+      SELECT c.c_custkey, c.c_nationkey % 10 AS cntry, c.c_acctbal
+      FROM customer c, avg_bal
+      WHERE c.c_acctbal > avg_bal.ab
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+    SELECT cntry, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM cand GROUP BY cntry
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: positive-balance average (broadcast scalar) + customers
+    with NO orders (left-anti join) grouped by country code."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select((F.col("c_nationkey") % 10).alias("cntry"), "c_acctbal")
+        .groupBy("cntry")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
