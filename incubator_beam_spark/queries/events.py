@@ -623,3 +623,32 @@ def nexmark_q11_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bids",
         )
     )
+
+
+@query(
+    "evt_group_into_batches_sharded",
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id, event_id % 4 AS shard,
+             (row_number() OVER (PARTITION BY user_id, event_id % 4
+                                 ORDER BY ts, event_id) - 1) // 10 AS batch_idx
+      FROM events)
+    SELECT user_id, shard, batch_idx, count(*) AS batch_size
+    FROM numbered GROUP BY user_id, shard, batch_idx
+    """,
+)
+def evt_group_into_batches_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupIntoBatches.WithShardedKey (reference ``util.py:787`` +
+    URN ``beam_runner_api.proto:440``): the key is salted with a
+    deterministic shard so one hot key spreads over n_shards reducers —
+    the batching analog of hot-key combiner fanout."""
+    e = table(spark, sf_dir, "events")
+    sharded = e.withColumn("shard", F.col("event_id") % 4)
+    w = W.partitionBy("user_id", "shard").orderBy("ts", "event_id")
+    return (
+        sharded.withColumn(
+            "batch_idx", ((F.row_number().over(w) - F.lit(1)) / 10).cast("long")
+        )
+        .groupBy("user_id", "shard", "batch_idx")
+        .agg(F.count(F.lit(1)).alias("batch_size"))
+    )

@@ -352,3 +352,36 @@ def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(k).alias("b_cnt"),
         F.bitwise_not(k).alias("b_not"),
     )
+
+
+@query(
+    "sql_udtf_ngrams",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+               FROM documents WHERE doc_id < 20)
+    SELECT doc_id, ws[i] || ' ' || ws[i+1] AS ngram, (i - 1)::INT AS pos
+    FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+    """,
+)
+def sql_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF through the SQL front door (Spark's table-function
+    parity-plus over Beam SQL, which has no Python SQL UDF/UDTF at all —
+    SURVEY §2.8): a bigram generator lateral-joined per document. Arrow-
+    batched; at scale this is the mapInPandas fan-out expressed in SQL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="ngram: string, pos: int")
+    class NGrams:
+        def eval(self, text: str, n: int):
+            words = (text or "").split()
+            for i in range(max(len(words) - n + 1, 0)):
+                yield (" ".join(words[i : i + n]), i)
+
+    spark.udtf.register("beam_ngrams", NGrams)
+    table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).createOrReplaceTempView(
+        "udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, t.ngram, t.pos "
+        "FROM udtf_docs d, LATERAL beam_ngrams(d.text, 2) t"
+    )
