@@ -385,3 +385,49 @@ def sql_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.ngram, t.pos "
         "FROM udtf_docs d, LATERAL beam_ngrams(d.text, 2) t"
     )
+
+
+@query(
+    "fn_map_suite",
+    oracle="""
+    WITH per_type AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type),
+    entries AS (
+      SELECT user_id,
+             list_sort(list(ROW(event_type, n)::STRUCT(et VARCHAR, n BIGINT))) AS es
+      FROM per_type GROUP BY user_id),
+    mapped AS (
+      SELECT user_id,
+             map_from_entries(list_transform(es, e -> {'k': e.et, 'v': e.n})) AS m
+      FROM entries)
+    SELECT user_id,
+           map_keys(m) AS ks,
+           map_values(m) AS vs,
+           m['purchase'][1] AS n_purchase,
+           len(map_keys(m)) AS n_types
+    FROM mapped
+    """,
+)
+def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType operators (schema.proto MapType -> Spark MapType, SURVEY
+    §1.2; ToDict combiner §2.4): build a per-user event_type->count map
+    from SORTED entries (deterministic key order), then keys/values/
+    lookup/cardinality. Maps never cross the oracle boundary raw — the
+    derived columns are engine-portable."""
+    e = table(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("event_type", "n")))
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(m.alias("m"))
+        .select(
+            "user_id",
+            F.map_keys(F.col("m")).alias("ks"),
+            F.map_values(F.col("m")).alias("vs"),
+            F.element_at(F.col("m"), "purchase").alias("n_purchase"),
+            F.size(F.map_keys(F.col("m"))).alias("n_types"),
+        )
+    )
