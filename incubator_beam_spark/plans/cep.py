@@ -152,3 +152,118 @@ def match_recognize(
     return proj.repartition(n_part, *partition_by).groupBy(*partition_by).applyInPandas(
         run, out_schema
     )
+
+
+def match_recognize_stream(
+    df: DataFrame,
+    partition_by: str,
+    order_by: str,
+    define: dict[str, Column],
+    pattern: str,
+    measures: dict[str, tuple],
+    max_buffer: int = 1000,
+):
+    """Streaming MATCH_RECOGNIZE: the batch kernel run incrementally over
+    a per-key state buffer (``applyInPandasWithState``).
+
+    Each micro-batch appends its (ordered) rows to the key's unconsumed
+    tail, re-runs the compiled pattern, emits completed matches, and
+    keeps only rows AFTER the last consumed match (AFTER MATCH SKIP PAST
+    LAST ROW). For incremental emission to be exact the pattern must end
+    with a non-quantified symbol (a trailing ``X*``/``X+`` could always
+    extend into the next batch; rejected up front). The buffer is capped
+    at ``max_buffer`` unconsumed rows per key (oldest dropped) so state
+    stays bounded — the streaming analog of Beam's NFA state in
+    ``BeamMatchRel``.
+
+    Single order/partition columns keep the state row narrow; measures
+    reference the same C-level str scan as the batch kernel.
+    """
+    import json
+
+    if not define:
+        raise ValueError("define must not be empty")
+    sym_chars = {name: string.ascii_uppercase[i] for i, name in enumerate(define)}
+    rx = _compile_pattern(pattern, sym_chars)
+    if rx.pattern and rx.pattern[-1] in "*+?":
+        raise ValueError(
+            "streaming pattern must end with a non-quantified symbol "
+            "(a trailing quantifier can always extend into the next batch)"
+        )
+
+    classifier: Column = F.lit(".")
+    for name in reversed(list(define)):
+        classifier = F.when(define[name], F.lit(sym_chars[name])).otherwise(classifier)
+
+    measure_cols = sorted(
+        {spec[2] for spec in measures.values() if len(spec) > 2 and spec[2]}
+    )
+    keep = list(dict.fromkeys([partition_by, order_by, *measure_cols]))
+    proj = df.select(*keep, classifier.alias("__sym"))
+    part_field = proj.schema[partition_by]
+
+    def _measure_field(name: str, spec: tuple) -> T.StructField:
+        if spec[0] == "count":
+            return T.StructField(name, T.LongType())
+        return T.StructField(name, proj.schema[spec[2]].dataType)
+
+    out_schema = T.StructType(
+        [part_field, T.StructField("match_number", T.LongType())]
+        + [_measure_field(n, s) for n, s in measures.items()]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    state_schema = T.StructType([T.StructField("blob", T.StringType())])
+    specs = list(measures.values())
+    data_cols = [c for c in keep if c != partition_by]
+
+    def fn(key, pdfs, state):
+        blob = json.loads(state.get[0]) if state.exists else {"rows": [], "mn": 0}
+        rows = blob["rows"]  # [order_val, sym, *data_cols-values]
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_by, kind="mergesort")
+            for tup in pdf[[order_by, "__sym", *[c for c in data_cols if c != order_by]]].itertuples(
+                index=False
+            ):
+                vals = list(tup)
+                rows.append([vals[0], vals[1], *vals[2:]])
+        rows.sort(key=lambda r: r[0])
+        syms = "".join(r[1] for r in rows)
+        col_idx = {order_by: 0}
+        extra = [c for c in data_cols if c != order_by]
+        for i, c in enumerate(extra):
+            col_idx[c] = 2 + i
+        out = []
+        consumed = 0
+        for m in rx.finditer(syms):
+            lo, hi = m.start(), m.end()
+            if lo == hi:
+                continue
+            blob["mn"] += 1
+            vals = []
+            for spec in specs:
+                kind, sym = spec[0], spec[1]
+                if kind == "count":
+                    vals.append(
+                        hi - lo if sym is None else syms.count(sym_chars[sym], lo, hi)
+                    )
+                    continue
+                if kind == "first":
+                    i = lo if sym is None else syms.find(sym_chars[sym], lo, hi)
+                elif kind == "last":
+                    i = hi - 1 if sym is None else syms.rfind(sym_chars[sym], lo, hi)
+                else:
+                    raise ValueError(f"unknown measure kind {kind!r}")
+                vals.append(rows[i][col_idx[spec[2]]] if i >= 0 else None)
+            out.append([key[0], blob["mn"], *vals])
+            consumed = hi
+        rows = rows[consumed:]
+        if len(rows) > max_buffer:
+            rows = rows[-max_buffer:]
+        blob["rows"] = rows
+        state.update((json.dumps(blob),))
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return proj.groupBy(F.col(partition_by)).applyInPandasWithState(
+        fn, out_schema, state_schema, "Append", "NoTimeout"
+    )

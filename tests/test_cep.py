@@ -144,3 +144,64 @@ def test_compile_pattern_tokens():
     sym = {"A": "A", "B": "B"}
     assert _compile_pattern("A B*", sym).pattern == "AB*"
     assert _compile_pattern("A (A|B)+", sym).pattern == "A(A|B)+"
+
+
+SEQ_SCHEMA = "key long, seq long, etype string"
+
+
+def test_match_recognize_stream_across_batches(spark):
+    """Streaming CEP: a pattern whose rows arrive in DIFFERENT
+    micro-batches still matches (state buffers the unconsumed tail);
+    consumed rows never re-match."""
+    from pyspark.sql import types as T
+
+    from incubator_beam_spark.streaming import TestStream
+    from incubator_beam_spark.plans.cep import match_recognize_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("etype", T.StringType()),
+        ]
+    )
+    with TestStream(spark, schema) as ts:
+        out = match_recognize_stream(
+            ts.stream,
+            partition_by="key",
+            order_by="seq",
+            define={
+                "A": F.col("etype") == "a",
+                "B": F.col("etype") == "b",
+                "C": F.col("etype") == "c",
+            },
+            pattern="A B* C",
+            measures={
+                "start_seq": ("first", "A", "seq"),
+                "end_seq": ("last", "C", "seq"),
+                "n_b": ("count", "B"),
+            },
+        )
+        ts.start(out, output_mode="append")
+        ts.add_elements([(1, 1, "a"), (1, 2, "b")]).advance()
+        assert ts.results().count() == 0  # incomplete: buffered in state
+        ts.add_elements([(1, 3, "b"), (1, 4, "c")]).advance()
+        rows = [(r.match_number, r.start_seq, r.end_seq, r.n_b)
+                for r in ts.results().collect()]
+        assert rows == [(1, 1, 4, 2)]
+        # a second, fully-in-batch match gets the next match_number
+        ts.add_elements([(1, 5, "a"), (1, 6, "c")]).advance()
+        rows = sorted((r.match_number, r.start_seq, r.end_seq)
+                      for r in ts.results().collect())
+        assert rows == [(1, 1, 4), (2, 5, 6)]
+
+
+def test_match_recognize_stream_rejects_trailing_quantifier(spark):
+    from incubator_beam_spark.plans.cep import match_recognize_stream
+
+    df = spark.createDataFrame([(1, 1, "a")], SEQ_SCHEMA)
+    with pytest.raises(ValueError, match="non-quantified"):
+        match_recognize_stream(
+            df, "key", "seq", {"A": F.col("etype") == "a"}, "A+",
+            {"s": ("first", None, "seq")},
+        )
