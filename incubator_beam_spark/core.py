@@ -45,7 +45,11 @@ __all__ = [
     "GroupByKey",
     "CoGroupByKey",
     "CombinePerKey",
+    "CombineValues",
     "CombineGlobally",
+    "CombineFn",
+    "TaggedOutput",
+    "DoOutputsTuple",
     "Flatten",
     "Partition",
     "Distinct",
@@ -157,26 +161,113 @@ def _from_row(row, cols: list[str]):
     return row
 
 
-def _python_flatmap(df: DataFrame, fn: Callable[[Any], Iterable[Any]], spark: SparkSession) -> DataFrame:
+_PY_TO_SPARK = {
+    int: "bigint",
+    float: "double",
+    str: "string",
+    bool: "boolean",
+    bytes: "binary",
+}
+
+
+def _schema_from_hint(hint) -> "Any | None":
+    """Map a Python type hint to the element/kv column schema, or None if
+    the hint isn't one we can translate (reference infers DoFn output
+    types the same way via ``typehints/decorators.py``)."""
+    import typing
+
+    from pyspark.sql import types as T
+
+    if hint in _PY_TO_SPARK:
+        return T.StructType(
+            [T.StructField("element", T._parse_datatype_string(_PY_TO_SPARK[hint]), True)]
+        )
+    origin = typing.get_origin(hint)
+    args = typing.get_args(hint)
+    if origin is tuple and len(args) == 2 and all(a in _PY_TO_SPARK for a in args):
+        return T.StructType(
+            [
+                T.StructField("key", T._parse_datatype_string(_PY_TO_SPARK[args[0]]), True),
+                T.StructField("value", T._parse_datatype_string(_PY_TO_SPARK[args[1]]), True),
+            ]
+        )
+    return None
+
+
+def _python_flatmap(
+    df: DataFrame,
+    fn: Callable[[Any], Iterable[Any]],
+    spark: SparkSession,
+    output_schema=None,
+    dofn: "DoFn | None" = None,
+    tag_field: str | None = None,
+    sample_fn: Callable[[Any], Iterable[Any]] | None = None,
+) -> DataFrame:
     """Run an arbitrary Python 1->N element function via Arrow-batched
     ``mapInPandas`` (the ParDo slow path; reference DoFn execution is
     row-at-a-time in ``runners/common.py:1148`` — we batch instead).
 
-    Output schema is inferred from a driver-side sample (the reference
-    infers from typehints; sampling is the pragmatic analog).
+    Output schema resolution, in order (never silently drops data):
+    1. explicit ``output_schema`` (a StructType, or a Python type like
+       ``int`` / ``tuple[str, int]``) — no driver-side execution at all;
+    2. a widening driver-side sample (20 -> 400 -> 8000 rows) until the
+       fn produces at least one output element;
+    3. the INPUT schema, assuming a type-preserving fn (true for Filter
+       and most Maps). If the fn later emits a different type the Arrow
+       cast fails loudly at runtime — loud beats the silent data loss of
+       short-circuiting to an empty frame.
+
+    ``dofn`` runs the documented lifecycle on the EXECUTOR (reference
+    ``runners/common.py``): setup + start_bundle once per task (the Spark
+    analog of a bundle), finish_bundle after the last batch. ``tag_field``
+    is the multi-output path: fn yields ``(tag, value)`` and the output
+    grows a leading string tag column.
     """
     import pandas as pd
 
+    from pyspark.sql import types as T
+
     cols = list(df.columns)
-    sample = [_from_row(r, cols) for r in df.take(20)]
-    out_sample = list(itertools.chain.from_iterable(fn(e) for e in sample))
-    if not out_sample:
-        # keep input schema shape; empty result
-        return df.limit(0)
-    out_rows, out_cols = _to_rows(out_sample)
-    schema = spark.createDataFrame(out_rows, out_cols).schema
+    strip = (lambda o: o[1]) if tag_field else (lambda o: o)
+    schema = None
+    if output_schema is not None:
+        schema = (
+            output_schema
+            if isinstance(output_schema, T.StructType)
+            else _schema_from_hint(output_schema)
+        )
+    if schema is None:
+        probe = sample_fn or fn
+        for n in (20, 400, 8000):
+            sample = [_from_row(r, cols) for r in df.take(n)]
+            out_sample = list(
+                itertools.chain.from_iterable(probe(e) for e in sample)
+            )
+            if out_sample:
+                out_rows, out_cols = _to_rows([strip(o) for o in out_sample])
+                schema = spark.createDataFrame(out_rows, out_cols).schema
+                break
+            if len(sample) < n:  # exhausted the input; nothing to widen to
+                break
+    if schema is None:
+        if cols not in (["element"], ["key", "value"]):
+            raise ValueError(
+                "cannot infer the output schema (the sample produced no "
+                "elements); pass output_type= on the transform"
+            )
+        # assume type-preserving; runtime Arrow cast errors if it is not
+        schema = df.schema
+    if tag_field:
+        schema = T.StructType(
+            [T.StructField(tag_field, T.StringType(), False), *schema.fields]
+        )
+    out_cols = [f.name for f in schema.fields]
+    val_cols = [c for c in out_cols if c != tag_field]
 
     def run(batches):
+        if dofn is not None:
+            dofn.setup()
+            dofn.start_bundle()
         for pdf in batches:
             out = []
             for t in pdf.itertuples(index=False):
@@ -187,13 +278,19 @@ def _python_flatmap(df: DataFrame, fn: Callable[[Any], Iterable[Any]], spark: Sp
                 else:
                     elem = t
                 for o in fn(elem):
-                    if out_cols == ["key", "value"]:
-                        out.append({"key": o[0], "value": o[1]})
+                    v = strip(o)
+                    if val_cols == ["key", "value"]:
+                        row = {"key": v[0], "value": v[1]}
                     else:
-                        out.append({"element": o})
+                        row = {"element": v}
+                    if tag_field:
+                        row[tag_field] = o[0]
+                    out.append(row)
             yield pd.DataFrame(out, columns=out_cols) if out else pd.DataFrame(
                 {c: [] for c in out_cols}
             )
+        if dofn is not None:
+            dofn.finish_bundle()
 
     return df.mapInPandas(run, schema)
 
@@ -234,31 +331,49 @@ class Map(PTransform):
     JVM-side; Python callables batch through Arrow. Extra args are side
     inputs (``pvalue.AsSingleton`` etc.) passed through to the callable."""
 
-    def __init__(self, fn: Callable[..., Any] | Column, *side_inputs):
+    def __init__(self, fn: Callable[..., Any] | Column, *side_inputs, output_type=None):
         self.fn = fn
         self.side_inputs = side_inputs
+        self.output_type = output_type
 
     def expand(self, pcoll: PCollection) -> PCollection:
         if isinstance(self.fn, Column):
             return PCollection(pcoll.df.select(self.fn.alias("element")), pcoll.pipeline)
         fn, sides = self.fn, _resolve_sides(self.side_inputs)
         return PCollection(
-            _python_flatmap(pcoll.df, lambda e: [fn(e, *sides)], pcoll.pipeline.spark),
+            _python_flatmap(
+                pcoll.df,
+                lambda e: [fn(e, *sides)],
+                pcoll.pipeline.spark,
+                output_schema=self.output_type,
+            ),
             pcoll.pipeline,
         )
+
+    def with_output_types(self, hint) -> "Map":
+        """Beam's ``.with_output_types`` (reference
+        ``typehints/decorators.py``): skips driver-side schema sampling."""
+        self.output_type = hint
+        return self
 
 
 class MapTuple(PTransform):
     """Unpack KV/tuple elements into fn args (reference ``core.py:1590``)."""
 
-    def __init__(self, fn: Callable[..., Any], *side_inputs):
+    def __init__(self, fn: Callable[..., Any], *side_inputs, output_type=None):
         self.fn = fn
         self.side_inputs = side_inputs
+        self.output_type = output_type
 
     def expand(self, pcoll: PCollection) -> PCollection:
         fn, sides = self.fn, _resolve_sides(self.side_inputs)
         return PCollection(
-            _python_flatmap(pcoll.df, lambda e: [fn(*e, *sides)], pcoll.pipeline.spark),
+            _python_flatmap(
+                pcoll.df,
+                lambda e: [fn(*e, *sides)],
+                pcoll.pipeline.spark,
+                output_schema=self.output_type,
+            ),
             pcoll.pipeline,
         )
 
@@ -266,35 +381,51 @@ class MapTuple(PTransform):
 class FlatMap(PTransform):
     """1->N element map (reference ``core.py:1501``)."""
 
-    def __init__(self, fn: Callable[..., Iterable[Any]], *side_inputs):
+    def __init__(self, fn: Callable[..., Iterable[Any]], *side_inputs, output_type=None):
         self.fn = fn
         self.side_inputs = side_inputs
+        self.output_type = output_type
 
     def expand(self, pcoll: PCollection) -> PCollection:
         fn, sides = self.fn, _resolve_sides(self.side_inputs)
         return PCollection(
-            _python_flatmap(pcoll.df, lambda e: fn(e, *sides), pcoll.pipeline.spark),
+            _python_flatmap(
+                pcoll.df,
+                lambda e: fn(e, *sides),
+                pcoll.pipeline.spark,
+                output_schema=self.output_type,
+            ),
             pcoll.pipeline,
         )
+
+    with_output_types = Map.with_output_types
 
 
 class FlatMapTuple(PTransform):
     """reference ``core.py:1661``."""
 
-    def __init__(self, fn: Callable[..., Iterable[Any]], *side_inputs):
+    def __init__(self, fn: Callable[..., Iterable[Any]], *side_inputs, output_type=None):
         self.fn = fn
         self.side_inputs = side_inputs
+        self.output_type = output_type
 
     def expand(self, pcoll: PCollection) -> PCollection:
         fn, sides = self.fn, _resolve_sides(self.side_inputs)
         return PCollection(
-            _python_flatmap(pcoll.df, lambda e: fn(*e, *sides), pcoll.pipeline.spark),
+            _python_flatmap(
+                pcoll.df,
+                lambda e: fn(*e, *sides),
+                pcoll.pipeline.spark,
+                output_schema=self.output_type,
+            ),
             pcoll.pipeline,
         )
 
 
 class Filter(PTransform):
-    """Keep elements where predicate holds (reference ``core.py:1736``)."""
+    """Keep elements where predicate holds (reference ``core.py:1736``).
+    A Python predicate is 1:1 type-preserving, so the output schema IS the
+    input schema — no driver-side sampling, no empty-sample hazard."""
 
     def __init__(self, fn: Callable[[Any], bool] | Column | str):
         self.fn = fn
@@ -304,7 +435,12 @@ class Filter(PTransform):
             return PCollection(pcoll.df.filter(self.fn), pcoll.pipeline)
         fn = self.fn
         return PCollection(
-            _python_flatmap(pcoll.df, lambda e: [e] if fn(e) else [], pcoll.pipeline.spark),
+            _python_flatmap(
+                pcoll.df,
+                lambda e: [e] if fn(e) else [],
+                pcoll.pipeline.spark,
+                output_schema=pcoll.df.schema,
+            ),
             pcoll.pipeline,
         )
 
@@ -328,25 +464,135 @@ class DoFn:
         pass
 
 
+class TaggedOutput:
+    """A value routed to a named output of a multi-output ParDo
+    (reference ``pvalue.py:378`` ``TaggedOutput``)."""
+
+    def __init__(self, tag: str, value):
+        self.tag = tag
+        self.value = value
+
+
+class DoOutputsTuple:
+    """Result of ``ParDo(...).with_outputs(...)`` (reference
+    ``pvalue.py:221``): attribute / index access per tag."""
+
+    def __init__(self, outputs: dict[str, PCollection], main_tag: str):
+        self._outputs = outputs
+        self._main_tag = main_tag
+
+    def __getitem__(self, tag: str) -> PCollection:
+        return self._outputs[tag]
+
+    def __getattr__(self, tag: str) -> PCollection:
+        try:
+            return self._outputs[tag]
+        except KeyError:
+            raise AttributeError(tag) from None
+
+    def __iter__(self):
+        # main first, like the reference's DoOutputsTuple
+        yield self._outputs[self._main_tag]
+        for t, pc in self._outputs.items():
+            if t != self._main_tag:
+                yield pc
+
+
 class ParDo(PTransform):
     """Apply a DoFn (reference ``core.py:1181``); extra args are side
-    inputs passed to ``process``."""
+    inputs passed to ``process``. ``setup``/``start_bundle``/
+    ``finish_bundle`` run on the EXECUTOR, once per task (ADVICE round 1:
+    driver-side setup broke non-picklable resources).
 
-    def __init__(self, dofn: DoFn, *side_inputs):
+    ``with_outputs(*tags, main=...)`` enables tagged multi-output
+    (reference ``core.py:1181`` / ``ParDoTest.java:375``): ``process``
+    yields ``TaggedOutput(tag, value)`` for side outputs and plain values
+    for the main output. All outputs must share one element shape
+    (single value or KV pair); the tagged stream materializes once
+    (persisted) and each tag is a filter over it.
+    """
+
+    def __init__(self, dofn: DoFn, *side_inputs, output_type=None):
         self.dofn = dofn
         self.side_inputs = side_inputs
+        self.output_type = output_type
+        self._tags: tuple[str, ...] | None = None
+        self._main_tag = "main"
 
-    def expand(self, pcoll: PCollection) -> PCollection:
+    def with_outputs(self, *tags: str, main: str = "main") -> "ParDo":
+        self._tags = tags
+        self._main_tag = main
+        return self
+
+    def with_output_types(self, hint) -> "ParDo":
+        self.output_type = hint
+        return self
+
+    def expand(self, pcoll: PCollection) -> "PCollection | DoOutputsTuple":
         dofn = self.dofn
         sides = _resolve_sides(self.side_inputs)
-        dofn.setup()
+        main_tag, tags = self._main_tag, self._tags
+
+        def route(o):
+            if isinstance(o, TaggedOutput):
+                if tags is None:
+                    raise ValueError(
+                        "DoFn yielded TaggedOutput without .with_outputs()"
+                    )
+                return (o.tag, o.value)
+            return (main_tag, o) if tags is not None else o
 
         def fn(e):
-            return list(dofn.process(e, *sides))
+            for o in dofn.process(e, *sides):
+                yield route(o)
 
-        return PCollection(
-            _python_flatmap(pcoll.df, fn, pcoll.pipeline.spark), pcoll.pipeline
+        # schema sampling runs on a driver-side CLONE with its own
+        # lifecycle, so the executor-bound dofn is pickled pristine
+        _clone_cell: list = []
+
+        def sample_fn(e):
+            if not _clone_cell:
+                from pyspark import cloudpickle
+
+                c = cloudpickle.loads(cloudpickle.dumps(dofn))
+                c.setup()
+                c.start_bundle()
+                _clone_cell.append(c)
+            for o in _clone_cell[0].process(e, *sides):
+                yield route(o)
+
+        if tags is None:
+            return PCollection(
+                _python_flatmap(
+                    pcoll.df,
+                    fn,
+                    pcoll.pipeline.spark,
+                    output_schema=self.output_type,
+                    dofn=dofn,
+                    sample_fn=sample_fn,
+                ),
+                pcoll.pipeline,
+            )
+
+        tagged = _python_flatmap(
+            pcoll.df,
+            fn,
+            pcoll.pipeline.spark,
+            output_schema=self.output_type,
+            dofn=dofn,
+            tag_field="__tag",
+            sample_fn=sample_fn,
         )
+        # one pass computes every output; cache so N tag-filters don't
+        # re-execute the DoFn N times
+        tagged = tagged.persist()
+        outputs = {
+            t: PCollection(
+                tagged.filter(F.col("__tag") == t).drop("__tag"), pcoll.pipeline
+            )
+            for t in (main_tag, *tags)
+        }
+        return DoOutputsTuple(outputs, main_tag)
 
 
 # ---------------------------------------------------------------------------
@@ -404,45 +650,126 @@ _BUILTIN_COMBINES: dict[str, Callable[[str], Column]] = {
 }
 
 
+class _CallableWrapFn:  # CombineFn from a plain reduce callable
+    """Lift a plain ``list -> value`` callable into accumulator form: the
+    accumulator is a bounded PENDING BUFFER that re-reduces whenever it
+    grows past ``cap`` — so the shuffle carries O(cap) values per
+    (partition, key), never the whole group (the unlifted collect_list
+    shape round 1 was flagged for)."""
+
+    def __init__(self, reduce_fn: Callable[[Iterable[Any]], Any], cap: int = 64):
+        self.reduce_fn = reduce_fn
+        self.cap = cap
+
+    def create_accumulator(self):
+        return []
+
+    def add_input(self, acc, value):
+        acc.append(value)
+        if len(acc) > self.cap:
+            return [self.reduce_fn(acc)]
+        return acc
+
+    def merge_accumulators(self, accs):
+        merged = [v for a in accs for v in a]
+        if len(merged) > self.cap:
+            return [self.reduce_fn(merged)]
+        return merged
+
+    def extract_output(self, acc):
+        return self.reduce_fn(acc) if len(acc) != 1 else acc[0]
+
+
 class CombinePerKey(PTransform):
     """Associative combine per key (reference ``core.py:1979``). Named
     built-ins become native aggregates (Catalyst lifts to partial+final);
-    Python callables reduce via ``aggregate`` over the grouped array."""
+    CombineFns AND plain callables go through the lifted two-phase path
+    (``combine_per_key_lifted``) — the shuffle carries accumulators, not
+    elements, exactly like the reference's ``lift_combiners``
+    (``translations.py:1093``). Plain callables must be re-reducible
+    (associative on their own outputs), the same contract the reference
+    imposes on CombineFn-from-callable."""
 
-    def __init__(self, fn: str | Callable[[Iterable[Any]], Any]):
+    def __init__(self, fn, output_type=None):
         self.fn = fn
+        self.output_type = output_type
 
     def expand(self, pcoll: PCollection) -> PCollection:
         if isinstance(self.fn, str):
             agg = _BUILTIN_COMBINES[self.fn]("value").alias("value")
             return PCollection(pcoll.df.groupBy("key").agg(agg), pcoll.pipeline)
+        combine_fn = self.fn if isinstance(self.fn, CombineFn) else _CallableWrapFn(self.fn)
+        from pyspark.sql import types as T
+
+        out_type = self.output_type
+        if out_type is None:
+            vt = pcoll.df.schema["value"].dataType
+            out_type = vt if not isinstance(self.fn, CombineFn) else T.DoubleType()
+        return PCollection(
+            combine_per_key_lifted(
+                pcoll.df, "key", "value", combine_fn, output_field="value",
+                output_type=out_type,
+            ),
+            pcoll.pipeline,
+        )
+
+
+class CombineValues(PTransform):
+    """Apply a combiner to each (key, iterable) AFTER a GroupByKey
+    (reference ``core.py:2092``): the grouped array is already local, so
+    this is a per-row ``aggregate``/Python reduce — no extra shuffle."""
+
+    def __init__(self, fn: Callable[[Iterable[Any]], Any]):
+        self.fn = fn
+
+    def expand(self, pcoll: PCollection) -> PCollection:
         fn = self.fn
-        spark = pcoll.pipeline.spark
-        grouped = pcoll.df.groupBy("key").agg(F.collect_list("value").alias("value"))
+        if isinstance(fn, CombineFn):
+            cf = fn
+
+            def reduce_fn(vs):
+                acc = cf.create_accumulator()
+                for v in vs:
+                    acc = cf.add_input(acc, v)
+                return cf.extract_output(acc)
+        else:
+            reduce_fn = fn
         return PCollection(
             _python_flatmap(
-                grouped, lambda kv: [(kv[0], fn(kv[1]))], spark
+                pcoll.df,
+                lambda kv: [(kv[0], reduce_fn(list(kv[1])))],
+                pcoll.pipeline.spark,
             ),
             pcoll.pipeline,
         )
 
 
 class CombineGlobally(PTransform):
-    """Whole-collection combine (reference ``core.py:1803``)."""
+    """Whole-collection combine (reference ``core.py:1803``). Python
+    combiners run lifted: map-side partial accumulators (one per task)
+    shuffle to a single merge — never the elements themselves."""
 
-    def __init__(self, fn: str | Callable[[Iterable[Any]], Any]):
+    def __init__(self, fn, output_type=None):
         self.fn = fn
+        self.output_type = output_type
 
     def expand(self, pcoll: PCollection) -> PCollection:
         if isinstance(self.fn, str):
             agg = _BUILTIN_COMBINES[self.fn]("element").alias("element")
             return PCollection(pcoll.df.agg(agg), pcoll.pipeline)
-        fn = self.fn
-        spark = pcoll.pipeline.spark
-        grouped = pcoll.df.agg(F.collect_list("element").alias("element"))
-        return PCollection(
-            _python_flatmap(grouped, lambda es: [fn(es)], spark), pcoll.pipeline
+        combine_fn = self.fn if isinstance(self.fn, CombineFn) else _CallableWrapFn(self.fn)
+        from pyspark.sql import types as T
+
+        out_type = self.output_type
+        if out_type is None:
+            vt = pcoll.df.schema["element"].dataType
+            out_type = vt if not isinstance(self.fn, CombineFn) else T.DoubleType()
+        keyed = pcoll.df.select(F.lit(0).alias("key"), F.col("element").alias("value"))
+        lifted = combine_per_key_lifted(
+            keyed, "key", "value", combine_fn, output_field="element",
+            output_type=out_type,
         )
+        return PCollection(lifted.select("element"), pcoll.pipeline)
 
 
 # ---------------------------------------------------------------------------

@@ -65,7 +65,7 @@ def brute_force_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "cos", "rank")
     )
@@ -138,7 +138,7 @@ def lsh_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "cos", "rank")
     )
@@ -249,7 +249,7 @@ def ivf_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "cos", "rank")
     )

@@ -34,11 +34,12 @@ def tokens(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    return F.size(tokens(text))
+    # long, not int: oracle engines count with 64-bit len()
+    return F.size(tokens(text)).cast("long")
 
 
 def word_count(text: Column) -> Column:
-    return F.size(F.split(F.trim(text), r"\s+"))
+    return F.size(F.split(F.trim(text), r"\s+")).cast("long")
 
 
 def punct_ratio(text: Column) -> Column:

@@ -83,18 +83,34 @@ def agg_tuple_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_top_per_key_array",
     oracle="""
-    SELECT event_type, (list_sort(array_agg(value), 'DESC'))[1:5] AS top5
+    SELECT event_type,
+           array_to_string(
+             list_transform((list_sort(array_agg(value), 'DESC'))[1:5],
+                            x -> CAST(CAST(round(x * 100) AS BIGINT) AS VARCHAR)),
+             ',') AS top5
     FROM events GROUP BY event_type
     """,
 )
 def agg_top_per_key_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top.PerKey as a bounded array (reference ``combiners.py:167``,
     ``TopCombineFn:386``): bundle-local heap + merge becomes
-    sort_array(collect_list)[:n] — Catalyst keeps the collect grouped."""
+    sort_array(collect_list)[:n] — Catalyst keeps the collect grouped.
+
+    Output is rendered as a fixed-point CSV string (round(x*100) as long)
+    so the driver's canonicalizer — which cannot sort list cells — hashes
+    a scalar identically on both engines."""
     return (
         table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.slice(F.sort_array(F.collect_list("value"), asc=False), 1, 5).alias("top5"))
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list("value"), asc=False), 1, 5),
+                    lambda x: F.round(x * 100).cast("long").cast("string"),
+                ),
+            ).alias("top5")
+        )
     )
 
 
@@ -120,33 +136,48 @@ def agg_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_to_list_sorted",
     oracle="""
-    SELECT l_orderkey, list_sort(array_agg(l_quantity)) AS quantities
+    SELECT l_orderkey,
+           array_to_string(
+             list_transform(list_sort(array_agg(l_quantity)),
+                            x -> CAST(CAST(round(x * 100) AS BIGINT) AS VARCHAR)),
+             ',') AS quantities
     FROM lineitem GROUP BY l_orderkey
     """,
 )
 def agg_to_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ToList / GroupByKey iterable (reference ``combiners.py:673``),
-    canonicalized by sorting."""
+    canonicalized by sorting and rendered as a fixed-point CSV string
+    (list cells crash the driver's canonical sort)."""
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_list("l_quantity")).alias("quantities"))
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("l_quantity")),
+                    lambda x: F.round(x * 100).cast("long").cast("string"),
+                ),
+            ).alias("quantities")
+        )
     )
 
 
 @query(
     "agg_to_set",
     oracle="""
-    SELECT l_orderkey, list_sort(list_distinct(array_agg(l_returnflag))) AS flags
+    SELECT l_orderkey,
+           array_to_string(list_sort(list_distinct(array_agg(l_returnflag))), ',') AS flags
     FROM lineitem GROUP BY l_orderkey
     """,
 )
 def agg_to_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ToSet (reference ``combiners.py:738``)."""
+    """ToSet (reference ``combiners.py:738``), rendered as a sorted CSV
+    string so the driver canonicalizer hashes scalars."""
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_returnflag")).alias("flags"))
+        .agg(F.array_join(F.sort_array(F.collect_set("l_returnflag")), ",").alias("flags"))
     )
 
 
@@ -181,7 +212,7 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_count_if_any_value",
     oracle="""
     SELECT event_type,
-           count_if(value > 100) AS n_big,
+           CAST(count_if(value > 100) AS BIGINT) AS n_big,
            any_value(event_type) AS sample_type
     FROM events GROUP BY event_type
     """,

@@ -139,18 +139,28 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_minhash_signature",
     oracle=f"""
     WITH sh_t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
-    SELECT doc_id, [{_SIG}] AS sig FROM sh_t
+    SELECT doc_id,
+           array_to_string(list_transform([{_SIG}], x -> CAST(x AS VARCHAR)), ',') AS sig
+    FROM sh_t
     """,
 )
 def doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 md5 permutations over word-3-gram shingles),
-    computed scan-side with array expressions — no UDF, no explode."""
+    computed scan-side with array expressions — no UDF, no explode.
+    Rendered as a CSV string (the driver canonicalizer cannot hash list
+    cells)."""
     d = dedup.ensure_parallelism(
         table(spark, sf_dir, "documents").select("doc_id", "text")
     )
     return d.select(
         "doc_id",
-        dedup.minhash_signature(dedup.shingles(F.col("text"))).alias("sig"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                dedup.minhash_signature(dedup.shingles(F.col("text"))),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("sig"),
     )
 
 

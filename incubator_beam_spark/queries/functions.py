@@ -218,7 +218,7 @@ def fn_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(regexp_extract_all(text, 'data'))                 AS n_data,
            regexp_matches(text, 'spark.*join')                   AS has_sj,
            regexp_replace(text, '[aeiou]', '', 'g')              AS novowel,
-           string_split_regex(trim(text), '\\s+')[1:4]           AS first4
+           array_to_string(string_split_regex(trim(text), '\\s+')[1:4], ',') AS first4
     FROM documents
     """,
 )
@@ -229,10 +229,12 @@ def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
-        F.size(F.regexp_extract_all("text", F.lit("data"), 0)).alias("n_data"),
+        F.size(F.regexp_extract_all("text", F.lit("data"), 0)).cast("long").alias("n_data"),
         F.col("text").rlike("spark.*join").alias("has_sj"),
         F.regexp_replace("text", "[aeiou]", "").alias("novowel"),
-        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 4).alias("first4"),
+        F.array_join(F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 4), ",").alias(
+            "first4"
+        ),
     )
 
 
@@ -264,7 +266,9 @@ def fn_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_sum(embedding::DOUBLE[]), 5)                AS total,
            round(list_max(embedding)::DOUBLE, 6)                  AS mx,
            round(list_min(embedding)::DOUBLE, 6)                  AS mn,
-           list_transform(embedding[1:3], x -> round(x::DOUBLE, 6)) AS first3,
+           array_to_string(list_transform(embedding[1:3],
+                           x -> CAST(CAST(round(x::DOUBLE * 1000000) AS BIGINT) AS VARCHAR)),
+                           ',') AS first3,
            round(list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))), 5) AS l1
     FROM embeddings
     """,
@@ -276,13 +280,17 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     dbl = F.transform("embedding", lambda x: x.cast("double"))
     return e.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 5).alias("total"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("mx"),
         F.round(F.array_min("embedding").cast("double"), 6).alias("mn"),
-        F.transform(F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 6)).alias(
-            "first3"
-        ),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("embedding", 1, 3),
+                lambda x: F.round(x.cast("double") * 1000000).cast("long").cast("string"),
+            ),
+        ).alias("first3"),
         F.round(
             F.aggregate(dbl, F.lit(0.0), lambda a, x: a + F.abs(x)), 5
         ).alias("l1"),
@@ -402,8 +410,8 @@ def sql_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
              map_from_entries(list_transform(es, e -> {'k': e.et, 'v': e.n})) AS m
       FROM entries)
     SELECT user_id,
-           map_keys(m) AS ks,
-           map_values(m) AS vs,
+           array_to_string(map_keys(m), ',') AS ks,
+           array_to_string(list_transform(map_values(m), v -> CAST(v AS VARCHAR)), ',') AS vs,
            m['purchase'][1] AS n_purchase,
            len(map_keys(m)) AS n_types
     FROM mapped
@@ -425,9 +433,11 @@ def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(m.alias("m"))
         .select(
             "user_id",
-            F.map_keys(F.col("m")).alias("ks"),
-            F.map_values(F.col("m")).alias("vs"),
+            F.array_join(F.map_keys(F.col("m")), ",").alias("ks"),
+            F.concat_ws(
+                ",", F.transform(F.map_values(F.col("m")), lambda v: v.cast("string"))
+            ).alias("vs"),
             F.element_at(F.col("m"), "purchase").alias("n_purchase"),
-            F.size(F.map_keys(F.col("m"))).alias("n_types"),
+            F.size(F.map_keys(F.col("m"))).cast("long").alias("n_types"),
         )
     )

@@ -55,6 +55,71 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# The driver emits correctness rows for the FIRST 50 registered names only.
+# Spend that window on the highest-risk components: LLM-data ops, SQL front
+# door, event windowing, the round-1 red rows, and newly added operator
+# gates. Everything else (TPC-H, joins, sets — all driver-green in round 1)
+# registers after the window and stays covered by the local oracle tests.
+_PRIORITY: tuple[str, ...] = (
+    # round-1 red rows, now stringified / type-pinned
+    "agg_top_per_key_array",
+    "agg_to_list_sorted",
+    "agg_to_set",
+    "agg_count_if_any_value",
+    # LLM-data operators (dedup / similarity / text / multimodal)
+    "doc_text_stats",
+    "doc_quality_score",
+    "doc_langid",
+    "doc_fingerprint",
+    "doc_exact_dedup",
+    "doc_minhash_signature",
+    "doc_minhash_lsh_pairs",
+    "doc_simhash",
+    "doc_ngram_jaccard",
+    "emb_cosine_topk",
+    "emb_lsh_topk",
+    "emb_neardup_pairs",
+    "emb_ivf_topk",
+    "mm_binary_meta",
+    "mm_frame_extract",
+    # SQL front door
+    "sql_tumble",
+    "sql_hop",
+    "sql_session",
+    "sql_exists_subquery",
+    "sql_scalar_subquery",
+    "sql_in_subquery",
+    "sql_correlated_avg",
+    "sql_cte_chain",
+    "sql_grouping_sets",
+    "sql_values_join",
+    "sql_order_limit_offset",
+    "sql_unnest_lateral",
+    "sql_case_insensitive_agg",
+    # event-time windowing + CEP
+    "evt_tumbling_window",
+    "evt_sliding_window",
+    "evt_session_window",
+    "evt_window_reify",
+    "evt_timestamp_combiners",
+    "evt_group_into_batches",
+    "evt_group_into_batches_sharded",
+    "cep_match_recognize",
+    # function-suite components named in SURVEY §2 rows
+    "fn_regex_suite",
+    "fn_json_suite",
+    "fn_tostring_kvs",
+    "sql_udtf_ngrams",
+    # remaining untested combiner components + new round-2 gates
+    "win_range_frame",
+    "agg_hotkey_fanout",
+    "combine_lifted_geomean",
+    "pardo_tagged_outputs",
+    "combine_values_norm",
+    "agg_latest_globally",
+)
+
+
 def load_all() -> dict[str, Query]:
     for mod in _QUERY_MODULES:
         try:
@@ -62,4 +127,8 @@ def load_all() -> dict[str, Query]:
         except ModuleNotFoundError as e:
             if e.name != mod:  # genuinely missing dependency inside the module
                 raise
+    ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
+    ordered.update(QUERIES)
+    QUERIES.clear()
+    QUERIES.update(ordered)
     return QUERIES

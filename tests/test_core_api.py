@@ -127,3 +127,150 @@ def test_sql_transform(p):
 def test_chained_transforms(p):
     composed = ibs.Map(lambda x: x + 1) | ibs.Filter(lambda x: x % 2 == 0)
     assert_that(p | ibs.Create([1, 2, 3]) | composed, equal_to([2, 4]))
+
+
+# -- round 2: schema-inference data loss, multi-output, lifted combines -----
+
+
+def test_filter_rejecting_early_rows_keeps_later(p):
+    # round-1 ADVICE repro: a 20-row sample that rejects everything must
+    # NOT short-circuit to an empty PCollection
+    pc = p | ibs.Create(list(range(100))) | ibs.Filter(lambda x: x > 50)
+    assert_that(pc, equal_to(list(range(51, 100))))
+
+
+def test_flatmap_widening_sample_finds_late_output(p):
+    pc = p | ibs.Create(list(range(100))) | ibs.FlatMap(
+        lambda x: [x * 2] if x >= 30 else []
+    )
+    assert_that(pc, equal_to([x * 2 for x in range(30, 100)]))
+
+
+def test_flatmap_empty_sample_falls_back_to_input_schema(p):
+    # nothing in the (exhausted) sample -> type-preserving fallback
+    pc = p | ibs.Create(list(range(9000))) | ibs.Filter(lambda x: x >= 8500)
+    assert len(pc.collect()) == 500
+
+
+def test_map_with_output_types_skips_sampling(p):
+    calls = []
+
+    def fn(x):
+        calls.append(x)
+        return str(x)
+
+    pc = p | ibs.Create([1, 2, 3]) | ibs.Map(fn).with_output_types(str)
+    # no driver-side sample happened before the action
+    assert calls == []
+    assert_that(pc, equal_to(["1", "2", "3"]))
+
+
+def test_map_kv_output_type_hint(p):
+    pc = p | ibs.Create([1, 2]) | ibs.Map(
+        lambda x: (str(x), x * 2), output_type=tuple[str, int]
+    )
+    assert_that(pc, equal_to([("1", 2), ("2", 4)]))
+
+
+def test_pardo_with_outputs_tagged_split(p):
+    class Split(ibs.DoFn):
+        def process(self, element):
+            if element % 2 == 0:
+                yield ibs.TaggedOutput("even", element)
+            else:
+                yield element
+
+    out = p | ibs.Create(list(range(10))) | ibs.ParDo(Split()).with_outputs("even")
+    assert_that(out.main, equal_to([1, 3, 5, 7, 9]))
+    assert_that(out.even, equal_to([0, 2, 4, 6, 8]))
+    assert_that(out["even"], equal_to([0, 2, 4, 6, 8]))
+    main_pc, even_pc = list(out)
+    assert sorted(main_pc.collect()) == [1, 3, 5, 7, 9]
+
+
+def test_pardo_multi_output_with_main_elements_and_two_tags(p):
+    class Route(ibs.DoFn):
+        def process(self, element):
+            if element < 3:
+                yield ibs.TaggedOutput("low", element)
+            elif element > 6:
+                yield ibs.TaggedOutput("high", element)
+            else:
+                yield element
+
+    out = (
+        p
+        | ibs.Create(list(range(10)))
+        | ibs.ParDo(Route()).with_outputs("low", "high", main="mid")
+    )
+    assert_that(out.mid, equal_to([3, 4, 5, 6]))
+    assert_that(out.low, equal_to([0, 1, 2]))
+    assert_that(out.high, equal_to([7, 8, 9]))
+
+
+def test_pardo_setup_runs_on_executor(p):
+    class NeedsSetup(ibs.DoFn):
+        def setup(self):
+            self.factor = 10  # only exists after setup
+
+        def process(self, element):
+            yield element * self.factor
+
+    pc = p | ibs.Create([1, 2, 3]) | ibs.ParDo(NeedsSetup())
+    assert_that(pc, equal_to([10, 20, 30]))
+
+
+def test_combine_per_key_combinefn_lifted(p):
+    class MeanFn(ibs.CombineFn):
+        def create_accumulator(self):
+            return (0.0, 0)
+
+        def add_input(self, acc, v):
+            return (acc[0] + v, acc[1] + 1)
+
+        def merge_accumulators(self, accs):
+            return (sum(a[0] for a in accs), sum(a[1] for a in accs))
+
+        def extract_output(self, acc):
+            return acc[0] / acc[1] if acc[1] else None
+
+    data = [("a", 1), ("a", 2), ("b", 6)]
+    pc = p | ibs.Create(data) | ibs.CombinePerKey(MeanFn())
+    assert_that(pc, equal_to([("a", 1.5), ("b", 6.0)]))
+
+
+def test_combine_per_key_callable_does_not_collect_group(p):
+    data = [("a", i) for i in range(200)] + [("b", 5)]
+    pc = p | ibs.Create(data) | ibs.CombinePerKey(max)
+    assert_that(pc, equal_to([("a", 199), ("b", 5)]))
+    # the lifted path never materializes the group as an array column
+    assert "collect_list" not in pc.df._jdf.queryExecution().toString().lower()
+
+
+def test_combine_values_after_gbk(p):
+    pc = (
+        p
+        | ibs.Create([("a", 1), ("a", 2), ("b", 3)])
+        | ibs.GroupByKey()
+        | ibs.CombineValues(sum)
+    )
+    assert_that(pc, equal_to([("a", 3), ("b", 3)]))
+
+
+def test_combine_globally_combinefn(p):
+    class SumFn(ibs.CombineFn):
+        def create_accumulator(self):
+            return 0
+
+        def add_input(self, acc, v):
+            return acc + v
+
+        def merge_accumulators(self, accs):
+            return sum(accs)
+
+    from pyspark.sql import types as T
+
+    pc = p | ibs.Create([1, 2, 3, 4]) | ibs.CombineGlobally(
+        SumFn(), output_type=T.LongType()
+    )
+    assert_that(pc, equal_to([10]))
