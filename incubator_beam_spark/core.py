@@ -58,6 +58,7 @@ __all__ = [
     "KvSwap",
     "WithKeys",
     "Reshuffle",
+    "GroupBy",
     "Sql",
 ]
 
@@ -875,6 +876,67 @@ class Reshuffle(PTransform):
     def expand(self, pcoll: PCollection) -> PCollection:
         df = pcoll.df.repartition(self.n) if self.n else pcoll.df.repartition()
         return PCollection(df, pcoll.pipeline)
+
+
+class GroupBy(PTransform):
+    """Fluent grouping facade (reference ``core.py:2386``;
+    ``aggregate_field`` at ``core.py:2509``): Beam-shaped API over a
+    native ``groupBy().agg()`` — Catalyst still plans one partial+final
+    aggregation, the fluent chain just collects the field specs.
+
+        pc | GroupBy('dept').aggregate_field('pay', sum, 'total_pay')
+                            .aggregate_field('pay', max, 'top_pay')
+
+    Grouping args are column names or ``name=Column`` computed keys;
+    combiners are builtin callables (sum/min/max/len), aggregate name
+    strings ('sum', 'mean', ...), or Column-producing callables.
+    """
+
+    _BUILTINS: dict[Any, Callable[[str], Column]] = {
+        sum: F.sum,
+        min: F.min,
+        max: F.max,
+        len: F.count,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "count": F.count,
+        "mean": F.avg,
+        "any": F.any_value,
+    }
+
+    def __init__(self, *fields: str, **computed: Column):
+        self.fields = fields
+        self.computed = computed
+        self._aggs: list[tuple[str, Any, str]] = []
+
+    def aggregate_field(self, field: str, combiner, dest: str) -> "GroupBy":
+        self._aggs.append((field, combiner, dest))
+        return self
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        df = pcoll.df
+        keys = list(self.fields)
+        for name, expr in self.computed.items():
+            df = df.withColumn(name, expr)
+            keys.append(name)
+        if not self._aggs:
+            # bare GroupBy: per-key iterables of the remaining fields
+            rest = [c for c in df.columns if c not in keys]
+            out = df.groupBy(*keys).agg(
+                F.sort_array(F.collect_list(F.struct(*rest))).alias("values")
+            )
+            return PCollection(out, pcoll.pipeline)
+        cols = []
+        for field, combiner, dest in self._aggs:
+            agg = self._BUILTINS.get(combiner)
+            if agg is not None:
+                cols.append(agg(field).alias(dest))
+            elif callable(combiner):  # Column-producing callable
+                cols.append(combiner(F.col(field)).alias(dest))
+            else:
+                raise TypeError(f"unsupported combiner {combiner!r}")
+        return PCollection(df.groupBy(*keys).agg(*cols), pcoll.pipeline)
 
 
 class Sql(PTransform):

@@ -156,6 +156,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = 8,
     rows_per_band: int = 2,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash LSH, verified with exact
     Jaccard over shingle sets.
@@ -167,6 +168,16 @@ def minhash_lsh_pairs(
     ReuseExchange; the 100 TB equivalent of checkpointing signatures).
     Only (band, key, doc_id) — ~24 B/doc/band — flows into the candidate
     join; raw text never shuffles.
+
+    ``max_bucket`` caps band-bucket size (default 1000): one degenerate
+    band key — empty or boilerplate documents sharing a near-universal
+    shingle band — would otherwise create a quadratic candidate bucket
+    (10^6 boilerplate docs -> 10^12 candidate pairs from ONE key). Buckets
+    over the cap are dropped before the self-join; members of a dropped
+    bucket still pair through their other, more selective bands, which is
+    why capping is the standard mitigation rather than sampling. The
+    count-over-window shuffles on the same (band, key) the self-join
+    shuffles on. ``max_bucket=None`` disables the cap.
     """
     sig = (
         ensure_parallelism(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
@@ -178,6 +189,16 @@ def minhash_lsh_pairs(
     bands = sig.select(
         "doc_id", F.explode(lsh_band_keys(F.col("sig"), rows_per_band)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        bucket_w = W.partitionBy("band", "key")
+        bands = (
+            bands.withColumn("__bsz", F.count(F.lit(1)).over(bucket_w))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
 
     left = bands.alias("l")
     right = bands.alias("r")

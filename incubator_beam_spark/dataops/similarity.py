@@ -144,11 +144,23 @@ def lsh_topk(
     )
 
 
+def auto_planes(n_rows: int, target_bucket: int = 256, floor: int = 4, cap: int = 24) -> int:
+    """Plane count so the expected bucket holds ~``target_bucket`` vectors:
+    ceil(log2(N / target)). A FIXED plane count is a scale bug — 4 planes
+    = 16 buckets makes the self-join ~N^2/16 regardless of N; planes must
+    grow with the corpus for the bucket-local work to stay ~N*target."""
+    import math
+
+    if n_rows <= target_bucket:
+        return floor
+    return max(floor, min(cap, math.ceil(math.log2(n_rows / target_bucket))))
+
+
 def neardup_pairs(
     emb: DataFrame,
     dim: int,
     threshold: float = 0.8,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -159,8 +171,18 @@ def neardup_pairs(
     pair is compared at most once — no candidate dedup pass needed. Only
     (bucket, id, vector) shuffles; at 100 TB the bucket join replaces the
     O(N^2) all-pairs comparison with ~N^2/2^planes bucket-local work.
+
+    ``n_planes=None`` (default) scales the plane count with the corpus:
+    one metadata-cheap ``count()`` sizes ``auto_planes`` so expected
+    buckets stay ~256 vectors regardless of N (round-1 review: a fixed 4
+    planes left the join quadratic at corpus scale). Pass an explicit
+    count when the caller already knows N or needs a reproducible bucket
+    layout (the gate query pins 4 to match its oracle).
     """
     from .dedup import ensure_parallelism
+
+    if n_planes is None:
+        n_planes = auto_planes(emb.count())
 
     # parallel scan, bucket computed once, then one repartition Exchange
     # that BOTH self-join sides reuse (projections compute once).

@@ -47,6 +47,58 @@ _TOKEN = re.compile(
 )
 
 
+def _sym_chars(define: dict) -> dict[str, str]:
+    """One classifier char per DEFINE symbol; a clear error beyond the
+    alphabet (ADVICE round 1: >26 symbols used to die with an opaque
+    IndexError deep in string indexing)."""
+    if len(define) > len(string.ascii_uppercase):
+        raise ValueError(
+            f"at most {len(string.ascii_uppercase)} DEFINE symbols supported, "
+            f"got {len(define)}"
+        )
+    return {name: string.ascii_uppercase[i] for i, name in enumerate(define)}
+
+
+def _ends_extendable(pat: str) -> bool:
+    """True when a match ending at end-of-pattern could legally consume
+    MORE symbols — i.e. the final position is nullable-extendable. Used by
+    the streaming guard: such a pattern can never be emitted at a batch
+    boundary because the next micro-batch might extend the match.
+
+    Handles trailing quantifiers ('A B+'), trailing quantified groups
+    ('A (B|C)+'), and quantifiers hidden inside a trailing group's
+    alternatives ('A (C|B+)') — the case the round-1 guard missed.
+    """
+    if not pat:
+        return False
+    c = pat[-1]
+    if c in "*+?":
+        return True
+    if c == ")":
+        depth, i = 0, len(pat) - 1
+        while i >= 0:
+            if pat[i] == ")":
+                depth += 1
+            elif pat[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        inner = pat[i + 1 : -1]
+        alts, d, start = [], 0, 0
+        for j, ch in enumerate(inner):
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            elif ch == "|" and d == 0:
+                alts.append(inner[start:j])
+                start = j + 1
+        alts.append(inner[start:])
+        return any(_ends_extendable(a) for a in alts)
+    return False
+
+
 def _compile_pattern(pattern: str, sym_chars: dict[str, str]) -> re.Pattern:
     """Translate 'A B* C' / 'A (B|C)+' style symbol patterns into a char
     regex. Unknown symbols raise; chars are the per-symbol classifier
@@ -84,7 +136,7 @@ def match_recognize(
     """
     if not define:
         raise ValueError("define must not be empty")
-    sym_chars = {name: string.ascii_uppercase[i] for i, name in enumerate(define)}
+    sym_chars = _sym_chars(define)
     rx = _compile_pattern(pattern, sym_chars)
 
     # classifier: first DEFINE that matches, else '.' (match-breaking)
@@ -183,12 +235,13 @@ def match_recognize_stream(
 
     if not define:
         raise ValueError("define must not be empty")
-    sym_chars = {name: string.ascii_uppercase[i] for i, name in enumerate(define)}
+    sym_chars = _sym_chars(define)
     rx = _compile_pattern(pattern, sym_chars)
-    if rx.pattern and rx.pattern[-1] in "*+?":
+    if _ends_extendable(rx.pattern):
         raise ValueError(
-            "streaming pattern must end with a non-quantified symbol "
-            "(a trailing quantifier can always extend into the next batch)"
+            "streaming pattern must end with a non-extendable position "
+            "(a trailing quantifier — even inside a group alternative — "
+            "can always extend into the next batch)"
         )
 
     classifier: Column = F.lit(".")

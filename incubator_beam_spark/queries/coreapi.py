@@ -1,0 +1,212 @@
+"""Gate queries for the Beam-shaped core API surface added in round 2:
+tagged multi-output ParDo, CombineValues, Latest.Globally, the fluent
+GroupBy facade, and the per-key combiner variants.
+
+These run the REAL Python-callable paths (mapInPandas DoFns, lifted
+combiners) against DuckDB oracles — proving the slow path computes the
+same answers as the declarative one, not just that it runs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import core, transforms
+from ..catalog import table
+from ..registry import query
+
+
+def _pipeline(spark: SparkSession) -> core.Pipeline:
+    return core.Pipeline(spark)
+
+
+@query(
+    "pardo_tagged_outputs",
+    oracle="""
+    SELECT 'big' AS tag, count(*) AS n FROM events WHERE value > 100
+    UNION ALL
+    SELECT 'main' AS tag, count(*) AS n FROM events WHERE value <= 100
+    """,
+)
+def pardo_tagged_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-output ParDo (reference ``core.py:1181`` with_outputs,
+    ``ParDoTest.java:375``): one DoFn pass routes events into a tagged
+    side output and the main output; the tagged stream materializes once
+    (persisted) and each tag is a filter. The gate compares per-tag
+    counts."""
+
+    class Route(core.DoFn):
+        def process(self, element):
+            k, v = element
+            if v is not None and v > 100:
+                yield core.TaggedOutput("big", (k, v))
+            else:
+                yield (k, v)
+
+    p = _pipeline(spark)
+    kv = core.PCollection(
+        table(spark, sf_dir, "events").select(
+            F.col("event_id").alias("key"), F.col("value").alias("value")
+        ),
+        p,
+    )
+    out = kv | core.ParDo(Route()).with_outputs("big")
+    big = out.big.df.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("big").alias("tag"), "n"
+    )
+    main = out.main.df.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("main").alias("tag"), "n"
+    )
+    return big.unionByName(main)
+
+
+@query(
+    "combine_values_norm",
+    oracle="""
+    SELECT event_type, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type
+    """,
+)
+def combine_values_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupByKey + CombineValues (reference ``core.py:2092``): the
+    grouped iterable is combined in place (no second shuffle). Values are
+    fixed-pointed with floor(v*100+0.5) — identical IEEE-double math on
+    both engines, insensitive to iteration order."""
+    p = _pipeline(spark)
+    kv = core.PCollection(
+        table(spark, sf_dir, "events").select(
+            F.col("event_type").alias("key"), F.col("value").alias("value")
+        ),
+        p,
+    )
+    out = kv | core.GroupByKey() | core.CombineValues(
+        lambda vs: sum(int(math.floor(v * 100 + 0.5)) for v in vs)
+    )
+    return out.df.select(
+        F.col("key").alias("event_type"), F.col("value").cast("bigint").alias("cents")
+    )
+
+
+@query(
+    "agg_latest_globally",
+    oracle="""
+    SELECT event_id AS latest_event FROM events ORDER BY ts DESC, event_id DESC LIMIT 1
+    """,
+)
+def agg_latest_globally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest.Globally (reference ``combiners.py:816``) via
+    max_by(value, struct(ts, value)) — one partial-aggregated pass, no
+    global sort; deterministic tie-break on (ts, event_id)."""
+    p = _pipeline(spark)
+    pc = core.PCollection(
+        table(spark, sf_dir, "events").select(
+            F.col("event_id").alias("element"), F.col("ts").alias("ts")
+        ),
+        p,
+    )
+    out = pc | transforms.Latest.Globally()
+    return out.df.select(F.col("element").alias("latest_event"))
+
+
+@query(
+    "groupby_fluent",
+    oracle="""
+    SELECT event_type, count(value) AS n, max(value) AS mx, min(value) AS mn
+    FROM events GROUP BY event_type
+    """,
+)
+def groupby_fluent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fluent GroupBy(...).aggregate_field chain (reference
+    ``core.py:2386``/``2509``) lowering to one native groupBy().agg()."""
+    p = _pipeline(spark)
+    pc = core.PCollection(table(spark, sf_dir, "events"), p)
+    out = (
+        pc
+        | core.GroupBy("event_type")
+        .aggregate_field("value", len, "n")
+        .aggregate_field("value", max, "mx")
+        .aggregate_field("value", min, "mn")
+    )
+    return out.df
+
+
+@query("agg_sample_per_key")
+def agg_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample.FixedSizePerKey (reference ``combiners.py:545``). No oracle
+    (randomness is engine-specific); per-key size bounds asserted in
+    tests."""
+    p = _pipeline(spark)
+    kv = core.PCollection(
+        table(spark, sf_dir, "events").select(
+            F.col("event_type").alias("key"), F.col("event_id").alias("value")
+        ),
+        p,
+    )
+    return (kv | transforms.Sample.FixedSizePerKey(10)).df
+
+
+@query("agg_approx_unique_per_key")
+def agg_approx_unique_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApproximateUnique.PerKey (reference ``stats.py:126``). No oracle
+    (sketch estimates are engine-specific); accuracy asserted in tests."""
+    p = _pipeline(spark)
+    kv = core.PCollection(
+        table(spark, sf_dir, "events").select(
+            F.col("event_type").alias("key"), F.col("user_id").alias("value")
+        ),
+        p,
+    )
+    return (kv | transforms.ApproximateUnique.PerKey(0.01)).df
+
+
+@query("agg_approx_quantiles_per_key")
+def agg_approx_quantiles_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApproximateQuantiles.PerKey (reference ``stats.py:331``). No
+    oracle; rendered as a CSV string of cents so the result row shape is
+    canonicalizer-safe."""
+    p = _pipeline(spark)
+    kv = core.PCollection(
+        table(spark, sf_dir, "events").select(
+            F.col("event_type").alias("key"), F.col("value").alias("value")
+        ),
+        p,
+    )
+    out = (kv | transforms.ApproximateQuantiles.PerKey(5)).df
+    return out.select(
+        "key",
+        F.concat_ws(
+            ",", F.transform("value", lambda x: F.round(x * 100).cast("long").cast("string"))
+        ).alias("quartiles"),
+    )
+
+
+@query(
+    "io_write_dynamic",
+    oracle="""
+    SELECT event_type AS dest, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def io_write_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WriteToFiles dynamic destinations (reference ``io/fileio.py:451``):
+    write events partitioned by event_type in ONE parallel pass, then read
+    the tree back and count per destination directory — proving rows
+    landed under their computed destinations."""
+    import tempfile
+
+    from ..sources import WriteToFiles
+
+    out_dir = tempfile.mkdtemp(prefix="ibs_dyndest_")
+    p = _pipeline(spark)
+    pc = core.PCollection(
+        table(spark, sf_dir, "events").select("event_id", "event_type", "value"), p
+    )
+    pc | WriteToFiles(out_dir, destination=F.col("event_type"), dest_field="dest")
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("dest")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("dest").cast("string").alias("dest"), "n")
+    )

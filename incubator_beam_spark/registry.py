@@ -34,6 +34,7 @@ QUERIES: dict[str, Query] = {}
 # Modules that register queries on import.
 _QUERY_MODULES = (
     "incubator_beam_spark.queries.relational",
+    "incubator_beam_spark.queries.coreapi",
     "incubator_beam_spark.queries.combiners",
     "incubator_beam_spark.queries.functions",
     "incubator_beam_spark.queries.events",
@@ -95,7 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "sql_values_join",
     "sql_order_limit_offset",
     "sql_unnest_lateral",
-    "sql_case_insensitive_agg",
+    "io_write_dynamic",
     # event-time windowing + CEP
     "evt_tumbling_window",
     "evt_sliding_window",

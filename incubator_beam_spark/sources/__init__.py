@@ -8,9 +8,12 @@ from .io import (  # noqa: F401
     ReadFromKafka,
     ReadFromParquet,
     ReadFromText,
+    ReadFromTFRecord,
     WriteToAvro,
     WriteToCsv,
+    WriteToFiles,
     WriteToJson,
     WriteToParquet,
     WriteToText,
+    WriteToTFRecord,
 )

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core import PCollection, PTransform
@@ -177,3 +177,84 @@ class WriteToJson(_Write):
 class WriteToAvro(_Write):
     def write(self, df: DataFrame) -> None:
         self.writer(df).format("avro").save(self.path)
+
+
+class ReadFromTFRecord(_Read):
+    """reference ``io/tfrecordio.py:233``; records become ``element``
+    bytes (format details in ``sources/tfrecord.py``)."""
+
+    def __init__(self, path: str, verify: bool = True):
+        super().__init__(path=path, verify=verify)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from .tfrecord import read_tfrecord
+
+        return read_tfrecord(spark, self.options["path"], self.options["verify"])
+
+
+class WriteToTFRecord(PTransform):
+    """reference ``io/tfrecordio.py:327``; writes the ``element`` binary
+    column as one TFRecord shard per partition."""
+
+    def __init__(self, path: str, column: str = "element"):
+        self.path, self.column = path, column
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from .tfrecord import write_tfrecord
+
+        write_tfrecord(pcoll.df, self.path, self.column)
+        return pcoll
+
+
+class WriteToFiles(PTransform):
+    """General dynamic-destination file writes (reference
+    ``io/fileio.py:451`` ``WriteToFiles``): each element's destination is
+    computed by a Column expression; one directory per destination value,
+    written in a single parallel pass (Spark's dynamic ``partitionBy`` —
+    the executor opens one writer per destination per task, exactly the
+    writer-pool model the reference implements by hand).
+
+    ``file_naming='dest'`` mirrors the reference's destination-prefixed
+    naming: output lands under ``<path>/<dest_field>=<value>/``; readers
+    recover the destination via partition-column inference. ``format``
+    picks the sink (parquet/csv/json/text — the reference's sink=
+    parameter).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        destination: Column | str,
+        format: str = "parquet",
+        dest_field: str = "dest",
+        mode: str = "overwrite",
+    ):
+        self.path = path
+        self.destination = destination
+        self.format = format
+        self.dest_field = dest_field
+        self.mode = mode
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        dest = (
+            F.col(self.destination)
+            if isinstance(self.destination, str)
+            else self.destination
+        )
+        out = pcoll.df.withColumn(self.dest_field, dest)
+        w = out.write.mode(self.mode).partitionBy(self.dest_field)
+        if self.format == "parquet":
+            w.parquet(self.path)
+        elif self.format == "csv":
+            w.option("header", "true").csv(self.path)
+        elif self.format == "json":
+            w.json(self.path)
+        elif self.format == "text":
+            cols = [c for c in out.columns if c != self.dest_field]
+            txt = out.select(
+                F.to_json(F.struct(*cols)).alias("value"), self.dest_field
+            )
+            txt.write.mode(self.mode).partitionBy(self.dest_field).text(self.path)
+        else:
+            raise ValueError(f"unsupported format {self.format!r}")
+        return pcoll

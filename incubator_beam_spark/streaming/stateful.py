@@ -49,7 +49,7 @@ def per_key_counter(df: DataFrame, key_col: str = "user_id") -> DataFrame:
     key per micro-batch."""
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            T.StructField("key", df.schema[key_col].dataType),
             T.StructField("total", T.LongType()),
         ]
     )
@@ -79,7 +79,7 @@ def group_into_batches_stream(
     state as a BagState until more elements arrive)."""
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            T.StructField("key", df.schema[key_col].dataType),
             T.StructField("batch", T.ArrayType(T.StringType())),
             T.StructField("batch_size", T.IntegerType()),
         ]
@@ -128,7 +128,7 @@ def after_count_trigger(
     """
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            T.StructField("key", df.schema[key_col].dataType),
             T.StructField("pane_index", T.IntegerType()),
             T.StructField("pane_count", T.LongType()),
             T.StructField("pane_sum", T.DoubleType()),

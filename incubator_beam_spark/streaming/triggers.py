@@ -271,6 +271,41 @@ class AfterEach(Trigger):
         return st["idx"] >= len(self.subs)
 
 
+@dataclass(frozen=True)
+class OrFinally(Trigger):
+    """``main.or_finally(until)`` (reference trigger.py:944 ``_OrFinally``):
+    behave as ``main`` until ``until`` is ready, at which point fire one
+    last pane and FINISH the trigger (the window then only emits its
+    GC-time pane, if any)."""
+
+    main: Trigger
+    until: Trigger
+
+    def new_state(self) -> dict:
+        return {"main": self.main.new_state(), "until": self.until.new_state()}
+
+    def on_element(self, st: dict, ctx: "TriggerContext") -> None:
+        self.main.on_element(st["main"], ctx)
+        self.until.on_element(st["until"], ctx)
+
+    def should_fire(self, st: dict, ctx: "TriggerContext") -> bool:
+        return self.until.should_fire(st["until"], ctx) or self.main.should_fire(
+            st["main"], ctx
+        )
+
+    def on_fire(self, st: dict, ctx: "TriggerContext") -> bool:
+        if self.until.should_fire(st["until"], ctx):
+            return True  # finished: the 'until' firing is terminal
+        return self.main.on_fire(st["main"], ctx)
+
+
+def _or_finally(self: Trigger, until: Trigger) -> OrFinally:
+    return OrFinally(self, until)
+
+
+Trigger.or_finally = _or_finally  # fluent form, like the reference API
+
+
 # --------------------------------------------------------------------------
 # The driver (reference GeneralTriggerDriver, trigger.py:1341)
 # --------------------------------------------------------------------------
@@ -544,9 +579,12 @@ def triggered_window_agg(
     has_watermark = "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString()
     timeout = "EventTimeTimeout" if has_watermark else "NoTimeout"
 
+    # key field derives from the input schema (ADVICE round 1: a
+    # hardcoded LongType corrupts string/other key types at runtime)
+    key_field = T.StructField("key", df.schema[key_col].dataType)
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            key_field,
             T.StructField("window_start", T.DoubleType()),
             T.StructField("pane_index", T.IntegerType()),
             T.StructField("timing", T.StringType()),

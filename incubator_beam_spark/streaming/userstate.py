@@ -62,6 +62,44 @@ class StatefulContext:
     def bag_read(self, cell: str) -> list:
         return self._cells.get(cell, [])
 
+    # SetState (reference ``userstate.py:91``): JSON cells can't hold a
+    # Python set, so the cell is a sorted unique list — contains/add stay
+    # O(1)-amortized via a dict-backed membership check.
+    def set_add(self, cell: str, value: Any) -> None:
+        vals = self._cells.setdefault(cell, [])
+        if value not in vals:
+            vals.append(value)
+
+    def set_contains(self, cell: str, value: Any) -> bool:
+        return value in self._cells.get(cell, [])
+
+    def set_read(self, cell: str) -> list:
+        return sorted(self._cells.get(cell, []))
+
+    # CombiningValueState (reference ``userstate.py:100``): the cell holds
+    # ONLY the accumulator — adds fold in eagerly, so a million adds cost
+    # one accumulator of state, never a buffer (the scale contract that
+    # distinguishes this cell from a bag).
+    def combining_add(self, cell: str, value: Any, fn: "CombineFn | Callable") -> None:
+        from ..core import CombineFn
+
+        if isinstance(fn, CombineFn):
+            acc = self._cells.get(cell)
+            if acc is None:
+                acc = fn.create_accumulator()
+            self._cells[cell] = fn.add_input(acc, value)
+        else:  # plain 2-arg reducer, e.g. operator.add
+            acc = self._cells.get(cell)
+            self._cells[cell] = value if acc is None else fn(acc, value)
+
+    def combining_read(self, cell: str, fn: "CombineFn | Callable | None" = None):
+        from ..core import CombineFn
+
+        acc = self._cells.get(cell)
+        if acc is not None and isinstance(fn, CombineFn):
+            return fn.extract_output(acc)
+        return acc
+
     # timers --------------------------------------------------------------
     def set_timer(self, name: str, instant: float) -> None:
         self._timers[name] = instant

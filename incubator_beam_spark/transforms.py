@@ -40,6 +40,7 @@ __all__ = [
     "DropFields",
     "RenameFields",
     "SelectFields",
+    "CastFields",
     "WithTimestamps",
 ]
 
@@ -134,6 +135,25 @@ class Sample:
             df = pcoll.df.orderBy(F.rand(self.seed)).limit(self.n)
             return PCollection(df, pcoll.pipeline)
 
+    class FixedSizePerKey(PTransform):
+        """``combiners.py:545`` — n uniform samples per key: one shuffle
+        on the key, rank by per-row uniform rand inside each group (the
+        distributed reservoir; no global sort)."""
+
+        def __init__(self, n: int, seed: int = 42):
+            self.n, self.seed = n, seed
+
+        def expand(self, pcoll: PCollection) -> PCollection:
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy("key").orderBy(F.rand(self.seed))
+            df = (
+                pcoll.df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= self.n)
+                .drop("__rn")
+            )
+            return PCollection(df, pcoll.pipeline)
+
 
 class ToList(PTransform):
     """``combiners.py:673`` — canonicalized (sorted) for determinism."""
@@ -181,6 +201,24 @@ class Latest:
             )
             return PCollection(df, pcoll.pipeline)
 
+    class Globally(PTransform):
+        """``combiners.py:816`` Latest.Globally: the element with the max
+        event time. Accepts either ``element``+``ts`` columns (the
+        WithTimestamps shape) or ``key``/``value`` = (value, ts) pairs.
+        Tie-break on (ts, value) so the result is deterministic —
+        max_by(struct) is one partial-aggregated pass, no sort."""
+
+        def expand(self, pcoll: PCollection) -> PCollection:
+            cols = pcoll.df.columns
+            if "ts" in cols and "element" in cols:
+                val, ts = F.col("element"), F.col("ts")
+            else:
+                val, ts = F.col("key"), F.col("value")
+            df = pcoll.df.agg(
+                F.max_by(val, F.struct(ts, val)).alias("element")
+            )
+            return PCollection(df, pcoll.pipeline)
+
 
 class ApproximateUnique:
     class Globally(PTransform):
@@ -192,6 +230,21 @@ class ApproximateUnique:
         def expand(self, pcoll: PCollection) -> PCollection:
             return PCollection(
                 pcoll.df.agg(F.approx_count_distinct("element", self.rsd).alias("element")),
+                pcoll.pipeline,
+            )
+
+    class PerKey(PTransform):
+        """``stats.py:126`` — HLL++ per key (sketches merge map-side, the
+        shuffle carries one sketch per key per partition)."""
+
+        def __init__(self, rsd: float = 0.05):
+            self.rsd = rsd
+
+        def expand(self, pcoll: PCollection) -> PCollection:
+            return PCollection(
+                pcoll.df.groupBy("key").agg(
+                    F.approx_count_distinct("value", self.rsd).alias("value")
+                ),
                 pcoll.pipeline,
             )
 
@@ -208,6 +261,22 @@ class ApproximateQuantiles:
             return PCollection(
                 pcoll.df.agg(
                     F.percentile_approx("element", probs, 10000).alias("element")
+                ),
+                pcoll.pipeline,
+            )
+
+    class PerKey(PTransform):
+        """``stats.py:331`` — grouped percentile_approx (mergeable GK
+        buffers, single shuffle)."""
+
+        def __init__(self, num_quantiles: int):
+            self.num_quantiles = num_quantiles
+
+        def expand(self, pcoll: PCollection) -> PCollection:
+            probs = [i / (self.num_quantiles - 1) for i in range(self.num_quantiles)]
+            return PCollection(
+                pcoll.df.groupBy("key").agg(
+                    F.percentile_approx("value", probs, 10000).alias("value")
                 ),
                 pcoll.pipeline,
             )
@@ -278,6 +347,22 @@ class ToString:
             df = pcoll.df.select(
                 F.concat_ws(
                     self.delimiter, F.col("key").cast("string"), F.col("value").cast("string")
+                ).alias("element")
+            )
+            return PCollection(df, pcoll.pipeline)
+
+    class Iterables(PTransform):
+        """``util.py:999`` ToString.Iterables: array elements join to one
+        delimited string (codegen'd concat_ws, no UDF)."""
+
+        def __init__(self, delimiter: str = ","):
+            self.delimiter = delimiter
+
+        def expand(self, pcoll: PCollection) -> PCollection:
+            df = pcoll.df.select(
+                F.concat_ws(
+                    self.delimiter,
+                    F.transform(F.col("element"), lambda x: x.cast("string")),
                 ).alias("element")
             )
             return PCollection(df, pcoll.pipeline)
@@ -364,6 +449,34 @@ class SelectFields(PTransform):
 
     def expand(self, pcoll: PCollection) -> PCollection:
         return PCollection(pcoll.df.select(*self.names), pcoll.pipeline)
+
+
+class CastFields(PTransform):
+    """Schema ``Cast`` (reference ``schemas/transforms/Cast.java``):
+    widen/narrow named fields to new Spark SQL types. ``strict=True``
+    refuses lossy narrowing (Cast.widening semantics)."""
+
+    _WIDENING = {
+        "tinyint": {"smallint", "int", "bigint", "float", "double", "string"},
+        "smallint": {"int", "bigint", "float", "double", "string"},
+        "int": {"bigint", "double", "string"},
+        "bigint": {"string"},
+        "float": {"double", "string"},
+        "double": {"string"},
+    }
+
+    def __init__(self, strict: bool = False, **casts: str):
+        self.casts = casts  # field -> spark sql type string
+        self.strict = strict
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        df = pcoll.df
+        for name, dtype in self.casts.items():
+            cur = df.schema[name].dataType.simpleString()
+            if self.strict and dtype not in self._WIDENING.get(cur, {dtype}):
+                raise TypeError(f"narrowing cast {name}: {cur} -> {dtype} (strict)")
+            df = df.withColumn(name, F.col(name).cast(dtype))
+        return PCollection(df, pcoll.pipeline)
 
 
 class WaitOn(PTransform):

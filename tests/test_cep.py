@@ -200,8 +200,15 @@ def test_match_recognize_stream_rejects_trailing_quantifier(spark):
     from incubator_beam_spark.plans.cep import match_recognize_stream
 
     df = spark.createDataFrame([(1, 1, "a")], SEQ_SCHEMA)
-    with pytest.raises(ValueError, match="non-quantified"):
+    defines = {"A": F.col("etype") == "a", "B": F.col("etype") == "b",
+               "C": F.col("etype") == "c"}
+    for bad in ("A+", "A B*", "A (B|C)+", "A (C|B+)", "A (C|(B|A)*)"):
+        with pytest.raises(ValueError, match="non-extendable"):
+            match_recognize_stream(
+                df, "key", "seq", defines, bad, {"s": ("first", None, "seq")}
+            )
+    # a plain trailing symbol — or a group of plain alternatives — is fine
+    for ok in ("A+ B", "A (B|C)", "A B? C"):
         match_recognize_stream(
-            df, "key", "seq", {"A": F.col("etype") == "a"}, "A+",
-            {"s": ("first", None, "seq")},
+            df, "key", "seq", defines, ok, {"s": ("first", None, "seq")}
         )

@@ -123,3 +123,65 @@ def test_count_min_sketch_is_mergeable_binary(spark):
     q = registry.load_all()["agg_count_min_sketch"]
     rows = q.fn(spark, SF_DIR).collect()
     assert len(rows) == 3 and all(isinstance(r.cms, (bytes, bytearray)) for r in rows)
+
+
+# -- round 2: scale hardening ------------------------------------------------
+
+
+def test_minhash_lsh_hot_band_cap_drops_degenerate_bucket(spark):
+    """One near-universal band key (here: 300 identical boilerplate docs)
+    must not go quadratic — the capped bucket is dropped wholesale."""
+    boiler = [(i, "lorem ipsum dolor sit amet the same boilerplate text") for i in range(300)]
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest where tall trees grow near the river"
+    )
+    near = base.replace("lazy", "sleepy")
+    docs = spark.createDataFrame(
+        boiler + [(1000, base), (1001, near)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5, max_bucket=100).collect()
+    }
+    # the real near-dup pair survives (its buckets are tiny)...
+    assert (1000, 1001) in pairs
+    # ...and no pair from the 300-doc degenerate bucket was emitted
+    # (300 docs -> 44850 quadratic candidates without the cap)
+    assert all(a >= 1000 for a, _ in pairs)
+
+
+def test_minhash_lsh_cap_disabled_keeps_all_pairs(spark, dup_docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(dup_docs, threshold=0.5, max_bucket=None).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+
+
+def test_auto_planes_scales_with_corpus():
+    assert similarity.auto_planes(100) == 4          # floor
+    assert similarity.auto_planes(256) == 4
+    assert similarity.auto_planes(1_000_000) == 12   # ceil(log2(1e6/256))
+    assert similarity.auto_planes(10**12) == 24      # cap
+    # expected bucket occupancy stays ~target as N grows 1000x
+    for n in (10**6, 10**9):
+        planes = similarity.auto_planes(n)
+        assert n / 2**planes <= 512
+
+
+def test_neardup_pairs_auto_plane_count(spark):
+    import random
+
+    random.seed(7)
+    base = [random.uniform(-1, 1) for _ in range(16)]
+    jig = [v + 0.01 for v in base]
+    far = [random.uniform(-1, 1) for _ in range(16)]
+    emb = spark.createDataFrame(
+        [(1, base), (2, jig), (3, far)], ["vec_id", "embedding"]
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.cos
+        for r in similarity.neardup_pairs(emb, dim=16, threshold=0.95).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99

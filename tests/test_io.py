@@ -107,3 +107,63 @@ def test_nexmark_q10_sharded_log_write(p, tmp_path):
     # partition pruning: filtering one date reads only that directory
     one = dates[0].split("=", 1)[1]
     assert back.filter(F.col("event_date") == one).count() > 0
+
+
+# -- round 2: TFRecord + dynamic destinations --------------------------------
+
+
+def test_crc32c_known_vectors():
+    from incubator_beam_spark.sources.tfrecord import crc32c
+
+    # canonical CRC32C check value (RFC 3720 appendix / "123456789")
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+
+def test_tfrecord_roundtrip(spark, tmp_path):
+    from incubator_beam_spark.sources.tfrecord import read_tfrecord, write_tfrecord
+
+    payloads = [f"record-{i}".encode() for i in range(100)]
+    df = spark.createDataFrame([(p,) for p in payloads], ["element"]).repartition(4)
+    n = write_tfrecord(df, str(tmp_path / "tf"))
+    assert n == 100
+    import glob
+
+    shards = glob.glob(str(tmp_path / "tf" / "*.tfrecord"))
+    assert len(shards) >= 2  # one shard per non-empty partition
+    back = read_tfrecord(spark, str(tmp_path / "tf"))
+    got = sorted(bytes(r.element) for r in back.collect())
+    assert got == sorted(payloads)
+
+
+def test_tfrecord_corruption_detected(spark, tmp_path):
+    import pytest
+
+    from incubator_beam_spark.sources.tfrecord import decode_records, encode_record
+
+    blob = bytearray(encode_record(b"hello world"))
+    blob[14] ^= 0xFF  # flip a payload byte
+    with pytest.raises(IOError, match="corrupt"):
+        list(decode_records(bytes(blob)))
+    # verification off: record still parses (length framing intact)
+    assert list(decode_records(bytes(blob), verify=False))[0] != b"hello world"
+
+
+def test_write_to_files_dynamic_destinations(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from incubator_beam_spark.sources import WriteToFiles
+
+    p = ibs.Pipeline(spark)
+    rows = [("a", 1), ("b", 2), ("a", 3), ("c", 4)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    pc = ibs.PCollection(df, p)
+    pc | WriteToFiles(str(tmp_path / "out"), destination=F.col("grp"), dest_field="grp")
+    import os
+
+    dirs = sorted(
+        d for d in os.listdir(tmp_path / "out") if d.startswith("grp=")
+    )
+    assert dirs == ["grp=a", "grp=b", "grp=c"]
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted((r.grp, r.v) for r in back.collect()) == sorted(rows)

@@ -410,3 +410,58 @@ def test_stateful_pardo_tws_native_timers(spark):
         ts.add_elements([(datetime.datetime(2024, 1, 1, 1), 99, 0.0)]).advance()
         rows = [(r.event, r.n) for r in ts.results().collect() if r.key == 1]
         assert rows == [("flush", 2), ("gc", 2)]
+
+
+def test_stateful_pardo_set_and_combining_cells(spark):
+    """SetState dedups within a key; CombiningValueState folds eagerly —
+    one accumulator of state, never a buffer (reference userstate.py:91,
+    userstate.py:100)."""
+    import operator
+
+    from incubator_beam_spark.streaming.userstate import StatefulContext, stateful_pardo
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("n_unique", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def process(key, rows, ctx: StatefulContext):
+        for v in rows["value"]:
+            if not ctx.set_contains("seen", float(v)):
+                ctx.set_add("seen", float(v))
+                ctx.combining_add("sum", float(v), operator.add)
+        return [(key, len(ctx.set_read("seen")), ctx.combining_read("sum"))]
+
+    with TestStream(spark, EVENT_SCHEMA) as ts:
+        out = stateful_pardo(
+            ts.stream, key_col="user_id", output_schema=out_schema,
+            process=process, timer_domain="none",
+        )
+        ts.start(out, output_mode="append")
+        ts.add_elements([(_ts(0, 1), 1, 5.0), (_ts(0, 2), 1, 5.0)]).advance()
+        ts.add_elements([(_ts(0, 3), 1, 7.0), (_ts(0, 4), 1, 5.0)]).advance()
+        rows = sorted((r.n_unique, r.total) for r in ts.results().collect())
+        # batch 1: {5.0} sum 5; batch 2: {5.0, 7.0} sum 12 — duplicates
+        # never re-added, accumulator carried across micro-batches
+        assert rows == [(1, 5.0), (2, 12.0)]
+
+
+def test_per_key_counter_string_keys(spark):
+    """Round-1 ADVICE: stateful kernels must not assume LongType keys."""
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    with TestStream(spark, schema) as ts:
+        out = per_key_counter(ts.stream, key_col="user_id")
+        ts.start(out, output_mode="update")
+        ts.add_elements([(_ts(0, 1), "alice", 1.0), (_ts(0, 2), "alice", 2.0),
+                         (_ts(0, 3), "bob", 3.0)]).advance()
+        got = {r.key: r.total for r in ts.results().collect()}
+        assert got == {"alice": 2, "bob": 1}

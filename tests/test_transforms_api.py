@@ -156,3 +156,90 @@ def test_wait_on_barrier_orders_side_effects(spark, tmp_path):
     # after the barrier, the signal's output is fully readable
     assert spark.read.parquet(out).count() == 2
     assert sorted(r[0] for r in gated.df.collect()) == [10, 20]
+
+
+# -- round 2 additions -------------------------------------------------------
+
+
+def test_sample_fixed_size_per_key(p):
+    kv = p | "spk" >> ibs.Create([("a", i) for i in range(20)] + [("b", 1)])
+    out = (kv | tx.Sample.FixedSizePerKey(5)).collect()
+    by_key = {}
+    for k, v in out:
+        by_key.setdefault(k, []).append(v)
+    assert len(by_key["a"]) == 5
+    assert set(by_key["a"]) <= set(range(20))
+    assert by_key["b"] == [1]
+
+
+def test_latest_globally(p):
+    pc = p | "lg" >> ibs.Create([("v1", 10), ("v2", 30), ("v3", 20)])
+    assert_that(pc | tx.Latest.Globally(), equal_to(["v2"]))
+
+
+def test_latest_globally_tie_break(p):
+    pc = p | "lgt" >> ibs.Create([("a", 10), ("b", 10)])
+    assert_that(pc | tx.Latest.Globally(), equal_to(["b"]))
+
+
+def test_approximate_unique_per_key(p):
+    kv = p | "aupk" >> ibs.Create([("x", i % 7) for i in range(100)] + [("y", 1)])
+    out = dict((kv | tx.ApproximateUnique.PerKey(0.01)).collect())
+    assert out["x"] == 7
+    assert out["y"] == 1
+
+
+def test_approximate_quantiles_per_key(p):
+    kv = p | "aqpk" >> ibs.Create([("x", float(i)) for i in range(101)])
+    [(k, qs)] = (kv | tx.ApproximateQuantiles.PerKey(3)).collect()
+    assert k == "x"
+    assert list(qs)[0] == 0.0 and list(qs)[-1] == 100.0
+
+
+def test_tostring_iterables(p):
+    kv = p | "tsi" >> ibs.Create([("a", 1), ("a", 2)]) | ibs.GroupByKey()
+    arrs = kv.df.select(F.sort_array("value").alias("element"))
+    pc = ibs.PCollection(arrs, p) | tx.ToString.Iterables()
+    assert_that(pc, equal_to(["1,2"]))
+
+
+def test_cast_fields(p):
+    pc = p | "cf" >> ibs.Create([("a", 1)])
+    out = pc | tx.CastFields(value="double")
+    assert dict(out.df.dtypes)["value"] == "double"
+    with pytest.raises(TypeError):
+        pc | tx.CastFields(strict=True, value="int")  # narrowing bigint->int
+
+
+def test_groupby_fluent_facade(p):
+    rows = [("eng", "alice", 100), ("eng", "bob", 50), ("ops", "carol", 70)]
+    df = p.spark.createDataFrame(rows, ["dept", "name", "pay"])
+    pc = ibs.PCollection(df, p)
+    out = (
+        pc
+        | ibs.GroupBy("dept")
+        .aggregate_field("pay", sum, "total")
+        .aggregate_field("pay", max, "top")
+        .aggregate_field("name", len, "n")
+    )
+    got = {r["dept"]: (r["total"], r["top"], r["n"]) for r in out.df.collect()}
+    assert got == {"eng": (150, 100, 2), "ops": (70, 70, 1)}
+
+
+def test_groupby_bare_collects_values(p):
+    rows = [("eng", "alice"), ("eng", "bob")]
+    df = p.spark.createDataFrame(rows, ["dept", "name"])
+    out = ibs.PCollection(df, p) | ibs.GroupBy("dept")
+    [r] = out.df.collect()
+    assert r["dept"] == "eng" and [v["name"] for v in r["values"]] == ["alice", "bob"]
+
+
+def test_groupby_computed_key(p):
+    rows = [(1, 10), (2, 20), (3, 30)]
+    df = p.spark.createDataFrame(rows, ["id", "v"])
+    out = (
+        ibs.PCollection(df, p)
+        | ibs.GroupBy(parity=F.col("id") % 2).aggregate_field("v", sum, "s")
+    )
+    got = {r["parity"]: r["s"] for r in out.df.collect()}
+    assert got == {0: 20, 1: 40}

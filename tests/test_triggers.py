@@ -199,3 +199,38 @@ def test_sliding_windows_with_early_trigger():
         (0, 0, EARLY, 2, 3.0),
         (5, 0, EARLY, 2, 3.0),
     ]
+
+
+def test_or_finally_until_count_terminates():
+    from incubator_beam_spark.streaming.triggers import OrFinally
+
+    # repeatedly fire per element, but stop for good once 5 elements seen
+    d = TriggerDriver(
+        10, OrFinally(Repeatedly(AfterCount(1)), AfterCount(5)), DISCARDING, 100
+    )
+    assert pane_tuples(d.on_elements([(1, 1.0)])) == [(0, 0, EARLY, 1, 1.0)]
+    assert pane_tuples(d.on_elements([(2, 2.0)])) == [(0, 1, EARLY, 1, 2.0)]
+    # the bundle that reaches the until-count fires one terminal pane...
+    assert pane_tuples(d.on_elements([(3, 1.0), (4, 1.0), (5, 1.0)])) == [
+        (0, 2, EARLY, 3, 3.0)
+    ]
+    # ...and the window is closed to further input
+    assert d.on_elements([(6, 9.0)]) == []
+
+
+def test_or_finally_fluent_form():
+    d = TriggerDriver(
+        10, Repeatedly(AfterCount(1)).or_finally(AfterCount(3)), DISCARDING, 100
+    )
+    assert pane_tuples(d.on_elements([(1, 1.0)])) == [(0, 0, EARLY, 1, 1.0)]
+    assert pane_tuples(d.on_elements([(2, 1.0), (3, 1.0)])) == [(0, 1, EARLY, 2, 2.0)]
+    assert d.on_elements([(4, 1.0)]) == []
+
+
+def test_or_finally_main_never_until_watermark():
+    from incubator_beam_spark.streaming.triggers import OrFinally, _Never
+
+    # emit nothing until the watermark passes end-of-window, then finish
+    d = TriggerDriver(10, OrFinally(_Never(), AfterWatermark()), DISCARDING, 100)
+    assert d.on_elements([(1, 1.0), (2, 2.0)]) == []
+    assert pane_tuples(d.advance_watermark(15)) == [(0, 0, ON_TIME, 2, 3.0)]
