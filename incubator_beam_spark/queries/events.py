@@ -652,3 +652,63 @@ def evt_group_into_batches_sharded(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("user_id", "shard", "batch_idx")
         .agg(F.count(F.lit(1)).alias("batch_size"))
     )
+
+
+@query(
+    "evt_custom_merging_window",
+    oracle="""
+    WITH pw AS (
+      SELECT user_id,
+             epoch(ts)::DOUBLE AS s,
+             epoch(ts)::DOUBLE
+               + CASE WHEN event_type = 'purchase' THEN 1800 ELSE 600 END AS e
+      FROM events),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER prior IS NULL OR s > max(e) OVER prior
+                  THEN 1 ELSE 0 END AS brk
+      FROM pw
+      WINDOW prior AS (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged)
+    SELECT user_id,
+           min(s) AS window_start,
+           max(e) AS window_end,
+           CAST(count(*) AS BIGINT) AS n
+    FROM isl GROUP BY user_id, island
+    """,
+)
+def evt_custom_merging_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM merging WindowFn (reference ``window.py:119`` WindowFn.merge
+    — the user-defined merging case SURVEY §2.6 flags as the hard gap):
+    activity sessions whose inactivity gap depends on the ELEMENT (a
+    purchase keeps the session alive 30 min, anything else 10 min) —
+    inexpressible with F.session_window's fixed/column gap applied at
+    merge time. Proto-windows are assigned scan-side from codegen'd
+    expressions; the overlap-merge is two analytic passes over one
+    shuffle on user_id (windows.merge_proto_windows)."""
+    from ..core import PCollection, Pipeline
+    from ..windows import WindowFn, WindowInto
+
+    class PurchaseAwareSessions(WindowFn):
+        merging = True
+
+        def assign(self, ts):
+            gap = F.when(F.col("event_type") == "purchase", 1800.0).otherwise(600.0)
+            return (ts, ts + gap)
+
+    p = Pipeline(spark)
+    pc = PCollection(
+        table(spark, sf_dir, "events").select("user_id", "event_type", "ts"), p
+    )
+    windowed = pc | WindowInto(
+        PurchaseAwareSessions(), ts_col="ts", key_cols=["user_id"]
+    )
+    return (
+        windowed.df.groupBy("user_id", "window_start", "window_end")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -93,7 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "sql_correlated_avg",
     "sql_cte_chain",
     "sql_grouping_sets",
-    "sql_values_join",
+    "evt_custom_merging_window",
     "sql_order_limit_offset",
     "sql_unnest_lateral",
     "io_write_dynamic",

@@ -6,6 +6,7 @@ from .io import (  # noqa: F401
     ReadFromJdbc,
     ReadFromJson,
     ReadFromKafka,
+    ReadFromMongoDB,
     ReadFromParquet,
     ReadFromText,
     ReadFromTFRecord,
@@ -13,6 +14,7 @@ from .io import (  # noqa: F401
     WriteToCsv,
     WriteToFiles,
     WriteToJson,
+    WriteToMongoDB,
     WriteToParquet,
     WriteToText,
     WriteToTFRecord,

@@ -179,6 +179,45 @@ class WriteToAvro(_Write):
         self.writer(df).format("avro").save(self.path)
 
 
+class ReadFromMongoDB(_Read):
+    """MongoDB (reference ``io/mongodbio.py:116``): delegates to the
+    mongo-spark DSv2 connector (aggregation pushdown + split planning by
+    the connector). Constructed lazily — raises only when used without
+    the connector jar/server, like the Kafka/JDBC wrappers."""
+
+    def __init__(self, uri: str, database: str, collection: str, **options: Any):
+        super().__init__(uri=uri, database=database, collection=collection, **options)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        opts = dict(self.options)
+        return (
+            spark.read.format("mongodb")
+            .option("connection.uri", opts.pop("uri"))
+            .option("database", opts.pop("database"))
+            .option("collection", opts.pop("collection"))
+            .options(**{k: str(v) for k, v in opts.items()})
+            .load()
+        )
+
+
+class WriteToMongoDB(PTransform):
+    """reference ``io/mongodbio.py:372`` WriteToMongoDB."""
+
+    def __init__(self, uri: str, database: str, collection: str, mode: str = "append"):
+        self.uri, self.database, self.collection, self.mode = uri, database, collection, mode
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        (
+            pcoll.df.write.format("mongodb")
+            .mode(self.mode)
+            .option("connection.uri", self.uri)
+            .option("database", self.database)
+            .option("collection", self.collection)
+            .save()
+        )
+        return pcoll
+
+
 class ReadFromTFRecord(_Read):
     """reference ``io/tfrecordio.py:233``; records become ``element``
     bytes (format details in ``sources/tfrecord.py``)."""

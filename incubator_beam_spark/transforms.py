@@ -42,6 +42,8 @@ __all__ = [
     "SelectFields",
     "CastFields",
     "WithTimestamps",
+    "LookupJoin",
+    "Watch",
 ]
 
 
@@ -477,6 +479,118 @@ class CastFields(PTransform):
                 raise TypeError(f"narrowing cast {name}: {cur} -> {dtype} (strict)")
             df = df.withColumn(name, F.col(name).cast(dtype))
         return PCollection(df, pcoll.pipeline)
+
+
+class LookupJoin(PTransform):
+    """Point-lookup join against a seekable table (reference
+    ``BeamSideInputLookupJoinRel.java`` — Beam SQL plans this when one
+    join side is an unbounded stream and the other a bounded, seekable
+    table).
+
+    Two shapes, both without shuffling the big side:
+    - ``table=`` DataFrame: a broadcast hash join — every executor holds
+      the hashed table, the probe is a per-row lookup (this IS the
+      seekable-table plan on Spark; works batch and streaming).
+    - ``lookup_fn=`` Python callable (key -> row dict or None): for
+      external key-value services; called once per DISTINCT key per Arrow
+      batch via mapInPandas, results joined back locally — the batched
+      RPC pattern.
+    """
+
+    def __init__(
+        self,
+        table=None,
+        lookup_fn: Callable[[Any], "dict | None"] | None = None,
+        on: str = "key",
+        how: str = "left",
+    ):
+        if (table is None) == (lookup_fn is None):
+            raise ValueError("pass exactly one of table= or lookup_fn=")
+        self.table, self.lookup_fn, self.on, self.how = table, lookup_fn, on, how
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        if self.table is not None:
+            side = self.table.df if isinstance(self.table, PCollection) else self.table
+            joined = pcoll.df.join(F.broadcast(side), self.on, self.how)
+            return PCollection(joined, pcoll.pipeline)
+
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        fn, on = self.lookup_fn, self.on
+        # probe one key to learn the value schema (service lookups return
+        # plain dicts; schema must be declared before mapInPandas)
+        first = pcoll.df.select(on).first()
+        sample = fn(first[0]) if first else None
+        if not sample:
+            raise ValueError("lookup_fn returned nothing for the probe key")
+        spark = pcoll.pipeline.spark
+        val_schema = spark.createDataFrame([tuple(sample.values())], list(sample)).schema
+        out_schema = T.StructType(list(pcoll.df.schema.fields) + list(val_schema.fields))
+        in_cols = pcoll.df.columns
+        val_cols = [f.name for f in val_schema.fields]
+
+        def run(batches):
+            cache: dict = {}
+            for pdf in batches:
+                for k in pdf[on].unique():  # batched: one call per distinct key
+                    if k not in cache:
+                        cache[k] = fn(k)
+                looked = [cache.get(k) or {} for k in pdf[on]]
+                out = pdf[in_cols].copy()
+                for c in val_cols:
+                    out[c] = [d.get(c) for d in looked]
+                yield out
+
+        return PCollection(pcoll.df.mapInPandas(run, out_schema), pcoll.pipeline)
+
+
+class Watch(PTransform):
+    """Watch.Growth (reference ``transforms/Watch.java``): poll a
+    user-supplied function for a growing result set until a termination
+    condition, emitting the union of everything seen.
+
+    Batch semantics: polls run driver-side (polling IS control-plane
+    work — the reference runs it in a splittable DoFn for liveness, not
+    parallelism); each poll's results append to one PCollection. For
+    continuous file-arrival watching use the streaming file source
+    (``streaming/source.py``), which is Spark's native Watch for the
+    filesystem case.
+    """
+
+    def __init__(
+        self,
+        poll_fn: Callable[[], list],
+        max_polls: int = 10,
+        stop_after_idle_polls: int = 2,
+        interval: float = 0.0,
+    ):
+        self.poll_fn = poll_fn
+        self.max_polls = max_polls
+        self.stop_after_idle = stop_after_idle_polls
+        self.interval = interval
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        import time
+
+        from .core import Create
+
+        seen: list = []
+        known: set = set()
+        idle = 0
+        for _ in range(self.max_polls):
+            new = [e for e in self.poll_fn() if e not in known]
+            if new:
+                seen.extend(new)
+                known.update(new)
+                idle = 0
+            else:
+                idle += 1
+                if idle >= self.stop_after_idle:
+                    break
+            if self.interval:
+                time.sleep(self.interval)
+        return Create(seen).expand(pcoll)
 
 
 class WaitOn(PTransform):

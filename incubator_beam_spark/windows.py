@@ -1,0 +1,178 @@
+"""Beam-shaped WindowFn surface, including CUSTOM MERGING window fns.
+
+Reference: ``transforms/window.py`` — WindowFn (:119, with ``merge``),
+GlobalWindows (:254), FixedWindows (:284), SlidingWindows (:325),
+Sessions (:364). Spark has native tumble/slide/session via
+``F.window``/``F.session_window``; what it lacks is the USER-DEFINED
+merging window fn, which SURVEY.md §2.6 flags as the hard gap.
+
+Spark-first design:
+- ``assign`` returns proto-window (start, end) **Column expressions**
+  evaluated JVM-side during the scan — a custom window fn is code-gen'd
+  arithmetic, not a Python callback per element (Beam runs WindowFn.assign
+  in the worker loop; we compile it into the plan).
+- Merging runs per key with the gaps-and-islands pattern: order windows
+  by start, open a new merged window whenever start exceeds the running
+  max end of everything before it, then a running sum of those breaks
+  numbers the islands. Two analytic passes over ONE shuffle on the key —
+  no UDF, no state. This implements the merge contract every practical
+  merging WindowFn (Sessions and friends) satisfies: merge windows that
+  OVERLAP; Beam's fully-general ``WindowFn.merge`` (merging disjoint
+  windows) is intentionally out of scope, matching what BeamSQL itself
+  supports.
+- Non-merging fns just explode their assignment arrays.
+
+The merged result carries ``window_start``/``window_end`` epoch-second
+columns; downstream groupBys use them as ordinary grouping keys (windows
+ARE keys once assigned — same as the reference's WindowedValue pairing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .core import PCollection, PTransform
+
+__all__ = [
+    "WindowFn",
+    "GlobalWindows",
+    "FixedWindows",
+    "SlidingWindows",
+    "Sessions",
+    "WindowInto",
+    "merge_proto_windows",
+]
+
+
+class WindowFn:
+    """reference ``window.py:119``. ``assign`` maps an event-time Column
+    (epoch seconds, double) to one proto-window or a list of them;
+    ``merging`` declares whether overlapping proto-windows coalesce per
+    key (the reference expresses this via the ``merge`` hook; here the
+    overlap-merge is the engine's job)."""
+
+    merging: bool = False
+
+    def assign(self, ts: Column) -> "tuple[Column, Column] | list[tuple[Column, Column]]":
+        raise NotImplementedError
+
+
+class GlobalWindows(WindowFn):
+    """reference ``window.py:254``: one window covering all time."""
+
+    def assign(self, ts: Column):
+        inf = float(2**62)
+        return (F.lit(-inf), F.lit(inf))
+
+
+class FixedWindows(WindowFn):
+    """reference ``window.py:284``: tumbling windows of ``size`` seconds."""
+
+    def __init__(self, size: float, offset: float = 0.0):
+        self.size, self.offset = float(size), float(offset)
+
+    def assign(self, ts: Column):
+        start = F.floor((ts - self.offset) / self.size) * self.size + self.offset
+        return (start, start + self.size)
+
+
+class SlidingWindows(WindowFn):
+    """reference ``window.py:325``: ``size``-second windows every
+    ``period`` seconds; each element lands in size/period windows."""
+
+    def __init__(self, size: float, period: float, offset: float = 0.0):
+        self.size, self.period, self.offset = float(size), float(period), float(offset)
+
+    def assign(self, ts: Column):
+        n = int(self.size // self.period)
+        last_start = (
+            F.floor((ts - self.offset) / self.period) * self.period + self.offset
+        )
+        return [
+            (last_start - i * self.period, last_start - i * self.period + self.size)
+            for i in range(n)
+        ]
+
+
+class Sessions(WindowFn):
+    """reference ``window.py:364``: per-element proto-window
+    [ts, ts+gap); merging coalesces overlaps into sessions."""
+
+    merging = True
+
+    def __init__(self, gap: float):
+        self.gap = float(gap)
+
+    def assign(self, ts: Column):
+        return (ts, ts + self.gap)
+
+
+def merge_proto_windows(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Coalesce overlapping (window_start, window_end) proto-windows per
+    key — the WindowFn.merge step, as two native analytic passes:
+
+    1. break flag: start > max(end) over all EARLIER rows (strictly
+       preceding frame) opens a new island;
+    2. island id: running sum of break flags;
+    then the merged bounds are min(start)/max(end) per island, attached
+    back to every row (matching the reference, where merging rewrites
+    each element's window in place).
+    """
+    order = W.partitionBy(*key_cols).orderBy("window_start", "window_end")
+    prev_max_end = F.max("window_end").over(
+        order.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "__new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("window_start") > prev_max_end), 1
+        ).otherwise(0),
+    )
+    islanded = flagged.withColumn(
+        "__island",
+        F.sum("__new_island").over(order.rowsBetween(W.unboundedPreceding, 0)),
+    ).drop("__new_island")
+    bounds = W.partitionBy(*key_cols, "__island")
+    return (
+        islanded.withColumn("window_start", F.min("window_start").over(bounds))
+        .withColumn("window_end", F.max("window_end").over(bounds))
+        .drop("__island")
+    )
+
+
+class WindowInto(PTransform):
+    """reference ``core.py:3065`` WindowInto: stamp each element with its
+    window(s). For merging fns, windows coalesce per ``key_cols``
+    immediately (batch semantics — the reference merges lazily at the
+    next GroupByKey, which is observationally identical)."""
+
+    def __init__(self, windowfn: WindowFn, ts_col: str = "ts", key_cols: list[str] | None = None):
+        self.windowfn = windowfn
+        self.ts_col = ts_col
+        self.key_cols = key_cols or []
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        df = pcoll.df
+        ts = F.col(self.ts_col)
+        if dict(df.dtypes).get(self.ts_col) == "timestamp":
+            ts = ts.cast("double")
+        assigned = self.windowfn.assign(ts)
+        if isinstance(assigned, list):  # multi-assignment (sliding)
+            windows = F.array(
+                *[F.struct(s.alias("s"), e.alias("e")) for s, e in assigned]
+            )
+            df = (
+                df.withColumn("__w", F.explode(windows))
+                .withColumn("window_start", F.col("__w.s"))
+                .withColumn("window_end", F.col("__w.e"))
+                .drop("__w")
+            )
+        else:
+            s, e = assigned
+            df = df.withColumn("window_start", s).withColumn("window_end", e)
+        if self.windowfn.merging:
+            if not self.key_cols:
+                raise ValueError("merging WindowFn needs key_cols to merge within")
+            df = merge_proto_windows(df, self.key_cols)
+        return PCollection(df, pcoll.pipeline)

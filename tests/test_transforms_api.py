@@ -243,3 +243,50 @@ def test_groupby_computed_key(p):
     )
     got = {r["parity"]: r["s"] for r in out.df.collect()}
     assert got == {0: 20, 1: 40}
+
+
+def test_lookup_join_broadcast_table(p, spark):
+    big = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], ["key", "payload"])
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], ["key", "name"])
+    out = ibs.PCollection(big, p) | tx.LookupJoin(table=dim, on="key")
+    got = {r.key: r.name for r in out.df.collect()}
+    assert got == {1: "one", 2: "two", 3: None}
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the seekable-table plan
+
+
+def test_lookup_join_python_service(p, spark):
+    directory = {1: {"name": "one"}, 2: {"name": "two"}}
+    calls = []
+
+    def lookup(k):
+        calls.append(k)
+        return directory.get(int(k))
+
+    big = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], ["key", "v"])
+    out = ibs.PCollection(big, p) | tx.LookupJoin(lookup_fn=lookup, on="key")
+    got = sorted((r.key, r.v, r.name) for r in out.df.collect())
+    assert got == [(1, "a", "one"), (1, "b", "one"), (2, "c", "two")]
+
+
+def test_watch_polls_until_idle(p):
+    feeds = [[1, 2], [2, 3], [], []]
+    it = iter(feeds)
+
+    def poll():
+        try:
+            return next(it)
+        except StopIteration:
+            return []
+
+    out = p | ibs.Create([0]) | tx.Watch(poll, max_polls=10, stop_after_idle_polls=2)
+    assert sorted(out.collect()) == [1, 2, 3]
+
+
+def test_mongodb_wrappers_construct_lazily(spark):
+    from incubator_beam_spark.sources import ReadFromMongoDB, WriteToMongoDB
+
+    # constructing must not require the connector; only .read()/use does
+    r = ReadFromMongoDB("mongodb://localhost", "db", "coll")
+    w = WriteToMongoDB("mongodb://localhost", "db", "coll")
+    assert r.options["database"] == "db" and w.collection == "coll"

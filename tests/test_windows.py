@@ -1,0 +1,113 @@
+"""WindowFn surface tests (reference model: ``window_test.py`` —
+FixedWindows/SlidingWindows assignment, Sessions merging, custom
+merging fns)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import incubator_beam_spark.core as ibs
+from incubator_beam_spark.windows import (
+    FixedWindows,
+    GlobalWindows,
+    Sessions,
+    SlidingWindows,
+    WindowFn,
+    WindowInto,
+)
+
+
+@pytest.fixture(scope="module")
+def p(spark):
+    return ibs.Pipeline(spark)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, ["user", "etype", "ts"])
+
+
+def test_fixed_windows_assignment(spark, p):
+    df = _events(spark, [(1, "a", 5.0), (1, "a", 15.0), (1, "a", 25.0)])
+    out = (ibs.PCollection(df, p) | WindowInto(FixedWindows(10), ts_col="ts")).df
+    got = sorted((r.ts, r.window_start, r.window_end) for r in out.collect())
+    assert got == [(5.0, 0.0, 10.0), (15.0, 10.0, 20.0), (25.0, 20.0, 30.0)]
+
+
+def test_sliding_windows_multi_assignment(spark, p):
+    df = _events(spark, [(1, "a", 25.0)])
+    out = (ibs.PCollection(df, p) | WindowInto(SlidingWindows(30, 10), ts_col="ts")).df
+    got = sorted((r.window_start, r.window_end) for r in out.collect())
+    # 3 windows of size 30 every 10s contain t=25: [0,30) [10,40) [20,50)
+    assert got == [(0.0, 30.0), (10.0, 40.0), (20.0, 50.0)]
+
+
+def test_global_windows(spark, p):
+    df = _events(spark, [(1, "a", 5.0), (2, "b", 1e9)])
+    out = (ibs.PCollection(df, p) | WindowInto(GlobalWindows(), ts_col="ts")).df
+    assert out.select("window_start", "window_end").distinct().count() == 1
+
+
+def test_sessions_merge_overlapping(spark, p):
+    # gap 10: events at 0, 5, 8 chain into one session [0, 18); 40 alone
+    df = _events(spark, [(1, "a", 0.0), (1, "a", 5.0), (1, "a", 8.0), (1, "a", 40.0)])
+    out = (
+        ibs.PCollection(df, p)
+        | WindowInto(Sessions(10), ts_col="ts", key_cols=["user"])
+    ).df
+    sessions = sorted(
+        set((r.window_start, r.window_end) for r in out.collect())
+    )
+    assert sessions == [(0.0, 18.0), (40.0, 50.0)]
+
+
+def test_sessions_do_not_merge_across_keys(spark, p):
+    df = _events(spark, [(1, "a", 0.0), (2, "a", 5.0)])
+    out = (
+        ibs.PCollection(df, p)
+        | WindowInto(Sessions(10), ts_col="ts", key_cols=["user"])
+    ).df
+    got = sorted((r.user, r.window_start, r.window_end) for r in out.collect())
+    assert got == [(1, 0.0, 10.0), (2, 5.0, 15.0)]
+
+
+def test_custom_merging_windowfn_element_dependent_gap(spark, p):
+    class VipSessions(WindowFn):
+        merging = True
+
+        def assign(self, ts):
+            gap = F.when(F.col("etype") == "vip", 100.0).otherwise(10.0)
+            return (ts, ts + gap)
+
+    # vip event at t=0 holds the session open 100s, so t=50 chains;
+    # a normal event at t=0 would not reach t=50
+    df = _events(spark, [(1, "vip", 0.0), (1, "a", 50.0), (2, "a", 0.0), (2, "a", 50.0)])
+    out = (
+        ibs.PCollection(df, p)
+        | WindowInto(VipSessions(), ts_col="ts", key_cols=["user"])
+    ).df
+    n_windows = {
+        r.user: r.n
+        for r in out.groupBy("user")
+        .agg(F.countDistinct("window_start").alias("n"))
+        .collect()
+    }
+    assert n_windows == {1: 1, 2: 2}
+
+
+def test_merging_requires_key_cols(spark, p):
+    df = _events(spark, [(1, "a", 0.0)])
+    with pytest.raises(ValueError, match="key_cols"):
+        ibs.PCollection(df, p) | WindowInto(Sessions(10), ts_col="ts")
+
+
+def test_merging_windowfn_plan_single_shuffle(spark, p):
+    """The merge is analytic passes over ONE exchange on the key."""
+    df = _events(spark, [(1, "a", 0.0), (1, "a", 5.0)])
+    out = (
+        ibs.PCollection(df, p)
+        | WindowInto(Sessions(10), ts_col="ts", key_cols=["user"])
+    ).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("exchange") == 1
+    assert "BatchEvalPython" not in plan  # no Python in the merge path
