@@ -275,3 +275,42 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "cos", "rank")
     )
+
+
+def l2_normalize(vec: Column) -> Column:
+    """Unit-normalize an embedding (zero vectors pass through unchanged).
+    Codegen'd transform+aggregate — normalization is a scan-side op."""
+    n = norm(vec)
+    return F.when(n == 0, vec).otherwise(F.transform(vec, lambda x: x / n))
+
+
+def kmeans_assign_step(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration's assignment + per-cell partial sums, the
+    building block of distributed k-means: centroids = the first k
+    vectors by id (deterministic seed, as k-means|| would give), assign
+    every vector to its max-cosine centroid via broadcast argmax, then
+    per-cell integer-cent partial sums (deterministic across engines and
+    summation orders — floats only become means AFTER the exact integer
+    sum).
+
+    At 100 TB: centroids broadcast (k * dim * 8 bytes), assignment is one
+    scan, the shuffle carries k partial-sum rows per partition.
+    """
+    seeds = emb.orderBy(id_col).limit(k)
+    assigned = ivf_assign(emb, seeds, id_col, vec_col)
+    cents = F.transform("v", lambda x: F.round(x * 10000).cast("long"))
+    return (
+        assigned.withColumn("vc", cents)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.element_at("vc", 1)).alias("sum_d1"),
+            F.sum(F.element_at("vc", 2)).alias("sum_d2"),
+            F.sum(F.element_at("vc", 3)).alias("sum_d3"),
+        )
+    )

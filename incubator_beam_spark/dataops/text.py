@@ -98,3 +98,53 @@ def fingerprint(text: Column) -> Column:
     truncated to 64 bits (hex). Stable across engines and runs."""
     normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.substring(F.md5(normalized), 1, 16)
+
+
+def dup_ngram_fraction(text: Column, n: int = 3) -> Column:
+    """Gopher-style repetition signal: fraction of word n-grams that are
+    duplicates within the document (1 - distinct/total). Scan-side array
+    expressions — the repetition filter for training corpora runs during
+    the scan, nothing shuffles."""
+    from .dedup import shingles
+
+    sh = shingles(text, n)
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh), 6
+    )
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Fraction of duplicate lines within the document (the other Gopher
+    repetition axis)."""
+    lines = F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    return F.when(F.size(lines) == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines), 6)
+    )
+
+
+# Engine-portable PII patterns: plain char classes + bounded repetition
+# only — identical semantics in Java regex (Spark) and RE2 (DuckDB).
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "PHONE": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+    "IP": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace emails / phone numbers / IPv4s with typed placeholders —
+    the standard pre-training scrub pass, pure regexp_replace chain
+    inside codegen. Order matters: IP before PHONE so dotted quads are
+    not half-eaten by the phone pattern."""
+    out = text
+    for tag in ("EMAIL", "IP", "PHONE"):
+        out = F.regexp_replace(out, PII_PATTERNS[tag], f"[{tag}]")
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-type PII hit counts (for filtering/reporting)."""
+    return {
+        tag: F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long")
+        for tag, pat in PII_PATTERNS.items()
+    }

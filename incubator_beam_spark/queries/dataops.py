@@ -431,3 +431,126 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         e.filter(F.col("vec_id") < 3), e, centroids, k=5
     )
+
+
+@query(
+    "doc_repetition",
+    oracle=f"""
+    WITH sh_t AS (SELECT doc_id, {_SHINGLES} AS sh, text FROM documents)
+    SELECT doc_id,
+           round(1.0 - len(list_distinct(sh)) / len(sh), 6) AS dup_3gram_frac,
+           CASE WHEN len(list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0)) = 0
+                THEN 0.0
+                ELSE round(1.0
+                     - len(list_distinct(list_filter(string_split(text, chr(10)),
+                                                     l -> len(trim(l)) > 0)))
+                       / len(list_filter(string_split(text, chr(10)),
+                                         l -> len(trim(l)) > 0)), 6) END AS dup_line_frac
+    FROM sh_t
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate word-3-gram fraction and
+    duplicate line fraction per document — the within-doc repetition
+    filter for training corpora. Pure scan-side array expressions."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.dup_ngram_fraction(F.col("text")).alias("dup_3gram_frac"),
+        text.dup_line_fraction(F.col("text")).alias("dup_line_frac"),
+    )
+
+
+@query(
+    "doc_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '[IP]', 'g'),
+                 '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '[PHONE]', 'g')) AS redacted_md5,
+           len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text,
+                 '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ip,
+           len(regexp_extract_all(text,
+                 '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS n_phone
+    FROM documents
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (pre-training redaction): emails / IPv4s / phone
+    numbers replaced with typed placeholders, plus per-type hit counts.
+    Codegen'd regexp chain; the oracle compares an md5 of the redacted
+    text so giant strings never enter the hash frame raw."""
+    d = table(spark, sf_dir, "documents")
+    counts = text.pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(text.pii_redact(F.col("text"))).alias("redacted_md5"),
+        counts["EMAIL"].alias("n_email"),
+        counts["IP"].alias("n_ip"),
+        counts["PHONE"].alias("n_phone"),
+    )
+
+
+@query(
+    "emb_normalize",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n_t AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v)
+    SELECT vec_id,
+           round(nrm, 6) AS nrm,
+           array_to_string(
+             list_transform(v[1:4],
+               x -> CAST(CAST(round(x / nrm * 1000000) AS BIGINT) AS VARCHAR)),
+             ',') AS unit_head
+    FROM n_t
+    """,
+)
+def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization (the prep step before cosine = dot): norm plus the
+    first 4 unit-vector components, fixed-pointed for the hash."""
+    e = table(spark, sf_dir, "embeddings")
+    v = similarity.as_double(F.col("embedding"))
+    unit = similarity.l2_normalize(v)
+    return e.select(
+        "vec_id",
+        F.round(similarity.norm(v), 6).alias("nrm"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(unit, 1, 4),
+                lambda x: F.round(x * 1000000).cast("long").cast("string"),
+            ),
+        ).alias("unit_head"),
+    )
+
+
+@query(
+    "emb_kmeans_step",
+    oracle=f"""
+    WITH vv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT id, v, cid AS cell
+      FROM (SELECT vv.id, vv.v, cent.cid, {_IVF_COS} AS cos_c
+            FROM vv CROSS JOIN cent) s
+      QUALIFY row_number() OVER (PARTITION BY id ORDER BY cos_c DESC, cid) = 1)
+    SELECT cell,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(v[1] * 10000) AS BIGINT)) AS BIGINT) AS sum_d1,
+           CAST(sum(CAST(round(v[2] * 10000) AS BIGINT)) AS BIGINT) AS sum_d2,
+           CAST(sum(CAST(round(v[3] * 10000) AS BIGINT)) AS BIGINT) AS sum_d3
+    FROM assigned GROUP BY cell
+    """,
+)
+def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed k-means (Lloyd) iteration: broadcast-argmax cell
+    assignment + per-cell partial sums (integer cents, so the result is
+    independent of summation order — the float mean comes AFTER the exact
+    sum). The shuffle carries k rows per partition; the full iteration
+    loop is this step repeated with new centroids."""
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assign_step(e, k=8)

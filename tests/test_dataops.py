@@ -185,3 +185,57 @@ def test_neardup_pairs_auto_plane_count(spark):
         for r in similarity.neardup_pairs(emb, dim=16, threshold=0.95).collect()
     }
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+
+
+def test_dup_ngram_fraction_detects_repetition(spark):
+    from incubator_beam_spark.dataops import text as tx
+
+    rows = [
+        (1, "one two three four five six seven eight nine ten"),  # no repeats
+        (2, "spam ham eggs " * 10),                               # heavy repeats
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.f for r in df.select(
+        "doc_id", tx.dup_ngram_fraction(F.col("text")).alias("f")).collect()}
+    assert out[1] == 0.0
+    assert out[2] > 0.8
+
+
+def test_pii_redact_and_counts(spark):
+    from incubator_beam_spark.dataops import text as tx
+
+    doc = "mail a.user@example.com or call +1 (555) 123-4567 from 10.0.0.1 ok"
+    df = spark.createDataFrame([(1, doc)], ["doc_id", "text"])
+    counts = tx.pii_counts(F.col("text"))
+    row = df.select(
+        tx.pii_redact(F.col("text")).alias("red"),
+        counts["EMAIL"].alias("e"), counts["PHONE"].alias("p"), counts["IP"].alias("i"),
+    ).collect()[0]
+    assert "[EMAIL]" in row.red and "[PHONE]" in row.red and "[IP]" in row.red
+    assert "example.com" not in row.red and "555" not in row.red
+    assert (row.e, row.p, row.i) == (1, 1, 1)
+
+
+def test_l2_normalize_unit_norm(spark):
+    from incubator_beam_spark.dataops.similarity import as_double, l2_normalize, norm
+
+    df = spark.createDataFrame([(1, [3.0, 4.0]), (2, [0.0, 0.0])], ["id", "v"])
+    out = df.select(
+        "id", norm(l2_normalize(as_double(F.col("v")))).alias("n")
+    ).collect()
+    got = {r.id: r.n for r in out}
+    assert abs(got[1] - 1.0) < 1e-12
+    assert got[2] == 0.0  # zero vector passes through
+
+
+def test_kmeans_step_partitions_all_vectors(spark):
+    import random
+
+    from incubator_beam_spark.dataops.similarity import kmeans_assign_step
+
+    random.seed(3)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = kmeans_assign_step(emb, k=4).collect()
+    assert sum(r.n for r in out) == 50          # every vector assigned
+    assert set(r.cell for r in out) <= {0, 1, 2, 3}
