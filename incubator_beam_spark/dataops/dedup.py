@@ -191,14 +191,19 @@ def minhash_lsh_pairs(
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     if max_bucket is not None:
-        from pyspark.sql import Window as W
-
-        bucket_w = W.partitionBy("band", "key")
-        bands = (
-            bands.withColumn("__bsz", F.count(F.lit(1)).over(bucket_w))
-            .filter(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
+        # Degenerate buckets are RARE by construction (a hot band key means
+        # thousands of near-identical docs), so materialize just the hot
+        # keys — the groupBy shuffle carries map-side-combined counts (one
+        # row per distinct key per partition), and the removal is a
+        # broadcast anti-join: no second shuffle of the band rows. A
+        # count-over-window would instead sort/shuffle every band row.
+        hot = (
+            bands.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket)
+            .select("band", "key")
         )
+        bands = bands.join(F.broadcast(hot), ["band", "key"], "left_anti")
 
     left = bands.alias("l")
     right = bands.alias("r")

@@ -132,3 +132,99 @@ def extract_frames(
             )
 
     return df.select("doc_id", binary_col).mapInPandas(run, out_schema)
+
+
+# -- audio: REAL RIFF/WAV header codec (no external libs needed) -------------
+
+
+def encode_wav_header(n_samples: int, sample_rate: int, n_channels: int = 1,
+                      bits: int = 16) -> bytes:
+    """Minimal canonical RIFF/WAVE header (PCM). Byte-exact per the public
+    WAVE spec; used to synthesize test fixtures and as the write side of
+    the audio path."""
+    import struct
+
+    block_align = n_channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data_size = n_samples * block_align
+    return b"".join(
+        [
+            b"RIFF", struct.pack("<I", 36 + data_size), b"WAVE",
+            b"fmt ", struct.pack("<IHHIIHH", 16, 1, n_channels, sample_rate,
+                                 byte_rate, block_align, bits),
+            b"data", struct.pack("<I", data_size),
+        ]
+    )
+
+
+def parse_wav_meta(payload: bytes) -> dict | None:
+    """Parse sample rate / channels / bit depth / frame count from a
+    RIFF/WAVE header — a REAL decoder (unlike the stubbed image kernels):
+    pure byte arithmetic, no audio library."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data_size = None
+    while pos + 8 <= len(payload):
+        chunk_id = payload[pos : pos + 4]
+        (chunk_size,) = struct.unpack_from("<I", payload, pos + 4)
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif chunk_id == b"data":
+            data_size = chunk_size
+        pos += 8 + chunk_size + (chunk_size & 1)
+        if fmt is not None and data_size is not None:
+            break
+    if fmt is None or data_size is None:
+        return None
+    _, n_channels, sample_rate, _, block_align, bits = fmt
+    n_frames = data_size // block_align if block_align else 0
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits": bits,
+        "n_frames": n_frames,
+        "duration_ms": round(n_frames * 1000.0 / sample_rate, 6) if sample_rate else 0.0,
+    }
+
+
+def audio_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """Audio metadata extraction: mapInPandas over WAV payloads. The
+    header parse reads ~44 bytes/row; the payload never leaves the stage
+    (downstream shuffles metadata only)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_channels", T.IntegerType(), True),
+            T.StructField("bits", T.IntegerType(), True),
+            T.StructField("n_frames", T.LongType(), True),
+            T.StructField("duration_ms", T.DoubleType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_wav_meta(bytes(p)) or {} for p in pdf[binary_col]]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "sample_rate": pd.array(
+                        [m.get("sample_rate") for m in metas], dtype="Int32"
+                    ),
+                    "n_channels": pd.array(
+                        [m.get("n_channels") for m in metas], dtype="Int32"
+                    ),
+                    "bits": pd.array([m.get("bits") for m in metas], dtype="Int32"),
+                    "n_frames": pd.array(
+                        [m.get("n_frames") for m in metas], dtype="Int64"
+                    ),
+                    "duration_ms": [m.get("duration_ms") for m in metas],
+                }
+            )
+            yield out
+
+    return df.select("doc_id", binary_col).mapInPandas(run, out_schema)

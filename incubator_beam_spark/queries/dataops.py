@@ -554,3 +554,51 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop is this step repeated with new centroids."""
     e = table(spark, sf_dir, "embeddings")
     return similarity.kmeans_assign_step(e, k=8)
+
+
+@query(
+    "mm_audio_meta",
+    oracle="""
+    SELECT doc_id,
+           (8000 + (doc_id % 3) * 4000)::INTEGER AS sample_rate,
+           (1 + (doc_id % 2))::INTEGER AS n_channels,
+           16::INTEGER AS bits,
+           n_chars::BIGINT AS n_frames,
+           round(n_chars * 1000.0 / (8000 + (doc_id % 3) * 4000), 6) AS duration_ms
+    FROM documents
+    """,
+)
+def mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata path with a REAL codec: WAV headers are synthesized
+    per document (sample rate / channels derived from doc_id, frame count
+    = n_chars), then parsed back by the pure-byte-arithmetic RIFF reader
+    — the oracle predicts the parse output arithmetically. Payloads stay
+    inside the mapInPandas stages; only metadata shuffles."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..dataops.multimodal import audio_meta, encode_wav_header
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                encode_wav_header(
+                    n_samples=int(n),
+                    sample_rate=8000 + (int(i) % 3) * 4000,
+                    n_channels=1 + (int(i) % 2),
+                )
+                for i, n in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wav = d.mapInPandas(synth, synth_schema)
+    return audio_meta(wav)

@@ -239,3 +239,22 @@ def test_kmeans_step_partitions_all_vectors(spark):
     out = kmeans_assign_step(emb, k=4).collect()
     assert sum(r.n for r in out) == 50          # every vector assigned
     assert set(r.cell for r in out) <= {0, 1, 2, 3}
+
+
+def test_wav_header_codec_roundtrip():
+    from incubator_beam_spark.dataops.multimodal import (
+        encode_wav_header,
+        parse_wav_meta,
+    )
+
+    hdr = encode_wav_header(n_samples=16000, sample_rate=16000, n_channels=2, bits=16)
+    meta = parse_wav_meta(hdr)
+    assert meta == {
+        "sample_rate": 16000,
+        "n_channels": 2,
+        "bits": 16,
+        "n_frames": 16000,
+        "duration_ms": 1000.0,
+    }
+    assert parse_wav_meta(b"not a wav") is None
+    assert parse_wav_meta(hdr[:20]) is None  # truncated

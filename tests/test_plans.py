@@ -195,3 +195,56 @@ def test_dynamic_partition_pruning(spark, tmp_path):
         j.explain("formatted")
     plan = buf.getvalue()
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+
+
+def test_lsh_bucket_cap_is_broadcast_anti_join(spark):
+    """The hot-band cap must not add a second full shuffle of band rows:
+    oversized keys are removed via a BROADCAST anti-join fed by a
+    map-side-combined count — no Window sort over every band row."""
+    plan = plan_of(spark, "doc_minhash_lsh_pairs")
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan  # no count-over-window formulation
+
+
+def test_public_combine_per_key_lifted_shuffle(spark):
+    """CombinePerKey(CombineFn) through the PUBLIC API shuffles pickled
+    accumulators, never the grouped elements (round-1 review item #4)."""
+    import incubator_beam_spark.core as ibs
+
+    p = ibs.Pipeline(spark)
+
+    class SumFn(ibs.CombineFn):
+        def create_accumulator(self):
+            return 0.0
+
+        def add_input(self, acc, v):
+            return acc + v
+
+        def merge_accumulators(self, accs):
+            return sum(accs)
+
+    pc = p | ibs.Create([("a", 1.0), ("b", 2.0)]) | ibs.CombinePerKey(SumFn())
+    plan = pc.df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan.lower()
+    assert "__acc" in plan  # the accumulator column crosses the exchange
+
+
+def test_write_to_files_single_pass(spark, tmp_path):
+    """Dynamic destinations write in ONE job (partitionBy writer pool) —
+    not one job per destination value."""
+    from pyspark.sql import functions as F
+
+    from incubator_beam_spark import core as ibs
+    from incubator_beam_spark.sources import WriteToFiles
+
+    p = ibs.Pipeline(spark)
+    df = spark.createDataFrame([(i, f"g{i % 5}") for i in range(100)], ["v", "grp"])
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    ibs.PCollection(df, p) | WriteToFiles(
+        str(tmp_path / "o"), destination=F.col("grp"), dest_field="grp"
+    )
+    after = len(tracker.getJobIdsForGroup() or [])
+    # one write job (+ possibly one tiny commit job), never 5 per-dest jobs
+    assert after - before <= 2
