@@ -284,3 +284,117 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         .groupBy("fp")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+# -- near-dup clustering: connected components over candidate pairs ----------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star (the
+    public MapReduce CC algorithm of Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14). Returns ``(node, component)`` with
+    ``component`` = the minimum node id in each component.
+
+    100-TB design: every round is two self-describing shuffles on node id
+    (a groupBy-min plus a co-partitioned join-back — AQE reuses the
+    exchange), edge rows are two longs, and convergence is O(log n)
+    rounds even for path graphs — no driver-side union-find, nothing
+    materializes a whole component on one task. Reference parity: Beam
+    has no CC primitive; this is the composition a Beam user would write
+    on top of GroupByKey (SURVEY.md training-data ops).
+
+    Convergence is detected by an (edge-count, xxhash64 checksum)
+    fixpoint — two scalar aggregates per round, no plan-growing
+    ``subtract``.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    # Iterative lineage MUST be truncated per round (localCheckpoint), or
+    # Catalyst re-analyzes a plan that doubles every iteration. On a real
+    # cluster prefer reliable checkpoint(dir) for executor-loss recovery.
+    e = e.localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: every strictly-larger neighbor of u links to
+        # m = min(N(u) + {u}).
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("minv"))
+        mins = mins.select("u", F.least("minv", "u").alias("m"))
+        lg = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: edges now point large->small; every smaller
+        # neighbor (and u itself) links to the minimum.
+        mins2 = lg.groupBy("u").agg(F.min("v").alias("minv"))
+        sm_n = (
+            lg.join(mins2, "u")
+            .filter(F.col("v") != F.col("minv"))
+            .select(F.col("v").alias("u"), F.col("minv").alias("v"))
+        )
+        sm_self = mins2.select("u", F.col("minv").alias("v"))
+        e_new = sm_n.unionByName(sm_self).filter(F.col("u") != F.col("v")).distinct()
+        e_new = e_new.localCheckpoint(eager=True)
+        row = e_new.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("sig"),
+        ).collect()[0]
+        e = e_new
+        if prev_sig == (row.n, row.sig):
+            break
+        prev_sig = (row.n, row.sig)
+    labels = e.select(F.col("u").alias(node_col), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias(node_col)).distinct().withColumn(
+        "component", F.col(node_col)
+    )
+    out = labels.unionByName(roots)
+    if nodes is not None:
+        all_nodes = nodes.select(F.col(node_col).cast("long").alias(node_col)).distinct()
+        singletons = all_nodes.join(out, node_col, "left_anti").withColumn(
+            "component", F.col(node_col)
+        )
+        out = out.unionByName(singletons)
+    return out
+
+
+def neardup_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    **lsh_kwargs,
+) -> DataFrame:
+    """End-to-end near-dup removal: MinHash-LSH candidate pairs →
+    connected components → keep the minimum doc id per cluster. Returns
+    ``(doc_id, component, is_canonical)`` for every document. Extra
+    kwargs reach ``minhash_lsh_pairs`` (e.g. ``rows_per_band=1`` for
+    high recall on small corpora)."""
+    pairs = minhash_lsh_pairs(
+        docs, id_col=id_col, text_col=text_col, threshold=threshold, **lsh_kwargs
+    )
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", nodes=docs.select(F.col(id_col).alias("node"))
+    )
+    return comp.select(
+        F.col("node").alias(id_col),
+        "component",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

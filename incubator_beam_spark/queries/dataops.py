@@ -602,3 +602,36 @@ def mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wav = d.mapInPandas(synth, synth_schema)
     return audio_meta(wav)
+
+
+@query(
+    "doc_neardup_clusters",
+    oracle="""
+    SELECT doc_id AS node,
+           min(doc_id) OVER (PARTITION BY doc_id // 100) AS component
+    FROM documents
+    """,
+)
+def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components clustering (alternating large-star/small-star)
+    over a deterministic chain graph: consecutive docs within each
+    100-block link pairwise, so every block is one path component — paths
+    are the worst case for CC convergence (O(log n) rounds here vs O(n)
+    for naive label propagation). The oracle predicts the fixpoint as a
+    windowed min per block. The same operator clusters LSH candidate
+    pairs in dedup.neardup_dedup (fixture corpus has no near-dups, so the
+    graph here is synthetic-but-deterministic)."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    block = F.expr("doc_id div 100")
+    w = W.partitionBy("block").orderBy("doc_id")
+    edges = (
+        d.withColumn("block", block)
+        .withColumn("prev", F.lag("doc_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("doc_id").alias("src"), F.col("prev").alias("dst"))
+    )
+    return dedup.connected_components(
+        edges, nodes=d.select(F.col("doc_id").alias("node"))
+    )

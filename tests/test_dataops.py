@@ -258,3 +258,72 @@ def test_wav_header_codec_roundtrip():
     }
     assert parse_wav_meta(b"not a wav") is None
     assert parse_wav_meta(hdr[:20]) is None  # truncated
+
+
+def test_connected_components_vs_union_find(spark):
+    """CC labels must equal a driver-side union-find on a graph with
+    chains (multi-hop), a star, singletons, and duplicate/reversed
+    edges."""
+    import random
+
+    from incubator_beam_spark.dataops.dedup import connected_components
+
+    rng = random.Random(7)
+    n = 200
+    edge_list = [(i, i + 1) for i in range(0, 40)]            # 41-node path
+    edge_list += [(100, t) for t in range(101, 120)]          # star
+    edge_list += [(rng.randrange(140, 180), rng.randrange(140, 180)) for _ in range(30)]
+    edge_list += [(b, a) for a, b in edge_list[:10]]          # reversed dups
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(n)}
+    # canonical root = min of component
+    comp_min = {}
+    for i in range(n):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    expected = {i: comp_min[find(i)] for i in range(n)}
+
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["node"])
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == expected
+
+
+def test_neardup_dedup_end_to_end(spark):
+    """LSH pairs -> CC -> canonical pick groups synthetic near-dups and
+    leaves distinct docs alone."""
+    from incubator_beam_spark.dataops.dedup import neardup_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base + " extra"),          # near-dup of 0
+        (2, base.replace("dog", "cat")),  # near-dup of 0
+        (3, "completely different text about spark catalyst optimizer plans"),
+        (4, "another unrelated document mentioning parquet column pruning"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.component, r.is_canonical)
+        for r in neardup_dedup(docs, rows_per_band=1).collect()
+    }
+    assert out[0] == (0, True)
+    assert out[1][0] == 0 and not out[1][1]
+    assert out[2][0] == 0 and not out[2][1]
+    assert out[3] == (3, True)
+    assert out[4] == (4, True)
