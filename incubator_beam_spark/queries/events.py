@@ -712,3 +712,71 @@ def evt_custom_merging_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed.df.groupBy("user_id", "window_start", "window_end")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "evt_asof_join",
+    oracle="""
+    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+         views  AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           v.event_id AS view_id, v.ts AS view_ts
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+)
+def evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's most recent view at
+    or before it (point-in-time alignment). ONE shuffle — both sides
+    union, hash-partition by user, and the latest view payload rides a
+    last(ignoreNulls) window; the oracle is DuckDB's independent native
+    ASOF JOIN implementation."""
+    from ..dataops.temporal import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("event_id"), "ts"
+    )
+    out = asof_join(clicks, views, on="user_id", left_ts="ts", right_ts="ts")
+    return out.select(
+        "click_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("r_event_id").alias("view_id"),
+        F.col("r_ts").alias("view_ts"),
+    )
+
+
+@query(
+    "evt_range_join",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, min(ts) AS s, min(ts) + INTERVAL 2 HOUR AS e
+      FROM events WHERE event_type = 'view' GROUP BY user_id)
+    SELECT ev.event_id, iv.user_id AS interval_user
+    FROM events ev JOIN iv ON ev.ts >= iv.s AND ev.ts < iv.e
+    WHERE ev.event_type = 'error'
+    """,
+)
+def evt_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with NO equi-key: error events against every user's
+    first-view 2-hour window. The bucketed formulation replaces the
+    cartesian a naive non-equi join needs (BroadcastNestedLoop at scale)
+    with an equi-join on hour buckets + residual filter; the oracle runs
+    the naive range join in DuckDB."""
+    from ..dataops.temporal import range_join
+
+    ev = table(spark, sf_dir, "events")
+    intervals = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s"))
+        .withColumn("e", F.col("s") + F.expr("INTERVAL 2 HOURS"))
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
+    return range_join(errors, intervals, "ts", "s", "e").select(
+        "event_id", F.col("user_id").alias("interval_user")
+    )

@@ -327,3 +327,92 @@ def test_neardup_dedup_end_to_end(spark):
     assert out[2][0] == 0 and not out[2][1]
     assert out[3] == (3, True)
     assert out[4] == (4, True)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    from incubator_beam_spark.dataops.temporal import asof_join
+
+    left = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "b", "c"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:05", "2024-01-01 00:10", "2024-01-01 00:20",
+                 "2024-01-01 00:07", "2024-01-01 00:30", "2024-01-01 00:01"]
+            ),
+            "lv": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "b"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:04", "2024-01-01 00:10", "2024-01-01 00:08",
+                 "2024-01-01 00:25"]
+            ),
+            "rv": [10, 20, 30, 40],
+        }
+    )
+    expected = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"), on="ts", by="k"
+    )
+    got = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right), on="k"
+    ).toPandas()
+    g = {(r.k, r.lv): r.r_rv for r in got.itertuples()}
+    e = {(r.k, r.lv): r.rv for r in expected.itertuples()}
+    import math
+    for key in e:
+        ev_, gv = e[key], g[key]
+        assert (isinstance(ev_, float) and math.isnan(ev_) and gv is None or pd.isna(gv)) or ev_ == gv, (key, ev_, gv)
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    import pandas as pd
+
+    from incubator_beam_spark.dataops.temporal import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a"],
+                      "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00"]),
+                      "lv": [1, 2]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"],
+                      "ts": pd.to_datetime(["2024-01-01 00:30"]),
+                      "rv": [9]})
+    )
+    fwd = {r.lv: r.r_rv for r in asof_join(left, right, on="k", direction="forward").collect()}
+    assert fwd == {1: 9, 2: None}
+    tol = {
+        r.lv: r.r_rv
+        for r in asof_join(left, right, on="k", tolerance_ms=10 * 60 * 1000).collect()
+    }
+    assert tol == {1: None, 2: None}  # 30min gap > 10min tolerance
+    tol2 = {
+        r.lv: r.r_rv
+        for r in asof_join(left, right, on="k", tolerance_ms=45 * 60 * 1000).collect()
+    }
+    assert tol2 == {1: None, 2: 9}
+
+
+def test_range_join_no_cartesian_plan(spark):
+    import pandas as pd
+
+    from incubator_beam_spark.dataops.temporal import range_join
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 00:30", "2024-01-01 05:00"]),
+                      "pid": [1, 2]})
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame({"s": pd.to_datetime(["2024-01-01 00:00"]),
+                      "e": pd.to_datetime(["2024-01-01 02:00"]),
+                      "iid": [7]})
+    )
+    out = range_join(pts, iv, "ts", "s", "e")
+    rows = out.collect()
+    assert [(r.pid, r.iid) for r in rows] == [(1, 7)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
