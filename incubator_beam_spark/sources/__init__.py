@@ -2,6 +2,7 @@
 
 from .io import (  # noqa: F401
     ReadFromAvro,
+    ReadFromBigQuery,
     ReadFromCsv,
     ReadFromJdbc,
     ReadFromJson,
@@ -11,6 +12,7 @@ from .io import (  # noqa: F401
     ReadFromText,
     ReadFromTFRecord,
     WriteToAvro,
+    WriteToBigQuery,
     WriteToCsv,
     WriteToFiles,
     WriteToJson,

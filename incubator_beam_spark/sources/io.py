@@ -218,6 +218,50 @@ class WriteToMongoDB(PTransform):
         return pcoll
 
 
+class ReadFromBigQuery(_Read):
+    """BigQuery (reference ``io/gcp/bigquery.py`` ``ReadFromBigQuery``):
+    delegates to the public spark-bigquery DSv2 connector (storage-API
+    parallel reads, filter/column pushdown planned by the connector).
+    ``query=`` uses the connector's views-materialization path; ``table=``
+    reads directly. Constructed lazily — raises only when used without
+    the connector jar, like the Kafka/JDBC/Mongo wrappers."""
+
+    def __init__(self, table: str | None = None, query: str | None = None, **options: Any):
+        if (table is None) == (query is None):
+            raise ValueError("exactly one of table= or query= is required")
+        super().__init__(table=table, query=query, **options)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        opts = dict(self.options)
+        table, query = opts.pop("table"), opts.pop("query")
+        reader = spark.read.format("bigquery")
+        if query is not None:
+            reader = reader.option("query", query).option(
+                "viewsEnabled", "true"
+            )
+        else:
+            reader = reader.option("table", table)
+        return reader.options(**{k: str(v) for k, v in opts.items()}).load()
+
+
+class WriteToBigQuery(PTransform):
+    """reference ``io/gcp/bigquery.py`` ``WriteToBigQuery``
+    (WRITE_APPEND/WRITE_TRUNCATE map to append/overwrite save modes)."""
+
+    def __init__(self, table: str, mode: str = "append", **options: Any):
+        self.table, self.mode, self.options = table, mode, options
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        (
+            pcoll.df.write.format("bigquery")
+            .mode(self.mode)
+            .option("table", self.table)
+            .options(**{k: str(v) for k, v in self.options.items()})
+            .save()
+        )
+        return pcoll
+
+
 class ReadFromTFRecord(_Read):
     """reference ``io/tfrecordio.py:233``; records become ``element``
     bytes (format details in ``sources/tfrecord.py``)."""

@@ -290,3 +290,20 @@ def test_mongodb_wrappers_construct_lazily(spark):
     r = ReadFromMongoDB("mongodb://localhost", "db", "coll")
     w = WriteToMongoDB("mongodb://localhost", "db", "coll")
     assert r.options["database"] == "db" and w.collection == "coll"
+
+
+def test_bigquery_wrappers_construct_without_connector():
+    import pytest
+
+    from incubator_beam_spark.sources import ReadFromBigQuery, WriteToBigQuery
+
+    r = ReadFromBigQuery(table="proj.ds.tbl")
+    q = ReadFromBigQuery(query="SELECT 1")
+    w = WriteToBigQuery("proj.ds.tbl", mode="overwrite")
+    assert r.options["table"] == "proj.ds.tbl"
+    assert q.options["query"] == "SELECT 1"
+    assert w.mode == "overwrite"
+    with pytest.raises(ValueError):
+        ReadFromBigQuery()
+    with pytest.raises(ValueError):
+        ReadFromBigQuery(table="t", query="q")
