@@ -238,6 +238,46 @@ def ivf_assign(
     )
 
 
+def ivf_assign_probes(
+    emb: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe coarse quantization: each vector maps to its
+    ``nprobe`` nearest centroid cells (by cosine, ties to lower centroid
+    id). Same broadcast + single pass as ``ivf_assign``; the per-vector
+    top-nprobe is a sort_array+slice over the K centroid scores — no
+    window, no extra shuffle. Output has one row per (vector, probe)."""
+    v = emb.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("vn", norm(F.col("v")))
+    c = centroids.select(
+        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    scored = v.join(F.broadcast(c)).withColumn(
+        "cos_c", dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
+    )
+    ranked = F.slice(
+        F.sort_array(
+            F.collect_list(F.struct((-F.col("cos_c")).alias("neg"), F.col("cid")))
+        ),
+        1,
+        nprobe,
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            ranked.alias("probes"),
+            F.first("v").alias("v"),
+            F.first("vn").alias("vn"),
+        )
+        .withColumn("cell", F.explode("probes.cid"))
+        .drop("probes")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -245,17 +285,27 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF approximate top-k (nprobe=1): queries search only their own
-    centroid cell. The scale path for ANN when hyperplane LSH recall is
-    insufficient: cells are data-adaptive (real centroids), cell
-    assignment is a broadcast argmax, and the search join is a cell
-    equi-join — N^2/K bucket-local work, vectors shuffled once by cell.
+    """IVF approximate top-k: queries search their ``nprobe`` nearest
+    centroid cells (corpus vectors live in exactly one cell, so probe
+    expansion multiplies only the small query side — candidate pairs
+    stay unique without a dedup). The scale path for ANN when hyperplane
+    LSH recall is insufficient: cells are data-adaptive (real
+    centroids), cell assignment is a broadcast argmax, and the search
+    join is a cell equi-join — nprobe*N^2/K bucket-local work, corpus
+    vectors shuffled once by cell.
     """
-    qa = ivf_assign(queries, centroids, id_col, vec_col).select(
-        F.col("id").alias("query_id"), F.col("cell"),
-        F.col("v").alias("qv"), F.col("vn").alias("qn"),
-    )
+    if nprobe > 1:
+        qa = ivf_assign_probes(queries, centroids, nprobe, id_col, vec_col).select(
+            F.col("id").alias("query_id"), F.col("cell"),
+            F.col("v").alias("qv"), F.col("vn").alias("qn"),
+        )
+    else:
+        qa = ivf_assign(queries, centroids, id_col, vec_col).select(
+            F.col("id").alias("query_id"), F.col("cell"),
+            F.col("v").alias("qv"), F.col("vn").alias("qn"),
+        )
     ca = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col("id").alias("match_id"), F.col("cell"),
         F.col("v").alias("cv"), F.col("vn").alias("cn"),

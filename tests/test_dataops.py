@@ -416,3 +416,32 @@ def test_range_join_no_cartesian_plan(spark):
     assert [(r.pid, r.iid) for r in rows] == [(1, 7)]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_ivf_multiprobe_recall(spark):
+    """nprobe=2 must dominate nprobe=1 recall vs exact brute force, and
+    its candidate set must be a superset per query."""
+    from pyspark.sql import functions as F
+
+    from incubator_beam_spark.dataops.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = emb.filter(F.col("vec_id") < 8)  # 8 cells
+
+    exact = {
+        (r.query_id, r.match_id)
+        for r in brute_force_topk(queries, emb, k=5).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.match_id)
+            for r in ivf_topk(queries, emb, centroids, k=5, nprobe=nprobe).collect()
+        }
+        return len(got & exact) / len(exact), got
+
+    r1, g1 = recall(1)
+    r2, g2 = recall(2)
+    assert r2 >= r1
+    assert r2 > 0.5  # multiprobe should find most true neighbors here
