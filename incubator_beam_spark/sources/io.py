@@ -341,3 +341,68 @@ class WriteToFiles(PTransform):
         else:
             raise ValueError(f"unsupported format {self.format!r}")
         return pcoll
+
+
+class MatchFiles(_Read):
+    """File matching (reference ``io/fileio.py:176`` ``MatchFiles``):
+    glob pattern → one row per matched file with (path, size,
+    modification time) metadata. Uses the ``binaryFile`` source with the
+    content column PRUNED — Spark's binaryFile reader skips the byte
+    payload when ``content`` is not selected, so matching a million
+    files lists metadata only."""
+
+    def __init__(self, pattern: str, recursive: bool = False):
+        super().__init__(pattern=pattern, recursive=recursive)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return (
+            spark.read.format("binaryFile")
+            .option("recursiveFileLookup", str(self.options["recursive"]).lower())
+            .load(self.options["pattern"])
+            .select(
+                F.col("path"),
+                F.col("length").alias("size_bytes"),
+                F.col("modificationTime").alias("last_updated"),
+            )
+        )
+
+
+class ReadMatches(_Read):
+    """reference ``io/fileio.py:303`` ``ReadMatches``: matched files as
+    ``ReadableFile``-like rows — (path, size, content bytes)."""
+
+    def __init__(self, pattern: str, recursive: bool = False):
+        super().__init__(pattern=pattern, recursive=recursive)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return (
+            spark.read.format("binaryFile")
+            .option("recursiveFileLookup", str(self.options["recursive"]).lower())
+            .load(self.options["pattern"])
+            .select(
+                F.col("path"),
+                F.col("length").alias("size_bytes"),
+                F.col("content"),
+            )
+        )
+
+
+class ReadAllFromText(PTransform):
+    """reference ``io/textio.py:443`` ``ReadAllFromText``: a PCollection
+    of file patterns → lines of every matched file, tagged with source
+    path. The pattern list is metadata (small by construction) and is
+    collected driver-side to plan the scan — the reads themselves stay
+    fully parallel across executors, one task per file split."""
+
+    def __init__(self, column: str = "element"):
+        self.column = column
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        patterns = [r[0] for r in pcoll.df.select(self.column).collect()]
+        spark = pcoll.df.sparkSession
+        df = (
+            spark.read.text(patterns)
+            .withColumn("path", F.input_file_name())
+            .select(F.col("value").alias("element"), "path")
+        )
+        return PCollection(df, pcoll.pipeline)

@@ -61,3 +61,21 @@ def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str = 
     q.processAllAvailable()
     q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def periodic_impulse(
+    spark: SparkSession, fire_interval_sec: float = 1.0, rows_per_second: int | None = None
+) -> DataFrame:
+    """PeriodicImpulse (reference ``transforms/periodicsequence.py:137``):
+    an unbounded stream of (timestamp, value) ticks at a fixed interval —
+    the standard "poll something every N seconds" driver. Maps to Spark's
+    ``rate`` source: rowsPerSecond = 1/interval; the ``value`` column is
+    the monotone tick index exactly like the reference's sequence
+    output."""
+    rps = rows_per_second if rows_per_second is not None else max(1, round(1.0 / fire_interval_sec))
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rps)
+        .load()
+        .select(F.col("timestamp").alias("ts"), F.col("value"))
+    )

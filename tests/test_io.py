@@ -167,3 +167,47 @@ def test_write_to_files_dynamic_destinations(spark, tmp_path):
     assert dirs == ["grp=a", "grp=b", "grp=c"]
     back = spark.read.parquet(str(tmp_path / "out"))
     assert sorted((r.grp, r.v) for r in back.collect()) == sorted(rows)
+
+
+def test_match_files_and_read_matches(spark, tmp_path):
+    from incubator_beam_spark.sources import MatchFiles, ReadMatches
+
+    (tmp_path / "a.txt").write_bytes(b"hello")
+    (tmp_path / "b.txt").write_bytes(b"world!!")
+    meta = MatchFiles(str(tmp_path / "*.txt")).read(spark).collect()
+    assert {(r.path.rsplit("/", 1)[-1], r.size_bytes) for r in meta} == {
+        ("a.txt", 5),
+        ("b.txt", 7),
+    }
+    # metadata-only: the content column must be pruned from the scan
+    plan = (
+        MatchFiles(str(tmp_path / "*.txt"))
+        .read(spark)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "content" not in plan.split("ReadSchema")[-1][:200]
+    rows = ReadMatches(str(tmp_path / "*.txt")).read(spark).collect()
+    assert {bytes(r.content) for r in rows} == {b"hello", b"world!!"}
+
+
+def test_read_all_from_text(spark, tmp_path):
+    import incubator_beam_spark.core as ibs
+    from incubator_beam_spark.sources import ReadAllFromText
+
+    (tmp_path / "x.txt").write_text("l1\nl2\n")
+    (tmp_path / "y.txt").write_text("l3\n")
+    p = ibs.Pipeline(spark)
+    pc = p | ibs.Create([str(tmp_path / "x.txt"), str(tmp_path / "y.txt")])
+    out = (pc | ReadAllFromText()).df.collect()
+    assert sorted(r.element for r in out) == ["l1", "l2", "l3"]
+    assert all(r.path.startswith("file:") for r in out)
+
+
+def test_periodic_impulse_is_rate_stream(spark):
+    from incubator_beam_spark.streaming.source import periodic_impulse
+
+    df = periodic_impulse(spark, fire_interval_sec=0.5)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["ts", "value"]
