@@ -635,3 +635,25 @@ def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(
         edges, nodes=d.select(F.col("doc_id").alias("node"))
     )
+
+
+@query(
+    "emb_inference",
+    oracle="""
+    SELECT vec_id,
+           round(list_sum(list_transform(generate_series(1, len(embedding)),
+                 i -> embedding[i] * (((i - 1) % 7 - 3) / 4.0))), 6) AS score
+    FROM embeddings
+    """,
+)
+def emb_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched model inference (RunInference-style): a deterministic
+    linear scorer runs inside mapInPandas with one model load per python
+    worker; the oracle recomputes the same dot product in SQL. The
+    plumbing (Arrow batching, per-worker model cache, declared output
+    schema, key passthrough) is exactly what a real
+    classifier/embedding-model handler uses."""
+    from ..dataops.inference import LinearScoreHandler, run_inference
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return run_inference(e, LinearScoreHandler(), keep_cols=["vec_id"])

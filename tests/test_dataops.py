@@ -445,3 +445,49 @@ def test_ivf_multiprobe_recall(spark):
     r2, g2 = recall(2)
     assert r2 >= r1
     assert r2 > 0.5  # multiprobe should find most true neighbors here
+
+
+def test_run_inference_loads_model_once_per_worker(spark):
+    import pandas as pd
+
+    from incubator_beam_spark.dataops import inference as inf
+
+    class CountingHandler(inf.LinearScoreHandler):
+        def fingerprint(self):
+            return "counting-handler-test"
+
+        def load(self):
+            import os, tempfile
+            # count loads across worker processes via files
+            tempfile.NamedTemporaryFile(
+                dir=tempfile.gettempdir(), prefix="model_load_count_", delete=False
+            ).close()
+            return super().load()
+
+    import glob, tempfile
+    for f in glob.glob(tempfile.gettempdir() + "/model_load_count_*"):
+        import os
+        os.unlink(f)
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(2000)], ["vec_id", "embedding"]
+    ).repartition(8)
+    out = inf.run_inference(df, CountingHandler(), keep_cols=["vec_id"])
+    n = out.count()
+    assert n == 2000
+    loads = len(glob.glob(tempfile.gettempdir() + "/model_load_count_*"))
+    # at most one load per python worker (<= cores), far fewer than batches
+    assert 1 <= loads <= 32
+
+
+def test_run_inference_scores_match_numpy(spark):
+    import numpy as np
+
+    from incubator_beam_spark.dataops.inference import LinearScoreHandler, run_inference
+
+    rows = [(i, [float(j + i) for j in range(10)]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r.vec_id: r.score for r in run_inference(df, LinearScoreHandler(), keep_cols=["vec_id"]).collect()}
+    w = (np.arange(10) % 7 - 3) / 4.0
+    for i, v in rows:
+        assert abs(got[i] - round(float(np.dot(v, w)), 6)) < 1e-9
