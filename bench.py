@@ -37,6 +37,12 @@ HEADLINE = [
     "emb_neardup_pairs",
     "nexmark_q6_avg_selling_last10",
     "cep_match_recognize",
+    # round-2 additions: TPC-H completion, temporal joins, near-dup
+    # clustering (iterative CC), batched model inference
+    "q2_min_cost_supplier",
+    "evt_asof_join",
+    "doc_neardup_clusters",
+    "emb_inference",
 ]
 
 
