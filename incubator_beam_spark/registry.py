@@ -71,7 +71,6 @@ _PRIORITY: tuple[str, ...] = (
     "doc_text_stats",
     "doc_quality_score",
     "doc_langid",
-    "doc_fingerprint",
     "doc_exact_dedup",
     "doc_minhash_signature",
     "doc_minhash_lsh_pairs",
@@ -85,16 +84,12 @@ _PRIORITY: tuple[str, ...] = (
     "mm_frame_extract",
     # SQL front door
     "sql_tumble",
-    "sql_hop",
     "sql_session",
     "sql_exists_subquery",
     "sql_scalar_subquery",
-    "sql_in_subquery",
     "sql_correlated_avg",
-    "sql_cte_chain",
     "sql_grouping_sets",
     "evt_custom_merging_window",
-    "sql_order_limit_offset",
     "sql_unnest_lateral",
     "io_write_dynamic",
     # event-time windowing + CEP
@@ -104,13 +99,20 @@ _PRIORITY: tuple[str, ...] = (
     "evt_window_reify",
     "evt_timestamp_combiners",
     "evt_group_into_batches",
-    "evt_group_into_batches_sharded",
     "cep_match_recognize",
     # function-suite components named in SURVEY §2 rows
     "fn_regex_suite",
     "fn_json_suite",
     "fn_tostring_kvs",
     "sql_udtf_ngrams",
+    # round-2 novel operators: temporal joins, CC clustering, inference,
+    # audio codec, TPC-H completion representative
+    "evt_asof_join",
+    "evt_range_join",
+    "doc_neardup_clusters",
+    "emb_inference",
+    "mm_audio_meta",
+    "q2_min_cost_supplier",
     # remaining untested combiner components + new round-2 gates
     "win_range_frame",
     "agg_hotkey_fanout",
