@@ -1,0 +1,156 @@
+"""Property-based checks (hypothesis) — the ValidatesRunner analog:
+randomized inputs against independent reference implementations
+(driver-side python, pandas). Example counts are small because each
+example runs a Spark job; the properties target the operators with
+hand-rolled distributed logic (CC, as-of join, lifted combiners) where
+randomized coverage pays the most."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def graphs(draw):
+    n = draw(st.integers(min_value=2, max_value=40))
+    n_edges = draw(st.integers(min_value=0, max_value=60))
+    edges = [
+        (draw(st.integers(0, n - 1)), draw(st.integers(0, n - 1)))
+        for _ in range(n_edges)
+    ]
+    return n, edges
+
+
+@given(graphs())
+@SET
+def test_connected_components_matches_union_find(spark, g):
+    from incubator_beam_spark.dataops.dedup import connected_components
+
+    n, edges = g
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min = {}
+    for i in range(n):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    expected = {i: comp_min[find(i)] for i in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["node"])
+    if edges:
+        e = spark.createDataFrame(edges, ["src", "dst"])
+    else:
+        e = spark.createDataFrame([], "src long, dst long")
+    got = {r.node: r.component for r in connected_components(e, nodes=nodes).collect()}
+    assert got == expected
+
+
+@st.composite
+def asof_frames(draw):
+    keys = ["a", "b"]
+    nl = draw(st.integers(1, 12))
+    nr = draw(st.integers(1, 12))
+    ts = st.integers(0, 10_000)
+    left = pd.DataFrame(
+        {
+            "k": [draw(st.sampled_from(keys)) for _ in range(nl)],
+            "t": pd.to_datetime(
+                sorted(draw(st.lists(ts, min_size=nl, max_size=nl, unique=True))),
+                unit="s",
+            ),
+            "lv": list(range(nl)),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [draw(st.sampled_from(keys)) for _ in range(nr)],
+            "t": pd.to_datetime(
+                sorted(draw(st.lists(ts, min_size=nr, max_size=nr, unique=True))),
+                unit="s",
+            ),
+            "rv": list(range(100, 100 + nr)),
+        }
+    )
+    return left, right
+
+
+@given(asof_frames())
+@SET
+def test_asof_join_matches_merge_asof(spark, frames):
+    from incubator_beam_spark.dataops.temporal import asof_join
+
+    left, right = frames
+    expected = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"), on="t", by="k"
+    )
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="k",
+        left_ts="t",
+        right_ts="t",
+    ).toPandas()
+    g = {r.lv: r.r_rv for r in got.itertuples()}
+    e = {
+        r.lv: (None if pd.isna(r.rv) else int(r.rv)) for r in expected.itertuples()
+    }
+    assert {k: (None if pd.isna(v) else int(v)) for k, v in g.items()} == e
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["x", "y", "z"]), st.floats(0.1, 100.0)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 8),
+)
+@SET
+def test_lifted_combine_per_key_matches_reduce(spark, kvs, parts):
+    import math
+
+    import incubator_beam_spark.core as ibs
+
+    class GeoMean(ibs.CombineFn):
+        def create_accumulator(self):
+            return (0.0, 0)
+
+        def add_input(self, acc, v):
+            return (acc[0] + math.log(v), acc[1] + 1)
+
+        def merge_accumulators(self, accs):
+            return (sum(a for a, _ in accs), sum(n for _, n in accs))
+
+        def extract_output(self, acc):
+            return math.exp(acc[0] / acc[1]) if acc[1] else 0.0
+
+    p = ibs.Pipeline(spark)
+    pc = p | ibs.Create(kvs)
+    pc = ibs.PCollection(pc.df.repartition(parts), p)
+    got = {r.key: r.value for r in (pc | ibs.CombinePerKey(GeoMean())).df.collect()}
+
+    expected = {}
+    for k, v in kvs:
+        s, n = expected.get(k, (0.0, 0))
+        expected[k] = (s + math.log(v), n + 1)
+    expected = {k: math.exp(s / n) for k, (s, n) in expected.items()}
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-9 * max(1.0, expected[k])
