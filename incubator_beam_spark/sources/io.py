@@ -69,11 +69,24 @@ class ReadFromAvro(_Read):
 
 
 class ReadFromCsv(_Read):
-    def __init__(self, path: str, header: bool = True, schema: str | None = None):
-        super().__init__(path=path, header=header, schema=schema)
+    """CSV with malformed-row policy: ``mode`` is PERMISSIVE (capture the
+    raw bad line in ``_corrupt_record`` — add that column to the schema),
+    DROPMALFORMED, or FAILFAST. At curation scale (web-scraped CSVs)
+    PERMISSIVE + a corrupt-record sink is the standard quarantine
+    pattern; a crashing pipeline loses the whole partition's work."""
+
+    def __init__(
+        self,
+        path: str,
+        header: bool = True,
+        schema: str | None = None,
+        mode: str = "PERMISSIVE",
+    ):
+        super().__init__(path=path, header=header, schema=schema, mode=mode)
 
     def read(self, spark: SparkSession) -> DataFrame:
         reader = spark.read.option("header", str(self.options["header"]).lower())
+        reader = reader.option("mode", self.options["mode"])
         if self.options["schema"]:
             reader = reader.schema(self.options["schema"])
         else:
@@ -82,11 +95,14 @@ class ReadFromCsv(_Read):
 
 
 class ReadFromJson(_Read):
-    def __init__(self, path: str, schema: str | None = None):
-        super().__init__(path=path, schema=schema)
+    """JSON-lines with the same malformed-record policy as ReadFromCsv
+    (``_corrupt_record`` capture under PERMISSIVE)."""
+
+    def __init__(self, path: str, schema: str | None = None, mode: str = "PERMISSIVE"):
+        super().__init__(path=path, schema=schema, mode=mode)
 
     def read(self, spark: SparkSession) -> DataFrame:
-        reader = spark.read
+        reader = spark.read.option("mode", self.options["mode"])
         if self.options["schema"]:
             reader = reader.schema(self.options["schema"])
         return reader.json(self.options["path"])

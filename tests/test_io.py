@@ -211,3 +211,33 @@ def test_periodic_impulse_is_rate_stream(spark):
     df = periodic_impulse(spark, fire_interval_sec=0.5)
     assert df.isStreaming
     assert [f.name for f in df.schema.fields] == ["ts", "value"]
+
+
+def test_json_corrupt_record_quarantine(spark, tmp_path):
+    from incubator_beam_spark.sources import ReadFromJson
+
+    f = tmp_path / "docs.jsonl"
+    f.write_text('{"id": 1, "t": "ok"}\n{broken!!\n{"id": 2, "t": "fine"}\n')
+    schema = "id long, t string, _corrupt_record string"
+    df = ReadFromJson(str(f), schema=schema).read(spark).cache()
+    good = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert sorted(r.id for r in good.collect()) == [1, 2]
+    assert bad.count() == 1 and "{broken!!" in bad.collect()[0]._corrupt_record
+    dropped = ReadFromJson(str(f), schema="id long, t string", mode="DROPMALFORMED").read(spark)
+    assert dropped.count() == 2
+
+
+def test_csv_malformed_modes(spark, tmp_path):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from incubator_beam_spark.sources import ReadFromCsv
+
+    f = tmp_path / "d.csv"
+    f.write_text("a,b\n1,x\n2,y,EXTRA,COLS\n3,z\n")
+    schema = "a long, b string"
+    dropped = ReadFromCsv(str(f), schema=schema, mode="DROPMALFORMED").read(spark)
+    assert sorted(r.a for r in dropped.collect()) == [1, 3]
+    with pytest.raises(Exception):
+        ReadFromCsv(str(f), schema=schema, mode="FAILFAST").read(spark).collect()
