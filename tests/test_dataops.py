@@ -491,3 +491,53 @@ def test_run_inference_scores_match_numpy(spark):
     w = (np.arange(10) % 7 - 3) / 4.0
     for i, v in rows:
         assert abs(got[i] - round(float(np.dot(v, w)), 6)) < 1e-9
+
+
+def test_asof_join_hot_key_stress(spark):
+    """One key owning ~200k rows must stream through the single-shuffle
+    asof plan without driver-side materialization (documents the skew
+    caveat: per-key work lands on one task, bounded by sort not memory
+    explosion)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from incubator_beam_spark.dataops.temporal import asof_join
+
+    n = 200_000
+    left = (
+        spark.range(n)
+        .select(
+            F.lit("hot").alias("k"),
+            F.timestamp_micros((F.col("id") * 1000 + 500).cast("long")).alias("ts"),
+            F.col("id").alias("lv"),
+        )
+    )
+    right = (
+        spark.range(n // 10)
+        .select(
+            F.lit("hot").alias("k"),
+            F.timestamp_micros((F.col("id") * 10_000).cast("long")).alias("ts"),
+            F.col("id").alias("rv"),
+        )
+    )
+    out = asof_join(left, right, on="k")
+    assert out.count() == n
+    # spot-check the as-of invariant on a sample
+    sample = out.filter(F.col("lv").isin(0, 12345, 199_999)).collect()
+    for r in sample:
+        assert r.r_rv == min((r.lv * 1000 + 500) // 10_000, n // 10 - 1)
+
+
+def test_connected_components_mega_star(spark):
+    """A 100k-edge star (worst-case hot node) converges in few rounds
+    with min-aggregates only — nothing materializes the component."""
+    from pyspark.sql import functions as F
+
+    from incubator_beam_spark.dataops.dedup import connected_components
+
+    edges = spark.range(1, 100_001).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+    )
+    out = connected_components(edges)
+    assert out.count() == 100_001
+    assert out.filter(F.col("component") != 0).count() == 0
