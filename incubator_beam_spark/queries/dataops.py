@@ -657,3 +657,67 @@ def emb_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return run_inference(e, LinearScoreHandler(), keep_cols=["vec_id"])
+
+
+_QUALITY_SQL = """
+    SELECT doc_id,
+           round(
+             (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.4 ELSE 0.0 END)
+             + least((len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in)\\b'))
+                      / len(string_split_regex(trim(text), '\\s+'))) * 2, 0.4)
+             + (CASE WHEN length(regexp_replace(text, '[^.,!?;:]', '', 'g')) / length(text) <= 0.1
+                     THEN 0.2 ELSE 0.0 END), 4) AS quality
+    FROM documents
+"""
+
+
+@query(
+    "doc_quality_filter",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SQL}),
+    t AS (SELECT quantile_cont(quality, 0.25) AS thresh FROM q)
+    SELECT q.doc_id, q.quality FROM q, t WHERE q.quality >= t.thresh
+    """,
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold corpus filtering: keep documents at or above the
+    25th-percentile quality score — the standard percentile-cut curation
+    step. The threshold is an EXACT percentile here (deterministic vs the
+    oracle's quantile_cont; safe because interpolated thresholds fall
+    strictly between data points); at 100 TB swap in percentile_approx —
+    the plan shape (scan-side score, 1-row broadcast threshold, scan-side
+    filter) is identical."""
+    d = table(spark, sf_dir, "documents")
+    q = d.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+    thresh = q.agg(F.expr("percentile(quality, 0.25)").alias("thresh"))
+    return (
+        q.join(F.broadcast(thresh))
+        .filter(F.col("quality") >= F.col("thresh"))
+        .select("doc_id", "quality")
+    )
+
+
+@query(
+    "doc_vocab_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKENS}) AS token FROM documents)
+    SELECT token, count(*) AS n
+    FROM tok GROUP BY token
+    ORDER BY n DESC, token LIMIT 100
+    """,
+)
+def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode the BPE-ish token stream, count, top
+    100 by frequency (deterministic tie-break on token). The vocab-build
+    shape: tokens explode AFTER projecting text only, the count shuffle
+    carries (token, partial-count) pairs, and the top-k is a
+    TakeOrderedAndProject — no global sort materializes."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(text.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(100)
+    )
