@@ -370,8 +370,8 @@ def agg_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
            rank()         OVER w AS rnk,
            dense_rank()   OVER w AS drnk,
            ntile(4)       OVER w AS quartile,
-           round(percent_rank() OVER w, 6) AS prank,
-           round(cume_dist()    OVER w, 6) AS cdist
+           CAST(round(percent_rank() OVER w * 1e6) AS BIGINT) AS prank_ppm,
+           CAST(round(cume_dist()    OVER w * 1e6) AS BIGINT) AS cdist_ppm
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
     """,
@@ -387,8 +387,10 @@ def win_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("prank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        # parts-per-million integers: round(x*1e6) dodges engine-specific
+        # rounding of doubles landing exactly on a decimal .5 boundary
+        F.round(F.percent_rank().over(w) * 1e6).cast("long").alias("prank_ppm"),
+        F.round(F.cume_dist().over(w) * 1e6).cast("long").alias("cdist_ppm"),
     )
 
 

@@ -443,7 +443,7 @@ def nexmark_q4_avg_closing(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts DESC, event_id DESC) AS rn
       FROM events WHERE event_type = 'purchase')
-    SELECT user_id, round(avg(value), 2) AS avg_last10
+    SELECT user_id, CAST(round(avg(value) * 100) AS BIGINT) AS avg_last10_cents
     FROM ranked WHERE rn <= 10 GROUP BY user_id
     """,
 )
@@ -459,7 +459,10 @@ def nexmark_q6_avg_selling_last10(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
         .groupBy("user_id")
-        .agg(F.round(F.avg("value"), 2).alias("avg_last10"))
+        # integer cents: round(avg*100) avoids engine-specific HALF_UP vs
+        # half-away disagreement on doubles that land exactly on a decimal
+        # .5 boundary (bites at sf>=0.1)
+        .agg(F.round(F.avg("value") * 100).cast("long").alias("avg_last10_cents"))
     )
 
 

@@ -873,7 +873,8 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey AS m_partkey, min(cost) AS min_cost
       FROM esupply GROUP BY l_partkey)
     SELECT p_partkey, p_name, s_name, n_name,
-           round(s_acctbal, 2) AS acctbal, round(cost, 4) AS cost
+           round(s_acctbal, 2) AS acctbal,
+           CAST(round(cost * 10000) AS BIGINT) AS cost_e4
     FROM esupply
     JOIN minc ON l_partkey = m_partkey AND cost = min_cost
     JOIN part ON p_partkey = l_partkey
@@ -919,7 +920,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "n_name",
             F.round("s_acctbal", 2).alias("acctbal"),
-            F.round("cost", 4).alias("cost"),
+            # e4 integer units: round(cost*1e4) avoids engine-specific
+            # HALF_UP vs half-away rounding at exact .5 decimal boundaries
+            F.round(F.col("cost") * 10000).cast("long").alias("cost_e4"),
         )
         .orderBy(F.desc("acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)

@@ -7,7 +7,11 @@ same parquet tables. The driver hash-compares the two at sf0.01.
 
 Convention: alias every computed column identically in the Spark plan and
 the oracle, and ``ROUND`` floating-point aggregates on BOTH sides so the
-value-hash is insensitive to summation order.
+value-hash is insensitive to summation order. For ratios/averages whose
+true value can land exactly on a decimal .5 boundary, emit INTEGER units
+(``CAST(round(x * 10^k) AS BIGINT)``) instead of ``round(x, k)`` —
+engines disagree on HALF_UP vs half-away rounding of such doubles
+(surfaces at sf>=0.1).
 """
 
 from __future__ import annotations
