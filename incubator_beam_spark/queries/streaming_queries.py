@@ -173,3 +173,53 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_event",
     )
     return _drain(j, "append")
+
+
+@query(
+    "stream_asof_enrich",
+    oracle="""
+    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+         views  AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           v.event_id AS view_id, v.ts AS view_ts
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+)
+def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming enrichment: the click stream as-of joins a STATIC view
+    dimension inside foreachBatch — the production shape for
+    point-in-time feature lookup against a slowly-changing table (the
+    window function inside asof_join is legal per micro-batch, not on the
+    unbounded stream itself). Against a static right side the result is
+    batching-invariant, so the oracle is the identical batch ASOF JOIN."""
+    import tempfile
+
+    from ..catalog import table as batch_table
+    from ..dataops.temporal import asof_join
+
+    clicks = stream_table(spark, sf_dir, "events", max_files_per_trigger=1).filter(
+        F.col("event_type") == "click"
+    ).select("user_id", F.col("event_id").alias("click_id"), "ts")
+    views = batch_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    ).select("user_id", "event_id", "ts")
+
+    out_dir = tempfile.mkdtemp(prefix="stream_asof_")
+
+    def enrich(batch_df: DataFrame, _bid: int) -> None:
+        enriched = asof_join(batch_df, views, on="user_id", left_ts="ts", right_ts="ts")
+        enriched.select(
+            "click_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("r_event_id").alias("view_id"),
+            F.col("r_ts").alias("view_ts"),
+        ).write.mode("append").parquet(out_dir)
+
+    q = clicks.writeStream.foreachBatch(enrich).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
