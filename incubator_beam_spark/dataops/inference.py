@@ -86,11 +86,13 @@ def run_inference(
     df: DataFrame,
     handler: ModelHandler,
     keep_cols: list[str] | None = None,
+    num_inferences: Any = None,
 ) -> DataFrame:
     """Attach model predictions to every row. ``keep_cols`` (default: all
     input columns) pass through unchanged next to the prediction columns
     — the KeyedModelHandler pattern: keys ride along, never enter the
-    model."""
+    model. Pass a ``Metrics.counter`` accumulator as ``num_inferences``
+    to count scored rows executor-side."""
     keep = list(df.columns) if keep_cols is None else list(keep_cols)
     out_fields = [df.schema[c] for c in keep] + list(handler.output_schema().fields)
     out_schema = T.StructType(out_fields)
@@ -104,6 +106,8 @@ def run_inference(
         for pdf in batches:
             preds = handler.predict_batch(model, pdf)
             preds.index = pdf.index
+            if num_inferences is not None:
+                num_inferences.add(len(pdf))
             yield pd.concat([pdf[keep], preds], axis=1)
 
     return df.mapInPandas(infer, out_schema)

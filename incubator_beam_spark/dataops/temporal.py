@@ -10,7 +10,12 @@ Scale design:
 - ``asof_join`` is ONE shuffle: union both sides, hash-partition by key,
   sort by (ts, side) inside each partition, and carry the latest right
   payload forward with ``last(..., ignoreNulls=True)``. No range
-  explosion, no per-key driver loop; skew handling falls out of AQE.
+  explosion, no per-key driver loop. Skew caveat: a window partition
+  cannot be split (AQE skew handling does not apply to Window), so one
+  pathological key's rows land on one task — bounded by that task's sort
+  spill, not memory (see the hot-key stress test); time-bucket the key
+  (key, ts_bucket) with per-bucket seeding if a single key exceeds task
+  disk.
 - ``range_join`` buckets time so the non-equi predicate becomes an
   equi-join on bucket id + a residual filter — a cartesian becomes
   |buckets-overlapped| replicated rows. Pick ``bucket`` near the typical

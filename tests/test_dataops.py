@@ -541,3 +541,15 @@ def test_connected_components_mega_star(spark):
     out = connected_components(edges)
     assert out.count() == 100_001
     assert out.filter(F.col("component") != 0).count() == 0
+
+
+def test_run_inference_counts_via_metrics(spark):
+    from incubator_beam_spark.dataops.inference import LinearScoreHandler, run_inference
+    from incubator_beam_spark.metrics import Metrics
+
+    ctr = Metrics.counter(spark, "num_inferences")
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(500)], ["vec_id", "embedding"]
+    )
+    run_inference(df, LinearScoreHandler(), keep_cols=["vec_id"], num_inferences=ctr).count()
+    assert ctr.value == 500
