@@ -398,3 +398,87 @@ def neardup_dedup(
         "component",
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two BIGINT-packed hashes (popcount of
+    XOR) — ``bit_count`` is a codegen'd JVM intrinsic."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_distance: int = 3,
+    n_bands: int | None = None,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance with pigeonhole
+    banding: split the ``bits``-bit hash into ``n_bands`` contiguous
+    bands (default ``max_distance + 1``); any pair within
+    ``max_distance`` differs in at most ``max_distance`` bands, so BY
+    PIGEONHOLE at least one band matches EXACTLY — candidate generation
+    is an equi-join on (band_idx, band_value), never a cross product,
+    and recall is 100% (unlike probabilistic MinHash banding). The exact
+    ``bit_count`` filter then drops false candidates.
+
+    Scale shape mirrors ``minhash_lsh_pairs``: signatures computed
+    scan-side, one Exchange reused per band, hot buckets (e.g. simhash 0
+    from empty docs) dropped via map-side-combined count + broadcast
+    anti-join."""
+    if n_bands is None:
+        n_bands = max_distance + 1
+    band_width = bits // n_bands
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash64(F.col(text_col), bits=bits).alias("sh"),
+    )
+    sig = ensure_parallelism(sig).repartition("doc_id")
+
+    mask = (1 << band_width) - 1
+    bands = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("sh", i * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    if max_bucket is not None:
+        hot = (
+            bands.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket)
+            .select("band", "key")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "key"], "left_anti")
+
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            hamming64(F.col("l.sh"), F.col("r.sh")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_distance)
+        .distinct()
+    )

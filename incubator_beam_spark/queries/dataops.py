@@ -721,3 +721,44 @@ def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(100)
     )
+
+
+def _simhash_pairs_oracle(bits: int = 32, n_bands: int = 4, max_bucket: int = 1000) -> str:
+    hashes = f"list_transform({_TOKENS}, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)"
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(h, x -> (x >> {b}) & 1 = 1)) >= len(h) "
+        f"THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(bits)
+    )
+    bw = bits // n_bands
+    mask = (1 << bw) - 1
+    return f"""
+    WITH h_t AS (SELECT doc_id, {hashes} AS h FROM documents),
+    s AS (SELECT doc_id, {terms} AS sh FROM h_t),
+    bands AS (
+      SELECT doc_id, sh, b, (sh >> (b * {bw})) & {mask} AS key
+      FROM s, unnest(generate_series(0, {n_bands - 1})) AS t(b)),
+    capped AS (
+      SELECT bands.* FROM bands
+      ANTI JOIN (SELECT b, key FROM bands
+                 GROUP BY b, key HAVING count(*) > {max_bucket}) hot
+      USING (b, key)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                      l.sh AS sha, r.sh AS shb
+      FROM capped l JOIN capped r
+        ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id)
+    SELECT id_a, id_b, bit_count(xor(sha, shb)) AS dist
+    FROM cand WHERE bit_count(xor(sha, shb)) <= 3
+    """
+
+
+@query("doc_simhash_pairs", oracle=_simhash_pairs_oracle())
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole banding: 32-bit hash split
+    into 4 bands of 8; Hamming-distance <= 3 implies at least one band
+    matches exactly, so candidate generation is an equi-join with 100%
+    recall (deterministic, unlike probabilistic MinHash banding). The
+    fixture corpus has no near-dups, so non-empty behavior is exercised
+    in tests with synthetic documents."""
+    return dedup.simhash_pairs(table(spark, sf_dir, "documents"))

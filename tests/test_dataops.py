@@ -553,3 +553,32 @@ def test_run_inference_counts_via_metrics(spark):
     )
     run_inference(df, LinearScoreHandler(), keep_cols=["vec_id"], num_inferences=ctr).count()
     assert ctr.value == 500
+
+
+def test_simhash_pairs_finds_near_dups_with_guaranteed_recall(spark):
+    from pyspark.sql import functions as F
+
+    from incubator_beam_spark.dataops.dedup import simhash64, simhash_pairs
+
+    base = ("spark catalyst optimizes declarative dataframe plans with "
+            "predicate pushdown column pruning and whole stage codegen "
+            "for efficient distributed execution at scale today")
+    rows = [
+        (0, base),
+        (1, base),                                  # exact dup -> dist 0
+        (2, base.replace("today", "tomorrow")),     # near dup
+        (3, "completely unrelated short text about wav audio headers"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.id_a, r.id_b): r.dist for r in simhash_pairs(docs).collect()}
+    assert pairs[(0, 1)] == 0
+    # pigeonhole guarantee: every pair with true distance <= 3 MUST appear
+    sh = {r.doc_id: r.sh for r in docs.select(
+        "doc_id", simhash64(F.col("text")).alias("sh")).collect()}
+    for a in range(4):
+        for b in range(a + 1, 4):
+            true_d = bin(sh[a] ^ sh[b]).count("1")
+            if true_d <= 3:
+                assert (a, b) in pairs and pairs[(a, b)] == true_d
+            else:
+                assert (a, b) not in pairs
