@@ -148,3 +148,83 @@ def pii_counts(text: Column) -> dict[str, Column]:
         tag: F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long")
         for tag, pat in PII_PATTERNS.items()
     }
+
+
+def nfc_normalize_df(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Unicode NFC + lower + whitespace-collapse normalization — the
+    canonical pre-dedup text canonicalization. NFC runs in an Arrow
+    batch (Python ``unicodedata`` — Spark SQL has no normalization
+    builtin); case-folding and whitespace collapse stay JVM-side so the
+    heavy string work is codegen'd. Differential oracle: DuckDB's native
+    ``nfc_normalize``."""
+    import unicodedata
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("__nfc", T.StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "__nfc": [
+                        unicodedata.normalize("NFC", t) if t is not None else None
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    nfc = df.select(id_col, text_col).mapInPandas(run, schema)
+    return nfc.select(
+        id_col,
+        F.regexp_replace(F.lower(F.trim(F.col("__nfc"))), r"\s+", " ").alias(
+            "norm_text"
+        ),
+    )
+
+
+def compression_ratio_df(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Compression-ratio quality signal (Gopher/RefinedWeb-style):
+    zlib-compressed size / raw size — low ratios flag boilerplate or
+    repetitive machine-generated text. Deterministic (fixed zlib level),
+    computed in Arrow batches; bytes never shuffle, only (id, ratio)."""
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("compression_ratio", T.DoubleType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ratios = []
+            for t in pdf[text_col]:
+                if not t:
+                    ratios.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                ratios.append(round(len(zlib.compress(raw, 6)) / len(raw), 6))
+            yield pd.DataFrame({id_col: pdf[id_col], "compression_ratio": ratios})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def stratified_sample(df, strata_col: str, fractions: dict, seed: int = 7):
+    """Stratified (per-class) sampling for corpus rebalancing —
+    ``sampleBy`` with a pinned seed: Bernoulli per row, no shuffle, scan
+    stays parallel. Fractions outside [0,1] raise; absent strata drop."""
+    return df.sampleBy(strata_col, fractions, seed)

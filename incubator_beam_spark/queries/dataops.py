@@ -762,3 +762,41 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture corpus has no near-dups, so non-empty behavior is exercised
     in tests with synthetic documents."""
     return dedup.simhash_pairs(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_normalize",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g')
+             AS norm_text
+    FROM documents
+    """,
+)
+def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization + case-fold + whitespace collapse —
+    differentially checked against DuckDB's independent nfc_normalize
+    implementation (combining-character cases exercised in unit tests;
+    fixture text is ASCII so the gate checks the plumbing + fold/collapse
+    parity)."""
+    return text.nfc_normalize_df(table(spark, sf_dir, "documents"))
+
+
+@query("doc_compression_ratio")
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (rows-only: DuckDB has no
+    zlib; determinism is pinned by fixed level 6 and checked in unit
+    tests against direct python zlib)."""
+    return text.compression_ratio_df(table(spark, sf_dir, "documents"))
+
+
+@query("doc_stratified_sample")
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sample (corpus rebalancing; rows-only:
+    Bernoulli sampling is engine-specific by construction). Seeded, so
+    repeated runs are identical."""
+    d = table(spark, sf_dir, "documents")
+    return text.stratified_sample(
+        d.select("doc_id", "lang"), "lang",
+        {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.1}, seed=7,
+    )

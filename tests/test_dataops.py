@@ -582,3 +582,47 @@ def test_simhash_pairs_finds_near_dups_with_guaranteed_recall(spark):
                 assert (a, b) in pairs and pairs[(a, b)] == true_d
             else:
                 assert (a, b) not in pairs
+
+
+def test_nfc_normalize_combining_chars(spark):
+    from incubator_beam_spark.dataops.text import nfc_normalize_df
+
+    docs = spark.createDataFrame(
+        [(0, "Café   du  Parc"), (1, "already nfc"), (2, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.norm_text for r in nfc_normalize_df(docs).collect()}
+    assert got[0] == "café du parc"     # e + combining acute -> é, collapsed ws
+    assert got[1] == "already nfc"
+    assert got[2] is None
+
+
+def test_compression_ratio_orders_repetitive_below_random(spark):
+    import zlib
+
+    from incubator_beam_spark.dataops.text import compression_ratio_df
+
+    rep = "spam " * 500
+    import random
+
+    rng = random.Random(0)
+    rnd = "".join(chr(rng.randrange(33, 123)) for _ in range(2500))
+    docs = spark.createDataFrame([(0, rep), (1, rnd)], "doc_id long, text string")
+    got = {r.doc_id: r.compression_ratio for r in compression_ratio_df(docs).collect()}
+    assert got[0] < 0.05 < got[1]
+    raw = rep.encode()
+    assert got[0] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    from incubator_beam_spark.dataops.text import stratified_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    s1 = stratified_sample(d, "lang", {"en": 0.5, "de": 0.1}, seed=7)
+    s2 = stratified_sample(d, "lang", {"en": 0.5, "de": 0.1}, seed=7)
+    r1 = sorted(r.doc_id for r in s1.collect())
+    assert r1 == sorted(r.doc_id for r in s2.collect())   # seeded determinism
+    langs = {r.lang for r in s1.collect()}
+    assert langs <= {"en", "de"}                          # absent strata dropped
