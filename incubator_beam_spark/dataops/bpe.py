@@ -1,0 +1,108 @@
+"""Distributed BPE merge learning (byte-pair encoding vocabulary).
+
+The scalable formulation (Sennrich et al. 2016, public): train on the
+DISTINCT-WORD HISTOGRAM, not the corpus — at 100 TB the corpus has ~10^7
+distinct words regardless of raw size, so after one corpus-wide
+word-count shuffle every BPE iteration touches only the histogram.
+
+Each of the ``k`` iterations is: adjacent-pair counts weighted by word
+frequency (one partial-agg shuffle over distinct words) → global argmax
+(1-row collect, deterministic tie-break) → greedy left-to-right merge
+applied INSIDE a single ``F.aggregate`` pass per word (no UDF) →
+``localCheckpoint`` to stop the iterative plan growing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "▁"  # sentencepiece-style marker appended to each word
+
+
+def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — the one corpus-sized shuffle."""
+    words = docs.select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+        ).alias("word")
+    ).filter(F.col("word") != "")
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def _merge_pair(sym: F.Column, a: str, b: str) -> F.Column:
+    """Greedy left-to-right merge of adjacent (a, b) inside a symbol
+    array, as one aggregate pass (matches reference BPE semantics:
+    'aaaa' + (a,a) -> [aa, aa])."""
+    merged = a + b
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda out, s: F.when(
+            (F.size(out) > 0)
+            & (F.element_at(out, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(out, 1, F.size(out) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(out, F.array(s))),
+    )
+
+
+def bpe_learn(
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``k`` BPE merges; returns [(step, left, right, weight)].
+    Ties break on (left, right) lexicographic so results are
+    deterministic across partitionings and engines."""
+    hist = word_histogram(docs, text_col)
+    syms = hist.select(
+        "freq",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))
+        ).alias("sym"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(k):
+        pairs = (
+            # fully-merged single-symbol words have no pairs (and
+            # sequence(1, 0) would DESCEND, indexing out of bounds)
+            syms.filter(F.size("sym") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("sym") - 1),
+                        lambda i: F.struct(
+                            F.element_at("sym", i).alias("a"),
+                            F.element_at("sym", i.cast("int") + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("w"))
+            .orderBy(F.desc("w"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        best = pairs[0]
+        merges.append((step, best.a, best.b, best.w))
+        syms = syms.select(
+            "freq", _merge_pair(F.col("sym"), best.a, best.b).alias("sym")
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_merges_df(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
+    """The learned merge table as a DataFrame (gate-query shape)."""
+    spark = docs.sparkSession
+    rows = bpe_learn(docs, k, text_col)
+    return spark.createDataFrame(
+        rows, "step int, left string, right string, weight long"
+    )

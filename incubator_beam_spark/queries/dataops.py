@@ -800,3 +800,14 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang"), "lang",
         {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.1}, seed=7,
     )
+
+
+@query("doc_bpe_merges")
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merge rules learned distributed over the corpus
+    word histogram (rows-only: k chained argmax iterations are not
+    one-shot SQL; determinism is pinned by lexicographic tie-breaks and
+    checked against a pure-python BPE reference in tests)."""
+    from ..dataops.bpe import bpe_merges_df
+
+    return bpe_merges_df(table(spark, sf_dir, "documents"), k=8)

@@ -626,3 +626,53 @@ def test_stratified_sample_deterministic_and_bounded(spark):
     assert r1 == sorted(r.doc_id for r in s2.collect())   # seeded determinism
     langs = {r.lang for r in s1.collect()}
     assert langs <= {"en", "de"}                          # absent strata dropped
+
+
+def _ref_bpe(texts, k):
+    import collections
+    import re
+
+    from incubator_beam_spark.dataops.bpe import END_OF_WORD
+
+    hist = collections.Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.lower().strip()).split(" "):
+            if w:
+                hist[w] += 1
+    syms = {w: list(w) + [END_OF_WORD] for w in hist}
+    merges = []
+    for step in range(k):
+        pc = collections.Counter()
+        for w, f in hist.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        maxw = max(pc.values())
+        a, b = sorted(p for p, wt in pc.items() if wt == maxw)[0]
+        merges.append((step, a, b, maxw))
+        for w in syms:
+            out = []
+            for c in syms[w]:
+                if out and out[-1] == a and c == b:
+                    out[-1] = a + b
+                else:
+                    out.append(c)
+            syms[w] = out
+    return merges
+
+
+def test_bpe_learn_matches_python_reference(spark):
+    from incubator_beam_spark.dataops.bpe import bpe_learn
+
+    corpora = [
+        ["low lower lowest low low", "new newer newest new"],
+        ["aaaa aaa aa a", "ab ab ab abc"],          # greedy-merge stress
+        ["the the the quick quick brown fox"],
+    ]
+    for texts in corpora:
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        assert bpe_learn(docs, 5) == _ref_bpe(texts, 5), texts
