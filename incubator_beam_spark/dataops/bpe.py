@@ -106,3 +106,30 @@ def bpe_merges_df(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
     return spark.createDataFrame(
         rows, "step int, left string, right string, weight long"
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize with a learned merge table: apply merges in rank order
+    (standard BPE inference). Each merge is one array pass; the whole
+    chain stays a single codegen'd projection over the scan — per
+    document: split to chars, fold k merges, return tokens + count."""
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    def encode_word(w: F.Column) -> F.Column:
+        sym = F.concat(F.split(w, ""), F.array(F.lit(END_OF_WORD)))
+        for _, a, b, _w in merges:
+            sym = _merge_pair(sym, a, b)
+        return sym
+
+    toks = F.flatten(F.transform(words, encode_word))
+    return docs.select(
+        F.col(id_col),
+        toks.alias("tokens"),
+        F.size(toks).alias("n_tokens"),
+    )

@@ -676,3 +676,31 @@ def test_bpe_learn_matches_python_reference(spark):
             [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
         )
         assert bpe_learn(docs, 5) == _ref_bpe(texts, 5), texts
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    from incubator_beam_spark.dataops.bpe import END_OF_WORD, bpe_encode, bpe_learn
+
+    texts = ["low lower lowest low low", "new newer newest new"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_learn(docs, 4)
+    out = {r.doc_id: list(r.tokens) for r in bpe_encode(docs, merges).collect()}
+
+    # python reference applying the same merges in order
+    def enc(w):
+        s = list(w) + [END_OF_WORD]
+        for _, a, b, _wt in merges:
+            o = []
+            for c in s:
+                if o and o[-1] == a and c == b:
+                    o[-1] = a + b
+                else:
+                    o.append(c)
+            s = o
+        return s
+
+    for i, t in enumerate(texts):
+        expected = [tok for w in t.split() for tok in enc(w)]
+        assert out[i] == expected, (i, out[i], expected)
