@@ -811,3 +811,49 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dataops.bpe import bpe_merges_df
 
     return bpe_merges_df(table(spark, sf_dir, "documents"), k=8)
+
+
+@query(
+    "mm_image_meta",
+    oracle="""
+    SELECT doc_id,
+           (64 + (doc_id % 8) * 32)::INTEGER AS width,
+           (64 + (doc_id % 5) * 48)::INTEGER AS height,
+           8::INTEGER AS bit_depth,
+           (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 6 END)::INTEGER AS color_type,
+           (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END)::INTEGER AS n_channels
+    FROM documents
+    """,
+)
+def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image metadata with a REAL codec: PNG headers synthesized per
+    document (dimensions derived from doc_id), parsed back by the
+    pure-byte IHDR reader with CRC32 verification — the oracle predicts
+    the parse output arithmetically. Same plumbing contract as
+    mm_audio_meta: payloads stay inside mapInPandas stages."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..dataops.multimodal import encode_png_header, image_meta
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                encode_png_header(
+                    width=64 + (int(i) % 8) * 32,
+                    height=64 + (int(i) % 5) * 48,
+                    color_type=2 if int(i) % 2 == 0 else 6,
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return image_meta(d.mapInPandas(synth, synth_schema))

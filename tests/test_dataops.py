@@ -704,3 +704,20 @@ def test_bpe_encode_applies_merges_in_rank_order(spark):
     for i, t in enumerate(texts):
         expected = [tok for w in t.split() for tok in enc(w)]
         assert out[i] == expected, (i, out[i], expected)
+
+
+def test_png_header_codec_roundtrip():
+    from incubator_beam_spark.dataops.multimodal import (
+        encode_png_header,
+        parse_png_meta,
+    )
+
+    hdr = encode_png_header(640, 480, bit_depth=8, color_type=6)
+    assert parse_png_meta(hdr) == {
+        "width": 640, "height": 480, "bit_depth": 8,
+        "color_type": 6, "n_channels": 4,
+    }
+    assert parse_png_meta(b"not a png") is None
+    assert parse_png_meta(hdr[:20]) is None
+    corrupted = hdr[:-1] + bytes([hdr[-1] ^ 0xFF])   # break the CRC
+    assert parse_png_meta(corrupted) is None
