@@ -335,12 +335,14 @@ def connected_components(
         )
         mins = sym.groupBy("u").agg(F.min("v").alias("minv"))
         mins = mins.select("u", F.least("minv", "u").alias("m"))
+        # No distinct here: duplicate (v, m) edges (two neighbors sharing
+        # a min) are absorbed by the min-aggregates downstream and the
+        # final distinct — dropping it saves a full shuffle per round.
         lg = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star: edges now point large->small; every smaller
         # neighbor (and u itself) links to the minimum.

@@ -248,3 +248,44 @@ def test_write_to_files_single_pass(spark, tmp_path):
     after = len(tracker.getJobIdsForGroup() or [])
     # one write job (+ possibly one tiny commit job), never 5 per-dest jobs
     assert after - before <= 2
+
+
+def test_simhash_pairs_no_cartesian(spark):
+    """Pigeonhole banding must produce an equi-join on (band, key) —
+    never a nested-loop/cartesian candidate step."""
+    plan = plan_of(spark, "doc_simhash_pairs")
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "LeftAnti" in plan  # hot-bucket cap present
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    """Top-k vocab must be partial-agg + TakeOrderedAndProject, not a
+    global sort materialization."""
+    plan = plan_of(spark, "doc_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join is ONE exchange (union both sides, partition by
+    key); a second exchange would mean an accidental join formulation."""
+    import re
+
+    plan = plan_of(spark, "evt_asof_join")
+    assert plan.count("Window") >= 1
+    # formatted explain: shuffle nodes render as "(N) Exchange" (broadcast
+    # ones as "(N) BroadcastExchange") — count only the former
+    shuffles = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert shuffles == 1, f"expected 1 shuffle, plan has {shuffles}"
+
+
+def test_range_join_no_nested_loop(spark):
+    plan = plan_of(spark, "evt_range_join")
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_inference_is_single_stage_scan(spark):
+    """run_inference adds no shuffle: scan -> Arrow batch -> mapInPandas."""
+    import re
+
+    plan = plan_of(spark, "emb_inference")
+    assert not re.findall(r"\(\d+\) Exchange\b", plan)
