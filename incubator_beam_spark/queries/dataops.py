@@ -857,3 +857,46 @@ def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return image_meta(d.mapInPandas(synth, synth_schema))
+
+
+@query(
+    "mm_video_meta",
+    oracle="""
+    SELECT doc_id,
+           'isom' AS major_brand,
+           1000::INTEGER AS timescale,
+           (1000 + (doc_id % 60) * 500)::BIGINT AS duration_ms
+    FROM documents
+    """,
+)
+def mm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video metadata with a REAL codec: minimal ISO-BMFF (ftyp+moov/
+    mvhd) headers synthesized per document and parsed back by the
+    pure-byte box walker — third real multimodal decoder alongside WAV
+    and PNG; same payload-stays-in-stage contract."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..dataops.multimodal import encode_mp4_header, video_meta
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_mp4_header(duration_ms=1000 + (int(i) % 60) * 500)
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return video_meta(d.mapInPandas(synth, synth_schema))

@@ -721,3 +721,16 @@ def test_png_header_codec_roundtrip():
     assert parse_png_meta(hdr[:20]) is None
     corrupted = hdr[:-1] + bytes([hdr[-1] ^ 0xFF])   # break the CRC
     assert parse_png_meta(corrupted) is None
+
+
+def test_mp4_box_codec_roundtrip():
+    from incubator_beam_spark.dataops.multimodal import (
+        encode_mp4_header,
+        parse_mp4_meta,
+    )
+
+    hdr = encode_mp4_header(duration_ms=90_500, timescale=600)
+    meta = parse_mp4_meta(hdr)
+    assert meta == {"major_brand": "isom", "timescale": 600, "duration_ms": 90_500}
+    assert parse_mp4_meta(b"short") is None
+    assert parse_mp4_meta(b"\x00" * 40) is None
