@@ -900,3 +900,33 @@ def mm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return video_meta(d.mapInPandas(synth, synth_schema))
+
+
+@query(
+    "doc_profile",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS lang_nulls,
+           count(DISTINCT lang) AS lang_distinct,
+           min(lang)::VARCHAR AS lang_min,
+           max(lang)::VARCHAR AS lang_max,
+           sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_chars_nulls,
+           count(DISTINCT n_chars) AS n_chars_distinct,
+           min(n_chars)::VARCHAR AS n_chars_min,
+           max(n_chars)::VARCHAR AS n_chars_max,
+           sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT AS source_nulls,
+           count(DISTINCT source) AS source_distinct,
+           min(source)::VARCHAR AS source_min,
+           max(source)::VARCHAR AS source_max
+    FROM documents
+    """,
+)
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling: one fused agg pass over the corpus — row count
+    plus null/distinct/min/max per audited column; N columns cost one
+    scan and a 1-row shuffle (exact distinct here for the oracle; HLL at
+    100 TB via exact_distinct=False, same plan shape)."""
+    from ..dataops.profile import profile_columns
+
+    d = table(spark, sf_dir, "documents")
+    return profile_columns(d, ["lang", "n_chars", "source"])

@@ -734,3 +734,18 @@ def test_mp4_box_codec_roundtrip():
     assert meta == {"major_brand": "isom", "timescale": 600, "duration_ms": 90_500}
     assert parse_mp4_meta(b"short") is None
     assert parse_mp4_meta(b"\x00" * 40) is None
+
+
+def test_profile_columns_single_aggregate_plan(spark):
+    from incubator_beam_spark.dataops.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (3, "b")], "x long, s string"
+    )
+    row = profile_columns(df).collect()[0]
+    assert row.n_rows == 4
+    assert row.s_nulls == 1 and row.s_distinct == 2
+    assert row.x_min == "1" and row.x_max == "3" and row.x_distinct == 3
+    # one scan: no join/union in the plan
+    plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Union" not in plan
