@@ -1,0 +1,121 @@
+"""Training-batch preparation: deterministic corpus shuffle and
+token-budget sequence packing.
+
+- ``deterministic_shuffle``: a reproducible global permutation keyed by
+  md5(seed || id) — the "shuffle the corpus identically on every rerun /
+  engine" primitive (epoch shuffles, eval splits). md5 ordering is
+  engine-portable, so it oracle-checks exactly.
+- ``pack_sequences``: greedy first-fit-decreasing packing of documents
+  into fixed token-budget training sequences (context-window packing).
+  Packing is per-partition (embarrassingly parallel): documents hash to
+  a partition by id, each partition packs its own documents in
+  deterministic (desc length, id) order inside one Arrow batch. Result
+  quality: within-partition FFD is the standard distributed
+  approximation — cross-partition coordination would serialize the
+  corpus for a ~1% utilization gain.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Assign a stable global shuffle position (0-based) to every row:
+    order by md5(seed || id) — identical on every engine and rerun. One
+    global sort (rangepartitioned, not a single task); at 100 TB this is
+    the same cost profile as any total ordering and is usually applied
+    per-shard instead (pass the shard as ``df``)."""
+    key = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w_key = key.alias("__sk")
+    from pyspark.sql import Window as W
+
+    return (
+        df.select("*", w_key)
+        .withColumn(
+            "shuffle_pos",
+            F.row_number().over(W.orderBy(F.col("__sk"), F.col(id_col))) - 1,
+        )
+        .drop("__sk")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Pack documents into training sequences of at most ``budget``
+    tokens: per partition, greedy first-fit over documents sorted by
+    (length desc, id asc). Documents longer than the budget get a
+    singleton pack (truncation is the caller's policy). Returns
+    (doc_id, n_tokens, pack_id, pack_tokens) — every input row exactly
+    once; pack_id globally unique as partition_id * 2^40 + local index.
+    """
+    sel = df.select(F.col(id_col).cast("long"), F.col(len_col).cast("long"))
+    if n_partitions:
+        sel = sel.repartition(n_partitions, id_col)
+    else:
+        sel = sel.repartition(id_col)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(len_col, T.LongType(), False),
+            T.StructField("pack_id", T.LongType(), False),
+            T.StructField("pack_tokens", T.LongType(), False),
+        ]
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks = list(batches)
+        if not chunks:
+            return
+        rows = pd.concat(chunks)
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values([len_col, id_col], ascending=[False, True])
+        packs: list[list[int]] = []   # open pack -> remaining budget
+        remaining: list[int] = []
+        assign = []
+        for _, r in rows.iterrows():
+            did, n = int(r[id_col]), int(r[len_col])
+            placed = None
+            for i, rem in enumerate(remaining):
+                if n <= rem:
+                    placed = i
+                    break
+            if placed is None:
+                packs.append([])
+                remaining.append(max(budget - n, 0))
+                placed = len(packs) - 1
+                if n > budget:
+                    remaining[placed] = 0
+            else:
+                remaining[placed] -= n
+            packs[placed].append((did, n))
+            assign.append((did, n, placed))
+        totals = {i: sum(n for _, n in p) for i, p in enumerate(packs)}
+        out = pd.DataFrame(
+            {
+                id_col: [a[0] for a in assign],
+                len_col: [a[1] for a in assign],
+                "pack_id": [(pid << 40) + a[2] for a in assign],
+                "pack_tokens": [totals[a[2]] for a in assign],
+            }
+        )
+        yield out
+
+    return sel.mapInPandas(pack, schema)

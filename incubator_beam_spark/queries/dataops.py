@@ -930,3 +930,38 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return profile_columns(d, ["lang", "n_chars", "source"])
+
+
+@query(
+    "doc_shuffle",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY md5('7|' || doc_id::VARCHAR), doc_id) - 1 AS shuffle_pos
+    FROM documents
+    """,
+)
+def doc_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: md5(seed||id)-keyed global
+    permutation, identical across engines/reruns (epoch shuffling, eval
+    splits). The oracle recomputes the same ordering in DuckDB."""
+    from ..dataops.packing import deterministic_shuffle
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(d, seed=7)
+
+
+@query("doc_pack_sequences")
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (context-window packing for
+    training): greedy first-fit-decreasing per partition (rows-only:
+    pack assignment is partitioning-dependent by design; the invariants
+    — exactly-once membership, budget respected, utilization — are
+    asserted in tests)."""
+    from ..dataops.packing import pack_sequences
+    from ..dataops.text import token_count
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(d, budget=512, n_partitions=8)

@@ -749,3 +749,43 @@ def test_profile_columns_single_aggregate_plan(spark):
     # one scan: no join/union in the plan
     plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Union" not in plan
+
+
+def test_deterministic_shuffle_is_engine_stable(spark):
+    import hashlib
+
+    from incubator_beam_spark.dataops.packing import deterministic_shuffle
+
+    d = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    got = {r.doc_id: r.shuffle_pos for r in deterministic_shuffle(d, seed=7).collect()}
+    expected_order = sorted(
+        range(100), key=lambda i: (hashlib.md5(f"7|{i}".encode()).hexdigest(), i)
+    )
+    assert got == {doc: pos for pos, doc in enumerate(expected_order)}
+
+
+def test_pack_sequences_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from incubator_beam_spark.dataops.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, 50 + (i * 37) % 400) for i in range(500)] + [(999, 5000)],
+        "doc_id long, n_tokens long",
+    )
+    out = pack_sequences(docs, budget=1024, n_partitions=4).cache()
+    rows = out.collect()
+    # every document exactly once
+    assert sorted(r.doc_id for r in rows) == sorted([i for i in range(500)] + [999])
+    # no pack over budget except oversized singletons
+    per_pack = out.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    for p in per_pack.collect():
+        assert p.tot <= 1024 or p.n == 1
+    # pack_tokens column consistent with the actual pack sum
+    joined = out.join(per_pack, "pack_id")
+    assert joined.filter(F.col("pack_tokens") != F.col("tot")).count() == 0
+    # decent utilization: average fill of non-oversized packs > 70%
+    fills = [p.tot / 1024 for p in per_pack.collect() if p.tot <= 1024]
+    assert sum(fills) / len(fills) > 0.7
