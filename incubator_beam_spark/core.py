@@ -195,6 +195,9 @@ def _schema_from_hint(hint) -> "Any | None":
     return None
 
 
+_EXC_TAG = "__exc__"
+
+
 def _python_flatmap(
     df: DataFrame,
     fn: Callable[[Any], Iterable[Any]],
@@ -203,6 +206,7 @@ def _python_flatmap(
     dofn: "DoFn | None" = None,
     tag_field: str | None = None,
     sample_fn: Callable[[Any], Iterable[Any]] | None = None,
+    error_field: str | None = None,
 ) -> DataFrame:
     """Run an arbitrary Python 1->N element function via Arrow-batched
     ``mapInPandas`` (the ParDo slow path; reference DoFn execution is
@@ -229,6 +233,12 @@ def _python_flatmap(
     from pyspark.sql import types as T
 
     cols = list(df.columns)
+    is_err = lambda o: (
+        error_field is not None
+        and isinstance(o, tuple)
+        and len(o) == 2
+        and o[0] == _EXC_TAG
+    )
     strip = (lambda o: o[1]) if tag_field else (lambda o: o)
     schema = None
     if output_schema is not None:
@@ -241,9 +251,11 @@ def _python_flatmap(
         probe = sample_fn or fn
         for n in (20, 400, 8000):
             sample = [_from_row(r, cols) for r in df.take(n)]
-            out_sample = list(
-                itertools.chain.from_iterable(probe(e) for e in sample)
-            )
+            out_sample = [
+                o
+                for o in itertools.chain.from_iterable(probe(e) for e in sample)
+                if not is_err(o)
+            ]
             if out_sample:
                 out_rows, out_cols = _to_rows([strip(o) for o in out_sample])
                 schema = spark.createDataFrame(out_rows, out_cols).schema
@@ -262,8 +274,12 @@ def _python_flatmap(
         schema = T.StructType(
             [T.StructField(tag_field, T.StringType(), False), *schema.fields]
         )
+    if error_field:
+        schema = T.StructType(
+            [*schema.fields, T.StructField(error_field, T.StringType(), True)]
+        )
     out_cols = [f.name for f in schema.fields]
-    val_cols = [c for c in out_cols if c != tag_field]
+    val_cols = [c for c in out_cols if c not in (tag_field, error_field)]
 
     def run(batches):
         if dofn is not None:
@@ -279,6 +295,13 @@ def _python_flatmap(
                 else:
                     elem = t
                 for o in fn(elem):
+                    if is_err(o):
+                        row = {c: None for c in val_cols}
+                        row[error_field] = o[1]
+                        if tag_field:
+                            row[tag_field] = None
+                        out.append(row)
+                        continue
                     v = strip(o)
                     if val_cols == ["key", "value"]:
                         row = {"key": v[0], "value": v[1]}
@@ -286,6 +309,8 @@ def _python_flatmap(
                         row = {"element": v}
                     if tag_field:
                         row[tag_field] = o[0]
+                    if error_field:
+                        row[error_field] = None
                     out.append(row)
             yield pd.DataFrame(out, columns=out_cols) if out else pd.DataFrame(
                 {c: [] for c in out_cols}
@@ -327,6 +352,50 @@ def _resolve_sides(side_inputs: tuple) -> tuple:
     return tuple(s.resolve() if isinstance(s, _View) else s for s in side_inputs)
 
 
+def _expand_with_failures(pcoll: PCollection, gen, output_type, dofn=None, sample_gen=None):
+    """Shared dead-letter expansion: run ``gen`` per element, catching
+    exceptions into a JSON error column; split into (good, failures)."""
+    import json
+
+    def _wrap(g):
+        def safe(e):
+            try:
+                yield from g(e)
+            except Exception as ex:  # noqa: BLE001 - the whole point
+                yield (
+                    _EXC_TAG,
+                    json.dumps(
+                        {
+                            "element": repr(e),
+                            "error": str(ex),
+                            "type": type(ex).__name__,
+                        }
+                    ),
+                )
+
+        return safe
+
+    tagged = _python_flatmap(
+        pcoll.df,
+        _wrap(gen),
+        pcoll.pipeline.spark,
+        output_schema=output_type,
+        dofn=dofn,
+        sample_fn=_wrap(sample_gen) if sample_gen is not None else None,
+        error_field="__error",
+    ).persist()
+    good = PCollection(
+        tagged.filter(F.col("__error").isNull()).drop("__error"), pcoll.pipeline
+    )
+    bad = PCollection(
+        tagged.filter(F.col("__error").isNotNull()).select(
+            F.col("__error").alias("element")
+        ),
+        pcoll.pipeline,
+    )
+    return good, bad
+
+
 class Map(PTransform):
     """1->1 element map (reference ``core.py:1535``). Column expressions run
     JVM-side; Python callables batch through Arrow. Extra args are side
@@ -337,10 +406,14 @@ class Map(PTransform):
         self.side_inputs = side_inputs
         self.output_type = output_type
 
-    def expand(self, pcoll: PCollection) -> PCollection:
+    def expand(self, pcoll: PCollection) -> "PCollection | DoOutputsTuple":
         if isinstance(self.fn, Column):
             return PCollection(pcoll.df.select(self.fn.alias("element")), pcoll.pipeline)
         fn, sides = self.fn, _resolve_sides(self.side_inputs)
+        if getattr(self, "_exception_handling", False):
+            return _expand_with_failures(
+                pcoll, lambda e: [fn(e, *sides)], self.output_type
+            )
         return PCollection(
             _python_flatmap(
                 pcoll.df,
@@ -355,6 +428,16 @@ class Map(PTransform):
         """Beam's ``.with_output_types`` (reference
         ``typehints/decorators.py``): skips driver-side schema sampling."""
         self.output_type = hint
+        return self
+
+    def with_exception_handling(self) -> "Map":
+        """Dead-letter pattern: expansion returns a 2-tuple
+        ``(good, failures)`` — failing elements short-circuit to the
+        failures PCollection (one JSON string per failure: element repr,
+        error message, exception type) instead of killing the job. The
+        pipeline-survives-bad-records behavior production curation jobs
+        need (same idea as the reader-level PERMISSIVE quarantine)."""
+        self._exception_handling = True
         return self
 
 
@@ -525,6 +608,12 @@ class ParDo(PTransform):
         self._main_tag = main
         return self
 
+    def with_exception_handling(self) -> "ParDo":
+        """Dead-letter pattern (see Map.with_exception_handling);
+        mutually exclusive with .with_outputs()."""
+        self._exception_handling = True
+        return self
+
     def with_output_types(self, hint) -> "ParDo":
         self.output_type = hint
         return self
@@ -563,6 +652,10 @@ class ParDo(PTransform):
                 yield route(o)
 
         if tags is None:
+            if getattr(self, "_exception_handling", False):
+                return _expand_with_failures(
+                    pcoll, fn, self.output_type, dofn=dofn, sample_gen=sample_fn
+                )
             return PCollection(
                 _python_flatmap(
                     pcoll.df,
@@ -575,6 +668,10 @@ class ParDo(PTransform):
                 pcoll.pipeline,
             )
 
+        if getattr(self, "_exception_handling", False):
+            raise ValueError(
+                "with_exception_handling() and with_outputs() are mutually exclusive"
+            )
         tagged = _python_flatmap(
             pcoll.df,
             fn,

@@ -274,3 +274,57 @@ def test_combine_globally_combinefn(p):
         SumFn(), output_type=T.LongType()
     )
     assert_that(pc, equal_to([10]))
+
+
+def test_map_with_exception_handling_dead_letters(spark):
+    import json
+
+    import incubator_beam_spark.core as ibs
+
+    p = ibs.Pipeline(spark)
+    pc = p | ibs.Create([1, 2, 0, 4, 0, 6])
+    good, bad = pc | ibs.Map(lambda x: 10 // x).with_output_types(int).with_exception_handling()
+    assert sorted(r.element for r in good.df.collect()) == [1, 2, 5, 10]
+    errs = [json.loads(r.element) for r in bad.df.collect()]
+    assert len(errs) == 2
+    assert all(e["type"] == "ZeroDivisionError" for e in errs)
+    assert {e["element"] for e in errs} == {"0"}
+
+
+def test_pardo_with_exception_handling_keeps_lifecycle(spark):
+    import json
+
+    import incubator_beam_spark.core as ibs
+
+    class ExplodingFn(ibs.DoFn):
+        def setup(self):
+            self.ready = True
+
+        def process(self, e):
+            assert self.ready          # setup ran executor-side
+            if e % 3 == 0:
+                raise ValueError(f"bad {e}")
+            yield e * 2
+
+    p = ibs.Pipeline(spark)
+    pc = p | ibs.Create([1, 2, 3, 4, 5, 6])
+    good, bad = pc | ibs.ParDo(ExplodingFn()).with_output_types(int).with_exception_handling()
+    assert sorted(r.element for r in good.df.collect()) == [2, 4, 8, 10]
+    errs = [json.loads(r.element) for r in bad.df.collect()]
+    assert {e["element"] for e in errs} == {"3", "6"}
+    assert all(e["type"] == "ValueError" for e in errs)
+
+
+def test_exception_handling_and_outputs_mutually_exclusive(spark):
+    import pytest
+
+    import incubator_beam_spark.core as ibs
+
+    class Fn(ibs.DoFn):
+        def process(self, e):
+            yield e
+
+    p = ibs.Pipeline(spark)
+    pc = p | ibs.Create([1])
+    with pytest.raises(ValueError):
+        pc | ibs.ParDo(Fn()).with_outputs("x").with_exception_handling()
