@@ -965,3 +965,33 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count(F.col("text")).alias("n_tokens")
     )
     return pack_sequences(d, budget=512, n_partitions=8)
+
+
+@query(
+    "doc_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKENS}) AS token FROM documents),
+    freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT doc_id, round(avg(ln(c::DOUBLE / n)), 4) AS mean_logprob
+    FROM tok JOIN freq USING (token), tot
+    GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring (CCNet-style perplexity filtering):
+    train the LM as corpus token frequencies (one explode + count
+    shuffle), score each document as the mean log-probability of its
+    tokens. The frequency table joins back by token — broadcast when the
+    vocab fits (typical: vocab << corpus), shuffle join otherwise;
+    scoring aggregates per doc in the same pass."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("mean_logprob"))
+    )
