@@ -783,3 +783,55 @@ def evt_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join(errors, intervals, "ts", "s", "e").select(
         "event_id", F.col("user_id").alias("interval_user")
     )
+
+
+@query(
+    "evt_dynamic_session_window",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE event_type WHEN 'view' THEN 1800
+                             WHEN 'click' THEN 900
+                             ELSE 600 END AS gap
+      FROM events),
+    runs AS (
+      SELECT *, max(epoch(ts) + gap) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM e),
+    numbered AS (
+      SELECT *, sum(CASE WHEN prev_end IS NULL OR epoch(ts) >= prev_end
+                         THEN 1 ELSE 0 END) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM runs)
+    SELECT user_id,
+           floor(epoch(min(ts)))::BIGINT AS session_start,
+           max(floor(epoch(ts))::BIGINT + gap) AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def evt_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessions (Spark >=3.2 ``session_window`` with a gap
+    EXPRESSION — per-event-type gaps: views keep sessions alive 30m,
+    clicks 15m, everything else 10m). The oracle replays the merge as
+    gaps-and-islands with a running max of event ends (a fixed-gap lag
+    check would be WRONG for dynamic gaps: a long-gap event can bridge
+    over a short-gap successor)."""
+    e = table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "view", "30 minutes")
+        .when(F.col("event_type") == "click", "15 minutes")
+        .otherwise("10 minutes")
+    )
+    return (
+        e.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+            F.unix_timestamp(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+        )
+    )
