@@ -339,8 +339,11 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ApproximateQuantiles (reference ``transforms/stats.py:284``) →
     percentile_approx. No oracle: buffer-based estimates are
     engine-specific; accuracy asserted in tests."""
+    # rendered to JSON: the driver canonicalizer cannot hash array cells
     return table(spark, sf_dir, "lineitem").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("quartiles")
+        F.to_json(
+            F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
+        ).alias("quartiles")
     )
 
 
