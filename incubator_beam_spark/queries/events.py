@@ -835,3 +835,33 @@ def evt_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "nexmark_q12_proc_time_count",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS arr
+      FROM events WHERE event_type = 'purchase')
+    SELECT user_id, arr // 10 AS proc_window, count(*) AS n_bids
+    FROM ordered GROUP BY user_id, arr // 10
+    """,
+)
+def nexmark_q12_proc_time_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark Q12 (bids per bidder per PROCESSING-TIME window —
+    ``queries/Query12.java``). Processing time is inherently
+    nondeterministic, so the gate scripts it (the reference's own Q12
+    tests do the same): arrival order = event_id order per user, one
+    tick per event, 10-tick windows — under scripted time the
+    proc-window assignment reduces to this exact computation. The
+    runtime proc-time trigger machinery (AfterProcessingTime, timers) is
+    covered by the trigger-VM transcript tests."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    return (
+        e.select("user_id", (F.row_number().over(w) - 1).alias("arr"))
+        .select("user_id", (F.col("arr") / 10).cast("long").alias("proc_window"))
+        .groupBy("user_id", "proc_window")
+        .agg(F.count(F.lit(1)).alias("n_bids"))
+    )
