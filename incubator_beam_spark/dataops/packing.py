@@ -119,3 +119,36 @@ def pack_sequences(
         yield out
 
     return sel.mapInPandas(pack, schema)
+
+
+def hash_split(
+    df: DataFrame,
+    group_col: str,
+    test_pct: int = 10,
+    val_pct: int = 10,
+    seed: int = 0,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is keyed on a
+    GROUP (source domain, cluster id, author...) so correlated/near-dup
+    documents land in the SAME split — hashing doc ids instead is the
+    classic contamination bug. md5-based, so assignment is stable across
+    engines, reruns, and corpus growth (adding rows never moves an
+    existing group)."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(group_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < test_pct, "test")
+        .when(bucket < test_pct + val_pct, "val")
+        .otherwise("train"),
+    )

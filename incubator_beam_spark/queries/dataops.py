@@ -995,3 +995,25 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("mean_logprob"))
     )
+
+
+@query(
+    "doc_hash_split",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN b < 10 THEN 'test'
+                WHEN b < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM (SELECT doc_id, source,
+                 ('0x' || substr(md5('0|' || source), 1, 8))::BIGINT % 100 AS b
+          FROM documents)
+    """,
+)
+def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe splits: assignment keyed on the SOURCE group (not
+    the doc id) so correlated documents share a split — exact md5 oracle
+    in DuckDB."""
+    from ..dataops.packing import hash_split
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return hash_split(d, "source")

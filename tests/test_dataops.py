@@ -789,3 +789,21 @@ def test_pack_sequences_invariants(spark):
     # decent utilization: average fill of non-oversized packs > 70%
     fills = [p.tot / 1024 for p in per_pack.collect() if p.tot <= 1024]
     assert sum(fills) / len(fills) > 0.7
+
+
+def test_hash_split_groups_never_straddle(spark):
+    from pyspark.sql import functions as F
+
+    from incubator_beam_spark.dataops.packing import hash_split
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = hash_split(d, "source", test_pct=20, val_pct=20, seed=3)
+    # every group maps to exactly one split
+    per_group = out.groupBy("source").agg(F.countDistinct("split").alias("k"))
+    assert per_group.filter(F.col("k") > 1).count() == 0
+    # stability: same seed same assignment
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in hash_split(d, "source", 20, 20, 3).collect()}
+    assert a == b
