@@ -29,22 +29,54 @@ def deterministic_shuffle(
     df: DataFrame, id_col: str = "doc_id", seed: int = 0
 ) -> DataFrame:
     """Assign a stable global shuffle position (0-based) to every row:
-    order by md5(seed || id) — identical on every engine and rerun. One
-    global sort (rangepartitioned, not a single task); at 100 TB this is
-    the same cost profile as any total ordering and is usually applied
-    per-shard instead (pass the shard as ``df``)."""
-    key = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
-    w_key = key.alias("__sk")
-    from pyspark.sql import Window as W
+    order by md5(seed || id) — identical on every engine and rerun.
 
-    return (
-        df.select("*", w_key)
-        .withColumn(
-            "shuffle_pos",
-            F.row_number().over(W.orderBy(F.col("__sk"), F.col(id_col))) - 1,
-        )
-        .drop("__sk")
+    Scalable global numbering: an unpartitioned row_number window would
+    pull the whole corpus through ONE task. Instead: (1) range-partition
+    sort by the shuffle key (parallel), (2) count rows per sorted
+    partition (a tiny driver-side list), (3) add each partition's
+    cumulative offset to its local row index inside mapInPandas — two
+    parallel passes, no single-task stage."""
+    key = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
+    sorted_df = df.select("*", key.alias("__sk")).repartitionByRange(
+        F.col("__sk"), F.col(id_col)
+    ).sortWithinPartitions("__sk", id_col)
+    sorted_df = sorted_df.persist()
+    counts = {
+        r.pid: r.n
+        for r in sorted_df.groupBy(
+            F.spark_partition_id().alias("pid")
+        ).count().withColumnRenamed("count", "n").collect()
+    }
+    n_parts = sorted_df.rdd.getNumPartitions()
+    offsets = []
+    acc = 0
+    for pid in range(n_parts):
+        offsets.append(acc)
+        acc += counts.get(pid, 0)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [f for f in sorted_df.schema.fields if f.name != "__sk"]
+        + [T.StructField("shuffle_pos", T.LongType(), False)]
     )
+    keep = [f.name for f in df.schema.fields]
+
+    def number(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        pos = offsets[pid]
+        for pdf in batches:
+            n = len(pdf)
+            out = pdf[keep].copy()
+            out["shuffle_pos"] = range(pos, pos + n)
+            pos += n
+            yield out
+
+    return sorted_df.mapInPandas(number, out_schema)
 
 
 def pack_sequences(
