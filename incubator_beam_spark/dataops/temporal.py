@@ -55,6 +55,9 @@ def asof_join(
 
     rpay = [c for c in right.columns if c not in keys]
     lcols = left.columns
+    # Null-timestamp right rows would sort to an end of the partition and
+    # pollute matches (they are not "earliest"/"latest" facts); drop them.
+    right = right.filter(F.col(right_ts).isNotNull())
     # One struct column carries the whole right payload through the sort.
     r_tagged = right.select(
         *[F.col(k) for k in keys],
@@ -80,6 +83,11 @@ def asof_join(
     w = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
     matched = u.withColumn("__m", F.last("__rv", ignorenulls=True).over(w)).filter(
         F.col("__side") == 1
+    )
+    # null-timestamp LEFT rows always emit unmatched (under desc/forward
+    # ordering they would otherwise sort last and grab an arbitrary match)
+    matched = matched.withColumn(
+        "__m", F.when(F.col("__t").isNotNull(), F.col("__m"))
     )
     if tolerance_ms is not None:
         dist = F.abs(

@@ -807,3 +807,25 @@ def test_hash_split_groups_never_straddle(spark):
     a = {r.doc_id: r.split for r in out.collect()}
     b = {r.doc_id: r.split for r in hash_split(d, "source", 20, 20, 3).collect()}
     assert a == b
+
+
+def test_asof_join_null_timestamps(spark):
+    import pandas as pd
+
+    from incubator_beam_spark.dataops.temporal import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a"],
+                      "ts": pd.to_datetime(["2024-01-01 01:00", pd.NaT]),
+                      "lv": [1, 2]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a"],
+                      "ts": pd.to_datetime(["2024-01-01 00:30", pd.NaT]),
+                      "rv": [9, 666]})
+    )
+    for direction in ("backward", "forward"):
+        got = {r.lv: r.r_rv for r in asof_join(
+            left, right, on="k", direction=direction).collect()}
+        assert got[2] is None, direction          # null left ts: no match
+        assert got[1] != 666, direction           # null right ts never matches
