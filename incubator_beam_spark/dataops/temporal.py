@@ -123,6 +123,13 @@ def range_join(
         raise ValueError("only inner range_join is supported")
     us = 1000 * bucket_ms
     pb = points.withColumn("__b", (F.unix_micros(F.col(point_ts)) / us).cast("long"))
+    # degenerate intervals (null bounds, end <= start) can never match —
+    # and a reversed pair would make sequence() DESCEND; drop them early
+    intervals = intervals.filter(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(end_col) > F.col(start_col))
+    )
     ib = intervals.withColumn(
         "__b",
         F.explode(

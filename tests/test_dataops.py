@@ -829,3 +829,24 @@ def test_asof_join_null_timestamps(spark):
             left, right, on="k", direction=direction).collect()}
         assert got[2] is None, direction          # null left ts: no match
         assert got[1] != 666, direction           # null right ts never matches
+
+
+def test_range_join_degenerate_intervals_dropped(spark):
+    import pandas as pd
+
+    from incubator_beam_spark.dataops.temporal import range_join
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 00:30"]), "pid": [1]})
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "s": pd.to_datetime(["2024-01-01 01:00", "2024-01-01 00:00", pd.NaT]),
+                "e": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00", pd.NaT]),
+                "iid": [7, 8, 9],   # 7 reversed, 9 null — only 8 can match
+            }
+        )
+    )
+    rows = range_join(pts, iv, "ts", "s", "e").collect()
+    assert [(r.pid, r.iid) for r in rows] == [(1, 8)]
