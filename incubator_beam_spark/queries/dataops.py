@@ -1017,3 +1017,41 @@ def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("doc_id", "source")
     return hash_split(d, "source")
+
+
+@query(
+    "emb_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings),
+    b AS (
+      SELECT vec_id, e, list_min(e) AS vmin,
+             (list_max(e) - list_min(e)) / 255.0 AS scale
+      FROM v)
+    SELECT vec_id,
+           '[' || array_to_string(
+             list_transform(e, x -> CASE WHEN scale > 0
+                  THEN round((x - vmin) / scale)::INTEGER ELSE 0 END), ',')
+           || ']' AS codes,
+           CAST(round(scale * 1e9) AS BIGINT) AS scale_e9,
+           CAST(round(vmin * 1e9) AS BIGINT) AS zero_point_e9
+    FROM b
+    """,
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 affine quantization (4x embedding storage cut):
+    scan-side min/max -> scale/zero-point -> rounded codes. Codes render
+    as JSON and scale/zero-point as nano-unit integers so the hash
+    comparison is immune to engine rounding-mode differences."""
+    from ..dataops.similarity import quantize_embeddings
+
+    e = table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e)
+    return q.select(
+        "vec_id",
+        F.to_json("codes").alias("codes"),
+        F.round(F.col("scale") * 1e9).cast("long").alias("scale_e9"),
+        F.round(F.col("zero_point") * 1e9).cast("long").alias("zero_point_e9"),
+    )

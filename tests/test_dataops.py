@@ -850,3 +850,30 @@ def test_range_join_degenerate_intervals_dropped(spark):
     )
     rows = range_join(pts, iv, "ts", "s", "e").collect()
     assert [(r.pid, r.iid) for r in rows] == [(1, 8)]
+
+
+def test_quantize_embeddings_roundtrip_error_bounded(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from incubator_beam_spark.dataops.similarity import (
+        cosine,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = quantize_embeddings(emb)
+    codes = q.select(F.explode("codes").alias("c"))
+    lo, hi = codes.agg(F.min("c"), F.max("c")).collect()[0]
+    assert 0 <= lo and hi <= 255
+    # dequantized vectors stay close in cosine to the originals
+    deq = dequantize_embeddings(q).withColumnRenamed("embedding", "emb_q")
+    joined = emb.join(deq, "vec_id").select(
+        cosine(
+            F.transform("embedding", lambda x: x.cast("double")), F.col("emb_q")
+        ).alias("cos")
+    )
+    worst = joined.agg(F.min("cos")).collect()[0][0]
+    assert worst > 0.999
