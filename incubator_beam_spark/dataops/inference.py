@@ -111,3 +111,45 @@ def run_inference(
             yield pd.concat([pdf[keep], preds], axis=1)
 
     return df.mapInPandas(infer, out_schema)
+
+
+class KeyedLinearScoreHandler(ModelHandler):
+    """Per-group model dispatch WITHOUT a shuffle: rows carry a model key
+    (e.g. language, domain), and each Arrow batch is scored group-wise
+    against that key's model — the KeyedModelHandler pattern done the
+    scalable way (a groupBy-per-model formulation would shuffle the
+    corpus into as many tasks as models). Model g uses weights
+    w_i = ((i + g) % 7 - 3) / 4, reproducible in SQL for the oracle."""
+
+    def __init__(self, vec_col: str = "embedding", key_col: str = "model_key",
+                 out_col: str = "score"):
+        self.vec_col, self.key_col, self.out_col = vec_col, key_col, out_col
+
+    def fingerprint(self) -> str:
+        return f"KeyedLinearScoreHandler:{self.vec_col}:{self.key_col}"
+
+    def load(self) -> Any:
+        cache: dict[tuple[int, int], np.ndarray] = {}
+
+        def weights(g: int, dim: int) -> np.ndarray:
+            key = (g, dim)
+            if key not in cache:
+                cache[key] = ((np.arange(dim) + g) % 7 - 3) / 4.0
+            return cache[key]
+
+        return weights
+
+    def predict_batch(self, model: Callable, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = np.empty(len(pdf), dtype=np.float64)
+        if len(pdf) == 0:
+            return pd.DataFrame({self.out_col: pd.Series([], dtype="float64")})
+        groups = pdf.groupby(self.key_col, sort=False).indices
+        vecs = [np.asarray(v, dtype=np.float64) for v in pdf[self.vec_col]]
+        for g, idx in groups.items():
+            w = model(int(g), len(vecs[idx[0]]))
+            for i in idx:
+                out[i] = vecs[i] @ w
+        return pd.DataFrame({self.out_col: np.round(out, 6)})
+
+    def output_schema(self) -> T.StructType:
+        return T.StructType([T.StructField(self.out_col, T.DoubleType(), True)])

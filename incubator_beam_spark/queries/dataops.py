@@ -1055,3 +1055,27 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("scale") * 1e9).cast("long").alias("scale_e9"),
         F.round(F.col("zero_point") * 1e9).cast("long").alias("zero_point_e9"),
     )
+
+
+@query(
+    "emb_inference_keyed",
+    oracle="""
+    SELECT vec_id,
+           round(list_sum(list_transform(generate_series(1, len(embedding)),
+                 i -> embedding[i] * ((((i - 1) + vec_id % 3) % 7 - 3) / 4.0))), 6)
+             AS score
+    FROM embeddings
+    """,
+)
+def emb_inference_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed model inference: each row's model key (vec_id % 3 — think
+    per-language models) selects one of three scorers; dispatch happens
+    group-wise INSIDE each Arrow batch, so per-model routing costs no
+    shuffle and parallelism stays scan-wide regardless of model count."""
+    from ..dataops.inference import KeyedLinearScoreHandler, run_inference
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("vec_id") % 3).alias("model_key")
+    )
+    out = run_inference(e, KeyedLinearScoreHandler(), keep_cols=["vec_id"])
+    return out
