@@ -1,0 +1,189 @@
+"""Corpus curation operators: benchmark-contamination detection, DSIR
+importance weighting, and domain-mixture rebalancing.
+
+These fill the "what a 100-TB training-data pipeline needs" gaps the
+reference does not cover (its ML surface is GCP-API wrappers —
+SURVEY.md §2.11):
+
+- ``benchmark_overlap``: flag training documents whose word n-grams
+  overlap an evaluation/benchmark set (decontamination). The benchmark
+  side is tiny by construction → broadcast hash join on the n-gram
+  string; the corpus side is one scan-side explode. No shuffle of
+  document text, ever.
+- ``dsir_log_ratio``: data-selection importance weights in the DSIR
+  style (hashed n-gram language models, target/source log-likelihood
+  ratio). Both LMs are fixed-width bucket histograms (default 1024
+  rows) → broadcast; the corpus is scanned twice (once to build, once
+  to score), both passes scan-side expressions only.
+- ``domain_rebalance``: deterministic down-sampling to equalize domain
+  shares. Pure integer md5 arithmetic (``bucket * n_d < min_n * 1e6``)
+  so the kept set is stable across engines, reruns, and executors —
+  and exactly reproducible by the DuckDB oracle.
+
+All md5-keyed decisions follow the same engine-portable idiom as
+``packing.hash_split``: first 8 hex chars of md5 → int. 32 bits of
+hash per decision is ample for sampling; collisions only perturb the
+sample, never correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def _md5_bucket(col: Column, salt: str, mod: int) -> Column:
+    """Engine-portable uniform bucket in [0, mod): first 8 md5 hex chars
+    as an integer. Matches DuckDB ``('0x'||substr(md5(...),1,8))::BIGINT``."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(salt), col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % mod
+    )
+
+
+def word_ngrams(text_col: Column, n: int) -> Column:
+    """Distinct word n-grams of ``text_col`` as an array of
+    space-joined strings — all scan-side built-ins (lower →
+    regexp_extract_all → transform/slice), no UDF."""
+    words = F.regexp_extract_all(F.lower(text_col), F.lit("[a-z0-9]+"), 0)
+    return F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def benchmark_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    threshold_pct: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check: for every document, the number of
+    its distinct word n-grams that also occur in the benchmark set, and
+    a flag when the overlap fraction reaches ``threshold_pct``.
+
+    Scale shape: the benchmark n-gram set (distinct, deduplicated) is
+    broadcast — benchmarks are thousands of documents, the corpus is
+    billions, so the join never shuffles the corpus. The flag compares
+    integers (``n_hit * 100 >= n_ngrams * threshold_pct``) so the
+    result is exact on every engine. Documents with fewer than ``n``
+    words produce no n-grams and are absent from the output (nothing to
+    decontaminate against).
+    """
+    doc_ng = docs.select(
+        id_col, F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    )
+    bench_ng = (
+        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        doc_ng.join(F.broadcast(bench_ng), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("n_hit") * 100 >= F.col("n_ngrams") * threshold_pct).cast("long"),
+        )
+    )
+
+
+def dsir_log_ratio(
+    docs: DataFrame,
+    target: Column,
+    buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weight per document: the mean (per token)
+    log-likelihood ratio between a hashed-unigram LM of the TARGET
+    subset (rows where ``target`` is true) and the LM of the full
+    corpus, add-one smoothed. Documents resembling the target domain
+    score high; resampling by these weights steers a web-scale corpus
+    toward the target distribution.
+
+    Scale shape: tokens hash to ``buckets`` histogram cells via md5
+    (engine-portable), so both LMs are ``buckets``-row tables built by
+    one count shuffle each and then BROADCAST back; scoring is one
+    scan + broadcast joins + per-doc mean. Nothing large ever shuffles.
+    The mean (not sum) makes the weight length-invariant.
+    """
+    tok = docs.select(
+        id_col,
+        target.alias("__t"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).withColumn(
+        # unsalted md5 of the raw token: matches the oracle's md5(token)
+        "bk",
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long") % buckets,
+    )
+    source_lm = tok.groupBy("bk").agg(F.count(F.lit(1)).alias("sc"))
+    target_lm = tok.filter(F.col("__t")).groupBy("bk").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    totals = tok.agg(
+        F.count(F.lit(1)).alias("ts"),
+        F.count_if(F.col("__t")).alias("tt"),
+    )
+    b = F.lit(buckets)
+    return (
+        tok.join(F.broadcast(source_lm), "bk")
+        .join(F.broadcast(target_lm), "bk", "left")
+        .join(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(
+                    F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1) / (F.col("tt") + b))
+                    - F.log((F.col("sc") + 1) / (F.col("ts") + b))
+                ),
+                4,
+            ).alias("dsir_logratio")
+        )
+    )
+
+
+def domain_rebalance(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic domain-mixture rebalancing: down-sample every
+    domain to (in expectation) the size of the SMALLEST domain, so the
+    kept corpus is uniform across domains. The keep decision is pure
+    integer arithmetic — ``md5_bucket(id) * n_d < min_n * 1_000_000`` —
+    equivalent to keeping a ``min_n / n_d`` fraction, with no floating
+    point and no RNG: the same rows survive on every engine and rerun,
+    and adding a new domain never changes which rows of existing
+    domains are kept.
+
+    Scale shape: the per-domain histogram is tiny (one row per domain)
+    → broadcast back; the filter is scan-side. One count shuffle total.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_d"))
+    min_n = counts.agg(F.min("n_d").alias("min_n"))
+    bucket = _md5_bucket(F.col(id_col), seed, 1_000_000)
+    return (
+        df.join(F.broadcast(counts), domain_col)
+        .join(F.broadcast(min_n))
+        .filter(bucket * F.col("n_d") < F.col("min_n") * F.lit(1_000_000))
+        .drop("n_d", "min_n")
+    )

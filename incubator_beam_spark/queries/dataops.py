@@ -1079,3 +1079,93 @@ def emb_inference_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_inference(e, KeyedLinearScoreHandler(), keep_cols=["vec_id"])
     return out
+
+
+@query(
+    "doc_contamination",
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+               FROM documents),
+    ng AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                      generate_series(1, len(ws) - 2),
+                      i -> array_to_string(ws[i:i+2], ' ')))) AS g
+           FROM w WHERE len(ws) >= 3),
+    bench AS (SELECT DISTINCT g FROM ng
+              WHERE ('0x'||substr(md5('bench|'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 20 = 0),
+    ev AS (SELECT * FROM ng
+           WHERE ('0x'||substr(md5('bench|'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 20 <> 0)
+    SELECT ev.doc_id,
+           count(*) AS n_ngrams,
+           count(bench.g) AS n_hit,
+           CAST(count(bench.g) * 100 >= count(*) * 10 AS BIGINT) AS contaminated
+    FROM ev LEFT JOIN bench ON ev.g = bench.g
+    GROUP BY ev.doc_id
+    """,
+)
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc distinct word-3-gram overlap
+    against a held-out benchmark subset (md5-selected 5% of the corpus
+    here; a real pipeline passes its eval sets). The benchmark n-gram
+    set is broadcast — the corpus side never shuffles. 3-grams are
+    discriminative on this fixture's small vocabulary; production uses
+    8-13-gram spans, same plan shape."""
+    from ..dataops.curation import benchmark_overlap, _md5_bucket
+
+    d = table(spark, sf_dir, "documents")
+    is_bench = _md5_bucket(F.col("doc_id"), "bench", 20) == 0
+    return benchmark_overlap(
+        d.filter(~is_bench), d.filter(is_bench), n=3, threshold_pct=10
+    )
+
+
+@query(
+    "doc_dsir_weights",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang = 'en' AS t, unnest({_TOKENS}) AS token
+                 FROM documents),
+    bk AS (SELECT doc_id, t,
+                  ('0x' || substr(md5(token), 1, 8))::BIGINT % 1024 AS bk
+           FROM tok),
+    slm AS (SELECT bk, count(*) AS sc FROM bk GROUP BY bk),
+    tlm AS (SELECT bk, count(*) AS tc FROM bk WHERE t GROUP BY bk),
+    tots AS (SELECT (SELECT count(*) FROM bk) AS ts,
+                    (SELECT count(*) FROM bk WHERE t) AS tt)
+    SELECT doc_id,
+           round(avg(ln((coalesce(tc, 0) + 1)::DOUBLE / (tt + 1024))
+                     - ln((sc + 1)::DOUBLE / (ts + 1024))), 4) AS dsir_logratio
+    FROM bk JOIN slm USING (bk) LEFT JOIN tlm USING (bk), tots
+    GROUP BY doc_id
+    """,
+)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: hashed-unigram LMs (1024 md5 buckets)
+    for the target subset (lang='en') vs the full corpus; weight = mean
+    per-token log-likelihood ratio, add-one smoothed. Both LMs broadcast
+    (1024 rows); two scan passes, no corpus shuffle."""
+    from ..dataops.curation import dsir_log_ratio
+
+    d = table(spark, sf_dir, "documents")
+    return dsir_log_ratio(d, target=F.col("lang") == "en")
+
+
+@query(
+    "doc_domain_mix",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS n_d FROM documents GROUP BY source),
+    m AS (SELECT min(n_d) AS min_n FROM c)
+    SELECT doc_id, source FROM documents JOIN c USING (source), m
+    WHERE (('0x'||substr(md5('mix|'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 1000000) * n_d
+          < min_n * 1000000
+    """,
+)
+def doc_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: every source down-sampled to the
+    smallest source's share by pure integer md5 arithmetic — the kept
+    set is identical on every engine/rerun (exact oracle, no RNG).
+    One tiny count shuffle; the filter is scan-side."""
+    from ..dataops.curation import domain_rebalance
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return domain_rebalance(d)

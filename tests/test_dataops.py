@@ -877,3 +877,68 @@ def test_quantize_embeddings_roundtrip_error_bounded(spark):
     )
     worst = joined.agg(F.min("cos")).collect()[0][0]
     assert worst > 0.999
+
+
+# --- curation: contamination / DSIR / domain rebalance ---------------------
+
+
+def test_benchmark_overlap_flags_contaminated_doc(spark):
+    from incubator_beam_spark.dataops.curation import benchmark_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # verbatim copy
+            (2, "one two three four five six seven eight nine"),  # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in benchmark_overlap(docs, bench, n=3).collect()}
+    assert out[1].contaminated == 1 and out[1].n_hit == out[1].n_ngrams
+    assert out[2].contaminated == 0 and out[2].n_hit == 0
+
+
+def test_benchmark_overlap_short_docs_absent(spark):
+    from incubator_beam_spark.dataops.curation import benchmark_overlap
+
+    bench = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    docs = spark.createDataFrame([(9, "just two")], ["doc_id", "text"])
+    assert benchmark_overlap(docs, bench, n=3).count() == 0
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    from incubator_beam_spark.dataops.curation import dsir_log_ratio
+
+    rows = (
+        # target-domain docs: vocabulary A
+        [(i, "alpha beta gamma delta alpha beta", 1) for i in range(10)]
+        # off-domain docs: vocabulary B
+        + [(100 + i, "omega psi chi phi omega psi", 0) for i in range(10)]
+        # one unscored-domain doc written in the TARGET vocabulary
+        + [(999, "alpha beta gamma delta", 0)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+    w = {
+        r.doc_id: r.dsir_logratio
+        for r in dsir_log_ratio(df, target=F.col("is_t") == 1).collect()
+    }
+    assert w[0] > w[100]  # target vocab outranks off-domain vocab
+    assert w[999] > w[100]  # ...even for a doc outside the target subset
+
+
+def test_domain_rebalance_deterministic_and_uniformish(spark):
+    from incubator_beam_spark.dataops.curation import domain_rebalance
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept1 = sorted(r.doc_id for r in domain_rebalance(df).collect())
+    kept2 = sorted(r.doc_id for r in domain_rebalance(df).collect())
+    assert kept1 == kept2  # no RNG anywhere
+    by_src = (
+        domain_rebalance(df).groupBy("source").count().rdd.collectAsMap()
+    )
+    # small domain keeps everything (fraction 1); big domain ~100 in expectation
+    assert by_src["small"] == 100
+    assert 60 <= by_src["big"] <= 140
