@@ -409,3 +409,43 @@ def dequantize_embeddings(
             lambda c: c.cast("double") * F.col("scale") + F.col("zero_point"),
         ).alias("embedding"),
     )
+
+
+def group_centroid_scores(
+    emb: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic-outlier scoring: each vector's cosine to its GROUP's
+    centroid (element-wise mean). Low scores are candidate mislabels /
+    noisy samples — the standard centroid-distance data-cleaning pass.
+
+    Scale shape: centroids are built by posexplode + groupBy(group, pos)
+    — the shuffle carries only partial (sum, count) accumulators per
+    (group, dim), i.e. n_groups x dim rows total regardless of corpus
+    size. The reassembled centroid table (n_groups rows) is BROADCAST
+    back and the cosine is a scan-side zip_with — vectors themselves
+    never shuffle.
+    """
+    x = emb.select(
+        group_col, F.posexplode(as_double(F.col(vec_col))).alias("pos", "val")
+    )
+    cvec = (
+        x.groupBy(group_col, "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
+            ).alias("cv")
+        )
+    )
+    v = emb.select(group_col, id_col, as_double(F.col(vec_col)).alias("v"))
+    return v.join(F.broadcast(cvec), group_col).select(
+        id_col,
+        group_col,
+        F.round(
+            dot(F.col("v"), F.col("cv")) / (norm(F.col("v")) * norm(F.col("cv"))), 6
+        ).alias("centroid_cos"),
+    )

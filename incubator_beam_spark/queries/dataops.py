@@ -1169,3 +1169,56 @@ def doc_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("doc_id", "source")
     return domain_rebalance(d)
+
+
+@query(
+    "emb_centroid_outliers",
+    oracle="""
+    WITH x AS (SELECT vec_id, label, i AS pos, embedding[i]::DOUBLE AS val
+               FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+    c AS (SELECT label, pos, avg(val) AS c FROM x GROUP BY label, pos)
+    SELECT x.vec_id, x.label,
+           round(sum(x.val * c.c) / (sqrt(sum(x.val * x.val)) * sqrt(sum(c.c * c.c))), 6)
+             AS centroid_cos
+    FROM x JOIN c USING (label, pos) GROUP BY x.vec_id, x.label
+    """,
+)
+def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cosine (semantic-outlier / mislabel scoring):
+    centroid shuffle carries n_labels x dim partial sums only; centroid
+    table broadcasts; the score is scan-side."""
+    from ..dataops.similarity import group_centroid_scores
+
+    return group_centroid_scores(table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "doc_quality_top_per_domain",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SQL}),
+    j AS (SELECT q.doc_id, d.source, q.quality,
+                 row_number() OVER (PARTITION BY d.source
+                                    ORDER BY q.quality DESC, q.doc_id) AS rn,
+                 count(*) OVER (PARTITION BY d.source) AS n_d
+          FROM q JOIN documents d USING (doc_id))
+    SELECT doc_id, source, quality FROM j WHERE rn * 2 <= n_d + 1
+    """,
+)
+def doc_quality_top_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation: keep each source's top half by quality
+    score (rank-based, doc_id tie-break on the 4-decimal score — exact
+    on every engine, unlike a float threshold). One shuffle on source;
+    the count-over window reuses the rank's partitioning."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    q = d.select("doc_id", "source", text.quality_score(F.col("text")).alias("quality"))
+    w = W.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    sel = q.select(
+        "doc_id", "source", "quality",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n_d"),
+    )
+    return sel.filter(F.col("rn") * 2 <= F.col("n_d") + 1).select(
+        "doc_id", "source", "quality"
+    )

@@ -942,3 +942,14 @@ def test_domain_rebalance_deterministic_and_uniformish(spark):
     # small domain keeps everything (fraction 1); big domain ~100 in expectation
     assert by_src["small"] == 100
     assert 60 <= by_src["big"] <= 140
+
+
+def test_group_centroid_scores_flags_planted_outlier(spark):
+    from incubator_beam_spark.dataops.similarity import group_centroid_scores
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0], "a") for i in range(5)]
+    rows.append((99, [-1.0, 0.0, 0.0, 0.0], "a"))  # anti-aligned outlier
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r.vec_id: r.centroid_cos for r in group_centroid_scores(df).collect()}
+    assert out[99] == min(out.values()) and out[99] < 0
+    assert all(v > 0.99 for k, v in out.items() if k != 99)

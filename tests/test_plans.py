@@ -289,3 +289,31 @@ def test_inference_is_single_stage_scan(spark):
 
     plan = plan_of(spark, "emb_inference")
     assert not re.findall(r"\(\d+\) Exchange\b", plan)
+
+
+def test_contamination_benchmark_is_broadcast(spark):
+    # the corpus side must never shuffle: benchmark n-grams broadcast
+    plan = plan_of(spark, "doc_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_lms_are_broadcast(spark):
+    # both LM histograms (1024 rows) broadcast back to the token scan
+    plan = plan_of(spark, "doc_dsir_weights")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_mix_filter_is_scan_side(spark):
+    # per-domain histogram broadcast; the keep-filter runs scan-side
+    plan = plan_of(spark, "doc_domain_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_centroid_outliers_broadcasts_centroids(spark):
+    # vectors never shuffle: centroid table (n_labels rows) broadcasts back
+    plan = plan_of(spark, "emb_centroid_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
