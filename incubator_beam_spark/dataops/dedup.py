@@ -484,3 +484,24 @@ def simhash_pairs(
         .filter(F.col("dist") <= max_distance)
         .distinct()
     )
+
+
+def incremental_new(
+    incoming: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingestion dedup: keep only incoming documents whose
+    content fingerprint has never been seen in the existing snapshot —
+    the "don't re-ingest the same page from the next crawl" primitive.
+
+    Scale shape: both sides reduce to md5 fingerprints scan-side (16
+    bytes/row shuffled, never text); the LEFT ANTI join is a plain
+    fingerprint equi-join Catalyst/AQE handles (broadcast when the seen
+    side's distinct fingerprints are small, shuffled-hash otherwise).
+    """
+    fp = F.md5(F.col(text_col))
+    new_fp = incoming.select(F.col(id_col), fp.alias("fp"))
+    seen_fp = seen.select(fp.alias("fp")).distinct()
+    return new_fp.join(seen_fp, "fp", "left_anti").select(id_col, "fp")

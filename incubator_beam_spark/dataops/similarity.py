@@ -449,3 +449,51 @@ def group_centroid_scores(
             dot(F.col("v"), F.col("cv")) / (norm(F.col("v")) * norm(F.col("cv"))), 6
         ).alias("centroid_cos"),
     )
+
+
+def sign_projection_matrix(dim: int, k: int, seed: str = "proj") -> list[list[int]]:
+    """Deterministic ±1 (Achlioptas/sign) random-projection matrix,
+    derived from md5 so it is identical on every engine/rerun. Built
+    DRIVER-side once (k*dim hashes) and shipped as a literal — never
+    recomputed per row."""
+    import hashlib
+
+    return [
+        [
+            1
+            - 2
+            * (int(hashlib.md5(f"{seed}|{j}|{i}".encode()).hexdigest()[:8], 16) % 2)
+            for i in range(dim)
+        ]
+        for j in range(k)
+    ]
+
+
+def sign_project(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "proj",
+) -> DataFrame:
+    """Random-projection dimensionality reduction: x -> M x with a ±1
+    sign matrix (distance-preserving in expectation, Johnson-
+    Lindenstrauss). 64->8 dims cuts ANN/pair-scoring cost ~8x.
+
+    Scale shape: the matrix is a BROADCAST LITERAL (k x dim ints); the
+    projection is one scan-side transform/aggregate expression per
+    output dim — no UDF, no shuffle, no per-row hashing.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    m = sign_projection_matrix(dim, k, seed)
+    mat = F.array(*[F.array(*[F.lit(x) for x in row]) for row in m])
+    v = as_double(F.col(vec_col))
+    proj = F.transform(
+        mat,
+        lambda row: F.aggregate(
+            F.zip_with(v, row, lambda x, s: x * s.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return emb.select(F.col(id_col), proj.alias("projected"))

@@ -1222,3 +1222,58 @@ def doc_quality_top_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.filter(F.col("rn") * 2 <= F.col("n_d") + 1).select(
         "doc_id", "source", "quality"
     )
+
+
+_PROJ_MAT_SQL = "[[1, -1, 1, -1, -1, -1, 1, 1, 1, 1, -1, -1, 1, -1, 1, 1, -1, -1, 1, 1, -1, -1, -1, -1, 1, 1, 1, 1, 1, -1, -1, -1, 1, -1, 1, 1, -1, -1, -1, 1, 1, 1, -1, 1, 1, -1, 1, 1, 1, -1, -1, 1, 1, 1, -1, -1, 1, 1, 1, -1, 1, -1, -1, -1], [-1, 1, -1, -1, 1, -1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, 1, -1, -1, -1, -1, -1, 1, 1, -1, 1, -1, -1, -1, 1, 1, 1, -1, 1, 1, -1, -1, 1, -1, -1, 1, 1, 1, -1, -1, 1, 1, -1, 1, -1, 1, 1, 1, 1, 1, -1, 1, 1, 1, 1, 1, 1, 1], [1, -1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, 1, 1, 1, -1, -1, -1, 1, 1, 1, -1, -1, 1, 1, 1, 1, -1, -1, 1, -1, -1, -1, -1, -1, 1, 1, 1, 1, -1, -1, 1, -1, 1, -1, -1, -1, -1, -1, 1, 1, -1, 1, 1, -1, -1, -1, 1, 1, 1, -1, 1, 1, 1], [-1, -1, 1, 1, 1, -1, 1, 1, 1, -1, 1, -1, -1, 1, -1, 1, -1, 1, -1, -1, -1, 1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, 1, 1, -1, -1, 1, 1, -1, -1, -1, 1, 1, 1, -1, -1, -1, -1, 1, -1, 1, 1, -1, -1, 1, -1, -1, -1, 1, 1, -1, -1, -1, -1], [-1, -1, -1, 1, 1, 1, 1, 1, -1, 1, 1, -1, -1, -1, 1, 1, -1, -1, -1, 1, 1, 1, -1, 1, -1, -1, -1, -1, 1, -1, -1, -1, -1, -1, -1, 1, 1, 1, -1, -1, 1, -1, -1, -1, 1, 1, -1, 1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, 1, -1, -1, -1, -1, 1], [1, 1, 1, -1, -1, 1, 1, -1, -1, 1, 1, -1, 1, -1, -1, 1, -1, -1, 1, 1, -1, 1, 1, -1, 1, -1, 1, 1, -1, 1, -1, -1, 1, 1, -1, -1, 1, 1, 1, -1, -1, -1, 1, 1, 1, -1, -1, 1, 1, -1, 1, -1, 1, -1, 1, 1, 1, -1, -1, 1, 1, 1, 1, 1], [1, -1, 1, 1, -1, -1, -1, -1, -1, 1, -1, -1, 1, -1, -1, 1, -1, -1, 1, 1, 1, 1, -1, -1, 1, -1, -1, 1, 1, 1, 1, 1, -1, 1, 1, -1, -1, 1, -1, -1, 1, -1, -1, -1, -1, -1, 1, 1, -1, -1, 1, -1, -1, -1, 1, -1, 1, -1, 1, -1, -1, -1, -1, 1], [-1, -1, -1, -1, 1, 1, -1, -1, -1, -1, 1, 1, 1, -1, 1, -1, -1, -1, -1, 1, -1, -1, -1, -1, -1, 1, -1, 1, 1, -1, 1, 1, 1, 1, -1, 1, 1, -1, -1, 1, -1, 1, -1, -1, 1, 1, -1, 1, 1, -1, -1, 1, -1, 1, 1, -1, -1, 1, 1, 1, 1, 1, 1, -1]]"
+
+
+@query(
+    "emb_sign_projection",
+    oracle=f"""
+    SELECT vec_id,
+           to_json(list_transform({_PROJ_MAT_SQL}::BIGINT[][], row ->
+               CAST(round(list_sum(list_transform(generate_series(1, len(embedding)),
+                    i -> embedding[i]::DOUBLE * row[i])) * 1e6) AS BIGINT))) AS projected
+    FROM embeddings
+    """,
+)
+def emb_sign_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection 64->8 dims: the +-1 matrix
+    is a deterministic md5-derived DRIVER-side literal (identical in the
+    oracle), the projection is scan-side transform/aggregate — no UDF,
+    no shuffle. Output rendered as micro-unit integer JSON so the hash
+    is rounding-mode-proof."""
+    from ..dataops.similarity import sign_project
+
+    e = table(spark, sf_dir, "embeddings")
+    p = sign_project(e, k=8)
+    return p.select(
+        "vec_id",
+        F.to_json(
+            F.transform(
+                F.col("projected"),
+                lambda x: F.round(x * 1e6).cast("long"),
+            )
+        ).alias("projected"),
+    )
+
+
+@query(
+    "doc_incremental_new",
+    oracle="""
+    WITH seen AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+    inc AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1)
+    SELECT doc_id, fp FROM inc WHERE fp NOT IN (SELECT fp FROM seen)
+    """,
+)
+def doc_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl ingestion: only incoming docs (odd ids here)
+    whose content fingerprint is absent from the existing snapshot (even
+    ids) survive — fingerprint anti-join, 16 bytes/row shuffled, never
+    text."""
+    from ..dataops.dedup import incremental_new
+
+    d = table(spark, sf_dir, "documents")
+    return incremental_new(
+        d.filter(F.col("doc_id") % 2 == 1), d.filter(F.col("doc_id") % 2 == 0)
+    )

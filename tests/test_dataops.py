@@ -953,3 +953,41 @@ def test_group_centroid_scores_flags_planted_outlier(spark):
     out = {r.vec_id: r.centroid_cos for r in group_centroid_scores(df).collect()}
     assert out[99] == min(out.values()) and out[99] < 0
     assert all(v > 0.99 for k, v in out.items() if k != 99)
+
+
+def test_sign_projection_preserves_relative_distance(spark):
+    # JL property (coarse): a vector far from another stays farther than
+    # a near-identical one, in the projected space
+    import numpy as np
+
+    from incubator_beam_spark.dataops.similarity import (
+        sign_project,
+        sign_projection_matrix,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=32)
+    near = base + rng.normal(scale=0.01, size=32)
+    far = rng.normal(size=32)
+    df = spark.createDataFrame(
+        [(0, base.tolist()), (1, near.tolist()), (2, far.tolist())],
+        ["vec_id", "embedding"],
+    )
+    out = {r.vec_id: np.array(r.projected) for r in sign_project(df, k=16).collect()}
+    d_near = np.linalg.norm(out[0] - out[1])
+    d_far = np.linalg.norm(out[0] - out[2])
+    assert d_near < d_far
+    # and the Spark projection equals the numpy reference exactly
+    m = np.array(sign_projection_matrix(32, 16))
+    np.testing.assert_allclose(out[0], m @ base, rtol=1e-12)
+
+
+def test_incremental_new_drops_seen_fingerprints(spark):
+    from incubator_beam_spark.dataops.dedup import incremental_new
+
+    seen = spark.createDataFrame([(1, "old page"), (2, "another old")], ["doc_id", "text"])
+    inc = spark.createDataFrame(
+        [(10, "old page"), (11, "brand new page")], ["doc_id", "text"]
+    )
+    kept = [r.doc_id for r in incremental_new(inc, seen).collect()]
+    assert kept == [11]
