@@ -187,3 +187,32 @@ def domain_rebalance(
         .filter(bucket * F.col("n_d") < F.col("min_n") * F.lit(1_000_000))
         .drop("n_d", "min_n")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "ws",
+) -> DataFrame:
+    """Deterministic weight-proportional sampling without replacement
+    (sequential Poisson / priority sampling, Ohlsson '98): each row gets
+    priority u/w with u an md5-uniform in [1, 1e6] and w a positive
+    INTEGER weight; the k smallest priorities win. Higher weight →
+    smaller priority → more likely kept. No RNG: u is md5 of the id, so
+    the sample is identical on every engine and rerun — and exactly
+    oracle-checkable, because IEEE integer-to-double division is
+    bit-exact everywhere (unlike pow/ln, which vary by libm).
+
+    Scale shape: priority is scan-side; top-k lowers to
+    TakeOrderedAndProject (per-partition heaps + driver merge of k rows
+    — never a global sort of the corpus).
+    """
+    u = _md5_bucket(F.col(id_col), seed, 1_000_000) + 1
+    pri = u.cast("double") / weight.cast("double")
+    return (
+        df.select(id_col, weight.cast("long").alias("w"), pri.alias("priority"))
+        .orderBy(F.col("priority").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

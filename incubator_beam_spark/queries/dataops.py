@@ -1277,3 +1277,32 @@ def doc_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_new(
         d.filter(F.col("doc_id") % 2 == 1), d.filter(F.col("doc_id") % 2 == 0)
     )
+
+
+@query(
+    "doc_weighted_sample",
+    oracle=f"""
+    WITH ql AS ({_QUALITY_SQL}),
+    q AS (SELECT doc_id, CAST(round(quality * 10000) AS BIGINT) + 1 AS w FROM ql)
+    SELECT doc_id, w,
+           ((('0x'||substr(md5('ws|'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 1000000 + 1)::DOUBLE
+            / w::DOUBLE) AS priority
+    FROM q
+    ORDER BY priority ASC, doc_id ASC LIMIT 100
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus subsampling: sequential-Poisson (priority)
+    sampling with md5-derived uniforms — deterministic, engine-exact
+    (integer/integer IEEE division only), top-k via
+    TakeOrderedAndProject, never a global sort. Weights = quality score
+    in e4 integer units + 1."""
+    from ..dataops.curation import weighted_sample
+
+    d = table(spark, sf_dir, "documents")
+    # round-then-cast: quality is a 4-decimal DOUBLE (e.g. 0.7081 stored as
+    # 0.70809999...), so a bare cast would truncate to 7080 while the
+    # oracle rounds to 7081
+    w = F.round(text.quality_score(F.col("text")) * 10000).cast("long") + 1
+    q = d.select("doc_id", w.alias("w_"))
+    return weighted_sample(q, F.col("w_"), k=100)

@@ -991,3 +991,16 @@ def test_incremental_new_drops_seen_fingerprints(spark):
     )
     kept = [r.doc_id for r in incremental_new(inc, seen).collect()]
     assert kept == [11]
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    from incubator_beam_spark.dataops.curation import weighted_sample
+
+    # 500 light rows (w=1) + 500 heavy rows (w=20): heavy should dominate
+    rows = [(i, 1) for i in range(500)] + [(1000 + i, 20) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    kept = [r.doc_id for r in weighted_sample(df, F.col("w"), k=100).collect()]
+    heavy = sum(1 for d in kept if d >= 1000)
+    assert heavy > 80  # expectation ~95
+    kept2 = [r.doc_id for r in weighted_sample(df, F.col("w"), k=100).collect()]
+    assert kept == kept2  # deterministic

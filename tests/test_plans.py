@@ -317,3 +317,9 @@ def test_centroid_outliers_broadcasts_centroids(spark):
     plan = plan_of(spark, "emb_centroid_outliers")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    # top-k by priority must never globally sort the corpus
+    plan = plan_of(spark, "doc_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
