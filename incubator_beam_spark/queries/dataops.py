@@ -1306,3 +1306,61 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.round(text.quality_score(F.col("text")) * 10000).cast("long") + 1
     q = d.select("doc_id", w.alias("w_"))
     return weighted_sample(q, F.col("w_"), k=100)
+
+
+_BM25_TERMS = ("spark", "window", "merge")
+
+
+@query(
+    "doc_bm25_topk",
+    oracle=f"""
+    WITH dl AS (SELECT doc_id, len({_TOKENS})::BIGINT AS dl FROM documents),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, len({_TOKENS})::BIGINT AS dl, unnest({_TOKENS}) AS term
+            FROM documents)
+      WHERE term IN ('spark', 'window', 'merge')
+      GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df_t FROM tf GROUP BY term)
+    SELECT doc_id,
+           round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                     * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4)
+             AS score
+    FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 25
+    """,
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k full-text retrieval (reference parity: the TF-IDF
+    example pipeline, ``examples/complete/tfidf.py``, same
+    inverted-index shape). Scale: the corpus token stream is filtered
+    against the broadcast 3-term query BEFORE the only per-token
+    shuffle; corpus scalars and per-term DFs are broadcast; top-k is
+    TakeOrderedAndProject."""
+    from ..dataops.retrieval import bm25_topk
+
+    return bm25_topk(table(spark, sf_dir, "documents"), list(_BM25_TERMS), k=25)
+
+
+@query(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS} AS toks, len({_TOKENS})::BIGINT AS n
+               FROM documents WHERE len({_TOKENS}) > 0),
+    s AS (SELECT doc_id, toks, n, unnest(generate_series(0, n - 1, 24)) AS start FROM t)
+    SELECT doc_id,
+           (start // 24)::BIGINT AS chunk_idx,
+           least(32, n - start)::BIGINT AS n_tok,
+           array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-ingestion chunking: fixed 32-token windows every 24 tokens
+    (8-token overlap). Pure scan-side sequence/slice/explode — zero
+    shuffles, no UDF; output is ~n/stride rows per doc."""
+    from ..dataops.retrieval import chunk_tokens
+
+    return chunk_tokens(table(spark, sf_dir, "documents"), size=32, stride=24)

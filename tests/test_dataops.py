@@ -1004,3 +1004,38 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
     assert heavy > 80  # expectation ~95
     kept2 = [r.doc_id for r in weighted_sample(df, F.col("w"), k=100).collect()]
     assert kept == kept2  # deterministic
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    from incubator_beam_spark.dataops.retrieval import bm25_topk
+
+    rows = [
+        (1, "spark spark spark shuffle"),
+        (2, "spark shuffle plan"),
+        (3, "pandas numpy arrow"),
+        (4, "spark"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = bm25_topk(df, ["spark"], k=10).collect()
+    ids = [r.doc_id for r in got]
+    assert 3 not in ids  # no query term -> no score
+    assert ids[0] == 1  # highest tf wins
+    assert all(r.score > 0 for r in got)
+    # shorter doc with same tf=1 outranks longer one (length normalization)
+    assert ids.index(4) < ids.index(2)
+
+
+def test_chunk_tokens_overlap_and_tail(spark):
+    from incubator_beam_spark.dataops.retrieval import chunk_tokens
+
+    words = ["wa", "wb", "wc", "wd", "we", "wf", "wg", "wh", "wi", "wj"]
+    df = spark.createDataFrame([(1, " ".join(words)), (2, "")], ["doc_id", "text"])
+    got = chunk_tokens(df, size=4, stride=3).orderBy("chunk_idx").collect()
+    assert [r.doc_id for r in got] == [1, 1, 1, 1]  # empty doc drops out
+    assert [r.chunk_text for r in got] == [
+        "wa wb wc wd",
+        "wd we wf wg",
+        "wg wh wi wj",
+        "wj",
+    ]
+    assert [r.n_tok for r in got] == [4, 4, 4, 1]

@@ -323,3 +323,20 @@ def test_weighted_sample_is_take_ordered(spark):
     # top-k by priority must never globally sort the corpus
     plan = plan_of(spark, "doc_weighted_sample")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_broadcasts_stats_and_dfreq(spark):
+    # the only shuffle aggregates (doc, query-term) pairs; per-term DF and
+    # corpus scalars come back as broadcasts, top-k is a heap not a sort
+    plan = plan_of(spark, "doc_bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats cross join
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_chunk_windows_is_shuffle_free(spark):
+    # chunking is pure scan-side generate/slice/explode: no Exchange at all
+    plan = plan_of(spark, "doc_chunk_windows")
+    assert "Exchange" not in plan
+    assert "ReadSchema" in plan and "text" in plan
