@@ -1364,3 +1364,76 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dataops.retrieval import chunk_tokens
 
     return chunk_tokens(table(spark, sf_dir, "documents"), size=32, stride=24)
+
+
+# PQ oracle scaffolding: codebook = subvectors of the first 16 vectors by
+# id (in e4 integer units), distances exact BIGINT sums — mirrors
+# dataops/pq.py bit-for-bit. 64 dims = 8 subspaces x 8.
+_PQ_PAIRS = """
+    q AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS v
+          FROM embeddings),
+    sd AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS j
+           FROM (SELECT * FROM q ORDER BY vec_id LIMIT 16)),
+    pairs AS (
+      SELECT q.vec_id, gs.s, sd.j,
+             list_sum(list_transform(generate_series(1, 8),
+                d -> (q.v[gs.s * 8 + d] - sd.v[gs.s * 8 + d])
+                   * (q.v[gs.s * 8 + d] - sd.v[gs.s * 8 + d]))) AS dist
+      FROM q CROSS JOIN sd CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) gs),
+    best AS (SELECT vec_id, s, j, dist,
+                    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) AS rn
+             FROM pairs)
+"""
+
+
+@query(
+    "emb_pq_codes",
+    oracle=f"""
+    WITH {_PQ_PAIRS}
+    SELECT vec_id, array_to_string(list(j ORDER BY s), ',') AS codes
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: 64-dim float32 -> 8 centroid codes
+    (16-centroid codebook per subspace, exact integer L2 argmin). One
+    scan, codebook literal, no shuffle — the compressed representation
+    that makes a 100-TB vector corpus storable/servable."""
+    from ..dataops.pq import pq_codebook, pq_encode
+
+    e = table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(e, n_centroids=16, m=8)
+    return pq_encode(e, cb).select(
+        "vec_id", F.concat_ws(",", F.col("codes")).alias("codes")
+    )
+
+
+@query(
+    "emb_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_PAIRS},
+    lut AS (SELECT s, j, dist FROM pairs WHERE vec_id = 7)
+    SELECT b.vec_id, sum(l.dist)::BIGINT AS adc_dist
+    FROM best b JOIN lut l USING (s, j)
+    WHERE b.rn = 1
+    GROUP BY b.vec_id
+    ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+    """,
+)
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes (FAISS-style): the query builds an 8x16
+    integer lookup table driver-side; scoring is 8 array lookups +
+    BIGINT adds per row over the codes — original vectors never read,
+    top-k is TakeOrderedAndProject."""
+    from ..dataops.pq import pq_adc_lut, pq_adc_topk, pq_codebook, pq_encode, quantized
+
+    e = table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(e, n_centroids=16, m=8)
+    qvec = (
+        e.filter(F.col("vec_id") == 7)
+        .select(quantized(F.col("embedding")).alias("q"))
+        .collect()[0]
+        .q
+    )
+    return pq_adc_topk(pq_encode(e, cb), pq_adc_lut(cb, list(qvec)), k=10)

@@ -1039,3 +1039,42 @@ def test_chunk_tokens_overlap_and_tail(spark):
         "wj",
     ]
     assert [r.n_tok for r in got] == [4, 4, 4, 1]
+
+
+def test_pq_adc_approximates_exact_nn(spark):
+    # ADC over 8x16 codes must put the query's own vector first and keep
+    # reasonable overlap with the exact integer-L2 top-10
+    from incubator_beam_spark.dataops.pq import (
+        pq_adc_lut, pq_adc_topk, pq_codebook, pq_encode, quantized)
+    from incubator_beam_spark.catalog import table
+    from tests.conftest import SF_DIR
+
+    e = table(spark, SF_DIR, "embeddings")
+    cb = pq_codebook(e, n_centroids=16, m=8)
+    assert len(cb) == 8 and len(cb[0]) == 16 and len(cb[0][0]) == 8
+    qvec = e.filter(F.col("vec_id") == 7).select(
+        quantized(F.col("embedding")).alias("q")).collect()[0].q
+    got = pq_adc_topk(pq_encode(e, cb), pq_adc_lut(cb, list(qvec)), k=10).collect()
+    ids = [r.vec_id for r in got]
+    assert ids[0] == 7 and got[0].adc_dist >= 0
+    # exact integer-L2 top-10 via numpy for overlap check
+    import numpy as np
+    rows = e.select("vec_id", quantized(F.col("embedding")).alias("q")).collect()
+    mat = np.array([r.q for r in rows], dtype=np.int64)
+    vid = np.array([r.vec_id for r in rows])
+    d = ((mat - np.array(qvec, dtype=np.int64)) ** 2).sum(axis=1)
+    exact = set(vid[np.argsort(d, kind="stable")[:10]].tolist())
+    assert len(exact & set(ids)) >= 3  # coarse 16-centroid codebook, small n
+
+
+def test_pq_codes_are_small_ints(spark):
+    from incubator_beam_spark.dataops.pq import pq_codebook, pq_encode
+    from incubator_beam_spark.catalog import table
+    from tests.conftest import SF_DIR
+
+    e = table(spark, SF_DIR, "embeddings")
+    codes = pq_encode(e, pq_codebook(e)).collect()
+    assert len(codes) == e.count()
+    for r in codes[:50]:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)

@@ -340,3 +340,15 @@ def test_chunk_windows_is_shuffle_free(spark):
     plan = plan_of(spark, "doc_chunk_windows")
     assert "Exchange" not in plan
     assert "ReadSchema" in plan and "text" in plan
+
+
+def test_pq_encode_is_scan_side(spark):
+    # codebook is a literal: encoding shuffles nothing
+    plan = plan_of(spark, "emb_pq_codes")
+    assert "Exchange" not in plan
+
+
+def test_pq_adc_topk_is_take_ordered(spark):
+    plan = plan_of(spark, "emb_pq_adc_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
