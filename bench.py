@@ -43,6 +43,9 @@ HEADLINE = [
     "evt_asof_join",
     "doc_neardup_clusters",
     "emb_inference",
+    # full-text retrieval + compressed-vector search
+    "doc_bm25_topk",
+    "emb_pq_adc_topk",
 ]
 
 

@@ -100,14 +100,14 @@ _PRIORITY: tuple[str, ...] = (
     "evt_tumbling_window",
     "evt_sliding_window",
     "evt_session_window",
-    "evt_window_reify",
+    "doc_bm25_topk",
     "evt_timestamp_combiners",
     "evt_group_into_batches",
     "cep_match_recognize",
     # function-suite components named in SURVEY §2 rows
     "fn_regex_suite",
     "fn_json_suite",
-    "fn_tostring_kvs",
+    "doc_chunk_windows",
     "sql_udtf_ngrams",
     # round-2 novel operators: temporal joins, CC clustering, inference,
     # audio codec, TPC-H completion representative
@@ -122,8 +122,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_hotkey_fanout",
     "combine_lifted_geomean",
     "pardo_tagged_outputs",
-    "combine_values_norm",
-    "agg_latest_globally",
+    "emb_pq_codes",
+    "emb_pq_adc_topk",
 )
 
 
