@@ -72,12 +72,17 @@ def pq_encode(
     codebook: Codebook,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<int> of length m): per subspace, the index of the
-    L2-nearest codebook centroid (exact integer distances, ties to the
-    lowest index via first-match ``array_position``). Pure scan-side."""
+    """(id, *keep, codes array<int> of length m): per subspace, the index
+    of the L2-nearest codebook centroid (exact integer distances, ties to
+    the lowest index via first-match ``array_position``). Pure scan-side.
+    ``keep`` carries extra columns through (e.g. the IVF cell id when
+    building a composite IVF-PQ index)."""
     m, sub = len(codebook), len(codebook[0][0])
-    df = emb.select(F.col(id_col), quantized(F.col(vec_col)).alias("vq"))
+    df = emb.select(
+        F.col(id_col), *[F.col(c) for c in keep], quantized(F.col(vec_col)).alias("vq")
+    )
     codes = []
     for s in range(m):
         cb_lit = F.array(
@@ -93,7 +98,9 @@ def pq_encode(
             ),
         )
         codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return df.select(id_col, F.array(*codes).alias("codes"))
+    return df.select(
+        id_col, *[F.col(c) for c in keep], F.array(*codes).alias("codes")
+    )
 
 
 def pq_adc_lut(codebook: Codebook, query_q: list[int]) -> list[list[int]]:
@@ -133,4 +140,26 @@ def pq_adc_topk(
         codes.select(id_col, score.alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def ivfpq_index(
+    emb: DataFrame,
+    centroids: DataFrame,
+    codebook: Codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The composite IVF-PQ index (FAISS's billion-scale layout): one
+    pass assigns each vector to its max-cosine coarse cell (broadcast
+    centroids) and PQ-encodes it — output (id, cell, codes) is the whole
+    serving artifact, ~m bytes + a cell id per vector. Queries probe a
+    cell (equi-join on the broadcast probe set) and ADC-score only that
+    cell's codes: corpus-fraction scanned ~= 1/n_cells, vectors never
+    shuffled or re-read."""
+    from .similarity import ivf_assign
+
+    asg = ivf_assign(emb, centroids, id_col, vec_col)
+    return pq_encode(asg, codebook, id_col="id", vec_col="v", keep=("cell",)).withColumnRenamed(
+        "id", id_col
     )

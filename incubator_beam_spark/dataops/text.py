@@ -228,3 +228,32 @@ def stratified_sample(df, strata_col: str, fractions: dict, seed: int = 7):
     ``sampleBy`` with a pinned seed: Bernoulli per row, no shuffle, scan
     stays parallel. Fractions outside [0,1] raise; absent strata drop."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def token_entropy(text: Column) -> tuple[Column, Column]:
+    """(n_types, entropy): distinct-token count and Shannon entropy of
+    the token distribution — the lexical-diversity quality signal
+    (low entropy = repetitive/boilerplate, the Gopher "mostly the same
+    token" filter).
+
+    Scan-side run-length histogram: sort the token array, find run
+    starts with an indexed filter, diff adjacent starts — no explode, no
+    shuffle, the histogram never leaves the row. H = ln(n) - (1/n)*sum
+    c*ln(c), rounded to 6 decimals (ln is the only libm call; identical
+    fold order keeps engines within rounding distance).
+    """
+    toks = tokens(text)
+    srt = F.sort_array(toks)
+    n = F.size(srt)
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == 1)
+        | (F.element_at(srt, F.greatest(i - 1, F.lit(1))) != F.element_at(srt, i)),
+    )
+    ends = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n + 1))
+    counts = F.zip_with(starts, ends, lambda a, b: b - a)
+    sum_clnc = F.aggregate(
+        counts, F.lit(0.0), lambda acc, c: acc + c.cast("double") * F.log(c.cast("double"))
+    )
+    entropy = F.round(F.log(n.cast("double")) - sum_clnc / n, 6)
+    return F.size(starts).cast("long"), entropy

@@ -1437,3 +1437,85 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .q
     )
     return pq_adc_topk(pq_encode(e, cb), pq_adc_lut(cb, list(qvec)), k=10)
+
+
+@query(
+    "doc_token_entropy",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_sort({_TOKENS}) AS srt,
+                      len({_TOKENS})::BIGINT AS n
+               FROM documents WHERE len({_TOKENS}) > 0),
+    r AS (SELECT doc_id, n,
+                 list_filter(generate_series(1, n),
+                             i -> i = 1 OR srt[greatest(i - 1, 1)] <> srt[i]) AS starts,
+                 srt
+          FROM t),
+    c AS (SELECT doc_id, n, len(starts)::BIGINT AS n_types,
+                 list_transform(generate_series(1, len(starts)),
+                     k -> (CASE WHEN k = len(starts) THEN n + 1 ELSE starts[k + 1] END)
+                          - starts[k]) AS counts
+          FROM r)
+    SELECT doc_id, n_types,
+           round(ln(n::DOUBLE)
+                 - list_sum(list_transform(counts, c -> c::DOUBLE * ln(c::DOUBLE))) / n,
+                 6) AS entropy
+    FROM c
+    """,
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity: distinct-token count + Shannon entropy of each
+    document's token distribution (repetitive/boilerplate detector).
+    Zero-shuffle scan-side run-length histogram — at 100 TB this runs
+    inside whole-stage codegen during the parquet scan."""
+    d = table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    n_types, entropy = text.token_entropy(F.col("text"))
+    return (
+        d.filter(F.size(toks) > 0)
+        .select("doc_id", n_types.alias("n_types"), entropy.alias("entropy"))
+    )
+
+
+@query(
+    "emb_ivfpq_topk",
+    oracle=f"""
+    WITH {_PQ_PAIRS},
+    vv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 16),
+    assigned AS (
+      SELECT id, cid AS cell
+      FROM (SELECT vv.id, cent.cid, {_IVF_COS} AS cos_c
+            FROM vv CROSS JOIN cent) s
+      QUALIFY row_number() OVER (PARTITION BY id ORDER BY cos_c DESC, cid) = 1),
+    codesq AS (SELECT vec_id, s, j FROM best WHERE rn = 1),
+    lut AS (SELECT s, j, dist FROM pairs WHERE vec_id = 7),
+    qcell AS (SELECT cell FROM assigned WHERE id = 7),
+    cand AS (SELECT a.id FROM assigned a JOIN qcell USING (cell))
+    SELECT c.vec_id, sum(l.dist)::BIGINT AS adc_dist
+    FROM codesq c JOIN lut l USING (s, j) JOIN cand ON cand.id = c.vec_id
+    GROUP BY c.vec_id
+    ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+    """,
+)
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search, the composed billion-scale ANN architecture: build
+    the (cell, codes) index in one pass (broadcast coarse centroids +
+    literal PQ codebook), probe the query's cell, ADC-score only that
+    cell's compressed codes. ~1/16 of the corpus scanned, 8 bytes read
+    per candidate, top-k is a heap."""
+    from ..dataops.pq import ivfpq_index, pq_adc_lut, pq_adc_topk, pq_codebook, quantized
+
+    e = table(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 16)
+    cb = pq_codebook(e, n_centroids=16, m=8)
+    idx = ivfpq_index(e, seeds, cb)
+    qcell = idx.filter(F.col("vec_id") == 7).select("cell")
+    cand = idx.join(F.broadcast(qcell), "cell").select("vec_id", "codes")
+    qvec = (
+        e.filter(F.col("vec_id") == 7)
+        .select(quantized(F.col("embedding")).alias("q"))
+        .collect()[0]
+        .q
+    )
+    return pq_adc_topk(cand, pq_adc_lut(cb, list(qvec)), k=10)

@@ -1078,3 +1078,43 @@ def test_pq_codes_are_small_ints(spark):
     for r in codes[:50]:
         assert len(r.codes) == 8
         assert all(0 <= c < 16 for c in r.codes)
+
+
+def test_token_entropy_orders_diversity(spark):
+    from incubator_beam_spark.dataops.text import token_entropy
+
+    rows = [
+        (1, "spam spam spam spam"),          # zero entropy, 1 type
+        (2, "alpha beta gamma delta"),       # max entropy, 4 types
+        (3, "alpha alpha beta beta"),        # middling, 2 types
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    n_types, ent = token_entropy(F.col("text"))
+    out = {r.doc_id: (r.t, r.h) for r in
+           df.select("doc_id", n_types.alias("t"), ent.alias("h")).collect()}
+    assert out[1] == (1, 0.0)
+    assert out[2][0] == 4 and abs(out[2][1] - 1.386294) < 1e-6  # ln 4
+    assert out[3][0] == 2 and abs(out[3][1] - 0.693147) < 1e-6  # ln 2
+    assert out[1][1] < out[3][1] < out[2][1]
+
+
+def test_ivfpq_index_and_probe(spark):
+    from incubator_beam_spark.dataops.pq import (
+        ivfpq_index, pq_adc_lut, pq_adc_topk, pq_codebook, quantized)
+    from incubator_beam_spark.catalog import table
+    from tests.conftest import SF_DIR
+
+    e = table(spark, SF_DIR, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 16)
+    cb = pq_codebook(e)
+    idx = ivfpq_index(e, seeds, cb)
+    assert idx.columns == ["vec_id", "cell", "codes"]
+    assert idx.count() == e.count()  # every vector indexed exactly once
+    # probing the query's cell returns the query itself first
+    qcell = idx.filter(F.col("vec_id") == 7).select("cell")
+    cand = idx.join(F.broadcast(qcell), "cell").select("vec_id", "codes")
+    qvec = e.filter(F.col("vec_id") == 7).select(
+        quantized(F.col("embedding")).alias("q")).collect()[0].q
+    got = pq_adc_topk(cand, pq_adc_lut(cb, list(qvec)), k=5).collect()
+    assert got[0].vec_id == 7
+    assert cand.count() < e.count()  # probe scans a strict subset
