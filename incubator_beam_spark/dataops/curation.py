@@ -216,3 +216,59 @@ def weighted_sample(
         .orderBy(F.col("priority").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str = "doc_id",
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-based domain resampling at T=2 (exponent alpha=1/2):
+    retarget the domain mixture from p_d to q_d = sqrt(p_d)/sum sqrt(p_d')
+    — the standard multilingual/multi-domain rebalance (mT5/XLM-R style),
+    which upweights small domains and downweights dominant ones. Kept
+    fraction per domain f_d = min(1, q_d * N / n_d); rows keep
+    deterministically via md5 bucket < round(f_d * 1e6).
+
+    alpha is pinned to 1/2 because sqrt is IEEE-correctly-rounded on
+    every engine, so the thresholds (and hence the exact kept set) are
+    engine-reproducible — general pow/exp/ln are not. The cross-domain
+    normalizer folds in domain-name order so the float sum is
+    order-identical on every engine.
+
+    Scale: one tiny count-by-domain aggregate, normalizer computed over
+    the handful of domain rows, thresholds broadcast back; the keep
+    decision is a scan-side md5 filter. Nothing but per-domain counts
+    ever shuffles.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_d"))
+    # ordered fold => bit-identical normalizer on every engine
+    norm = counts.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(F.col(domain_col), F.col("n_d")))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.sqrt(s["n_d"].cast("double")),
+        ).alias("z"),
+        F.sum("n_d").alias("n_total"),
+    )
+    thresh = (
+        counts.crossJoin(F.broadcast(norm))
+        .withColumn(
+            "f_d",
+            F.least(
+                F.lit(1.0),
+                F.sqrt(F.col("n_d").cast("double"))
+                / F.col("z")
+                * F.col("n_total")
+                / F.col("n_d"),
+            ),
+        )
+        .select(domain_col, F.round(F.col("f_d") * 1_000_000).cast("long").alias("keep_lt"))
+    )
+    bucket = _md5_bucket(F.col(id_col), seed, 1_000_000)
+    return (
+        df.join(F.broadcast(thresh), domain_col)
+        .filter(bucket < F.col("keep_lt"))
+        .drop("keep_lt")
+    )

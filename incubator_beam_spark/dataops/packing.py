@@ -184,3 +184,80 @@ def hash_split(
         .when(bucket < test_pct + val_pct, "val")
         .otherwise("train"),
     )
+
+
+def concat_chunk_spans(
+    df: DataFrame,
+    block: int = 512,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "ccs",
+) -> DataFrame:
+    """GPT-style pretraining packing: conceptually concatenate the whole
+    (deterministically shuffled) corpus with one separator token after
+    each document, then cut into fixed ``block``-token training blocks.
+    Emits the SPAN MAP — (block_id, doc_id, pos_in_block, n_tok) — i.e.
+    which slice of which document lands where in which block; a writer
+    joins text back by doc_id to materialize blocks.
+
+    Exact-integer two-level prefix sum, the scalable form of the global
+    running total:
+    - level 1: documents hash into ``n_buckets`` md5 buckets; a window
+      partitioned BY BUCKET computes within-bucket running token
+      offsets (parallel across buckets),
+    - level 2: per-bucket totals (``n_buckets`` rows) get an ordered
+      cumulative sum and broadcast back as bucket base offsets.
+    Global document order is (bucket, md5 key, id) — fully deterministic
+    and engine-portable; no single-partition window ever sees more than
+    1/n_buckets of the corpus. Block assignment explodes each document
+    to the 1-2+ blocks its token interval overlaps (pure scan-side
+    sequence/explode).
+    """
+    from .text import token_count
+
+    okey = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
+    bucket = F.conv(F.substring(okey, 1, 8), 16, 10).cast("long") % n_buckets
+    base = df.select(
+        F.col(id_col),
+        okey.alias("okey"),
+        bucket.alias("bucket"),
+        (token_count(F.col(text_col)) + 1).alias("tok"),
+    )
+    from pyspark.sql import Window as W
+
+    within = F.sum("tok").over(
+        W.partitionBy("bucket").orderBy("okey", id_col)
+    )
+    pre = base.withColumn("within_incl", within)
+    btot = base.groupBy("bucket").agg(F.sum("tok").alias("btot"))
+    boff = F.coalesce(
+        F.sum("btot").over(
+            W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    bases = btot.select("bucket", boff.alias("boff"))
+    spans = (
+        pre.join(F.broadcast(bases), "bucket")
+        .withColumn("off", F.col("boff") + F.col("within_incl") - F.col("tok"))
+        .withColumn(
+            "blk",
+            F.explode(
+                F.sequence(
+                    F.expr(f"off div {block}"),
+                    F.expr(f"(off + tok - 1) div {block}"),
+                )
+            ),
+        )
+    )
+    blk_start = F.col("blk") * block
+    return spans.select(
+        F.col("blk").cast("long").alias("block_id"),
+        id_col,
+        (F.greatest(F.col("off"), blk_start) - blk_start).cast("long").alias("pos_in_block"),
+        (
+            F.least((F.col("blk") + 1) * block, F.col("off") + F.col("tok"))
+            - F.greatest(F.col("off"), blk_start)
+        ).cast("long").alias("n_tok"),
+    )

@@ -1519,3 +1519,66 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .q
     )
     return pq_adc_topk(cand, pq_adc_lut(cb, list(qvec)), k=10)
+
+
+@query(
+    "doc_temperature_resample",
+    oracle="""
+    WITH counts AS (SELECT source, count(*)::BIGINT AS n_d FROM documents GROUP BY source),
+    norm AS (SELECT list_reduce(list_transform(list(n_d ORDER BY source), x -> sqrt(x::DOUBLE)),
+                                (a, b) -> a + b) AS z,
+                    sum(n_d)::BIGINT AS n_total
+             FROM counts),
+    thresh AS (SELECT source,
+                      CAST(round(least(1.0, sqrt(n_d::DOUBLE) / z * n_total / n_d) * 1000000) AS BIGINT)
+                        AS keep_lt
+               FROM counts CROSS JOIN norm)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thresh USING (source)
+    WHERE ('0x' || substr(md5('temp|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < keep_lt
+    """,
+)
+def doc_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (T=2) domain-mixture resampling, mT5/XLM-R style:
+    retarget shares p_d -> sqrt(p_d)/sum sqrt, via deterministic md5
+    keep-thresholds (sqrt is IEEE-exact cross-engine; the normalizer
+    folds in domain order). Tiny domain-count shuffle only; keep filter
+    is scan-side."""
+    from ..dataops.curation import temperature_resample
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_resample(d, "source")
+
+
+@query(
+    "doc_concat_chunk_spans",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             md5('ccs|' || CAST(doc_id AS VARCHAR)) AS okey,
+             ('0x' || substr(md5('ccs|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS bucket,
+             (len({_TOKENS}) + 1)::BIGINT AS tok
+      FROM documents),
+    pre AS (
+      SELECT doc_id, tok,
+             (sum(tok) OVER (ORDER BY bucket, okey, doc_id
+                             ROWS UNBOUNDED PRECEDING) - tok)::BIGINT AS off
+      FROM base),
+    spans AS (
+      SELECT doc_id, off, tok,
+             unnest(generate_series(off // 512, (off + tok - 1) // 512)) AS blk
+      FROM pre)
+    SELECT blk::BIGINT AS block_id, doc_id,
+           (greatest(off, blk * 512) - blk * 512)::BIGINT AS pos_in_block,
+           (least((blk + 1) * 512, off + tok) - greatest(off, blk * 512))::BIGINT AS n_tok
+    FROM spans
+    """,
+)
+def doc_concat_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing span map (the GPT pretraining data prep):
+    deterministic md5 shuffle, exact two-level prefix sum of token
+    offsets (64-way parallel window + broadcast bucket bases), 512-token
+    blocks. Oracle = single global window — must agree exactly."""
+    from ..dataops.packing import concat_chunk_spans
+
+    return concat_chunk_spans(table(spark, sf_dir, "documents"), block=512, n_buckets=64)

@@ -1118,3 +1118,43 @@ def test_ivfpq_index_and_probe(spark):
     got = pq_adc_topk(cand, pq_adc_lut(cb, list(qvec)), k=5).collect()
     assert got[0].vec_id == 7
     assert cand.count() < e.count()  # probe scans a strict subset
+
+
+def test_concat_chunk_spans_tile_exactly(spark):
+    from incubator_beam_spark.dataops.packing import concat_chunk_spans
+    from incubator_beam_spark.dataops.text import token_count
+    from incubator_beam_spark.catalog import table
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    spans = concat_chunk_spans(d, block=512, n_buckets=64).cache()
+    total_tok = d.select(F.sum(token_count(F.col("text")) + 1).alias("t")).collect()[0].t
+    # every block except the last is exactly full, and they tile [0, total)
+    per_block = {r.block_id: r.s for r in
+                 spans.groupBy("block_id").agg(F.sum("n_tok").alias("s")).collect()}
+    last = max(per_block)
+    assert all(v == 512 for b, v in per_block.items() if b != last)
+    assert sum(per_block.values()) == total_tok
+    assert set(per_block) == set(range(last + 1))  # no gaps
+    # every document is fully covered exactly once (its tokens + 1 sep)
+    doc_cov = {r.doc_id: r.s for r in
+               spans.groupBy("doc_id").agg(F.sum("n_tok").alias("s")).collect()}
+    doc_tok = {r.doc_id: r.t + 1 for r in
+               d.select("doc_id", token_count(F.col("text")).alias("t")).collect()}
+    assert doc_cov == doc_tok
+    spans.unpersist()
+
+
+def test_temperature_resample_flattens_mixture(spark):
+    from incubator_beam_spark.dataops.curation import temperature_resample
+
+    rows = [(i, "big") for i in range(900)] + [(900 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = temperature_resample(df, "source").groupBy("source").count().collect()
+    out = {r.source: r["count"] for r in kept}
+    # small domain keeps everything (f capped at 1), big is downsampled
+    assert out["small"] == 100
+    assert 500 < out["big"] < 850  # target q_big*N = .75*1000/900 => ~750
+    # deterministic
+    kept2 = temperature_resample(df, "source").groupBy("source").count().collect()
+    assert {r.source: r["count"] for r in kept2} == out

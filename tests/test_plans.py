@@ -352,3 +352,18 @@ def test_pq_adc_topk_is_take_ordered(spark):
     plan = plan_of(spark, "emb_pq_adc_topk")
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_concat_chunk_prefix_sum_is_bucket_parallel(spark):
+    # the corpus-wide running offset must come from a window partitioned
+    # by bucket (parallel), not a single-partition window over all rows;
+    # the only SinglePartition exchange feeds the 64-row bucket-base cumsum
+    plan = plan_of(spark, "doc_concat_chunk_spans")
+    assert re.search(r"hashpartitioning\(bucket", plan)
+    assert "BroadcastHashJoin" in plan  # bucket bases broadcast back
+
+
+def test_temperature_resample_thresholds_broadcast(spark):
+    plan = plan_of(spark, "doc_temperature_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
