@@ -155,8 +155,10 @@ class WindowInto(PTransform):
     def expand(self, pcoll: PCollection) -> PCollection:
         df = pcoll.df
         ts = F.col(self.ts_col)
-        if dict(df.dtypes).get(self.ts_col) == "timestamp":
-            ts = ts.cast("double")
+        if dict(df.dtypes).get(self.ts_col, "").startswith("timestamp"):
+            # TIMESTAMP_NTZ has no direct numeric cast; hop through TIMESTAMP
+            # (session tz is pinned to UTC, so this is exact epoch seconds).
+            ts = ts.cast("timestamp").cast("double")
         assigned = self.windowfn.assign(ts)
         if isinstance(assigned, list):  # multi-assignment (sliding)
             windows = F.array(
