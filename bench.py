@@ -54,7 +54,7 @@ def main() -> None:
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
-    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--warmup", type=int, default=1, help="untimed passes per query")
     ap.add_argument("--all", action="store_true", help="bench every registered query")
     args = ap.parse_args()
@@ -68,11 +68,28 @@ def main() -> None:
     # JVM + codegen warmup on a trivial action so q1 isn't charged for startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    def cleanup() -> None:
+        """Release state one query can leak into the next's timing: cached
+        plans, localCheckpoint blocks (iterative ops), temp views, and
+        python garbage — VERDICT r2 traced a 6x recorded-vs-isolated gap
+        to exactly this cross-query interference."""
+        import gc
+
+        try:
+            spark.catalog.clearCache()
+            it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+            while it.hasNext():
+                it.next()._2().unpersist(False)
+        except Exception:
+            pass
+        gc.collect()
+
     per_query: dict[str, float] = {}
     for name in names:
         q = registry.QUERIES[name]
         for _ in range(max(args.warmup, 0)):
             q.fn(spark, args.sf_dir).count()  # JVM/codegen/IO warmup, untimed
+        cleanup()
         best = None
         for _ in range(max(args.repeat, 1)):
             t0 = time.perf_counter()
@@ -81,6 +98,7 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         per_query[name] = round(best, 4)
+        cleanup()
         print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]

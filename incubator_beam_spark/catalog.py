@@ -56,17 +56,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        # ts is stored as TIMESTAMP(NANOS) which Spark reads as epoch-nanos
-        # long (see session.py nanosAsLong); restore event-time semantics at
-        # microsecond precision (the fixture's actual resolution).
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # integer DIV: epoch-nanos exceeds double's 2^53 mantissa, so
-            # float division would round the microsecond digit
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # Legacy fixture layout: ts stored as TIMESTAMP(NANOS), read as
+        # epoch-nanos long (see nanosAsLong above); restore event-time
+        # semantics at microsecond precision. Integer DIV: epoch-nanos
+        # exceeds double's 2^53 mantissa, so float division would round
+        # the microsecond digit.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Current fixtures store timestamp[us] with isAdjustedToUTC=false, which
+    # this Spark reads as TIMESTAMP_NTZ. Event-time APIs (withWatermark,
+    # unix_micros, window) require the instant-based TIMESTAMP type, so
+    # normalize every NTZ column here — the cast reinterprets the naive
+    # value in the session timezone, which _ensure_session_confs pins to
+    # UTC, making it exact w.r.t. the (UTC-naive) DuckDB oracle.
+    ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz_cols:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 

@@ -30,6 +30,19 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 
+def _instant_ts(df: DataFrame, *cols: str) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ timestamp columns to instant-based TIMESTAMP.
+
+    ``unix_micros`` (and every event-time API) rejects NTZ; under a UTC
+    session timezone the cast is exact. Callers going through
+    ``catalog.table`` are already normalized — this guards direct inputs.
+    """
+    ntz = [c for c in cols if isinstance(df.schema[c].dataType, T.TimestampNTZType)]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -52,6 +65,8 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    left = _instant_ts(left, left_ts)
+    right = _instant_ts(right, right_ts)
 
     rpay = [c for c in right.columns if c not in keys]
     lcols = left.columns
@@ -121,6 +136,8 @@ def range_join(
     because a point lives in exactly one bucket."""
     if how != "inner":
         raise ValueError("only inner range_join is supported")
+    points = _instant_ts(points, point_ts)
+    intervals = _instant_ts(intervals, start_col, end_col)
     us = 1000 * bucket_ms
     pb = points.withColumn("__b", (F.unix_micros(F.col(point_ts)) / us).cast("long"))
     # degenerate intervals (null bounds, end <= start) can never match —

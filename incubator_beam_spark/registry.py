@@ -66,64 +66,66 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # gates. Everything else (TPC-H, joins, sets — all driver-green in round 1)
 # registers after the window and stays covered by the local oracle tests.
 _PRIORITY: tuple[str, ...] = (
-    # round-1 red rows, now stringified / type-pinned
-    "agg_top_per_key_array",
-    "agg_to_list_sorted",
-    "agg_to_set",
-    "agg_count_if_any_value",
-    # LLM-data operators (dedup / similarity / text / multimodal)
-    "doc_text_stats",
-    "doc_quality_score",
-    "doc_langid",
-    "doc_exact_dedup",
-    "doc_minhash_signature",
-    "doc_minhash_lsh_pairs",
-    "doc_simhash",
-    "doc_ngram_jaccard",
-    "emb_cosine_topk",
-    "emb_lsh_topk",
-    "emb_neardup_pairs",
-    "emb_ivf_topk",
-    "mm_binary_meta",
-    "mm_frame_extract",
-    # SQL front door
-    "sql_tumble",
-    "sql_session",
-    "sql_exists_subquery",
-    "sql_scalar_subquery",
-    "sql_correlated_avg",
-    "sql_grouping_sets",
-    "evt_custom_merging_window",
-    "sql_unnest_lateral",
-    "io_write_dynamic",
-    # event-time windowing + CEP
-    "evt_tumbling_window",
-    "evt_sliding_window",
-    "evt_session_window",
-    "doc_bm25_topk",
-    "evt_timestamp_combiners",
-    "evt_group_into_batches",
-    "cep_match_recognize",
-    # function-suite components named in SURVEY §2 rows
-    "fn_regex_suite",
-    "fn_json_suite",
-    "doc_chunk_windows",
-    "sql_udtf_ngrams",
-    # round-2 novel operators: temporal joins, CC clustering, inference,
-    # audio codec, TPC-H completion representative
-    "evt_asof_join",
+    # Round-3 rotation: the 92 r1∪r2 driver-green names stay covered by the
+    # local oracle suite; this window goes to never-driver-checked gates.
+    # Lead with the round-2 red row (TIMESTAMP_NTZ fix proof):
     "evt_range_join",
-    "doc_neardup_clusters",
-    "emb_inference",
-    "mm_audio_meta",
-    "q2_min_cost_supplier",
-    # remaining untested combiner components + new round-2 gates
-    "win_range_frame",
-    "agg_hotkey_fanout",
-    "combine_lifted_geomean",
-    "pardo_tagged_outputs",
-    "emb_pq_codes",
-    "emb_pq_adc_topk",
+    # streaming ValidatesRunner parity gates (engine namesake; two were
+    # broken by the same NTZ root cause, now fixed)
+    "stream_tumbling_agg",
+    "stream_stateless_map_filter",
+    "stream_distinct_users",
+    "stream_session_window",
+    "stream_stream_join",
+    "stream_asof_enrich",
+    # round-2-added LLM-data gates (text curation / fingerprints / packing)
+    "doc_normalize",
+    "doc_fingerprint",
+    "doc_repetition",
+    "doc_pii_scrub",
+    "doc_quality_filter",
+    "doc_vocab_topk",
+    "doc_simhash_pairs",
+    "doc_profile",
+    "doc_unigram_logprob",
+    "doc_hash_split",
+    "doc_contamination",
+    "doc_dsir_weights",
+    "doc_domain_mix",
+    "doc_quality_top_per_domain",
+    "doc_incremental_new",
+    "doc_weighted_sample",
+    "doc_token_entropy",
+    "doc_temperature_resample",
+    "doc_concat_chunk_spans",
+    # embedding ops: normalization, k-means, quantization, IVF-PQ, keyed inference
+    "emb_normalize",
+    "emb_kmeans_step",
+    "emb_quantize",
+    "emb_inference_keyed",
+    "emb_centroid_outliers",
+    "emb_sign_projection",
+    "emb_ivfpq_topk",
+    # multimodal byte codecs
+    "mm_image_meta",
+    "mm_video_meta",
+    # SQL rels never driver-checked
+    "sql_hop",
+    "sql_in_subquery",
+    "sql_cte_chain",
+    "sql_values_join",
+    "sql_order_limit_offset",
+    "sql_case_insensitive_agg",
+    # the 9 scalar-function suites (SURVEY §2.8 scalar fn rows)
+    "fn_string_suite",
+    "fn_math_suite",
+    "fn_datetime_suite",
+    "fn_conditional_suite",
+    "fn_array_suite",
+    "fn_unnest",
+    "fn_tostring_kvs",
+    "fn_bitwise_suite",
+    "fn_map_suite",
 )
 
 

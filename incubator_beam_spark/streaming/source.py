@@ -39,6 +39,13 @@ def stream_table(
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # TIMESTAMP_NTZ -> TIMESTAMP under the pinned UTC session tz (exact);
+    # withWatermark/window/session_window require the instant-based type.
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 

@@ -156,8 +156,18 @@ class WindowInto(PTransform):
         df = pcoll.df
         ts = F.col(self.ts_col)
         if dict(df.dtypes).get(self.ts_col, "").startswith("timestamp"):
-            # TIMESTAMP_NTZ has no direct numeric cast; hop through TIMESTAMP
-            # (session tz is pinned to UTC, so this is exact epoch seconds).
+            # TIMESTAMP_NTZ has no direct numeric cast; hop through TIMESTAMP.
+            # That hop reinterprets the naive value in the SESSION timezone at
+            # execution time — exact epoch seconds only under UTC, so fail
+            # loudly rather than shift silently on a foreign session.
+            if dict(df.dtypes)[self.ts_col] == "timestamp_ntz":
+                tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+                if tz != "UTC":
+                    raise ValueError(
+                        f"WindowInto on a TIMESTAMP_NTZ column requires "
+                        f"spark.sql.session.timeZone=UTC (got {tz!r}); the "
+                        f"NTZ->TIMESTAMP hop would shift epoch values"
+                    )
             ts = ts.cast("timestamp").cast("double")
         assigned = self.windowfn.assign(ts)
         if isinstance(assigned, list):  # multi-assignment (sliding)
