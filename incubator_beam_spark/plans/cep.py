@@ -10,16 +10,17 @@ custom operators.
 Spark-first design (not a port of the NFA):
 - Symbol predicates are Catalyst ``Column`` expressions, evaluated
   JVM-side inside whole-stage codegen during the scan — the Python
-  boundary only ever sees one char per row.
-- Each row is classified to at most one symbol (first matching DEFINE in
-  declaration order — the deterministic subset of SQL MATCH_RECOGNIZE
-  where the classifier does not depend on pattern context; Calcite
-  behaves identically for patterns whose defines are mutually
-  exclusive).
-- Per key, rows are ordered and the symbol chars form a string; the
-  PATTERN (symbols with ``? * +`` quantifiers and ``|`` alternation) is
-  compiled to a host regex. ``finditer`` yields greedy, non-overlapping
-  matches == AFTER MATCH SKIP PAST LAST ROW semantics.
+  boundary sees one char (plus one bool per symbol) per row.
+- Keys whose rows each satisfy at most ONE symbol run the fast path: the
+  classifier chars form a string and the PATTERN (symbols with ``? * +``
+  quantifiers and ``|`` alternation) compiles to a host regex;
+  ``finditer`` yields greedy, non-overlapping matches == AFTER MATCH
+  SKIP PAST LAST ROW semantics.
+- Keys with AMBIGUOUS rows (a row satisfying several DEFINEs) — or any
+  match-state-dependent callable DEFINE — run the real leftmost-greedy
+  backtracking NFA (``plans/nfa.py``), the general semantics of the
+  reference's ``impl/nfa/NFA.java``, including cross-symbol references
+  like ``B AS B.price < LAST(A.price)``.
 - The per-key run is an ``applyInPandas``: one shuffle on the partition
   keys, Arrow-batched, state-free. At 100 TB the only scale hazard is a
   single giant key (all rows of one key sit in one task) — same
@@ -48,15 +49,15 @@ _TOKEN = re.compile(
 
 
 def _sym_chars(define: dict) -> dict[str, str]:
-    """One classifier char per DEFINE symbol; a clear error beyond the
-    alphabet (ADVICE round 1: >26 symbols used to die with an opaque
-    IndexError deep in string indexing)."""
-    if len(define) > len(string.ascii_uppercase):
-        raise ValueError(
-            f"at most {len(string.ascii_uppercase)} DEFINE symbols supported, "
-            f"got {len(define)}"
+    """One classifier char per DEFINE symbol. The first 26 use A-Z (keeps
+    plans debuggable); beyond that, Unicode private-use chars — the round-2
+    26-symbol cap is lifted."""
+    chars = {}
+    for i, name in enumerate(define):
+        chars[name] = (
+            string.ascii_uppercase[i] if i < 26 else chr(0xE000 + i - 26)
         )
-    return {name: string.ascii_uppercase[i] for i, name in enumerate(define)}
+    return chars
 
 
 def _ends_extendable(pat: str) -> bool:
@@ -124,31 +125,72 @@ def match_recognize(
     df: DataFrame,
     partition_by: list[str],
     order_by: list[str],
-    define: dict[str, Column],
+    define: dict[str, "Column | callable"],
     pattern: str,
     measures: dict[str, tuple],
 ) -> DataFrame:
     """Find per-key ordered event patterns; one output row per match.
 
-    ``define`` maps symbol names to boolean Columns (evaluated JVM-side);
+    ``define`` maps each symbol to either
+    - a boolean ``Column`` (evaluated JVM-side, vectorized — the fast
+      path; use ``F.lag(...).over(...)`` for ``PREV()`` navigation since
+      SQL PREV addresses physical rows, not symbol rows), or
+    - a Python callable ``fn(arrs, i, bindings) -> bool`` for
+      match-state-DEPENDENT predicates (``B AS B.price < LAST(A.price)``
+      chains, reference ``impl/nfa/NFA.java``): ``arrs`` is a dict of
+      numpy column arrays for the key's ordered rows, ``i`` the row
+      index under test, ``bindings`` the partial ``{symbol: [row
+      indices]}`` of the match so far.
+
     ``pattern`` is a regex over symbols (quantifiers ``? * +``,
     alternation ``|``, grouping); ``measures`` defines the output.
+
+    Execution: rows whose DEFINEs are mutually exclusive in the data run
+    through a host-regex over a classifier char string (C-level, the
+    round-2 kernel). Keys where a row satisfies >1 symbol — or any
+    callable define — run the real leftmost-greedy backtracking NFA
+    (``plans/nfa.py``), matching Calcite's NFA preference order. Both
+    paths share the one-shuffle ``applyInPandas`` shape.
     """
     if not define:
         raise ValueError("define must not be empty")
+    import numpy as np
+
+    from .nfa import NFA, trail_bindings
+
     sym_chars = _sym_chars(define)
     rx = _compile_pattern(pattern, sym_chars)
+    nfa = NFA(pattern)
+    unknown = nfa.symbols - set(define)
+    if unknown:
+        raise ValueError(f"pattern symbols {sorted(unknown)} not in define")
 
-    # classifier: first DEFINE that matches, else '.' (match-breaking)
+    col_defines = {n: d for n, d in define.items() if isinstance(d, Column)}
+    fn_defines = {n: d for n, d in define.items() if not isinstance(d, Column)}
+
+    # classifier char: first matching COLUMN define, else '.' (used only on
+    # the mutually-exclusive fast path, where first-match == unique match)
     classifier: Column = F.lit(".")
-    for name in reversed(list(define)):
-        classifier = F.when(define[name], F.lit(sym_chars[name])).otherwise(classifier)
+    for name in reversed(list(col_defines)):
+        classifier = F.when(col_defines[name], F.lit(sym_chars[name])).otherwise(
+            classifier
+        )
 
     measure_cols = sorted(
         {spec[2] for spec in measures.values() if len(spec) > 2 and spec[2]}
     )
-    keep = list(dict.fromkeys([*partition_by, *order_by, *measure_cols]))
-    proj = df.select(*keep, classifier.alias("__sym"))
+    # callable defines may inspect any column, so keep them all in that case
+    base_cols = (
+        list(df.columns)
+        if fn_defines
+        else list(dict.fromkeys([*partition_by, *order_by, *measure_cols]))
+    )
+    bool_cols = {n: f"__d_{i}" for i, n in enumerate(col_defines)}
+    proj = df.select(
+        *base_cols,
+        classifier.alias("__sym"),
+        *[col_defines[n].cast("boolean").alias(c) for n, c in bool_cols.items()],
+    )
 
     part_fields = [proj.schema[c] for c in partition_by]
 
@@ -165,35 +207,87 @@ def match_recognize(
     out_cols = [f.name for f in out_schema.fields]
 
     specs = list(measures.values())
+    data_cols = [c for c in base_cols]
+
+    def _emit(key_vals, match_no, lo, hi, arrs, syms=None, assignment=None):
+        """One output row from either kernel. ``syms`` drives the C-level
+        string measures (fast path); ``assignment`` the NFA positions."""
+        if assignment is not None:
+            pos_by_sym: dict[str, list[int]] = {}
+            for idx, s in assignment:
+                pos_by_sym.setdefault(s, []).append(idx)
+        vals = []
+        for spec in specs:
+            kind, sym = spec[0], spec[1]
+            if kind == "count":
+                if sym is None:
+                    vals.append(hi - lo)
+                elif syms is not None:
+                    vals.append(syms.count(sym_chars[sym], lo, hi))
+                else:
+                    vals.append(len(pos_by_sym.get(sym, ())))
+                continue
+            if kind == "first":
+                if sym is None:
+                    i = lo
+                elif syms is not None:
+                    i = syms.find(sym_chars[sym], lo, hi)
+                else:
+                    p = pos_by_sym.get(sym)
+                    i = p[0] if p else -1
+            elif kind == "last":
+                if sym is None:
+                    i = hi - 1
+                elif syms is not None:
+                    i = syms.rfind(sym_chars[sym], lo, hi)
+                else:
+                    p = pos_by_sym.get(sym)
+                    i = p[-1] if p else -1
+            else:
+                raise ValueError(f"unknown measure kind {kind!r}")
+            vals.append(arrs[spec[2]][i] if i >= 0 else None)
+        return [*key_vals, match_no, *vals]
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        # The whole inner loop runs on a char string + numpy arrays:
-        # str.find/rfind/count are C-level, no pandas indexing per match.
         pdf = pdf.sort_values(order_by, kind="mergesort")
-        syms = "".join(pdf["__sym"])
-        arrs = {c: pdf[c].to_numpy() for c in measure_cols}
         key_vals = [pdf.iloc[0][c] for c in partition_by]
+        arrs = {c: pdf[c].to_numpy() for c in data_cols}
+        bools = {
+            n: pdf[c].fillna(False).to_numpy(dtype=bool) for n, c in bool_cols.items()
+        }
         rows = []
-        for match_no, m in enumerate(rx.finditer(syms), start=1):
-            lo, hi = m.start(), m.end()
-            if lo == hi:  # zero-width (fully-optional pattern): skip
-                continue
-            vals = []
-            for spec in specs:
-                kind, sym = spec[0], spec[1]
-                if kind == "count":
-                    vals.append(
-                        hi - lo if sym is None else syms.count(sym_chars[sym], lo, hi)
-                    )
+        n = len(pdf)
+        # ambiguous iff any row satisfies two column defines or a callable
+        # define exists — only then pay for the Python NFA
+        ambiguous = bool(fn_defines)
+        if not ambiguous and len(bools) > 1:
+            stack = np.zeros(n, dtype=np.int8)
+            for b in bools.values():
+                stack += b
+            ambiguous = bool((stack > 1).any())
+        if not ambiguous:
+            # fast path: classifier string + host regex (C-level scans)
+            syms = "".join(pdf["__sym"])
+            match_no = 0
+            for m in rx.finditer(syms):
+                lo, hi = m.start(), m.end()
+                if lo == hi:
                     continue
-                if kind == "first":
-                    i = lo if sym is None else syms.find(sym_chars[sym], lo, hi)
-                elif kind == "last":
-                    i = hi - 1 if sym is None else syms.rfind(sym_chars[sym], lo, hi)
-                else:
-                    raise ValueError(f"unknown measure kind {kind!r}")
-                vals.append(arrs[spec[2]][i] if i >= 0 else None)
-            rows.append([*key_vals, match_no, *vals])
+                match_no += 1
+                rows.append(_emit(key_vals, match_no, lo, hi, arrs, syms=syms))
+        else:
+
+            def can_consume(sym, i, trail):
+                if sym in bools:
+                    return bool(bools[sym][i])
+                return bool(fn_defines[sym](arrs, i, trail_bindings(trail)))
+
+            match_no = 0
+            for lo, hi, assignment in nfa.finditer(n, can_consume):
+                match_no += 1
+                rows.append(
+                    _emit(key_vals, match_no, lo, hi, arrs, assignment=assignment)
+                )
         return pd.DataFrame(rows, columns=out_cols)
 
     # Explicit repartition: AQE would coalesce this tiny shuffle to 1-2

@@ -113,8 +113,10 @@ def test_measures_first_last_count(spark):
     assert (out[0].a_val, out[0].c_val, out[0].n_b) == (10.0, 40.0, 2)
 
 
-def test_first_define_wins_classification(spark):
-    # row matches both A and AA (etype == 'a'); declaration order decides
+def test_overlapping_defines_resolved_by_pattern_position(spark):
+    # Round 2 classified each row to its FIRST matching define, so 'AA C'
+    # could never match (rows became A). The NFA path assigns the symbol
+    # the PATTERN needs — SQL MATCH_RECOGNIZE / Calcite NFA semantics.
     df = _events(spark, [(1, 1, "a", 0.0), (1, 2, "c", 0.0)])
     out = match_recognize(
         df,
@@ -128,7 +130,90 @@ def test_first_define_wins_classification(spark):
         pattern="AA C",
         measures={"s": ("first", None, "seq")},
     ).collect()
-    assert out == []  # rows classified as A, never AA
+    assert [(r.s, r.match_number) for r in out] == [(1, 1)]
+
+
+def test_overlapping_defines_greedy_split(spark):
+    # every row satisfies both LOW (val < 100) and ANY (always true);
+    # pattern LOW+ ANY must consume greedily but still leave one row for
+    # ANY: rows 1-2 -> LOW, row 3 -> ANY (backtracking NFA, not possible
+    # with single-symbol classification)
+    df = _events(spark, [(1, 1, "a", 1.0), (1, 2, "a", 2.0), (1, 3, "a", 3.0)])
+    out = match_recognize(
+        df,
+        partition_by=["key"],
+        order_by=["seq"],
+        define={"LOW": F.col("val") < 100, "ANY": F.lit(True)},
+        pattern="LOW+ ANY",
+        measures={
+            "n_low": ("count", "LOW"),
+            "any_seq": ("first", "ANY", "seq"),
+        },
+    ).collect()
+    assert [(r.n_low, r.any_seq) for r in out] == [(2, 3)]
+
+
+def test_callable_define_last_binding(spark):
+    # B AS B.val < LAST(A.val): match-state-dependent predicate — the
+    # reference NFA's cross-symbol DEFINE reference (impl/nfa/NFA.java),
+    # impossible to precompute as a Column.
+    df = _events(
+        spark,
+        [(1, 1, "a", 10.0), (1, 2, "b", 5.0),   # 5 < 10: match
+         (1, 3, "a", 10.0), (1, 4, "b", 20.0)],  # 20 !< 10: no match
+    )
+
+    def b_lt_last_a(arrs, i, bindings):
+        a_rows = bindings.get("A")
+        return bool(a_rows) and arrs["val"][i] < arrs["val"][a_rows[-1]]
+
+    out = match_recognize(
+        df,
+        partition_by=["key"],
+        order_by=["seq"],
+        define={"A": F.col("etype") == "a", "B": b_lt_last_a},
+        pattern="A B",
+        measures={"a_seq": ("first", "A", "seq"), "b_seq": ("first", "B", "seq")},
+    ).collect()
+    assert [(r.a_seq, r.b_seq) for r in out] == [(1, 2)]
+
+
+def test_callable_define_descending_run(spark):
+    # the canonical NFA chain: B AS B.val < PREV(B.val) via bindings —
+    # a strictly-descending run of 3+ after a start row.
+    rows = [(1, s, "x", v) for s, v in
+            [(1, 9.0), (2, 7.0), (3, 5.0), (4, 3.0), (5, 8.0)]]
+    df = _events(spark, rows)
+
+    def descending(arrs, i, bindings):
+        prev = bindings.get("DOWN")
+        ref = prev[-1] if prev else bindings.get("START", [None])[-1]
+        return ref is not None and arrs["val"][i] < arrs["val"][ref]
+
+    out = match_recognize(
+        df,
+        partition_by=["key"],
+        order_by=["seq"],
+        define={"START": F.lit(True), "DOWN": descending},
+        pattern="START DOWN DOWN DOWN",
+        measures={
+            "start_seq": ("first", "START", "seq"),
+            "bottom": ("last", "DOWN", "val"),
+        },
+    ).collect()
+    assert [(r.start_seq, r.bottom) for r in out] == [(1, 3.0)]
+
+
+def test_more_than_26_symbols(spark):
+    # round-2 cap was 26 DEFINE symbols; now unbounded (private-use chars)
+    df = _events(spark, [(1, i, f"t{i}", 0.0) for i in range(1, 31)])
+    define = {f"S{i}": F.col("etype") == f"t{i}" for i in range(1, 31)}
+    pattern = " ".join(f"S{i}" for i in range(1, 31))
+    out = match_recognize(
+        df, ["key"], ["seq"], define, pattern,
+        {"s": ("first", None, "seq"), "e": ("last", None, "seq")},
+    ).collect()
+    assert [(r.s, r.e) for r in out] == [(1, 30)]
 
 
 def test_bad_pattern_symbol_raises(spark):
@@ -143,6 +228,65 @@ def test_bad_pattern_symbol_raises(spark):
 def test_compile_pattern_tokens():
     sym = {"A": "A", "B": "B"}
     assert _compile_pattern("A B*", sym).pattern == "AB*"
+
+
+def test_nfa_parse_and_greedy_match():
+    from incubator_beam_spark.plans.nfa import NFA, parse_pattern
+
+    assert parse_pattern("A (B|C)+ D?") == (
+        "seq",
+        [
+            ("sym", "A"),
+            ("quant", ("alt", [("sym", "B"), ("sym", "C")]), "+"),
+            ("quant", ("sym", "D"), "?"),
+        ],
+    )
+    nfa = NFA("A B* C")
+    seq = ["a", "b", "b", "c", "c"]
+    can = lambda sym, i, trail: seq[i] == sym.lower()
+    # greedy: B* takes both b's; first C consumed; trailing c unmatched here
+    hi, assignment = nfa.match_at(0, len(seq), can)
+    assert hi == 4
+    assert assignment == [(0, "A"), (1, "B"), (2, "B"), (3, "C")]
+
+
+def test_nfa_backtracks_out_of_greedy_quantifier():
+    from incubator_beam_spark.plans.nfa import NFA
+
+    # X+ would greedily eat the final row; backtracking must hand it to Y
+    nfa = NFA("X+ Y")
+    seq = ["x", "x", "x"]
+    can = lambda sym, i, trail: sym == "X" or (sym == "Y" and True)
+    hi, assignment = nfa.match_at(0, 3, can)
+    assert hi == 3
+    assert assignment == [(0, "X"), (1, "X"), (2, "Y")]
+
+
+def test_nfa_alternation_priority_left_first():
+    from incubator_beam_spark.plans.nfa import NFA
+
+    nfa = NFA("(P|Q)")
+    # row satisfies both; SQL prefers the first alternative
+    hi, assignment = nfa.match_at(0, 1, lambda s, i, t: True)
+    assert (hi, assignment) == (1, [(0, "P")])
+
+
+def test_nfa_finditer_skips_past_last_row():
+    from incubator_beam_spark.plans.nfa import NFA
+
+    nfa = NFA("A B A")
+    seq = "ababa"
+    matches = list(nfa.finditer(5, lambda s, i, t: seq[i] == s.lower()))
+    assert [(lo, hi) for lo, hi, _ in matches] == [(0, 3)]
+
+
+def test_nfa_rejects_bad_patterns():
+    from incubator_beam_spark.plans.nfa import NFA
+
+    for bad in ("A (B C", "A | ", "", "A )B("):
+        with pytest.raises(ValueError):
+            NFA(bad)
+    sym = {"A": "A", "B": "B"}
     assert _compile_pattern("A (A|B)+", sym).pattern == "A(A|B)+"
 
 
