@@ -43,10 +43,32 @@ def with_binary_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
     )
 
 
+try:  # optional dependency: real pixel decode when Pillow is installed
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # env without Pillow -> deterministic stub kernel
+    _PILImage = None
+
+
 def decode_image_batch(payload: bytes) -> dict:
-    """STUB decode kernel. A real deployment plugs Pillow/libvips here;
-    this environment has neither, so we emit a deterministic fake feature
-    row derived from the bytes (keeps the pipeline testable end-to-end)."""
+    """Image decode kernel. When Pillow is importable the payload is
+    actually decoded (width/height/bands from the pixel data); otherwise
+    falls back to a deterministic fake derived from the bytes so the
+    mapInPandas pipeline stays testable end-to-end in minimal envs.
+    The registered ``mm_*`` gates that hash-compare are byte-parser based
+    (PNG/WAV/MP4 headers), not this kernel, so installing Pillow does not
+    perturb any exact oracle."""
+    if _PILImage is not None and payload:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as img:
+                return {
+                    "width": int(img.width),
+                    "height": int(img.height),
+                    "n_channels": len(img.getbands()),
+                }
+        except Exception:
+            pass  # undecodable bytes -> same deterministic fallback
     h = sum(payload[:64]) if payload else 0
     return {
         "width": 64 + h % 64,

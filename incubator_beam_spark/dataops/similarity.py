@@ -209,6 +209,52 @@ def neardup_pairs(
     )
 
 
+def semdedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication — cluster embeddings with a coarse quantizer, then
+    drop every vector that has a lower-id within-cluster neighbor at
+    cosine >= ``tau``. Keeps one representative (the lowest id) per
+    semantic-duplicate neighborhood in one parallel pass (deterministic,
+    order-free — no sequential greedy loop).
+
+    Scale shape: centroid assignment is a broadcast argmax (vectors never
+    shuffle for it); the duplicate test is a cell equi-join, so pairwise
+    work is N^2/K cell-local, exactly the SemDeDup recipe's per-cluster
+    pairwise pass; only (cell, id, vector) rows shuffle once by cell.
+    Returns the KEPT rows as (id_col, cell).
+    """
+    assigned = ivf_assign(emb, centroids, id_col, vec_col).repartition("cell")
+    a = assigned.select(
+        "cell", F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("vn").alias("na"),
+    )
+    b = assigned.select(
+        "cell", F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("vn").alias("nb"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cos") >= tau)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, "id", "left_anti")
+        .select(F.col("id").alias(id_col), "cell")
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,

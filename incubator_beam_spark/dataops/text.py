@@ -113,6 +113,57 @@ def dup_ngram_fraction(text: Column, n: int = 3) -> Column:
     )
 
 
+def gopher_rules(text: Column) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, Table A1 —
+    public): per-rule booleans plus the ratios behind them. All pure
+    Catalyst expressions (scan-side, whole-stage codegen, nothing
+    shuffles); identical semantics in the DuckDB oracle.
+
+    Rules: word count in [50, 100000]; mean word length in [3, 10];
+    symbol-to-word ratio (# and ...) <= 0.1; <= 90% of lines bullet-led;
+    <= 30% of lines ellipsis-ended; >= 80% of words contain an alphabetic
+    char; >= 2 English stopword hits.
+    """
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words).cast("long")
+    mean_word_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    ) / n_words
+    n_symbols = (
+        F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\."), 0)).cast("long")
+    )
+    lines = F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.size(lines)
+    bullet_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        F.size(
+            F.filter(lines, lambda l: F.trim(l).rlike(r"^([*•▪‣-]|[0-9]+[.)])"))
+        )
+        / n_lines
+    )
+    ellipsis_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))) / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words
+    )
+    n_stopwords = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(LANG_MARKERS["en"]), 0)
+    ).cast("long")
+    rules = {
+        "word_count_ok": (n_words >= 50) & (n_words <= 100000),
+        "mean_word_len_ok": (mean_word_len >= 3) & (mean_word_len <= 10),
+        "symbol_ratio_ok": (n_symbols / n_words) <= 0.1,
+        "bullet_ok": bullet_frac <= 0.9,
+        "ellipsis_ok": ellipsis_frac <= 0.3,
+        "alpha_ok": alpha_frac >= 0.8,
+        "stopword_ok": n_stopwords >= 2,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return {"n_words": n_words, **rules, "keep": keep}
+
+
 def dup_line_fraction(text: Column) -> Column:
     """Fraction of duplicate lines within the document (the other Gopher
     repetition axis)."""

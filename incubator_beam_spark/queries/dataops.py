@@ -1582,3 +1582,89 @@ def doc_concat_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dataops.packing import concat_chunk_spans
 
     return concat_chunk_spans(table(spark, sf_dir, "documents"), block=512, n_buckets=64)
+
+
+@query(
+    "doc_gopher_rules",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS words,
+             list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS lines,
+             text
+      FROM documents)
+    SELECT doc_id,
+           len(words)::BIGINT AS n_words,
+           (len(words) BETWEEN 50 AND 100000) AS word_count_ok,
+           (list_sum(list_transform(words, x -> len(x))) / len(words))
+             BETWEEN 3 AND 10 AS mean_word_len_ok,
+           (len(regexp_extract_all(text, '#|\\.\\.\\.')) / len(words)) <= 0.1
+             AS symbol_ratio_ok,
+           (CASE WHEN len(lines) = 0 THEN 0.0
+                 ELSE len(list_filter(lines, l -> regexp_matches(trim(l),
+                        '^([*•▪‣-]|[0-9]+[.)])'))) / len(lines) END) <= 0.9
+             AS bullet_ok,
+           (CASE WHEN len(lines) = 0 THEN 0.0
+                 ELSE len(list_filter(lines, l -> regexp_matches(trim(l),
+                        '(\\.\\.\\.|…)$'))) / len(lines) END) <= 0.3
+             AS ellipsis_ok,
+           (len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) / len(words)) >= 0.8
+             AS alpha_ok,
+           len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in)\\b')) >= 2
+             AS stopword_ok,
+           ((len(words) BETWEEN 50 AND 100000)
+            AND (list_sum(list_transform(words, x -> len(x))) / len(words)) BETWEEN 3 AND 10
+            AND (len(regexp_extract_all(text, '#|\\.\\.\\.')) / len(words)) <= 0.1
+            AND (CASE WHEN len(lines) = 0 THEN 0.0
+                      ELSE len(list_filter(lines, l -> regexp_matches(trim(l),
+                             '^([*•▪‣-]|[0-9]+[.)])'))) / len(lines) END) <= 0.9
+            AND (CASE WHEN len(lines) = 0 THEN 0.0
+                      ELSE len(list_filter(lines, l -> regexp_matches(trim(l),
+                             '(\\.\\.\\.|…)$'))) / len(lines) END) <= 0.3
+            AND (len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) / len(words)) >= 0.8
+            AND len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in)\\b')) >= 2)
+             AS keep
+    FROM w
+    """,
+)
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule filter (Rae et al. 2021 Table A1): the
+    standard pre-training rule battery as per-rule booleans + combined
+    keep flag. Every rule is a scan-side Catalyst expression — at 100 TB
+    this is a zero-shuffle full-corpus pass inside whole-stage codegen."""
+    d = table(spark, sf_dir, "documents")
+    cols = text.gopher_rules(F.col("text"))
+    return d.select("doc_id", *(v.alias(k) for k, v in cols.items()))
+
+
+@query(
+    "emb_semdedup",
+    oracle="""
+    WITH vv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT id, v, cid AS cell, sqrt(list_dot_product(v, v)) AS vn
+      FROM (SELECT vv.id, vv.v, cent.cid,
+                   list_dot_product(v, cv) / (sqrt(list_dot_product(v, v))
+                     * sqrt(list_dot_product(cv, cv))) AS cos_c
+            FROM vv CROSS JOIN cent) s
+      QUALIFY row_number() OVER (PARTITION BY id ORDER BY cos_c DESC, cid) = 1),
+    dropped AS (
+      SELECT DISTINCT b.id
+      FROM assigned a JOIN assigned b USING (cell)
+      WHERE a.id < b.id
+        AND round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) >= 0.4)
+    SELECT a.id AS vec_id, a.cell
+    FROM assigned a ANTI JOIN dropped d ON a.id = d.id
+    """,
+)
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup via coarse-cluster +
+    within-cluster cosine pruning; keeps the lowest-id representative of
+    each near-duplicate neighborhood. Centroids = first 8 corpus vectors
+    (k-means in a real deployment); tau tuned to the synthetic embedding
+    distribution. Cell equi-join keeps pairwise work N^2/K cell-local."""
+    e = table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8)
+    return similarity.semdedup(e, centroids, tau=0.4)

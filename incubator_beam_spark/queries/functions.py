@@ -80,15 +80,15 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(abs(l_discount - 0.05), 6)        AS a,
-           ceil(l_quantity * 1.5)                  AS c,
-           floor(l_quantity / 3)                   AS f,
+           CAST(ceil(l_quantity * 1.5) AS BIGINT)  AS c,
+           CAST(floor(l_quantity / 3) AS BIGINT)   AS f,
            round(sqrt(l_extendedprice), 6)         AS sq,
            round(exp(l_discount), 6)               AS ex,
            round(ln(l_extendedprice), 6)           AS lg,
            round(log10(l_extendedprice), 6)        AS l10,
            round(pow(l_quantity, 2), 2)            AS p2,
            l_orderkey % 7                          AS m7,
-           sign(l_discount - 0.05)                 AS sg,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
            greatest(l_quantity, l_discount * 100)  AS gr,
            least(l_quantity, l_tax * 100)          AS le,
            round(sin(l_quantity), 6)               AS sn,

@@ -278,6 +278,166 @@ class WriteToBigQuery(PTransform):
         return pcoll
 
 
+class ReadFromSnowflake(_Read):
+    """Snowflake (reference ``io/snowflake.py:120`` ReadFromSnowflake):
+    delegates to the public spark-snowflake DSv2 connector (pushdown +
+    parallel unload planned by the connector) instead of the reference's
+    CSV-staging-bucket round-trip — Spark reads Arrow result batches
+    directly, no staging bucket needed. ``table=`` or ``query=``
+    (exactly one), like the BigQuery wrapper. Constructed lazily —
+    raises only when used without the connector jar/account."""
+
+    def __init__(
+        self,
+        server_name: str,
+        database: str,
+        schema: str,
+        table: str | None = None,
+        query: str | None = None,
+        warehouse: str | None = None,
+        role: str | None = None,
+        **options: Any,
+    ):
+        if (table is None) == (query is None):
+            raise ValueError("exactly one of table= or query= is required")
+        super().__init__(
+            server_name=server_name, database=database, schema=schema,
+            table=table, query=query, warehouse=warehouse, role=role, **options,
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        opts = dict(self.options)
+        reader = (
+            spark.read.format("snowflake")
+            .option("sfURL", opts.pop("server_name"))
+            .option("sfDatabase", opts.pop("database"))
+            .option("sfSchema", opts.pop("schema"))
+        )
+        table, query = opts.pop("table"), opts.pop("query")
+        reader = reader.option("query", query) if query else reader.option("dbtable", table)
+        for key, opt in (("warehouse", "sfWarehouse"), ("role", "sfRole")):
+            if opts.get(key):
+                reader = reader.option(opt, opts[key])
+            opts.pop(key, None)
+        return reader.options(**{k: str(v) for k, v in opts.items()}).load()
+
+
+class WriteToSnowflake(PTransform):
+    """reference ``io/snowflake.py:261`` WriteToSnowflake
+    (CREATE_IF_NEEDED/APPEND map to save modes)."""
+
+    def __init__(self, server_name: str, database: str, schema: str, table: str,
+                 mode: str = "append", **options: Any):
+        self.server_name, self.database, self.schema = server_name, database, schema
+        self.table, self.mode, self.options = table, mode, options
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        (
+            pcoll.df.write.format("snowflake")
+            .mode(self.mode)
+            .option("sfURL", self.server_name)
+            .option("sfDatabase", self.database)
+            .option("sfSchema", self.schema)
+            .option("dbtable", self.table)
+            .options(**{k: str(v) for k, v in self.options.items()})
+            .save()
+        )
+        return pcoll
+
+
+class ReadFromKinesis(_Read):
+    """Kinesis (reference ``io/kinesis.py:130`` ReadDataFromKinesis):
+    delegates to the public spark-sql-kinesis DSv2 streaming connector;
+    shard discovery/checkpointing are the connector's job (the reference
+    delegates the same way, to the Java KinesisIO via xlang). Returns the
+    connector's data/partitionKey/sequenceNumber schema."""
+
+    _POSITIONS = ("LATEST", "TRIM_HORIZON", "AT_TIMESTAMP")
+
+    def __init__(
+        self,
+        stream_name: str,
+        region: str,
+        aws_access_key: str | None = None,
+        aws_secret_key: str | None = None,
+        initial_position_in_stream: str = "LATEST",
+        **options: Any,
+    ):
+        if initial_position_in_stream not in self._POSITIONS:
+            raise ValueError(
+                f"initial_position_in_stream must be one of {self._POSITIONS}"
+            )
+        super().__init__(
+            stream_name=stream_name, region=region,
+            aws_access_key=aws_access_key, aws_secret_key=aws_secret_key,
+            initial_position_in_stream=initial_position_in_stream, **options,
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        opts = dict(self.options)
+        reader = (
+            spark.readStream.format("kinesis")
+            .option("streamName", opts.pop("stream_name"))
+            .option("region", opts.pop("region"))
+            .option("startingPosition", opts.pop("initial_position_in_stream"))
+        )
+        ak, sk = opts.pop("aws_access_key"), opts.pop("aws_secret_key")
+        if ak:
+            reader = reader.option("awsAccessKeyId", ak).option("awsSecretKey", sk)
+        return reader.options(**{k: str(v) for k, v in opts.items()}).load()
+
+
+# Debezium CDC envelope: payload.op is c(reate)/u(pdate)/d(elete)/r(ead-
+# snapshot); before/after carry the row images as JSON objects.
+DEBEZIUM_ENVELOPE_SCHEMA = (
+    "struct<payload: struct<op: string, ts_ms: bigint, "
+    "before: string, after: string, "
+    "source: struct<table: string, lsn: bigint>>>"
+)
+
+
+def parse_debezium_envelope(raw: Column) -> Column:
+    """Parse a Debezium JSON change-event envelope (server-free, exactly
+    testable): returns struct(op, ts_ms, before, after, table, lsn).
+    before/after stay as JSON strings — callers apply ``from_json`` with
+    their table schema (schema varies per captured table)."""
+    env = F.from_json(raw.cast("string"), DEBEZIUM_ENVELOPE_SCHEMA)
+    p = env["payload"]
+    return F.struct(
+        p["op"].alias("op"),
+        p["ts_ms"].alias("ts_ms"),
+        p["before"].alias("before"),
+        p["after"].alias("after"),
+        p["source"]["table"].alias("table"),
+        p["source"]["lsn"].alias("lsn"),
+    )
+
+
+class ReadFromDebezium(_Read):
+    """Debezium CDC (reference ``io/debezium.py`` ReadFromDebezium): the
+    reference embeds a Debezium engine in an SDF; the Spark-native shape
+    is the standard deployment one — Debezium Server/Connect publishes
+    change events to Kafka, Spark readStream consumes the topic and
+    parses the envelope (``parse_debezium_envelope``, which is tested
+    byte-exactly without a server). Yields one row per change event:
+    (op, ts_ms, before, after, table, lsn)."""
+
+    def __init__(self, bootstrap_servers: str, topic: str, streaming: bool = True):
+        super().__init__(
+            bootstrap_servers=bootstrap_servers, topic=topic, streaming=streaming
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        raw = ReadFromKafka(
+            self.options["bootstrap_servers"],
+            self.options["topic"],
+            streaming=self.options["streaming"],
+        ).read(spark)
+        return raw.select(
+            parse_debezium_envelope(F.col("value")).alias("change")
+        ).select("change.*")
+
+
 class ReadFromTFRecord(_Read):
     """reference ``io/tfrecordio.py:233``; records become ``element``
     bytes (format details in ``sources/tfrecord.py``)."""

@@ -241,6 +241,67 @@ def test_kmeans_step_partitions_all_vectors(spark):
     assert set(r.cell for r in out) <= {0, 1, 2, 3}
 
 
+def test_semdedup_keeps_lowest_id_representative(spark):
+    """Two near-identical vectors in one cell -> higher id dropped;
+    orthogonal vector survives; centroid cells honored."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),      # different direction
+        (3, [0.0, 0.98, 0.1]),     # near-dup of 2
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = emb.filter(F.col("vec_id").isin(0, 2))
+    kept = similarity.semdedup(emb, cents, tau=0.9)
+    assert sorted(r.vec_id for r in kept.collect()) == [0, 2]
+    # tau above every pairwise cosine keeps everything
+    kept_all = similarity.semdedup(emb, cents, tau=1.0)
+    assert sorted(r.vec_id for r in kept_all.collect()) == [0, 1, 2, 3]
+
+
+def test_gopher_rules_flags(spark):
+    from incubator_beam_spark.dataops.text import gopher_rules
+
+    good = "the cat and the dog walk to the park " * 12  # >50 words, stopwords
+    bullets = "\n".join(f"* item {i}" for i in range(10))
+    short = "tiny text"
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, short)], "doc_id long, text string"
+    )
+    cols = gopher_rules(F.col("text"))
+    out = {r.doc_id: r for r in df.select("doc_id", *(v.alias(k) for k, v in cols.items())).collect()}
+    assert out[1].keep and out[1].word_count_ok and out[1].stopword_ok
+    assert not out[2].bullet_ok and not out[2].keep  # 100% bullet lines
+    assert not out[3].word_count_ok and not out[3].keep
+
+
+def test_decode_image_batch_real_path_with_pillow():
+    """When Pillow is installed the kernel decodes real pixels; env-skipped
+    otherwise (the stub path is covered by test_multimodal_meta_and_decode)."""
+    PILImage = pytest.importorskip("PIL.Image")
+    import io
+
+    from incubator_beam_spark.dataops.multimodal import decode_image_batch
+
+    buf = io.BytesIO()
+    PILImage.new("RGB", (5, 3)).save(buf, format="PNG")
+    assert decode_image_batch(buf.getvalue()) == {
+        "width": 5,
+        "height": 3,
+        "n_channels": 3,
+    }
+
+
+def test_decode_image_batch_stub_fallback_deterministic():
+    from incubator_beam_spark.dataops.multimodal import decode_image_batch
+
+    a = decode_image_batch(b"not an image at all")
+    assert a == decode_image_batch(b"not an image at all")
+    assert a["n_channels"] == 3 and a["width"] > 0 and a["height"] > 0
+    empty = decode_image_batch(b"")
+    assert empty == {"width": 64, "height": 64, "n_channels": 3}
+
+
 def test_wav_header_codec_roundtrip():
     from incubator_beam_spark.dataops.multimodal import (
         encode_wav_header,

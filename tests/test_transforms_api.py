@@ -307,3 +307,55 @@ def test_bigquery_wrappers_construct_without_connector():
         ReadFromBigQuery()
     with pytest.raises(ValueError):
         ReadFromBigQuery(table="t", query="q")
+
+
+def test_snowflake_kinesis_wrappers_construct_without_connector():
+    from incubator_beam_spark.sources import (
+        ReadFromKinesis,
+        ReadFromSnowflake,
+        WriteToSnowflake,
+    )
+
+    r = ReadFromSnowflake("acct.snowflakecomputing.com", "db", "sch", table="t")
+    q = ReadFromSnowflake("acct.snowflakecomputing.com", "db", "sch", query="SELECT 1")
+    w = WriteToSnowflake("acct.snowflakecomputing.com", "db", "sch", "t", mode="overwrite")
+    assert r.options["table"] == "t" and q.options["query"] == "SELECT 1"
+    assert w.mode == "overwrite"
+    with pytest.raises(ValueError):
+        ReadFromSnowflake("s", "d", "sch")  # neither table nor query
+    with pytest.raises(ValueError):
+        ReadFromSnowflake("s", "d", "sch", table="t", query="q")
+
+    k = ReadFromKinesis("events", "us-east-1", initial_position_in_stream="TRIM_HORIZON")
+    assert k.options["stream_name"] == "events"
+    with pytest.raises(ValueError):
+        ReadFromKinesis("events", "us-east-1", initial_position_in_stream="BOGUS")
+
+
+def test_debezium_envelope_parse_exact(spark):
+    """Server-free CDC check: parse a real Debezium JSON change event."""
+    import json
+
+    from incubator_beam_spark.sources import parse_debezium_envelope
+    from pyspark.sql import functions as F
+
+    event = {
+        "payload": {
+            "op": "u",
+            "ts_ms": 1720000000123,
+            "before": {"id": 7, "qty": 1},
+            "after": {"id": 7, "qty": 2},
+            "source": {"table": "orders", "lsn": 990011},
+        }
+    }
+    # Debezium puts row images as nested JSON objects; our envelope schema
+    # keeps before/after as JSON strings for per-table from_json downstream.
+    df = spark.createDataFrame([(json.dumps(event).encode(),)], "value binary")
+    row = df.select(parse_debezium_envelope(F.col("value")).alias("c")).select("c.*").first()
+    assert (row.op, row.ts_ms, row.table, row.lsn) == ("u", 1720000000123, "orders", 990011)
+    after = json.loads(row.after)
+    assert after == {"id": 7, "qty": 2}
+    # tombstone / non-JSON bytes parse to nulls, never raise
+    bad = spark.createDataFrame([(b"\x00\x01",)], "value binary")
+    brow = bad.select(parse_debezium_envelope(F.col("value")).alias("c")).select("c.*").first()
+    assert brow.op is None and brow.table is None
