@@ -210,3 +210,42 @@ def io_write_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("dest").cast("string").alias("dest"), "n")
     )
+
+
+@query(
+    "io_synthetic_bounded",
+    oracle="""
+    WITH ids AS (SELECT unnest(generate_series(0, 49999))::BIGINT AS id),
+    keyed AS (
+      SELECT id,
+             ('0x' || substr(md5('syn|k|' || CAST(id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000000 AS b
+      FROM ids),
+    recs AS (
+      SELECT id,
+             CASE WHEN b < 200000 THEN b % 2 ELSE 2 + (b % 98) END AS key_id
+      FROM keyed)
+    SELECT key_id,
+           count(*)          AS n,
+           min(id)           AS min_id,
+           substr(repeat(md5('syn|key|' || CAST(key_id AS VARCHAR)), 1), 1, 8)
+             AS key
+    FROM recs GROUP BY key_id
+    """,
+)
+def io_synthetic_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic load-gen source (reference sdks/java/io/synthetic
+    SyntheticBoundedSource + SyntheticOptions.hotKeyFraction): 50k
+    deterministic records, 20% of traffic on 2 hot keys, 98 cold keys.
+    The oracle regenerates the identical stream from generate_series —
+    proving the generator is engine-reproducible. Aggregated per key so
+    the gate result stays small; the underlying source is a zero-IO
+    splittable range scan."""
+    from ..sources.synthetic import synthetic_bounded
+
+    df = synthetic_bounded(
+        spark, 50_000, num_keys=100, hot_key_fraction=0.2, num_hot_keys=2
+    )
+    return df.groupBy("key_id", "key").agg(
+        F.count(F.lit(1)).alias("n"), F.min("id").alias("min_id")
+    ).select("key_id", "n", "min_id", "key")

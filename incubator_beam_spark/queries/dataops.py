@@ -1668,3 +1668,31 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     centroids = e.filter(F.col("vec_id") < 8)
     return similarity.semdedup(e, centroids, tau=0.4)
+
+
+@query(
+    "doc_substring_dup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+    wins AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(tk) >= 8
+                    THEN list_transform(generate_series(1, len(tk) - 7),
+                           i -> substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 16))
+                    ELSE []::VARCHAR[] END) AS h
+      FROM toks),
+    dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+    per AS (SELECT w.doc_id, count(*)::BIGINT AS n_dup_windows
+            FROM wins w SEMI JOIN dup d ON w.h = d.h GROUP BY w.doc_id)
+    SELECT t.doc_id,
+           (CASE WHEN len(tk) >= 8 THEN len(tk) - 7 ELSE 0 END)::BIGINT AS n_windows,
+           coalesce(per.n_dup_windows, 0)::BIGINT AS n_dup_windows
+    FROM toks t LEFT JOIN per USING (doc_id)
+    """,
+)
+def doc_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication stats (Lee et al. 2021 ExactSubstr,
+    distributed): 8-token window hashes computed scan-side; only
+    (hash, id) pairs shuffle; dup test = count-distinct-docs per hash;
+    per-doc rollup via semi-join on the same key."""
+    return dedup.substring_dup_stats(table(spark, sf_dir, "documents"), window=8)

@@ -241,6 +241,26 @@ def test_kmeans_step_partitions_all_vectors(spark):
     assert set(r.cell for r in out) <= {0, 1, 2, 3}
 
 
+def test_substring_dup_stats_cross_doc_only(spark):
+    """A shared 8-token run counts in both docs; within-doc repetition
+    alone does not (cross-doc = count(DISTINCT doc) > 1)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, shared + " one two three"),
+            (2, "x y " + shared),
+            (3, "solo words only here nothing repeats at all"),
+            (4, "tiny"),  # < 8 tokens -> 0 windows
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.substring_dup_stats(df, window=8).collect()}
+    assert out[1].n_windows == 4 and out[2].n_windows == 3
+    assert out[1].n_dup_windows >= 1 and out[2].n_dup_windows >= 1
+    assert out[3].n_dup_windows == 0
+    assert out[4].n_windows == 0 and out[4].n_dup_windows == 0
+
+
 def test_semdedup_keeps_lowest_id_representative(spark):
     """Two near-identical vectors in one cell -> higher id dropped;
     orthogonal vector survives; centroid cells honored."""

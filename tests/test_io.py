@@ -241,3 +241,46 @@ def test_csv_malformed_modes(spark, tmp_path):
     assert sorted(r.a for r in dropped.collect()) == [1, 3]
     with pytest.raises(Exception):
         ReadFromCsv(str(f), schema=schema, mode="FAILFAST").read(spark).collect()
+
+
+def test_synthetic_bounded_deterministic_and_skewed(spark):
+    from incubator_beam_spark.sources.synthetic import synthetic_bounded
+
+    df = synthetic_bounded(
+        spark, 10_000, num_keys=50, hot_key_fraction=0.5, num_hot_keys=1,
+        key_size=12, value_size=40,
+    )
+    rows = df.collect()
+    assert len(rows) == 10_000
+    # hot key 0 draws ~50% of traffic; cold keys share the rest
+    hot = sum(1 for r in rows if r.key_id == 0)
+    assert 4500 < hot < 5500
+    assert all(len(r.key) == 12 and len(r.value) == 40 for r in rows)
+    # regeneration is byte-identical (pure function of id + seed)
+    again = synthetic_bounded(
+        spark, 10_000, num_keys=50, hot_key_fraction=0.5, num_hot_keys=1,
+        key_size=12, value_size=40,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_synthetic_source_validation_and_ptransform(spark):
+    import pytest
+
+    import incubator_beam_spark.core as ibs
+    from incubator_beam_spark.sources.synthetic import (
+        SyntheticSource,
+        synthetic_bounded,
+        synthetic_unbounded,
+    )
+
+    with pytest.raises(ValueError):
+        synthetic_bounded(spark, 10, hot_key_fraction=1.5)
+    with pytest.raises(ValueError):
+        synthetic_bounded(spark, 10, num_keys=5, num_hot_keys=5)
+    stream = synthetic_unbounded(spark, rows_per_second=10)
+    assert stream.isStreaming and "key_id" in stream.columns
+
+    p = ibs.Pipeline(spark)
+    out = p | SyntheticSource(100, num_keys=10)
+    assert out.df.count() == 100
