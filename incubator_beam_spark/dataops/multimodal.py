@@ -213,6 +213,62 @@ def parse_wav_meta(payload: bytes) -> dict | None:
     }
 
 
+def wav_pcm_sumsq(payload: bytes) -> tuple[int, int] | None:
+    """REAL sample-level PCM decode: locate the ``data`` chunk, unpack
+    16-bit little-endian samples, and return ``(n_samples, sum_sq)``
+    with ``sum_sq`` an EXACT integer sum of squared sample values —
+    integer output makes the result bit-reproducible across engines
+    (float RMS summation order would not be). RMS = sqrt(sum_sq/n)."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, bits, data = 12, None, None
+    while pos + 8 <= len(payload):
+        chunk_id = payload[pos : pos + 4]
+        (chunk_size,) = struct.unpack_from("<I", payload, pos + 4)
+        if chunk_id == b"fmt ":
+            bits = struct.unpack_from("<HHIIHH", payload, pos + 8)[5]
+        elif chunk_id == b"data":
+            data = payload[pos + 8 : pos + 8 + chunk_size]
+        pos += 8 + chunk_size + (chunk_size & 1)
+    if bits != 16 or data is None:
+        return None
+    n = len(data) // 2
+    samples = struct.unpack_from(f"<{n}h", data)
+    return n, sum(s * s for s in samples)
+
+
+def audio_pcm_stats(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """Sample-level audio statistics: mapInPandas over WAV payloads,
+    decoding actual PCM data (not just headers). Emits exact integer
+    ``(n_samples, sum_sq)`` per doc; bytes never leave the stage."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("sum_sq", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [wav_pcm_sumsq(bytes(p)) for p in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_samples": pd.array(
+                        [s[0] if s else None for s in stats], dtype="Int64"
+                    ),
+                    "sum_sq": pd.array(
+                        [s[1] if s else None for s in stats], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select("doc_id", binary_col).mapInPandas(run, out_schema)
+
+
 def audio_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
     """Audio metadata extraction: mapInPandas over WAV payloads. The
     header parse reads ~44 bytes/row; the payload never leaves the stage

@@ -580,3 +580,57 @@ def combine_lifted_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "event_type", "value", GeoMean(), output_field="geo_mean",
         output_type=T.DoubleType(),
     )
+
+
+@query(
+    "agg_sample_deterministic",
+    oracle="""
+    WITH pri AS (SELECT o_orderkey, o_custkey,
+                        md5('samp|' || CAST(o_orderkey AS VARCHAR)) AS p
+                 FROM orders)
+    SELECT o_orderkey, o_custkey FROM pri ORDER BY p LIMIT 100
+    """,
+)
+def agg_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample.FixedSizeGlobally, deterministic variant: md5-priority
+    top-k — statistically a uniform sample (hash priorities are iid
+    uniform) but reproducible across engines/runs, so it carries an
+    EXACT oracle (the random variant agg_sample_fixed stays rows-only).
+    Plan is TakeOrderedAndProject: per-partition top-100 then a 100-row
+    merge — no global sort, no shuffle of the corpus; the scalable
+    sample shape at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    pri = F.md5(F.concat(F.lit("samp|"), F.col("o_orderkey").cast("string")))
+    return (
+        o.select("o_orderkey", "o_custkey", pri.alias("p"))
+        .orderBy("p")
+        .limit(100)
+        .drop("p")
+    )
+
+
+@query(
+    "agg_sample_per_key_deterministic",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey FROM (
+      SELECT o_orderpriority, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY md5('samp|' || CAST(o_orderkey AS VARCHAR)))
+               AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def agg_sample_per_key_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample.FixedSizePerKey, deterministic variant: per-key md5-priority
+    top-n via row_number — one key shuffle, rank truncation map-side
+    (WindowGroupLimit pushes the limit before the full sort at scale)."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    pri = F.md5(F.concat(F.lit("samp|"), F.col("o_orderkey").cast("string")))
+    w = W.partitionBy("o_orderpriority").orderBy(pri)
+    return (
+        o.select("o_orderpriority", "o_orderkey", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey")
+    )

@@ -1696,3 +1696,57 @@ def doc_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash, id) pairs shuffle; dup test = count-distinct-docs per hash;
     per-doc rollup via semi-join on the same key."""
     return dedup.substring_dup_stats(table(spark, sf_dir, "documents"), window=8)
+
+
+@query(
+    "mm_audio_rms",
+    oracle="""
+    SELECT doc_id,
+           least(n_chars, 256)::BIGINT AS n_samples,
+           (CASE WHEN least(n_chars, 256) = 0 THEN 0
+                 ELSE list_sum(list_transform(
+                        generate_series(0, least(n_chars, 256) - 1),
+                        i -> ((doc_id*31 + i*7) % 65536 - 32768)
+                           * ((doc_id*31 + i*7) % 65536 - 32768)))
+            END)::BIGINT AS sum_sq
+    FROM documents
+    """,
+)
+def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-level audio decode (REAL, not header-only): WAV payloads
+    with actual 16-bit PCM data are synthesized per doc (sample i =
+    ((doc_id*31 + i*7) % 65536) - 32768, up to 256 samples), then the
+    byte-level decoder unpacks every sample and emits an EXACT integer
+    sum of squares — the oracle regenerates the PCM arithmetic in SQL,
+    so a single sample decoded at the wrong offset or endianness fails
+    the hash. Integer output avoids float-summation-order drift.
+    Payloads never leave the mapInPandas stages."""
+    import struct
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..dataops.multimodal import audio_pcm_stats, encode_wav_header
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for i, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = min(int(nc), 256)
+                samples = [((int(i) * 31 + j * 7) % 65536) - 32768 for j in range(n)]
+                payloads.append(
+                    encode_wav_header(n_samples=n, sample_rate=16000)
+                    + struct.pack(f"<{n}h", *samples)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wav = d.mapInPandas(synth, synth_schema)
+    return audio_pcm_stats(wav)

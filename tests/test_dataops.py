@@ -322,6 +322,25 @@ def test_decode_image_batch_stub_fallback_deterministic():
     assert empty == {"width": 64, "height": 64, "n_channels": 3}
 
 
+def test_wav_pcm_sumsq_exact_decode():
+    import struct
+
+    from incubator_beam_spark.dataops.multimodal import (
+        encode_wav_header,
+        wav_pcm_sumsq,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 1000]
+    payload = encode_wav_header(len(samples), 16000) + struct.pack(
+        f"<{len(samples)}h", *samples
+    )
+    n, ss = wav_pcm_sumsq(payload)
+    assert n == 6 and ss == sum(s * s for s in samples)
+    assert wav_pcm_sumsq(b"junk") is None
+    # 8-bit wav rejected (decoder only claims 16-bit PCM)
+    assert wav_pcm_sumsq(encode_wav_header(4, 8000, bits=8) + b"\x00" * 4) is None
+
+
 def test_wav_header_codec_roundtrip():
     from incubator_beam_spark.dataops.multimodal import (
         encode_wav_header,

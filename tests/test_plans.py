@@ -367,3 +367,44 @@ def test_temperature_resample_thresholds_broadcast(spark):
     plan = plan_of(spark, "doc_temperature_resample")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_gopher_rules_is_scan_side(spark):
+    # the whole rule battery is one zero-shuffle projection over the scan
+    plan = plan_of(spark, "doc_gopher_rules")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_substring_dup_shuffles_hashes_not_text(spark):
+    # window hashing happens scan-side; the only Python is none at all,
+    # and the dup-hash aggregation + semi-join shuffle (hash, id) pairs
+    plan = plan_of(spark, "doc_substring_dup")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "LeftSemi" in plan
+    # no shuffle carries the text column
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
+
+
+def test_semdedup_assignment_broadcasts_centroids(spark):
+    plan = plan_of(spark, "emb_semdedup")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_synthetic_source_is_pure_range_scan(spark):
+    # load generation must not shuffle records — only the final per-key
+    # aggregate exchanges (key_id, partial counts)
+    plan = plan_of(spark, "io_synthetic_bounded")
+    assert "Range (0, 50000" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sample_deterministic_is_take_ordered(spark):
+    plan = plan_of(spark, "agg_sample_deterministic")
+    assert "TakeOrderedAndProject" in plan
+    # no full global sort of the orders table
+    assert "Sort [p" not in plan.replace("ASC NULLS FIRST", "")
