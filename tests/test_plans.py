@@ -408,3 +408,16 @@ def test_sample_deterministic_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     # no full global sort of the orders table
     assert "Sort [p" not in plan.replace("ASC NULLS FIRST", "")
+
+
+def test_load_sideinput_broadcasts_dim(spark):
+    plan = plan_of(spark, "load_sideinput")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_load_gbk_partial_aggregates(spark):
+    # map-side combine before the key exchange (skew-proof GBK shape)
+    plan = plan_of(spark, "load_gbk")
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
