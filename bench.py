@@ -46,6 +46,13 @@ HEADLINE = [
     # full-text retrieval + compressed-vector search
     "doc_bm25_topk",
     "emb_pq_adc_topk",
+    # round-3 additions: quality rules, exact-substring dup, PCM decode,
+    # synthetic load-gen + the GBK load pipeline over it
+    "doc_gopher_rules",
+    "doc_substring_dup",
+    "mm_audio_rms",
+    "io_synthetic_bounded",
+    "load_gbk",
 ]
 
 

@@ -69,6 +69,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _PRIORITY: tuple[str, ...] = (
     # Round-3 rotation: the 92 r1∪r2 driver-green names stay covered by the
     # local oracle suite; this window goes to never-driver-checked gates.
+    # ROUND-4 TODO: rotate again — after r3's window the never-driver-checked
+    # set is roughly: NEXMark q0-q12, the 9 schema-adapted TPC-H (q4 q6v2
+    # q11-q22 variants), evt_dynamic_session_window/evt_window_reify/
+    # evt_timestamp_combiners leftovers, combine_values_norm, groupby_fluent,
+    # fn_regex/fn_json suites not in r3's window, doc_shuffle,
+    # doc_pack_sequences, doc_bpe_merges, emb_pq_codes, mm_image_decode,
+    # sql_grouping_sets/rollup/cube/pivot leftovers, and everything added in
+    # round 3 after the window (doc_gopher_rules, emb_semdedup,
+    # io_synthetic_bounded, doc_substring_dup, mm_audio_rms,
+    # agg_sample[_per_key]_deterministic, load_*). Verify with
+    # `python scripts/driver_emulate.py <names>` before rotating.
     # Lead with the round-2 red row (TIMESTAMP_NTZ fix proof):
     "evt_range_join",
     # streaming ValidatesRunner parity gates (engine namesake; two were
