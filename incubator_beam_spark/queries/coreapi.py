@@ -249,3 +249,34 @@ def io_synthetic_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("key_id", "key").agg(
         F.count(F.lit(1)).alias("n"), F.min("id").alias("min_id")
     ).select("key_id", "n", "min_id", "key")
+
+
+@query(
+    "df_pandas_groupby",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def df_pandas_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deferred-pandas API (SURVEY §2.9, reference dataframe/frames.py
+    DeferredDataFrame.groupby): the pandas dialect lowered onto Catalyst
+    via pyspark.pandas — groupby/size/sum become HashAggregates, no
+    pandas materialization. Money summed in integer cents so the
+    value-hash is summation-order-proof."""
+    from ..dataframe import to_dataframe, to_pcollection
+
+    o = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    pdf = to_dataframe(o)
+    pdf = pdf.assign(cents=(pdf.o_totalprice * 100).round().astype("int64"))
+    g = pdf.groupby("o_orderpriority")
+    out = g.size().to_frame("n").join(g.cents.sum().to_frame("total_cents"))
+    sdf = to_pcollection(out.reset_index())
+    return sdf.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+    )

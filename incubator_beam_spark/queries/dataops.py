@@ -1642,7 +1642,7 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH vv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
     cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-             FROM embeddings WHERE vec_id < 8),
+             FROM embeddings WHERE vec_id < 32),
     assigned AS (
       SELECT id, v, cid AS cell, sqrt(list_dot_product(v, v)) AS vn
       FROM (SELECT vv.id, vv.v, cent.cid,
@@ -1662,11 +1662,13 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup via coarse-cluster +
     within-cluster cosine pruning; keeps the lowest-id representative of
-    each near-duplicate neighborhood. Centroids = first 8 corpus vectors
-    (k-means in a real deployment); tau tuned to the synthetic embedding
-    distribution. Cell equi-join keeps pairwise work N^2/K cell-local."""
+    each near-duplicate neighborhood. Centroids = first 32 corpus vectors
+    (k-means in a real deployment — the paper runs many clusters for
+    exactly the N^2/K cost reason; 32 cells keeps in-cell pairwise work
+    ~1/4 of an 8-cell layout at this corpus size). tau tuned to the
+    synthetic embedding distribution."""
     e = table(spark, sf_dir, "embeddings")
-    centroids = e.filter(F.col("vec_id") < 8)
+    centroids = e.filter(F.col("vec_id") < 32)
     return similarity.semdedup(e, centroids, tau=0.4)
 
 
