@@ -223,3 +223,36 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(out_dir)
+
+
+@query(
+    "stream_synthetic_gbk",
+    oracle="""
+    WITH recs AS (
+      SELECT event_id AS id,
+             CASE WHEN b < 200000 THEN b % 2 ELSE 2 + (b % 98) END AS key_id
+      FROM (SELECT event_id,
+                   ('0x' || substr(md5('syn|k|' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 1000000 AS b
+            FROM events))
+    SELECT key_id, count(*) AS n, min(id) AS min_id
+    FROM recs GROUP BY key_id
+    """,
+)
+def stream_synthetic_gbk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The load-test GBK executed as a STREAM: the synthetic source's
+    deterministic record function (hot-key model over md5 buckets,
+    sources/synthetic.py) applied to a streamed id column, then a
+    streaming GBK drained to completion — ValidatesRunner parity for the
+    load suite; the oracle regenerates key assignment from event ids."""
+    from ..sources.synthetic import _bucket
+
+    e = stream_table(spark, sf_dir, "events")
+    b = _bucket(F.col("event_id"), "syn|k", 1_000_000)
+    key_id = F.when(b < 200_000, b % 2).otherwise(2 + (b % 98))
+    agg = (
+        e.select(F.col("event_id").alias("id"), key_id.alias("key_id"))
+        .groupBy("key_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("min_id"))
+    )
+    return _drain(agg, "complete")
