@@ -115,6 +115,7 @@ def stateful_pardo(
     process: Callable[[Any, pd.DataFrame, StatefulContext], list],
     on_timer: Callable[[Any, str, StatefulContext], list] | None = None,
     timer_domain: str = EVENT_TIME,
+    time_sorted_by: str | None = None,
 ):
     """Beam-style stateful ParDo on a keyed stream.
 
@@ -132,6 +133,14 @@ def stateful_pardo(
     ``processAllAvailable`` never settles and idle clusters stay busy.
     Prefer lazy ``"none"``-domain checks against ``ctx.processing_time``
     when the semantics allow (see deduplicate_stream_processing_time).
+
+    ``time_sorted_by``: Beam's ``RequiresTimeSortedInput``
+    (reference ``fn_runner.py:256-280`` enforces per-key
+    timestamp-sorted delivery before the DoFn). Here each delivered
+    per-key bundle is sorted by that column before ``process`` sees it.
+    Like Beam, ordering holds only among elements already delivered —
+    elements later than the watermark can still arrive in a future
+    bundle; buffer in a bag cell + event-time timer for a total order.
     """
     has_watermark = "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString()
     if timer_domain == EVENT_TIME and not has_watermark:
@@ -154,6 +163,10 @@ def stateful_pardo(
         if not state.hasTimedOut:
             for pdf in pdfs:
                 if len(pdf):
+                    if time_sorted_by is not None:
+                        pdf = pdf.sort_values(time_sorted_by, kind="mergesort").reset_index(
+                            drop=True
+                        )
                     out_rows.extend(process(key[0], pdf, ctx) or [])
         # fire every due timer in instant order (the multiplexer)
         now = wm if timer_domain == EVENT_TIME else pt

@@ -449,6 +449,38 @@ def test_stateful_pardo_set_and_combining_cells(spark):
         assert rows == [(1, 5.0), (2, 12.0)]
 
 
+def test_stateful_pardo_time_sorted_input(spark):
+    """RequiresTimeSortedInput (reference fn_runner.py:256-280): the
+    process fn sees each per-key bundle sorted by the timestamp column,
+    regardless of arrival order within the bundle."""
+    from incubator_beam_spark.streaming.userstate import StatefulContext, stateful_pardo
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("seq", T.StringType()),
+        ]
+    )
+
+    def process(key, rows, ctx: StatefulContext):
+        # concat values in delivered order — exposes whether the bundle
+        # was sorted before delivery
+        return [(key, ",".join(str(int(v)) for v in rows["value"]))]
+
+    with TestStream(spark, EVENT_SCHEMA) as ts:
+        out = stateful_pardo(
+            ts.stream, key_col="user_id", output_schema=out_schema,
+            process=process, timer_domain="none", time_sorted_by="ts",
+        )
+        ts.start(out, output_mode="append")
+        # arrival order is ts-descending: 4, 3, 1
+        ts.add_elements(
+            [(_ts(0, 4), 1, 4.0), (_ts(0, 3), 1, 3.0), (_ts(0, 1), 1, 1.0)]
+        ).advance()
+        rows = [r.seq for r in ts.results().collect()]
+        assert rows == ["1,3,4"]
+
+
 def test_per_key_counter_string_keys(spark):
     """Round-1 ADVICE: stateful kernels must not assume LongType keys."""
     schema = T.StructType(
