@@ -280,3 +280,80 @@ def df_pandas_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("total_cents").cast("long").alias("total_cents"),
     )
+
+
+@query(
+    "io_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT o_custkey, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             o_orderstatus
+      FROM orders),
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY seq DESC) AS rn
+      FROM log)
+    SELECT o_custkey, seq, price_cents, o_orderstatus
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def io_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog materialization (reference ``io/debezium.py`` — the
+    consumer of a Debezium stream must fold insert/update/delete events
+    into current state). Orders stand in for the changelog: key =
+    o_custkey, monotone seq = o_orderkey, every 10th op a delete.
+    Latest-wins per key via one hash-shuffle + in-partition sort
+    (row_number), deletes drop the key — the minimal materialization
+    plan, skew bounded by task spill."""
+    from ..dataops.joins import cdc_apply
+
+    o = table(spark, sf_dir, "orders")
+    log = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        "o_orderstatus",
+    )
+    return cdc_apply(log, keys="o_custkey", seq_col="seq", op_col="op")
+
+
+def _spread16_sql(col: str) -> str:
+    """DuckDB replica of layout._spread16 (Morton bit-spread)."""
+    e = f"({col} & 65535)"
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        e = f"(({e} | ({e} << {shift})) & {mask})"
+    return e
+
+
+@query(
+    "io_zorder_histogram",
+    oracle=f"""
+    WITH z AS (
+      SELECT ({_spread16_sql('l_orderkey')} |
+              ({_spread16_sql('l_partkey')} << 1)) AS zval
+      FROM lineitem)
+    SELECT (zval >> 24) AS zbucket, count(*) AS n,
+           min(zval) AS min_z, max(zval) AS max_z
+    FROM z GROUP BY zbucket
+    """,
+)
+def io_zorder_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering values for data layout: interleave the
+    low 16 bits of (l_orderkey, l_partkey) scan-side — pure shiftleft/
+    and/or inside whole-stage codegen, no UDF — and histogram the z-space
+    in 256 buckets. The companion ``zorder_layout`` (dataops/layout.py)
+    range-partitions + sorts on this value so each written file owns a
+    disjoint (orderkey, partkey) rectangle and parquet min/max footers
+    prune on EITHER predicate column; disjointness is asserted in
+    tests/test_dataops.py over real written files."""
+    from ..dataops.layout import zvalue
+
+    li = table(spark, sf_dir, "lineitem")
+    z = li.select(zvalue(F.col("l_orderkey"), F.col("l_partkey")).alias("zval"))
+    return z.groupBy(F.shiftright("zval", 24).alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("zval").alias("min_z"),
+        F.max("zval").alias("max_z"),
+    )

@@ -162,3 +162,37 @@ def load_sideinput(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+    WITH recs AS ({_SYN}),
+    dim AS (SELECT DISTINCT key_id,
+                   substr(md5('dim|' || CAST(key_id AS VARCHAR)), 1, 8) AS label
+            FROM recs)
+    SELECT label, count(*) AS n, CAST(sum(vnum) AS BIGINT) AS sum_v
+    FROM recs JOIN dim USING (key_id) GROUP BY label
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join under extreme skew: the synthetic stream puts
+    20% of all rows on 2 hot keys, and the dim side is hinted merge (no
+    broadcast escape hatch) — unsalted, two reducers would own 20% of
+    the data. ``salted_join`` spreads each hot key over 8 reducers
+    (deterministic xxhash64 salt scan-side on the big side, 8x explode
+    of the 100-row dim); the oracle is the PLAIN join — proving salting
+    changes the schedule, never the result."""
+    from ..dataops.joins import salted_join
+
+    r = _records(spark)
+    dim = r.select("key_id").distinct().select(
+        "key_id",
+        F.substring(F.md5(F.concat(F.lit("dim|"), F.col("key_id").cast("string"))), 1, 8)
+          .alias("label"),
+    )
+    joined = salted_join(r, dim.hint("merge"), on="key_id", n_salts=8)
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vnum").cast("long").alias("sum_v"),
+    )

@@ -1258,3 +1258,54 @@ def test_temperature_resample_flattens_mixture(spark):
     # deterministic
     kept2 = temperature_resample(df, "source").groupBy("source").count().collect()
     assert {r.source: r["count"] for r in kept2} == out
+
+
+def test_zorder_layout_files_own_disjoint_z_ranges(spark, tmp_path):
+    """zorder_layout + write must produce files whose z-intervals (hence
+    (x, y) rectangles) are disjoint — the property parquet min/max
+    pruning needs."""
+    import pyarrow.parquet as pq
+
+    from incubator_beam_spark.catalog import table
+    from incubator_beam_spark.dataops.layout import zorder_layout, zvalue
+
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    out = str(tmp_path / "zord")
+    zorder_layout(li, "l_orderkey", "l_partkey", n_files=8).write.parquet(out)
+
+    import glob
+
+    ranges = []
+    for f in sorted(glob.glob(out + "/*.parquet")):
+        t = pq.read_table(f).to_pandas()
+        if not len(t):
+            continue
+        z = t.apply(
+            lambda r: _py_zvalue(int(r.l_orderkey), int(r.l_partkey)), axis=1
+        )
+        ranges.append((z.min(), z.max()))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo  # pairwise disjoint (boundary ties allowed)
+
+    # spark zvalue == python reference on a sample
+    got = (
+        li.limit(100)
+        .select("l_orderkey", "l_partkey", zvalue(F.col("l_orderkey"), F.col("l_partkey")).alias("z"))
+        .collect()
+    )
+    for r in got:
+        assert r.z == _py_zvalue(r.l_orderkey, r.l_partkey)
+
+
+def _py_zvalue(x: int, y: int) -> int:
+    def spread(v: int) -> int:
+        v &= 0xFFFF
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    return spread(x) | (spread(y) << 1)

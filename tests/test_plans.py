@@ -421,3 +421,31 @@ def test_load_gbk_partial_aggregates(spark):
     plan = plan_of(spark, "load_gbk")
     assert plan.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    # the join must be a shuffle join keyed on (key_id, _salt) — no
+    # broadcast escape, salt visible in the join keys, salt computed
+    # scan-side (no Python)
+    plan = plan_of(spark, "join_skew_salted")
+    assert "SortMergeJoin" in plan
+    assert "_salt" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zvalue_is_pure_codegen(spark):
+    plan = plan_of(spark, "io_zorder_histogram")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # bit-twiddling lowered to JVM expressions; one partial+final agg pair
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_cdc_apply_single_shuffle(spark):
+    # one hash exchange on the key feeds the row_number window (formatted
+    # explain prints each node twice: tree + detail block); and Spark's
+    # WindowGroupLimit applies — the top-1-per-key filter runs partially
+    # BEFORE the shuffle, so only candidate winners exchange
+    plan = plan_of(spark, "io_cdc_apply")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "WindowGroupLimit" in plan
+    assert "Window" in plan
