@@ -616,3 +616,59 @@ def substring_dup_stats(
             F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 10,
+    max_count: int = 3,
+) -> DataFrame:
+    """Corpus-level repeated-line removal (the C4/RefinedWeb recipe:
+    drop boilerplate lines that recur across many pages, keep the rest
+    of each document intact, order preserved).
+
+    Documents are segmented into ``line_tokens``-token lines; any line
+    whose corpus-wide occurrence count exceeds ``max_count`` is removed
+    from EVERY document; surviving lines are reassembled in position
+    order. Returns (id, kept_lines, text) — documents whose every line
+    was boilerplate drop out entirely.
+
+    Scale design: the frequency count groups on a 16-byte md5 of the
+    line, not the line text; the hot set (boilerplate) is tiny by
+    construction, so the removal is a broadcast anti-join — document
+    text crosses the wire once, for the per-document reassembly shuffle,
+    and partial aggregation handles the count.
+    """
+    toks = F.split(F.col(text_col), " ")
+    nseg = F.ceil(F.size(toks) / F.lit(float(line_tokens))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda s: F.array_join(
+            F.slice(toks, s * line_tokens + 1, line_tokens), " "
+        ),
+    )
+    segs = docs.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    )
+    hot = (
+        segs.groupBy(F.md5("line").alias("fp"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > max_count)
+        .select("fp")
+    )
+    kept = segs.join(
+        F.broadcast(hot), F.md5(segs["line"]) == hot["fp"], "left_anti"
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias(text_col),
+    )
+    return reassembled

@@ -1752,3 +1752,31 @@ def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wav = d.mapInPandas(synth, synth_schema)
     return audio_pcm_stats(wav)
+
+
+@query(
+    "doc_line_dedup",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    segs AS (
+      SELECT doc_id, s AS pos, array_to_string(tk[(s*3+1):(s*3+3)], ' ') AS line
+      FROM toks, LATERAL (SELECT unnest(generate_series(0,
+               CAST(ceil(len(tk)/3.0) AS INT) - 1)) AS s) t(s)),
+    cnt AS (SELECT line, count(*) AS c FROM segs GROUP BY line),
+    kept AS (SELECT doc_id, pos, line FROM segs JOIN cnt USING (line) WHERE c <= 3)
+    SELECT doc_id, count(*) AS kept_lines,
+           md5(string_agg(line, ' ' ORDER BY pos)) AS fp
+    FROM kept GROUP BY doc_id
+    """,
+)
+def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-line removal (C4/RefinedWeb boilerplate
+    dedup): 3-token lines occurring >3 times corpus-wide are removed
+    from every document, survivors reassembled in order. Counts group on
+    line md5 (16 bytes), the tiny hot set broadcast-anti-joins, text
+    shuffles once for reassembly."""
+    from ..dataops.dedup import line_dedup
+
+    d = table(spark, sf_dir, "documents")
+    out = line_dedup(d, line_tokens=3, max_count=3)
+    return out.select("doc_id", "kept_lines", F.md5("text").alias("fp"))

@@ -449,3 +449,11 @@ def test_cdc_apply_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "WindowGroupLimit" in plan
     assert "Window" in plan
+
+
+def test_line_dedup_hot_set_broadcasts(spark):
+    # boilerplate-line removal: the hot set joins as a broadcast
+    # anti-join, counts group on md5 fingerprints, no Python anywhere
+    plan = plan_of(spark, "doc_line_dedup")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
