@@ -256,3 +256,43 @@ def stream_synthetic_gbk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("min_id"))
     )
     return _drain(agg, "complete")
+
+
+@query(
+    "stream_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT o_custkey, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             o_orderstatus
+      FROM orders),
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY seq DESC) AS rn
+      FROM log)
+    SELECT o_custkey, seq, price_cents, o_orderstatus
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """io_cdc_apply executed as a STREAM: the changelog arrives in
+    micro-batches and latest-wins state lives in the state store
+    (max_by keyed aggregate, complete mode) — exactly how a Debezium
+    topic materializes into a serving table. Same oracle as the batch
+    twin."""
+    o = stream_table(spark, sf_dir, "orders")
+    log = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        "o_orderstatus",
+    )
+    state = (
+        log.groupBy("o_custkey")
+        .agg(F.max_by(F.struct("seq", "op", "price_cents", "o_orderstatus"), "seq").alias("s"))
+        .select("o_custkey", "s.seq", "s.op", "s.price_cents", "s.o_orderstatus")
+        .filter(F.col("op") != "D")
+        .drop("op")
+    )
+    return _drain(state, "complete")
