@@ -75,10 +75,12 @@ _PRIORITY: tuple[str, ...] = (
     # evt_timestamp_combiners leftovers, combine_values_norm, groupby_fluent,
     # fn_regex/fn_json suites not in r3's window, doc_shuffle,
     # doc_pack_sequences, doc_bpe_merges, emb_pq_codes, mm_image_decode,
-    # sql_grouping_sets/rollup/cube/pivot leftovers, and everything added in
-    # round 3 after the window (doc_gopher_rules, emb_semdedup,
-    # io_synthetic_bounded, doc_substring_dup, mm_audio_rms,
-    # agg_sample[_per_key]_deterministic, load_*). Verify with
+    # sql_grouping_sets/rollup/cube/pivot leftovers, fn_array_suite,
+    # fn_unnest, fn_tostring_kvs, fn_bitwise_suite, fn_map_suite, and
+    # everything added in round 3 after the window (doc_gopher_rules,
+    # emb_semdedup, io_synthetic_bounded, doc_substring_dup, mm_audio_rms,
+    # agg_sample[_per_key]_deterministic, load_*, df_pandas_groupby,
+    # stream_synthetic_gbk). Verify with
     # `python scripts/driver_emulate.py <names>` before rotating.
     # Lead with the round-2 red row (TIMESTAMP_NTZ fix proof):
     "evt_range_join",
@@ -128,16 +130,18 @@ _PRIORITY: tuple[str, ...] = (
     "sql_values_join",
     "sql_order_limit_offset",
     "sql_case_insensitive_agg",
-    # the 9 scalar-function suites (SURVEY §2.8 scalar fn rows)
+    # scalar-function suites (SURVEY §2.8 scalar fn rows; the other 5
+    # rotate to round 4 — all 9 are local-oracle-green)
     "fn_string_suite",
     "fn_math_suite",
     "fn_datetime_suite",
     "fn_conditional_suite",
-    "fn_array_suite",
-    "fn_unnest",
-    "fn_tostring_kvs",
-    "fn_bitwise_suite",
-    "fn_map_suite",
+    # round-3 session additions (highest-risk: brand new operators)
+    "io_cdc_apply",
+    "stream_cdc_apply",
+    "join_skew_salted",
+    "io_zorder_histogram",
+    "doc_line_dedup",
 )
 
 
