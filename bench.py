@@ -53,6 +53,12 @@ HEADLINE = [
     "mm_audio_rms",
     "io_synthetic_bounded",
     "load_gbk",
+    # round-3 session additions: skew-salted join, CDC materialization,
+    # z-order layout values, corpus line dedup
+    "join_skew_salted",
+    "io_cdc_apply",
+    "io_zorder_histogram",
+    "doc_line_dedup",
 ]
 
 

@@ -543,3 +543,72 @@ def sign_project(
         ),
     )
     return emb.select(F.col(id_col), proj.alias("projected"))
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Full distributed Lloyd k-means to a fixed iteration count — the
+    IVF/IVF-PQ coarse-quantizer training loop (MLlib's KMeans shape,
+    re-expressed declaratively so every round is ONE scan + ONE k-row
+    aggregate).
+
+    Deterministic & engine-exact: vectors quantize to e4 integer units,
+    distances are exact BIGINT L2^2, argmin ties break to the lowest
+    cell, and each new centroid dimension is the FLOOR of the integer
+    mean — so the whole trajectory (assignments, centroids) is
+    bit-reproducible in any engine (numpy differential test mirrors it).
+
+    At 100 TB per iteration: centroids ship as a broadcast literal
+    (k*dim ints), assignment is scan-side codegen, and the shuffle
+    carries k partial-sum rows per partition (map-side combine) — the
+    classic scalable k-means round. Returns (assignments DataFrame
+    (id, cell), final centroids as list[list[int]] e4 units).
+    """
+    vq = F.transform(as_double(F.col(vec_col)), lambda x: F.round(x * 10000).cast("long"))
+    seeds = (
+        emb.orderBy(id_col).limit(k).select(vq.alias("q")).collect()
+    )
+    cents: list[list[int]] = [list(r.q) for r in seeds]
+    dim = len(cents[0])
+
+    def assign(df: DataFrame) -> DataFrame:
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    F.col("_vq"),
+                    F.array(*[F.lit(int(v)) for v in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ])
+        cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        return df.withColumn("cell", cell)
+
+    base = emb.select(id_col, vq.alias("_vq"))
+    assigned = None
+    for _ in range(n_iters):
+        assigned = assign(base)
+        rows = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.element_at("_vq", i + 1)).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        by_cell = {r["cell"]: r for r in rows}
+        cents = [
+            [int(by_cell[j][f"s{i}"]) // int(by_cell[j]["n"]) for i in range(dim)]
+            if j in by_cell
+            else cents[j]  # empty cell keeps its centroid
+            for j in range(k)
+        ]
+    return assigned.select(id_col, "cell"), cents

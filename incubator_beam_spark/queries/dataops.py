@@ -1780,3 +1780,21 @@ def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     out = line_dedup(d, line_tokens=3, max_count=3)
     return out.select("doc_id", "kept_lines", F.md5("text").alias("fp"))
+
+
+@query("emb_kmeans_lloyd")
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full distributed Lloyd k-means (3 rounds, k=8) — the IVF coarse-
+    quantizer training loop. Exact integer trajectory (e4 units, BIGINT
+    L2^2, floor means) so the run is bit-reproducible; no SQL oracle
+    (iterative) — a numpy differential test mirrors the arithmetic and
+    asserts exact equality of assignments and centroids."""
+    from ..dataops.similarity import kmeans_lloyd
+
+    e = table(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_lloyd(e, k=8, n_iters=3)
+    checksum = {j: sum(c) for j, c in enumerate(cents)}
+    m = F.create_map(*[F.lit(v) for kv in checksum.items() for v in kv])
+    return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).select(
+        "cell", "n", m[F.col("cell")].alias("centroid_checksum")
+    )

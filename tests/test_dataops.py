@@ -1309,3 +1309,37 @@ def _py_zvalue(x: int, y: int) -> int:
         return v
 
     return spread(x) | (spread(y) << 1)
+
+
+def test_kmeans_lloyd_matches_numpy_exactly(spark):
+    """The integer Lloyd trajectory must be bit-identical to a numpy
+    mirror: same assignments, same centroids, every iteration."""
+    import numpy as np
+
+    from incubator_beam_spark.dataops.similarity import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assigned, cents = kmeans_lloyd(emb, k=4, n_iters=3)
+    got = {r.vec_id: r.cell for r in assigned.collect()}
+
+    def e4(v):
+        # Spark F.round is HALF_UP (away from zero); np.round is half-even
+        x = np.array(v, dtype="float64") * 10000
+        return np.trunc(x + np.copysign(0.5, x)).astype("int64")
+
+    rows = sorted(
+        (r.vec_id, e4(r.embedding))
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    ids = [i for i, _ in rows]
+    X = np.stack([v for _, v in rows])
+    C = X[:4].copy()
+    for _ in range(3):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cell = d.argmin(axis=1)  # argmin takes first (lowest) on ties
+        for j in range(4):
+            if (cell == j).any():
+                C[j] = X[cell == j].sum(axis=0) // (cell == j).sum()
+    for i, vid in enumerate(ids):
+        assert got[vid] == cell[i], vid
+    assert [list(c) for c in C] == cents
