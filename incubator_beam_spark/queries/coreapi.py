@@ -357,3 +357,66 @@ def io_zorder_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zval").alias("min_z"),
         F.max("zval").alias("max_z"),
     )
+
+
+@query(
+    "df_pandas_merge",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, count(*) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def df_pandas_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deferred-pandas merge (reference dataframe/frames.py:2943
+    DeferredDataFrame.merge): the pandas join dialect lowered onto a
+    Catalyst equi-join + HashAggregate — no pandas materialization, the
+    planner free to broadcast the dim side."""
+    from ..dataframe import to_dataframe, to_pcollection
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    pc, po = to_dataframe(c), to_dataframe(o)
+    po = po.assign(cents=(po.o_totalprice * 100).round().astype("int64"))
+    m = pc.merge(po, left_on="c_custkey", right_on="o_custkey")
+    g = m.groupby(["c_custkey", "c_name"])
+    out = g.size().to_frame("n_orders").join(g.cents.sum().to_frame("total_cents"))
+    sdf = to_pcollection(out.reset_index())
+    return sdf.select(
+        "c_custkey", "c_name",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+    )
+
+
+@query(
+    "df_pandas_str_accessor",
+    oracle="""
+    SELECT upper(c_name) AS uname, length(c_name) AS name_len,
+           CASE WHEN contains(c_mktsegment, 'BUILD') THEN 1 ELSE 0 END AS is_building
+    FROM customer WHERE starts_with(c_name, 'Customer#000000')
+    """,
+)
+def df_pandas_str_accessor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deferred-pandas .str accessor (reference dataframe/frames.py:4085
+    _DeferredStringMethods): upper/len/contains/startswith lower to JVM
+    string expressions — the scan stays whole-stage codegen, zero
+    Python."""
+    from ..dataframe import to_dataframe, to_pcollection
+
+    c = table(spark, sf_dir, "customer").select("c_name", "c_mktsegment")
+    pdf = to_dataframe(c)
+    pdf = pdf[pdf.c_name.str.startswith("Customer#000000")]
+    pdf = pdf.assign(
+        uname=pdf.c_name.str.upper(),
+        name_len=pdf.c_name.str.len().astype("int64"),
+        is_building=pdf.c_mktsegment.str.contains("BUILD").astype("int64"),
+    )
+    sdf = to_pcollection(pdf[["uname", "name_len", "is_building"]])
+    return sdf.select(
+        "uname",
+        F.col("name_len").cast("long").alias("name_len"),
+        F.col("is_building").cast("long").alias("is_building"),
+    )
