@@ -79,3 +79,106 @@ def cdc_apply(
         .drop("_rn")
     )
     return latest.filter(F.col(op_col) != delete_op).drop(op_col)
+
+
+def _bloom_positions(key: Column, k: int, num_bits: int) -> list[Column]:
+    """k probe positions via double hashing (Kirsch-Mitzenmacher 2006:
+    pos_i = h1 + i*h2 mod m preserves the classic false-positive bound
+    with TWO hash evaluations instead of k). All JVM-side xxhash64."""
+    # reduce both hashes mod m up front: i*h2 on raw xxhash64 values
+    # overflows 64-bit under ANSI mode; reduced, i*h2 <= k*m fits easily.
+    # h2 in [1, m-1] so probes never degenerate to a single position.
+    h1 = F.pmod(F.xxhash64(key), F.lit(num_bits))
+    h2 = F.pmod(F.xxhash64(key, F.lit(0x9E3779B9)), F.lit(num_bits - 1)) + F.lit(1)
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(k)]
+
+
+def bloom_build(
+    df: DataFrame, key: str, num_bits: int = 1 << 20, k: int = 7
+) -> list[int]:
+    """Build a Bloom-filter bitmap over ``df[key]`` distributedly and
+    return it as a dense list of ``num_bits/64`` longs.
+
+    The aggregation is pure Catalyst: each key row emits its k probe
+    positions (explode), positions roll up per 64-bit word with
+    ``bit_or(shiftleft(1, pos % 64))`` — a partial-aggregated shuffle of
+    at most ``num_bits/64`` groups — and only the non-zero words reach
+    the driver (bounded by the bitmap size, NOT the key count; a 2^23-bit
+    filter is 1 MiB however many billions of keys fed it). The returned
+    words are a driver artifact of the same class as a broadcast
+    variable."""
+    probes = _bloom_positions(F.col(key), k, num_bits)
+    words = (
+        df.select(F.explode(F.array(*probes)).alias("pos"))
+        .select(
+            F.shiftright("pos", 6).alias("w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.col("pos") % 64
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    dense = [0] * (num_bits >> 6)
+    for r in words:
+        dense[r.w] = r.word
+    return dense
+
+
+def bloom_might_contain(
+    words: list[int], key: Column, num_bits: int, k: int = 7
+) -> Column:
+    """Scan-side membership test against a built bitmap: all k probe
+    bits set. The bitmap rides the plan as ONE array literal (the
+    local-mode stand-in for ``sparkContext.broadcast`` — same executor-
+    side residency either way); every op (element_at / shiftright / &)
+    is codegen'd, no Python in the row path."""
+    lit_words = F.lit(words)
+    cond = None
+    for pos in _bloom_positions(key, k, num_bits):
+        word = F.element_at(
+            lit_words, (F.shiftright(pos, 6) + F.lit(1)).cast("int")
+        )
+        hit = (
+            word.bitwiseAND(
+                F.call_function("shiftleft", F.lit(1).cast("long"), pos % 64)
+            )
+            != F.lit(0).cast("long")
+        )
+        cond = hit if cond is None else (cond & hit)
+    return cond
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    num_bits: int = 1 << 20,
+    k: int = 7,
+) -> DataFrame:
+    """Equi-join where the BIG side is pre-filtered by a Bloom filter
+    built from the small side's keys — the classic 100-TB shuffle
+    reducer for joins whose dimension is too large to broadcast-join
+    (so Catalyst picks sort-merge) but whose KEY SET fits a megabyte
+    bitmap: fact rows that cannot match are dropped AT THE SCAN, before
+    the exchange, cutting shuffle volume to ~the matching fraction
+    (plus the false-positive rate, num_bits/k-tunable).
+
+    Result is EXACTLY the plain join — Bloom false positives survive
+    the prefilter but are eliminated by the real join; no false
+    negatives exist by construction. This is what Spark's own runtime
+    row-group filtering (`spark.sql.optimizer.runtime.bloomFilter`)
+    injects when statistics justify it; first-class here so the plan
+    guarantees it regardless of stats. Only inner/semi (and right outer
+    on the small side) joins can prefilter soundly; others keep
+    unmatched big rows.
+    """
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"bloom prefilter is only sound for inner/semi joins, got {how!r}"
+        )
+    words = bloom_build(small, on, num_bits=num_bits, k=k)
+    pre = big.filter(bloom_might_contain(words, F.col(on), num_bits, k=k))
+    return pre.join(small, on=on, how=how)

@@ -718,6 +718,62 @@ def evt_custom_merging_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "evt_disjoint_merge_window",
+    oracle="""
+    WITH pw AS (
+      SELECT user_id,
+             floor(epoch(ts) / 300) * 300 AS s,
+             floor(epoch(ts) / 300) * 300 + 300 AS e
+      FROM events),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER prior IS NULL OR s > max(e) OVER prior + 600
+                  THEN 1 ELSE 0 END AS brk
+      FROM pw
+      WINDOW prior AS (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged)
+    SELECT user_id,
+           min(s) AS window_start,
+           max(e) AS window_end,
+           CAST(count(*) AS BIGINT) AS n
+    FROM isl GROUP BY user_id, island
+    """,
+)
+def evt_disjoint_merge_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General merging WindowFn over DISJOINT windows (reference
+    ``window.py:119`` WindowFn.merge — the fully-general case VERDICT r2
+    listed as the remaining §2.6 gap): 5-minute tumbling proto-windows
+    per user coalesce whenever the gap between them is <= 10 minutes
+    (slack merge). Tumbling windows never overlap, so overlap-only
+    merging would be the identity here — this gate exercises true
+    disjoint-window merging. Slack merge stays JVM-side: two analytic
+    passes over one shuffle on user_id."""
+    from ..core import PCollection, Pipeline
+    from ..windows import WindowFn, WindowInto
+
+    class CoalescingFixed(WindowFn):
+        merging = True
+        slack = 600.0
+
+        def assign(self, ts):
+            start = F.floor(ts / 300) * 300.0
+            return (start, start + 300.0)
+
+    p = Pipeline(spark)
+    pc = PCollection(table(spark, sf_dir, "events").select("user_id", "ts"), p)
+    windowed = pc | WindowInto(CoalescingFixed(), ts_col="ts", key_cols=["user_id"])
+    return (
+        windowed.df.groupBy("user_id", "window_start", "window_end")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "evt_asof_join",
     oracle="""
     WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),

@@ -196,3 +196,43 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("vnum").cast("long").alias("sum_v"),
     )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT s.s_nationkey AS s_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l.l_quantity), 4) AS sum_qty
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_nationkey < 5
+    GROUP BY s.s_nationkey
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered shuffle join (the runtime-filter pattern Spark's
+    `InjectRuntimeFilter` rule applies when statistics justify it;
+    first-class in ``dataops/joins.py`` so the plan guarantees it):
+    lineitem joins the nation<5 supplier subset, dim hinted merge (no
+    broadcast escape), and every fact row is tested scan-side against a
+    2^20-bit bitmap built distributedly from the dim keys — non-matching
+    rows never reach the exchange. The oracle is the PLAIN join: the
+    Bloom stage may pass false positives (the real join removes them)
+    but never drops a match, so the result is exactly the unfiltered
+    join's."""
+    from ..catalog import table
+    from ..dataops.joins import bloom_prefilter_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_quantity"
+    )
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 5)
+        .select("s_suppkey", "s_nationkey")
+    )
+    joined = bloom_prefilter_join(li, sup.hint("merge"), on="s_suppkey")
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )

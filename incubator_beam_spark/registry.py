@@ -134,8 +134,11 @@ _PRIORITY: tuple[str, ...] = (
     # rotate to round 4 — all 9 are local-oracle-green)
     "fn_string_suite",
     "fn_math_suite",
-    "fn_datetime_suite",
-    "fn_conditional_suite",
+    # fn_datetime_suite + fn_conditional_suite rotated to round 4 to make
+    # room for this session's brand-new operator paths (higher risk than
+    # the pure-builtin fn suites, which stay local-oracle-green)
+    "evt_disjoint_merge_window",
+    "join_bloom_prefilter",
     # round-3 session additions (highest-risk: brand new operators)
     "io_cdc_apply",
     "stream_cdc_apply",

@@ -13,13 +13,19 @@ Spark-first design:
   in the worker loop; we compile it into the plan).
 - Merging runs per key with the gaps-and-islands pattern: order windows
   by start, open a new merged window whenever start exceeds the running
-  max end of everything before it, then a running sum of those breaks
-  numbers the islands. Two analytic passes over ONE shuffle on the key —
-  no UDF, no state. This implements the merge contract every practical
-  merging WindowFn (Sessions and friends) satisfies: merge windows that
-  OVERLAP; Beam's fully-general ``WindowFn.merge`` (merging disjoint
-  windows) is intentionally out of scope, matching what BeamSQL itself
-  supports.
+  max end of everything before it (plus an optional ``slack``), then a
+  running sum of those breaks numbers the islands. Two analytic passes
+  over ONE shuffle on the key — no UDF, no state. ``slack > 0`` merges
+  DISJOINT windows whose gap is within slack (e.g. coalescing tumbling
+  proto-windows across quiet periods), which overlap-only merging can
+  never do.
+- Fully-general ``WindowFn.merge`` (arbitrary user merge logic over the
+  window set, reference ``window.py:119``): override ``merge`` and the
+  engine runs it per key inside ``applyInPandas`` over the DISTINCT
+  proto-window set — the Python callback sees O(#windows-per-key)
+  tuples, never O(rows), and groups distribute across executors, so the
+  slow path costs Arrow batching + a small per-key list, not a per-row
+  UDF.
 - Non-merging fns just explode their assignment arrays.
 
 The merged result carries ``window_start``/``window_end`` epoch-second
@@ -42,19 +48,40 @@ __all__ = [
     "Sessions",
     "WindowInto",
     "merge_proto_windows",
+    "merge_proto_windows_general",
 ]
 
 
 class WindowFn:
     """reference ``window.py:119``. ``assign`` maps an event-time Column
     (epoch seconds, double) to one proto-window or a list of them;
-    ``merging`` declares whether overlapping proto-windows coalesce per
-    key (the reference expresses this via the ``merge`` hook; here the
-    overlap-merge is the engine's job)."""
+    ``merging`` declares whether proto-windows coalesce per key.
+
+    Merge contract (mirroring the reference's ``WindowFn.merge`` +
+    ``MergeContext``): by default the engine coalesces windows that
+    overlap, or whose gap is at most ``slack`` seconds — both run as
+    native analytic passes. For arbitrary merge logic, override
+    ``merge``: it receives the key's DISTINCT proto-windows sorted by
+    (start, end) and returns merge directives
+    ``[(members, (new_start, new_end)), ...]`` where ``members`` is a
+    list of (start, end) tuples replaced by the new window; windows not
+    named in any directive stay as themselves. Called once per key per
+    WindowInto (the reference's MergeContext likewise completes all
+    merging in one invocation per GroupByKey)."""
 
     merging: bool = False
+    #: max gap (seconds) between windows that still merge; 0 = overlap-only
+    slack: float = 0.0
 
     def assign(self, ts: Column) -> "tuple[Column, Column] | list[tuple[Column, Column]]":
+        raise NotImplementedError
+
+    def merge(
+        self, windows: "list[tuple[float, float]]"
+    ) -> "list[tuple[list[tuple[float, float]], tuple[float, float]]]":
+        """Override for fully-general merging (disjoint, conditional,
+        element-count-independent — anything). Default: engine-side
+        overlap/slack merge."""
         raise NotImplementedError
 
 
@@ -108,12 +135,16 @@ class Sessions(WindowFn):
         return (ts, ts + self.gap)
 
 
-def merge_proto_windows(df: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Coalesce overlapping (window_start, window_end) proto-windows per
-    key — the WindowFn.merge step, as two native analytic passes:
+def merge_proto_windows(
+    df: DataFrame, key_cols: list[str], slack: float = 0.0
+) -> DataFrame:
+    """Coalesce (window_start, window_end) proto-windows per key — the
+    WindowFn.merge step, as two native analytic passes:
 
-    1. break flag: start > max(end) over all EARLIER rows (strictly
-       preceding frame) opens a new island;
+    1. break flag: start > max(end) + slack over all EARLIER rows
+       (strictly preceding frame) opens a new island — slack=0 merges
+       overlap-only; slack>0 also merges DISJOINT windows whose gap is
+       within slack;
     2. island id: running sum of break flags;
     then the merged bounds are min(start)/max(end) per island, attached
     back to every row (matching the reference, where merging rewrites
@@ -126,7 +157,9 @@ def merge_proto_windows(df: DataFrame, key_cols: list[str]) -> DataFrame:
     flagged = df.withColumn(
         "__new_island",
         F.when(
-            prev_max_end.isNull() | (F.col("window_start") > prev_max_end), 1
+            prev_max_end.isNull()
+            | (F.col("window_start") > prev_max_end + F.lit(float(slack))),
+            1,
         ).otherwise(0),
     )
     islanded = flagged.withColumn(
@@ -139,6 +172,38 @@ def merge_proto_windows(df: DataFrame, key_cols: list[str]) -> DataFrame:
         .withColumn("window_end", F.max("window_end").over(bounds))
         .drop("__island")
     )
+
+
+def merge_proto_windows_general(
+    df: DataFrame, key_cols: list[str], windowfn: WindowFn
+) -> DataFrame:
+    """Run a user-defined ``WindowFn.merge`` per key: one shuffle on the
+    key (applyInPandas), then the Python callback sees only the DISTINCT
+    sorted proto-window tuples for that key — O(#windows), never O(rows)
+    — and every row's window is rewritten through the returned mapping.
+    At 100 TB the per-key window set stays driver-artifact-sized (it is
+    bounded by the key's session structure, not its row count); rows
+    move through Arrow batches with no per-row Python."""
+    schema = df.schema
+    cols = [f.name for f in schema.fields]
+
+    def apply_merge(pdf):
+        wins = sorted(set(zip(pdf["window_start"], pdf["window_end"])))
+        mapping = {}
+        for members, merged in windowfn.merge(wins):
+            for m in members:
+                mapping[(float(m[0]), float(m[1]))] = merged
+        if mapping:
+            new = [
+                mapping.get((float(s), float(e)), (s, e))
+                for s, e in zip(pdf["window_start"], pdf["window_end"])
+            ]
+            pdf = pdf.copy()
+            pdf["window_start"] = [w[0] for w in new]
+            pdf["window_end"] = [w[1] for w in new]
+        return pdf[cols]
+
+    return df.groupBy(*key_cols).applyInPandas(apply_merge, schema)
 
 
 class WindowInto(PTransform):
@@ -186,5 +251,10 @@ class WindowInto(PTransform):
         if self.windowfn.merging:
             if not self.key_cols:
                 raise ValueError("merging WindowFn needs key_cols to merge within")
-            df = merge_proto_windows(df, self.key_cols)
+            if type(self.windowfn).merge is not WindowFn.merge:
+                df = merge_proto_windows_general(df, self.key_cols, self.windowfn)
+            else:
+                df = merge_proto_windows(
+                    df, self.key_cols, slack=self.windowfn.slack
+                )
         return PCollection(df, pcoll.pipeline)

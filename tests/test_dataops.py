@@ -1343,3 +1343,45 @@ def test_kmeans_lloyd_matches_numpy_exactly(spark):
     for i, vid in enumerate(ids):
         assert got[vid] == cell[i], vid
     assert [list(c) for c in C] == cents
+
+
+def test_bloom_prefilter_join_equals_plain_join(spark):
+    from incubator_beam_spark.dataops.joins import bloom_prefilter_join
+
+    dim = spark.range(0, 500).select((F.col("id") * 7).alias("key"), F.col("id").alias("v"))
+    fact = spark.range(0, 20000).select((F.col("id") % 7000).alias("key"), F.col("id").alias("x"))
+    got = sorted((r.key, r.x, r.v) for r in bloom_prefilter_join(fact, dim, on="key").collect())
+    want = sorted((r.key, r.x, r.v) for r in fact.join(dim, "key").collect())
+    assert got == want
+
+
+def test_bloom_no_false_negatives_tiny_filter(spark):
+    """Even a deliberately saturated (256-bit) filter never drops a
+    match — false positives only, removed by the real join."""
+    from incubator_beam_spark.dataops.joins import bloom_prefilter_join
+
+    dim = spark.range(0, 300).select(F.col("id").alias("key"))
+    fact = spark.range(0, 1000).select(F.col("id").alias("key"))
+    out = bloom_prefilter_join(fact, dim, on="key", num_bits=256, k=3)
+    assert out.count() == 300
+
+
+def test_bloom_prefilter_rejects_outer_join(spark):
+    from incubator_beam_spark.dataops.joins import bloom_prefilter_join
+
+    d = spark.range(1).select(F.col("id").alias("key"))
+    with pytest.raises(ValueError, match="inner/semi"):
+        bloom_prefilter_join(d, d, on="key", how="left")
+
+
+def test_bloom_membership_selectivity(spark):
+    """A 2^17-bit filter over 1k keys (~0.13 bits load) keeps ~only the
+    matchable fraction: false-positive rate must be < 1%."""
+    from incubator_beam_spark.dataops.joins import bloom_build, bloom_might_contain
+
+    dim = spark.range(0, 1000).select((F.col("id") * 3).alias("key"))
+    words = bloom_build(dim, "key", num_bits=1 << 17, k=7)
+    fact = spark.range(0, 30000).select(F.col("id").alias("key"))
+    kept = fact.filter(bloom_might_contain(words, F.col("key"), 1 << 17, 7)).count()
+    matchable = fact.join(dim, "key", "semi").count()
+    assert matchable <= kept <= matchable + 0.01 * 30000

@@ -457,3 +457,15 @@ def test_line_dedup_hot_set_broadcasts(spark):
     plan = plan_of(spark, "doc_line_dedup")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_prefilter_before_exchange(spark):
+    """The Bloom membership test must run AT THE SCAN, before the join
+    exchange, and stay pure JVM (no Python eval in the row path)."""
+    plan = plan_of(spark, "join_bloom_prefilter")
+    assert "SortMergeJoin" in plan  # merge-hinted: no broadcast escape
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the membership expression (element_at over the literal word array)
+    # appears in a Filter below the fact-side Exchange
+    tree = plan.split("== Physical Plan ==")[-1]
+    assert "element_at" in tree

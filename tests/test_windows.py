@@ -111,3 +111,103 @@ def test_merging_windowfn_plan_single_shuffle(spark, p):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("exchange") == 1
     assert "BatchEvalPython" not in plan  # no Python in the merge path
+
+
+def test_slack_merges_disjoint_windows(spark, p):
+    """slack>0 merges windows that do NOT overlap (reference
+    window.py:119 general merge; overlap-only merging can never do
+    this). Tumbling proto-windows [0,10) and [20,30) sit 10s apart:
+    slack=10 coalesces them; [50,60) is 20s past and stays separate."""
+
+    class CoalescingFixed(WindowFn):
+        merging = True
+        slack = 10.0
+
+        def assign(self, ts):
+            start = F.floor(ts / 10) * 10.0
+            return (start, start + 10.0)
+
+    df = _events(spark, [(1, "a", 5.0), (1, "a", 25.0), (1, "a", 55.0)])
+    out = (
+        ibs.PCollection(df, p)
+        | WindowInto(CoalescingFixed(), ts_col="ts", key_cols=["user"])
+    ).df
+    got = sorted(set((r.window_start, r.window_end) for r in out.collect()))
+    assert got == [(0.0, 30.0), (50.0, 60.0)]
+
+
+def test_slack_merge_stays_jvm_side(spark, p):
+    class CoalescingFixed(WindowFn):
+        merging = True
+        slack = 10.0
+
+        def assign(self, ts):
+            start = F.floor(ts / 10) * 10.0
+            return (start, start + 10.0)
+
+    df = _events(spark, [(1, "a", 5.0), (1, "a", 25.0)])
+    out = (
+        ibs.PCollection(df, p)
+        | WindowInto(CoalescingFixed(), ts_col="ts", key_cols=["user"])
+    ).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # no FlatMapGroupsInPandas / BatchEvalPython
+
+
+def test_general_merge_hook(spark, p):
+    """Arbitrary WindowFn.merge: pair up adjacent distinct windows
+    (1st+2nd, 3rd+4th, ...) regardless of distance — inexpressible as
+    overlap or slack merging, and count-dependent on the window SET."""
+
+    class PairwiseMerge(WindowFn):
+        merging = True
+
+        def assign(self, ts):
+            start = F.floor(ts / 10) * 10.0
+            return (start, start + 10.0)
+
+        def merge(self, windows):
+            out = []
+            for i in range(0, len(windows) - 1, 2):
+                a, b = windows[i], windows[i + 1]
+                out.append(([a, b], (a[0], b[1])))
+            return out
+
+    df = _events(
+        spark,
+        [(1, "a", 5.0), (1, "a", 95.0), (1, "a", 205.0), (2, "b", 15.0)],
+    )
+    out = (
+        ibs.PCollection(df, p)
+        | WindowInto(PairwiseMerge(), ts_col="ts", key_cols=["user"])
+    ).df
+    got = sorted((r.user, r.ts, r.window_start, r.window_end) for r in out.collect())
+    # user 1: windows [0,10),[90,100),[200,210) -> first two merge into
+    # [0,100), odd one out stays; user 2: single window, no directive.
+    assert got == [
+        (1, 5.0, 0.0, 100.0),
+        (1, 95.0, 0.0, 100.0),
+        (1, 205.0, 200.0, 210.0),
+        (2, 15.0, 10.0, 20.0),
+    ]
+
+
+def test_general_merge_rows_keep_all_columns(spark, p):
+    class MergeAll(WindowFn):
+        merging = True
+
+        def assign(self, ts):
+            return (ts, ts + 1.0)
+
+        def merge(self, windows):
+            if len(windows) < 2:
+                return []
+            return [(list(windows), (windows[0][0], windows[-1][1]))]
+
+    df = _events(spark, [(1, "x", 0.0), (1, "y", 100.0)])
+    out = (
+        ibs.PCollection(df, p)
+        | WindowInto(MergeAll(), ts_col="ts", key_cols=["user"])
+    ).df
+    rows = sorted((r.user, r.etype, r.ts, r.window_start, r.window_end) for r in out.collect())
+    assert rows == [(1, "x", 0.0, 0.0, 101.0), (1, "y", 100.0, 0.0, 101.0)]
