@@ -311,6 +311,54 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 # -- near-dup clustering: connected components over candidate pairs ----------
 
 
+def _local_contract(e: DataFrame) -> DataFrame:
+    """Per-partition local contraction: each task replaces ITS OWN edges
+    with the star forest of its local components (node -> min reachable
+    node using only this task's edges) — the standard pre-pass before
+    global large-star/small-star rounds (GraphFrames and the Kiveris
+    paper's implementations both do a flavor of it). Chains that happen
+    to be co-located collapse in ONE pass, so the global loop starts
+    from near-stars and typically converges in 1-3 rounds instead of
+    O(log diameter).
+
+    Scale shape: numpy pointer-doubling per Arrow batch stream — the
+    task holds one long per DISTINCT LOCAL node (not per edge, not per
+    global node); a task owning 10M edges holds ~tens of MB. No shuffle:
+    contraction happens wherever the edges already are."""
+    import numpy as np
+    import pandas as pd
+
+    def contract(batches):
+        us, vs = [], []
+        for pdf in batches:
+            us.append(pdf["u"].to_numpy(dtype="int64"))
+            vs.append(pdf["v"].to_numpy(dtype="int64"))
+        if not us:
+            return
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        nodes = np.unique(np.concatenate([u, v]))
+        ui = np.searchsorted(nodes, u)
+        vi = np.searchsorted(nodes, v)
+        lbl = nodes.copy()
+        while True:
+            # edge relaxation both ways, then pointer doubling — all
+            # vectorized; converges in O(log local-diameter) passes.
+            # Fixpoint = a full pass (relax + double) changed NOTHING;
+            # doubling-only stability is not enough (relaxation may
+            # still propagate a fresher min along an edge next pass).
+            prev = lbl.copy()
+            np.minimum.at(lbl, ui, lbl[vi])
+            np.minimum.at(lbl, vi, lbl[ui])
+            lbl = lbl[np.searchsorted(nodes, lbl)]
+            if np.array_equal(lbl, prev):
+                break
+        keep = lbl != nodes
+        yield pd.DataFrame({"u": nodes[keep], "v": lbl[keep]})
+
+    return e.mapInPandas(contract, "u long, v long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -318,6 +366,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str = "node",
     max_iter: int = 25,
+    local_contract: bool = True,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star (the
     public MapReduce CC algorithm of Kiveris et al., "Connected Components
@@ -364,6 +413,8 @@ def connected_components(
         )
         .distinct()
     )
+    if local_contract:
+        e = _local_contract(e)
     # Iterative lineage MUST be truncated per round (localCheckpoint), or
     # Catalyst re-analyzes a plan that doubles every iteration. On a real
     # cluster prefer reliable checkpoint(dir) for executor-loss recovery.

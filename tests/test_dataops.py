@@ -1385,3 +1385,30 @@ def test_bloom_membership_selectivity(spark):
     kept = fact.filter(bloom_might_contain(words, F.col("key"), 1 << 17, 7)).count()
     matchable = fact.join(dim, "key", "semi").count()
     assert matchable <= kept <= matchable + 0.01 * 30000
+
+
+def test_local_contract_regression_relaxation_after_doubling(spark):
+    """Regression: edges (0,4),(1,3),(3,4) in ONE partition — the min
+    reaches node 1 only via a relaxation pass AFTER a doubling pass was
+    already stable, so a doubling-only fixpoint test loses node 1."""
+    from incubator_beam_spark.dataops.dedup import _local_contract
+
+    e = spark.createDataFrame([(4, 0), (3, 1), (4, 3)], "u long, v long").coalesce(1)
+    got = sorted((r.u, r.v) for r in _local_contract(e).collect())
+    assert got == [(1, 0), (3, 0), (4, 0)]
+
+
+def test_connected_components_contract_on_off_identical(spark):
+    from incubator_beam_spark.dataops.dedup import connected_components
+
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    e = spark.createDataFrame(edges, "src long, dst long").repartition(8)
+    on = {r.node: r.component for r in connected_components(e).collect()}
+    off = {
+        r.node: r.component
+        for r in connected_components(e, local_contract=False).collect()
+    }
+    assert on == off
