@@ -59,6 +59,9 @@ HEADLINE = [
     "io_cdc_apply",
     "io_zorder_histogram",
     "doc_line_dedup",
+    # bloom-prefiltered shuffle join + general (disjoint) merging windows
+    "join_bloom_prefilter",
+    "evt_disjoint_merge_window",
 ]
 
 

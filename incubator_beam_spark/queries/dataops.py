@@ -1798,3 +1798,55 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).select(
         "cell", "n", m[F.col("cell")].alias("centroid_checksum")
     )
+
+
+@query(
+    "emb_index_persist_topk",
+    oracle=f"""
+    WITH {_PQ_PAIRS},
+    vv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 16),
+    assigned AS (
+      SELECT id, cid AS cell
+      FROM (SELECT vv.id, cent.cid, {_IVF_COS} AS cos_c
+            FROM vv CROSS JOIN cent) s
+      QUALIFY row_number() OVER (PARTITION BY id ORDER BY cos_c DESC, cid) = 1),
+    codesq AS (SELECT vec_id, s, j FROM best WHERE rn = 1),
+    lut AS (SELECT s, j, dist FROM pairs WHERE vec_id = 7),
+    qcell AS (SELECT cell FROM assigned WHERE id = 7),
+    cand AS (SELECT a.id FROM assigned a JOIN qcell USING (cell))
+    SELECT c.vec_id, sum(l.dist)::BIGINT AS adc_dist
+    FROM codesq c JOIN lut l USING (s, j) JOIN cand ON cand.id = c.vec_id
+    GROUP BY c.vec_id
+    ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+    """,
+)
+def emb_index_persist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING flow for IVF-PQ: build the index once, PERSIST the
+    (vec_id, cell, codes) artifact as cell-partitioned parquet, reopen it
+    cold, and answer a query from the on-disk artifact alone (the
+    original vectors are never re-read at query time). partitionBy(cell)
+    means a probe reads exactly its cell's files — partition pruning is
+    the on-disk analog of the IVF cell equi-join; same oracle as
+    emb_ivfpq_topk because persistence must not change a single code."""
+    import tempfile
+
+    from ..dataops.pq import ivfpq_index, pq_adc_lut, pq_adc_topk, pq_codebook, quantized
+
+    e = table(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 16)
+    cb = pq_codebook(e, n_centroids=16, m=8)
+    out_dir = tempfile.mkdtemp(prefix="ivfpq_index_")
+    ivfpq_index(e, seeds, cb).write.mode("overwrite").partitionBy("cell").parquet(out_dir)
+
+    idx = spark.read.parquet(out_dir)
+    qcell = idx.filter(F.col("vec_id") == 7).select("cell")
+    cand = idx.join(F.broadcast(qcell), "cell").select("vec_id", "codes")
+    qvec = (
+        e.filter(F.col("vec_id") == 7)
+        .select(quantized(F.col("embedding")).alias("q"))
+        .collect()[0]
+        .q
+    )
+    return pq_adc_topk(cand, pq_adc_lut(cb, list(qvec)), k=10)

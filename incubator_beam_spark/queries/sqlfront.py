@@ -331,3 +331,40 @@ def sql_case_insensitive_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY upper(o_orderpriority)
         """,
     )
+
+
+@query(
+    "sql_pandas_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           round(exp(avg(ln(l_extendedprice))), 4) AS geo_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF registered INTO the SQL surface (reference ``registerUdaf``,
+    ``SqlTransform.java:268-280`` / ``impl/UdafImpl.java`` — any
+    CombineFn callable from SQL): a pandas GROUPED_AGG geometric mean
+    registered as ``geomean`` and invoked from a plain SQL GROUP BY.
+    Arrow-batched vectorized numpy per group — the Python boundary is
+    one reduction per group, not per row. The lifted-CombineFn DataFrame
+    path is combine_lifted_geomean; this gate proves the SQL front-door
+    registration surface."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType given explicitly: `from __future__ import annotations`
+    # stringifies signatures, so type-hint inference can't see pd.Series
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    spark.udf.register("geomean", geomean)
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, round(geomean(l_extendedprice), 4) AS geo_price
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    )

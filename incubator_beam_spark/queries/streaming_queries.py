@@ -296,3 +296,25 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("op")
     )
     return _drain(state, "complete")
+
+
+@query(
+    "stream_deduplicate",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_deduplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference Deduplicate transform (``transforms/deduplicate.py:111``,
+    event-time-bounded streaming dedup) as a first-class gate:
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per
+    (user_id, event_type) and expires state once the watermark passes the
+    dedup horizon — bounded state however long the stream runs. The
+    horizon (the watermark delay, 30 days) exceeds the fixture's full
+    time span, so no state expires mid-stream, every later duplicate is
+    suppressed IN the streaming operator, and the appended output is
+    exactly the global DISTINCT — the oracle is engine-independent
+    (payload ambiguity removed by projecting the key before dedup)."""
+    e = stream_table(spark, sf_dir, "events").withWatermark("ts", "720 hours")
+    out = e.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    return _drain(out, "append")
