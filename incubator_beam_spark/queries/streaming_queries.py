@@ -318,3 +318,37 @@ def stream_deduplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     ).select("user_id", "event_type")
     return _drain(out, "append")
+
+
+@query(
+    "stream_nexmark_q7",
+    oracle=f"""
+    WITH mx AS (
+      SELECT (floor(epoch(ts))::BIGINT // {_HOUR}) * {_HOUR} AS window_start,
+             max(value) AS max_value
+      FROM events GROUP BY 1)
+    SELECT e2.window_start, e2.max_value, min(event_id) AS event_id
+    FROM (SELECT (floor(epoch(ts))::BIGINT // {_HOUR}) * {_HOUR} AS ws, event_id, value
+          FROM events) e
+    JOIN mx e2 ON e.ws = e2.window_start AND e.value = e2.max_value
+    GROUP BY e2.window_start, e2.max_value
+    """,
+)
+def stream_nexmark_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark Q7 (highest bid per window) as a STREAM: where the batch
+    plan is agg + broadcast join-back, the streaming plan is ONE stateful
+    windowed aggregate — ``max(struct(value, -event_id))`` carries the
+    winning event through the state store (max value, min event_id on
+    ties), so no stream-stream join is needed. Same oracle as the batch
+    twin nexmark_q7_highest_value."""
+    e = stream_table(spark, sf_dir, "events")
+    agg = (
+        e.groupBy(F.window("ts", "1 hour"))
+        .agg(F.max(F.struct(F.col("value"), (-F.col("event_id")).alias("neg"))).alias("s"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            F.col("s.value").alias("max_value"),
+            (-F.col("s.neg")).alias("event_id"),
+        )
+    )
+    return _drain(agg, "complete")
