@@ -352,3 +352,41 @@ def stream_nexmark_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(agg, "complete")
+
+
+@query(
+    "stream_incremental_dedup",
+    oracle="""
+    WITH seen AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+    inc AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1)
+    SELECT fp, count(*) AS n_copies, min(doc_id) AS first_id
+    FROM inc WHERE fp NOT IN (SELECT fp FROM seen)
+    GROUP BY fp
+    """,
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl ingestion as a STREAM (the production shape of
+    doc_incremental_new): incoming documents arrive in micro-batches,
+    stream-static LEFT ANTI join drops anything fingerprint-matching the
+    existing snapshot (16-byte fp broadcast, text never shuffled), and a
+    stateful per-fp aggregate counts surviving copies across batches —
+    cross-batch dedup state lives in the state store. Same oracle shape
+    as the batch twin plus the copy-count rollup."""
+    from ..catalog import table as batch_table
+
+    snapshot = (
+        batch_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    inc = (
+        stream_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", F.md5(F.col("text")).alias("fp"))
+    )
+    fresh = inc.join(F.broadcast(snapshot), "fp", "left_anti")
+    agg = fresh.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("first_id")
+    )
+    return _drain(agg, "complete")

@@ -77,12 +77,17 @@ _PRIORITY: tuple[str, ...] = (
     # fn_regex/fn_json suites not in r3's window, doc_shuffle,
     # doc_pack_sequences, doc_bpe_merges, emb_pq_codes, mm_image_decode,
     # sql_grouping_sets/rollup/cube/pivot leftovers, fn_array_suite,
-    # fn_unnest, fn_tostring_kvs, fn_bitwise_suite, fn_map_suite, and
-    # everything added in round 3 after the window (doc_gopher_rules,
-    # emb_semdedup, io_synthetic_bounded, doc_substring_dup, mm_audio_rms,
-    # agg_sample[_per_key]_deterministic, load_*, df_pandas_groupby,
-    # stream_synthetic_gbk). Verify with
-    # `python scripts/driver_emulate.py <names>` before rotating.
+    # fn_unnest, fn_tostring_kvs, fn_bitwise_suite, fn_map_suite,
+    # fn_math/datetime/conditional_suite (bumped from this window),
+    # everything added in round 3 after the r3 window opened
+    # (doc_gopher_rules, emb_semdedup, io_synthetic_bounded,
+    # doc_substring_dup, mm_audio_rms, agg_sample[_per_key]_deterministic,
+    # load_*, df_pandas_groupby, stream_synthetic_gbk), and this session's
+    # additions not already below: sql_pandas_udaf, emb_index_persist_topk,
+    # stream_nexmark_q7, stream_incremental_dedup, core_elementwise_chain,
+    # core_partition_fanout, core_reshuffle_stability,
+    # schema_surgery_roundtrip, join_lookup_broadcast, io_tfrecord_roundtrip.
+    # Verify with `python scripts/driver_emulate.py <names>` before rotating.
     # Lead with the round-2 red row (TIMESTAMP_NTZ fix proof):
     "evt_range_join",
     # streaming ValidatesRunner parity gates (engine namesake; two were
