@@ -582,3 +582,152 @@ class ReadAllFromText(PTransform):
             .select(F.col("value").alias("element"), "path")
         )
         return PCollection(df, pcoll.pipeline)
+
+
+class ReadFromElasticsearch(_Read):
+    """Elasticsearch (reference ``sdks/java/io/elasticsearch`` — REST
+    bulk/scroll based): delegates to the public elasticsearch-spark
+    ("org.elasticsearch.spark.sql") DSv2 connector, which plans one
+    input split per index shard and pushes filters as ES query DSL —
+    strictly more parallel than the reference's scroll pagination.
+    Constructed lazily; raises only when used without the connector jar
+    and a live cluster."""
+
+    def __init__(self, nodes: str, index: str, query: str | None = None, **options: Any):
+        if not nodes or not index:
+            raise ValueError("nodes and index are required")
+        super().__init__(nodes=nodes, index=index, query=query, **options)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        opts = dict(self.options)
+        reader = (
+            spark.read.format("org.elasticsearch.spark.sql")
+            .option("es.nodes", opts.pop("nodes"))
+        )
+        index = opts.pop("index")
+        query = opts.pop("query")
+        if query:
+            reader = reader.option("es.query", query)
+        return reader.options(**{k: str(v) for k, v in opts.items()}).load(index)
+
+
+class WriteToElasticsearch(PTransform):
+    """reference ``sdks/java/io/elasticsearch`` write path (bulk API with
+    id routing): ``id_field`` maps to ``es.mapping.id`` for idempotent
+    upserts."""
+
+    def __init__(self, nodes: str, index: str, id_field: str | None = None,
+                 mode: str = "append", **options: Any):
+        if not nodes or not index:
+            raise ValueError("nodes and index are required")
+        self.nodes, self.index, self.id_field = nodes, index, id_field
+        self.mode, self.options = mode, options
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        w = (
+            pcoll.df.write.format("org.elasticsearch.spark.sql")
+            .mode(self.mode)
+            .option("es.nodes", self.nodes)
+        )
+        if self.id_field:
+            w = w.option("es.mapping.id", self.id_field)
+        w.options(**{k: str(v) for k, v in self.options.items()}).save(self.index)
+        return pcoll
+
+
+class ReadFromCassandra(_Read):
+    """Cassandra (reference ``sdks/java/io/cassandra`` CassandraIO, token
+    -range split reads): delegates to the public spark-cassandra-connector
+    ("org.apache.spark.sql.cassandra"), which plans one split per token
+    range and pushes partition-key predicates server-side — the same
+    split model the reference implements by hand over the thrift ring."""
+
+    def __init__(self, keyspace: str, table: str, **options: Any):
+        if not keyspace or not table:
+            raise ValueError("keyspace and table are required")
+        super().__init__(keyspace=keyspace, table=table, **options)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        opts = dict(self.options)
+        return (
+            spark.read.format("org.apache.spark.sql.cassandra")
+            .option("keyspace", opts.pop("keyspace"))
+            .option("table", opts.pop("table"))
+            .options(**{k: str(v) for k, v in opts.items()})
+            .load()
+        )
+
+
+class WriteToCassandra(PTransform):
+    """reference ``sdks/java/io/cassandra`` write path (async batched
+    mutations; save modes map to upsert semantics)."""
+
+    def __init__(self, keyspace: str, table: str, mode: str = "append", **options: Any):
+        if not keyspace or not table:
+            raise ValueError("keyspace and table are required")
+        self.keyspace, self.table, self.mode, self.options = keyspace, table, mode, options
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        (
+            pcoll.df.write.format("org.apache.spark.sql.cassandra")
+            .mode(self.mode)
+            .option("keyspace", self.keyspace)
+            .option("table", self.table)
+            .options(**{k: str(v) for k, v in self.options.items()})
+            .save()
+        )
+        return pcoll
+
+
+class ReadFromRedis(_Read):
+    """Redis (reference ``sdks/java/io/redis`` RedisIO, SCAN-pattern
+    reads): delegates to the public spark-redis connector
+    ("org.apache.spark.sql.redis"), which scans hash keys in parallel
+    per Redis-cluster slot range. ``key_pattern`` mirrors RedisIO's
+    ``readKeyPatterns``."""
+
+    def __init__(self, host: str, port: int = 6379, table: str | None = None,
+                 key_pattern: str | None = None, **options: Any):
+        if (table is None) == (key_pattern is None):
+            raise ValueError("exactly one of table= or key_pattern= is required")
+        super().__init__(host=host, port=port, table=table,
+                         key_pattern=key_pattern, **options)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        opts = dict(self.options)
+        reader = (
+            spark.read.format("org.apache.spark.sql.redis")
+            .option("host", opts.pop("host"))
+            .option("port", str(opts.pop("port")))
+        )
+        table, pattern = opts.pop("table"), opts.pop("key_pattern")
+        reader = (
+            reader.option("table", table) if table
+            else reader.option("keys.pattern", pattern)
+        )
+        return reader.options(**{k: str(v) for k, v in opts.items()}).load()
+
+
+class WriteToRedis(PTransform):
+    """reference ``sdks/java/io/redis`` write path (pipelined SET/HSET;
+    ``key_column`` names the column used as the Redis key)."""
+
+    def __init__(self, host: str, table: str, key_column: str,
+                 port: int = 6379, mode: str = "append", **options: Any):
+        if not table or not key_column:
+            raise ValueError("table and key_column are required")
+        self.host, self.port, self.table = host, port, table
+        self.key_column, self.mode, self.options = key_column, mode, options
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        (
+            pcoll.df.write.format("org.apache.spark.sql.redis")
+            .mode(self.mode)
+            .option("host", self.host)
+            .option("port", str(self.port))
+            .option("table", self.table)
+            .option("key.column", self.key_column)
+            .options(**{k: str(v) for k, v in self.options.items()})
+            .save()
+        )
+        return pcoll

@@ -359,3 +359,36 @@ def test_debezium_envelope_parse_exact(spark):
     bad = spark.createDataFrame([(b"\x00\x01",)], "value binary")
     brow = bad.select(parse_debezium_envelope(F.col("value")).alias("c")).select("c.*").first()
     assert brow.op is None and brow.table is None
+
+
+def test_es_cassandra_redis_wrappers_construct_without_connector():
+    from incubator_beam_spark.sources import (
+        ReadFromCassandra,
+        ReadFromElasticsearch,
+        ReadFromRedis,
+        WriteToCassandra,
+        WriteToElasticsearch,
+        WriteToRedis,
+    )
+
+    es = ReadFromElasticsearch("es1:9200,es2:9200", "docs", query='{"match_all":{}}')
+    assert es.options["nodes"] == "es1:9200,es2:9200" and es.options["index"] == "docs"
+    with pytest.raises(ValueError):
+        ReadFromElasticsearch("", "docs")
+    assert WriteToElasticsearch("es1:9200", "docs", id_field="doc_id").id_field == "doc_id"
+
+    cs = ReadFromCassandra("ks", "events")
+    assert cs.options["keyspace"] == "ks" and cs.options["table"] == "events"
+    with pytest.raises(ValueError):
+        ReadFromCassandra("ks", "")
+    assert WriteToCassandra("ks", "events", mode="overwrite").mode == "overwrite"
+
+    rd = ReadFromRedis("localhost", table="sessions")
+    assert rd.options["table"] == "sessions" and rd.options["port"] == 6379
+    rp = ReadFromRedis("localhost", key_pattern="doc:*")
+    assert rp.options["key_pattern"] == "doc:*"
+    with pytest.raises(ValueError):
+        ReadFromRedis("localhost")  # neither table nor pattern
+    with pytest.raises(ValueError):
+        ReadFromRedis("localhost", table="t", key_pattern="p")
+    assert WriteToRedis("localhost", "sessions", "sid").key_column == "sid"
