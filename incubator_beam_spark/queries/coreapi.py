@@ -420,3 +420,46 @@ def df_pandas_str_accessor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("name_len").cast("long").alias("name_len"),
         F.col("is_building").cast("long").alias("is_building"),
     )
+
+
+@query(
+    "df_pandas_rolling",
+    oracle="""
+    WITH t AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS roll_cents,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS roll_n
+    FROM t
+    """,
+)
+def df_pandas_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deferred-pandas rolling windows (reference ``dataframe/frames.py``
+    rolling support on DeferredSeries): ``groupby(...).rolling(3,
+    min_periods=1).sum()/.count()`` lowers to Catalyst RANGE/ROWS window
+    frames — no pandas materialization, per-key ordered frames sized by
+    the window spec (partition-parallel at any scale). Integer cents so
+    the value-hash is summation-order-proof."""
+    from ..dataframe import to_dataframe, to_pcollection
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    pdf = to_dataframe(o)
+    pdf = pdf.assign(cents=(pdf.o_totalprice * 100).round().astype("int64"))
+    pdf = pdf.set_index("o_orderkey").sort_index()
+    g = pdf.groupby("o_custkey").cents
+    roll = g.rolling(3, min_periods=1)
+    out = roll.sum().to_frame("roll_cents").join(roll.count().to_frame("roll_n"))
+    out = out.reset_index()
+    sdf = to_pcollection(out)
+    return sdf.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("roll_cents").cast("long").alias("roll_cents"),
+        F.col("roll_n").cast("long").alias("roll_n"),
+    )
