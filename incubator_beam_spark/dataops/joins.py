@@ -95,9 +95,10 @@ def _bloom_positions(key: Column, k: int, num_bits: int) -> list[Column]:
 
 def bloom_build(
     df: DataFrame, key: str, num_bits: int = 1 << 20, k: int = 7
-) -> list[int]:
+) -> bytes:
     """Build a Bloom-filter bitmap over ``df[key]`` distributedly and
-    return it as a dense list of ``num_bits/64`` longs.
+    return it as ``num_bits/8`` packed bytes (little-endian bits within
+    each byte).
 
     The aggregation is pure Catalyst: each key row emits its k probe
     positions (explode), positions roll up per 64-bit word with
@@ -105,7 +106,7 @@ def bloom_build(
     at most ``num_bits/64`` groups — and only the non-zero words reach
     the driver (bounded by the bitmap size, NOT the key count; a 2^23-bit
     filter is 1 MiB however many billions of keys fed it). The returned
-    words are a driver artifact of the same class as a broadcast
+    bytes are a driver artifact of the same class as a broadcast
     variable."""
     probes = _bloom_positions(F.col(key), k, num_bits)
     words = (
@@ -120,31 +121,40 @@ def bloom_build(
         .agg(F.bit_or("bit").alias("word"))
         .collect()
     )
-    dense = [0] * (num_bits >> 6)
+    dense = bytearray(num_bits >> 3)
     for r in words:
-        dense[r.w] = r.word
-    return dense
+        word = r.word & 0xFFFFFFFFFFFFFFFF  # two's-complement view
+        base = r.w * 8
+        for b in range(8):
+            dense[base + b] = (word >> (8 * b)) & 0xFF
+    return bytes(dense)
 
 
 def bloom_might_contain(
-    words: list[int], key: Column, num_bits: int, k: int = 7
+    bitmap: bytes, key: Column, num_bits: int, k: int = 7
 ) -> Column:
     """Scan-side membership test against a built bitmap: all k probe
-    bits set. The bitmap rides the plan as ONE array literal (the
-    local-mode stand-in for ``sparkContext.broadcast`` — same executor-
-    side residency either way); every op (element_at / shiftright / &)
-    is codegen'd, no Python in the row path."""
-    lit_words = F.lit(words)
+    bits set. The bitmap rides the plan as ONE binary literal (the
+    local-mode stand-in for ``sparkContext.broadcast`` — same
+    executor-side residency either way); each probe is byte-indexed
+    ``substring`` on the binary (O(1) — binary slicing is offset-based,
+    unlike string substring whose UTF-8 char walk is O(position) and
+    made an array-literal/`element_at` variant O(bitmap) per row), then
+    hex->int and a bit shift — all codegen'd, no Python in the row
+    path."""
+    lit = F.lit(bytearray(bitmap))
     cond = None
     for pos in _bloom_positions(key, k, num_bits):
-        word = F.element_at(
-            lit_words, (F.shiftright(pos, 6) + F.lit(1)).cast("int")
-        )
+        byte = F.conv(
+            F.hex(F.substring(lit, (F.shiftright(pos, 3) + 1).cast("int"), 1)),
+            16,
+            10,
+        ).cast("int")
         hit = (
-            word.bitwiseAND(
-                F.call_function("shiftleft", F.lit(1).cast("long"), pos % 64)
+            F.call_function("shiftright", byte, (pos % 8).cast("int")).bitwiseAND(
+                F.lit(1)
             )
-            != F.lit(0).cast("long")
+            != 0
         )
         cond = hit if cond is None else (cond & hit)
     return cond
@@ -179,6 +189,6 @@ def bloom_prefilter_join(
         raise ValueError(
             f"bloom prefilter is only sound for inner/semi joins, got {how!r}"
         )
-    words = bloom_build(small, on, num_bits=num_bits, k=k)
-    pre = big.filter(bloom_might_contain(words, F.col(on), num_bits, k=k))
+    bitmap = bloom_build(small, on, num_bits=num_bits, k=k)
+    pre = big.filter(bloom_might_contain(bitmap, F.col(on), num_bits, k=k))
     return pre.join(small, on=on, how=how)

@@ -921,3 +921,123 @@ def nexmark_q12_proc_time_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "proc_window")
         .agg(F.count(F.lit(1)).alias("n_bids"))
     )
+
+
+@query(
+    "evt_capped_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    capped AS (
+      SELECT user_id, sid, ts, value,
+             CAST(floor((epoch(ts) - epoch(min(ts) OVER (PARTITION BY user_id, sid)))
+                        / 7200) AS BIGINT) AS chunk
+      FROM sess)
+    SELECT user_id,
+           floor(epoch(min(ts)))::BIGINT AS chunk_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM capped GROUP BY user_id, sid, chunk
+    """,
+)
+def evt_capped_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions with a MAX-DURATION cap (the production sessionization
+    variant every analytics stack ships: gap-close at 30 min OR forced
+    roll-over every 2 h, so one pathological always-on user cannot grow
+    an unbounded session): gaps-and-islands for the gap close, then a
+    scan-side floor((ts - session_start)/cap) chunk split — one shuffle
+    on the user, two analytic passes, the cap split is pure arithmetic
+    (no second shuffle: the islands window already partitioned by
+    user)."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    ts_s = F.col("ts").cast("double")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(ts_s).over(w)
+    flagged = e.withColumn(
+        "brk", F.when(prev.isNull() | ((ts_s - prev) >= 1800), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("brk").over(
+            W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    sess_start = F.min(ts_s).over(W.partitionBy("user_id", "sid"))
+    capped = sess.withColumn(
+        "chunk", F.floor((ts_s - sess_start) / 7200).cast("long")
+    )
+    return (
+        capped.groupBy("user_id", "sid", "chunk")
+        .agg(
+            F.floor(F.min(ts_s)).cast("long").alias("chunk_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .drop("sid", "chunk")
+    )
+
+
+@query(
+    "evt_funnel_steps",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT count(*) AS n_view,
+           CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_click,
+           CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchase
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase, each step
+    strictly after the previous — the standard product-analytics
+    workload; the CEP twin is cep_match_recognize): ONE shuffle on
+    user_id, then each step's earliest-qualifying timestamp is a
+    conditional min over the SAME partition — no self-joins, no
+    re-shuffles; the oracle cross-checks with the explicit 3-join
+    formulation."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    ts_s = F.col("ts").cast("double")
+    u = W.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", ts_s)).over(u)
+    step = e.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when((F.col("event_type") == "click") & (ts_s > F.col("t_view")), ts_s)
+    ).over(u)
+    step = step.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when((F.col("event_type") == "purchase") & (ts_s > F.col("t_click")), ts_s)
+    ).over(u)
+    step = step.withColumn("t_purchase", t_purchase)
+    per_user = (
+        step.filter(F.col("t_view").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("tv"),
+            F.first("t_click").alias("tc"),
+            F.first("t_purchase").alias("tp"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_view"),
+        F.sum(F.when(F.col("tc").isNotNull(), 1).otherwise(0)).cast("long").alias("n_click"),
+        F.sum(F.when(F.col("tp").isNotNull(), 1).otherwise(0)).cast("long").alias("n_purchase"),
+    )

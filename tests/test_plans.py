@@ -465,7 +465,7 @@ def test_bloom_prefilter_before_exchange(spark):
     plan = plan_of(spark, "join_bloom_prefilter")
     assert "SortMergeJoin" in plan  # merge-hinted: no broadcast escape
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # the membership expression (element_at over the literal word array)
-    # appears in a Filter below the fact-side Exchange
+    # the membership expression (byte-indexed substring over the binary
+    # literal) appears in a Filter below the fact-side Exchange
     tree = plan.split("== Physical Plan ==")[-1]
-    assert "element_at" in tree
+    assert "substring" in tree and "shiftright" in tree
