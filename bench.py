@@ -62,6 +62,9 @@ HEADLINE = [
     # bloom-prefiltered shuffle join + general (disjoint) merging windows
     "join_bloom_prefilter",
     "evt_disjoint_merge_window",
+    # capped sessionization + funnel analysis
+    "evt_capped_session_window",
+    "evt_funnel_steps",
 ]
 
 

@@ -1041,3 +1041,40 @@ def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("tc").isNotNull(), 1).otherwise(0)).cast("long").alias("n_click"),
         F.sum(F.when(F.col("tp").isNotNull(), 1).otherwise(0)).cast("long").alias("n_purchase"),
     )
+
+
+@query(
+    "evt_retention_cohorts",
+    oracle="""
+    WITH firstseen AS (
+      SELECT user_id,
+             (floor(epoch(min(ts)))::BIGINT // 86400) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort_day,
+             (floor(epoch(e.ts))::BIGINT // 86400) - f.cohort_day AS day_offset
+      FROM events e JOIN firstseen f ON e.user_id = f.user_id)
+    SELECT cohort_day, day_offset, count(*) AS n_active
+    FROM activity GROUP BY cohort_day, day_offset
+    """,
+)
+def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix (the other canonical product-analytics
+    workload next to funnels): cohort = each user's first-seen day,
+    cells = distinct users active N days after their cohort day. ONE
+    shuffle on user_id: the cohort day is a min-over-partition analytic,
+    the distinct and the final rollup reuse the same hash partitioning
+    (Exchange reuse) — no self-join of events against events."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts")
+    day = F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    u = W.partitionBy("user_id")
+    withc = e.select("user_id", day.alias("day")).withColumn(
+        "cohort_day", F.min("day").over(u)
+    )
+    active = withc.select(
+        "user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+    ).distinct()
+    return active.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )

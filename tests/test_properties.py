@@ -154,3 +154,30 @@ def test_lifted_combine_per_key_matches_reduce(spark, kvs, parts):
     assert set(got) == set(expected)
     for k in expected:
         assert abs(got[k] - expected[k]) < 1e-9 * max(1.0, expected[k])
+
+
+@given(
+    st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=0, max_size=40),
+    st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=1, max_size=60),
+    st.sampled_from([256, 4096, 1 << 17]),
+)
+@settings(max_examples=8, deadline=None)
+def test_bloom_prefilter_join_matches_plain_join(spark, dim_keys, fact_keys, num_bits):
+    """Property: for ANY key sets and ANY filter size (including
+    deliberately saturated 256-bit), the bloom-prefiltered join equals
+    the plain join exactly — false positives cancelled, no false
+    negatives possible."""
+    from pyspark.sql import functions as F
+
+    from incubator_beam_spark.dataops.joins import bloom_prefilter_join
+
+    dim = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(set(dim_keys))] or [(None, None)],
+        "key long, v long",
+    ).filter(F.col("key").isNotNull())
+    fact = spark.createDataFrame([(k,) for k in fact_keys], "key long")
+    got = sorted(
+        (r.key, r.v) for r in bloom_prefilter_join(fact, dim, on="key", num_bits=num_bits).collect()
+    )
+    want = sorted((r.key, r.v) for r in fact.join(dim, "key").collect())
+    assert got == want
