@@ -469,3 +469,31 @@ def test_bloom_prefilter_before_exchange(spark):
     # literal) appears in a Filter below the fact-side Exchange
     tree = plan.split("== Physical Plan ==")[-1]
     assert "substring" in tree and "shiftright" in tree
+
+
+def test_funnel_single_user_shuffle(spark):
+    """Funnel steps: all three conditional mins ride ONE hash exchange
+    on user_id (window partitioning reused); only the final single-row
+    rollup adds a SinglePartition exchange. No self-joins."""
+    plan = plan_of(spark, "evt_funnel_steps")
+    assert "Join" not in plan
+    tree = plan.split("== Physical Plan ==")[-1].split("(1) Scan")[0]
+    assert tree.count("hashpartitioning") <= 2  # tree line + detail line
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_capped_session_single_shuffle(spark):
+    """Capped sessionization: gap islands + max-duration chunk split +
+    final rollup all share the user_id partitioning — exactly one hash
+    exchange in the plan tree."""
+    plan = plan_of(spark, "evt_capped_session_window")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_retention_no_self_join_of_events(spark):
+    """Retention cohorts must NOT self-join events against events — the
+    cohort day is an analytic over the same user partitioning."""
+    plan = plan_of(spark, "evt_retention_cohorts")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
