@@ -1078,3 +1078,48 @@ def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+@query(
+    "evt_anomaly_zscore",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             avg(value) OVER tw AS mu,
+             stddev_samp(value) OVER tw AS sd,
+             count(*) OVER tw AS n_prior
+      FROM events
+      WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+    SELECT user_id, event_id,
+           round((value - mu) / sd, 4) AS z
+    FROM w
+    WHERE n_prior >= 5 AND sd > 0 AND abs((value - mu) / sd) > 2
+    """,
+)
+def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection (the streaming-analytics
+    staple; cf. the time-series similarity-search line of EDBT'19):
+    each event scored against its user's previous <=10 events (strictly
+    preceding frame — no self-inclusion leak), flagged when |z| > 2 with
+    at least 5 priors. One shuffle on user_id; avg/stddev ride the same
+    ordered frame."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    tw = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    scored = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(tw).alias("mu"),
+        F.stddev_samp("value").over(tw).alias("sd"),
+        F.count(F.lit(1)).over(tw).alias("n_prior"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter((F.col("n_prior") >= 5) & (F.col("sd") > 0) & (F.abs(z) > 2))
+        .select("user_id", "event_id", F.round(z, 4).alias("z"))
+    )
