@@ -390,3 +390,221 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("first_id")
     )
     return _drain(agg, "complete")
+
+
+@query(
+    "trigger_aftercount_panes",
+    oracle="""
+    WITH cents AS (
+      SELECT user_id,
+             (floor(epoch(ts))::BIGINT // 3600) * 3600 AS window_start,
+             epoch(ts) AS tse, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events),
+    numbered AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, window_start
+                                ORDER BY tse, event_id) - 1 AS rn,
+             count(*) OVER (PARTITION BY user_id, window_start) AS n_w
+      FROM cents),
+    early AS (
+      SELECT user_id, window_start, rn // 3 AS pane_index,
+             'EARLY' AS timing, count(*) AS n,
+             CAST(sum(v) AS BIGINT) AS sum_cents
+      FROM numbered WHERE rn // 3 < n_w // 3
+      GROUP BY user_id, window_start, rn // 3),
+    ontime AS (
+      SELECT user_id, window_start, n_w // 3 AS pane_index,
+             'ON_TIME' AS timing, count(*) AS n,
+             CAST(sum(v) AS BIGINT) AS sum_cents
+      FROM numbered WHERE rn >= (n_w // 3) * 3
+      GROUP BY user_id, window_start, n_w // 3)
+    SELECT * FROM early UNION ALL SELECT * FROM ontime
+    """,
+)
+def trigger_aftercount_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE TRIGGER VM, driver-checked: Repeatedly(AfterCount(3)) in
+    DISCARDING mode over 1h tumbling windows, elements delivered one at
+    a time in (ts, event_id) order per user — so every complete group of
+    3 in-window elements fires an EARLY pane and the remainder flushes
+    as the window's closing ON_TIME pane at watermark close. Scripted
+    delivery makes the pane sequence (index, timing, count, sum) exactly
+    SQL-derivable — the same move NEXMark Q12 uses for processing time —
+    turning the engine's hardest no-oracle component (streaming/
+    triggers.py, validated until now only by transcript tests) into a
+    hash-checked gate. The REAL kernel runs per key inside
+    applyInPandas; pane sums are integer cents so float order is moot."""
+    import pandas as pd
+
+    from ..catalog import table as batch_table
+    from ..streaming.triggers import DISCARDING, AfterCount, Repeatedly, TriggerDriver
+
+    e = batch_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("double").alias("tse"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def run_kernel(pdf):
+        pdf = pdf.sort_values(["tse", "event_id"])
+        uid = int(pdf["user_id"].iloc[0])
+        drv = TriggerDriver(3600.0, Repeatedly(AfterCount(3)), DISCARDING)
+        panes = []
+        for ts, v in zip(pdf["tse"], pdf["cents"]):
+            panes.extend(drv.on_elements([(float(ts), float(v))]))
+        panes.extend(drv.advance_watermark(float("inf")))
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(panes),
+                "window_start": [int(p.window_start) for p in panes],
+                "pane_index": [p.index for p in panes],
+                "timing": [p.timing for p in panes],
+                "n": [p.count for p in panes],
+                "sum_cents": [int(p.sum) for p in panes],
+            }
+        )
+
+    schema = (
+        "user_id long, window_start long, pane_index long, "
+        "timing string, n long, sum_cents long"
+    )
+    return e.groupBy("user_id").applyInPandas(run_kernel, schema)
+
+
+@query(
+    "trigger_lifecycle_panes",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             (floor(epoch(ts))::BIGINT // 3600) * 3600 AS window_start,
+             epoch(ts) AS tse, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             (event_id % 7 = 0) AS is_late
+      FROM events),
+    a AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, window_start
+                                   ORDER BY tse, event_id) - 1 AS rn
+      FROM base WHERE NOT is_late),
+    b AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, window_start
+                                   ORDER BY tse, event_id) - 1 AS rn
+      FROM base WHERE is_late),
+    stats AS (
+      SELECT user_id, window_start,
+             coalesce(max(CASE WHEN NOT is_late THEN 1 ELSE 0 END), 0) AS has_a,
+             CAST(sum(CASE WHEN NOT is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM base GROUP BY user_id, window_start),
+    early AS (
+      SELECT a.user_id, a.window_start, a.rn // 3 AS pane_index,
+             'EARLY' AS timing, count(*) AS n, CAST(sum(a.v) AS BIGINT) AS sum_cents
+      FROM a JOIN stats s USING (user_id, window_start)
+      WHERE a.rn // 3 < s.n_a // 3
+      GROUP BY a.user_id, a.window_start, a.rn // 3),
+    ontime AS (
+      -- every window fires exactly one ON_TIME pane: at the watermark
+      -- (leftover on-time elements, possibly 0) or, for late-only
+      -- windows, absorbed by the first late element
+      SELECT s.user_id, s.window_start, s.n_a // 3 AS pane_index,
+             'ON_TIME' AS timing,
+             CASE WHEN s.n_a > 0
+                  THEN s.n_a % 3
+                  ELSE 1 END AS n,
+             CASE WHEN s.n_a > 0
+                  THEN coalesce((SELECT CAST(sum(a.v) AS BIGINT) FROM a
+                                 WHERE a.user_id = s.user_id
+                                   AND a.window_start = s.window_start
+                                   AND a.rn >= (s.n_a // 3) * 3), 0)
+                  ELSE (SELECT CAST(b.v AS BIGINT) FROM b
+                        WHERE b.user_id = s.user_id
+                          AND b.window_start = s.window_start AND b.rn = 0) END
+               AS sum_cents
+      FROM stats s),
+    late AS (
+      SELECT b.user_id, b.window_start,
+             s.n_a // 3 + 1 + (b.rn - (1 - s.has_a)) // 2 AS pane_index,
+             'LATE' AS timing, count(*) AS n, CAST(sum(b.v) AS BIGINT) AS sum_cents
+      FROM b JOIN stats s USING (user_id, window_start)
+      WHERE b.rn >= (1 - s.has_a)
+        AND (b.rn - (1 - s.has_a)) // 2 < (s.n_b - (1 - s.has_a)) // 2
+      GROUP BY b.user_id, b.window_start, s.n_a, s.has_a,
+               (b.rn - (1 - s.has_a)) // 2),
+    finalgc AS (
+      SELECT b.user_id, b.window_start,
+             s.n_a // 3 + 1 + (s.n_b - (1 - s.has_a)) // 2 AS pane_index,
+             'LATE' AS timing, count(*) AS n, CAST(sum(b.v) AS BIGINT) AS sum_cents
+      FROM b JOIN stats s USING (user_id, window_start)
+      WHERE b.rn >= (1 - s.has_a)
+        AND (b.rn - (1 - s.has_a)) >= ((s.n_b - (1 - s.has_a)) // 2) * 2
+        AND (s.n_b - (1 - s.has_a)) % 2 = 1
+      GROUP BY b.user_id, b.window_start, s.n_a, s.n_b, s.has_a)
+    SELECT * FROM early
+    UNION ALL SELECT * FROM ontime
+    UNION ALL SELECT * FROM late
+    UNION ALL SELECT * FROM finalgc
+    """,
+)
+def trigger_lifecycle_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL pane lifecycle, driver-checked:
+    AfterWatermark(early=AfterCount(3), late=AfterCount(2)), DISCARDING,
+    allowed_lateness=1e12 — scripted in three acts per user: (1) on-time
+    elements (event_id % 7 != 0) one at a time in ts order -> EARLY
+    panes every 3; (2) watermark past every window end -> exactly one
+    ON_TIME pane per window (empty remainder included; late-only
+    windows fire theirs on the first late arrival instead); (3) late
+    elements (event_id % 7 == 0) -> LATE panes every 2, and the
+    GC advance flushes the odd leftover as the window's final pane.
+    Every branch of the AfterWatermark machinery (early sub-trigger
+    restart, on-time transition, late sub-trigger, closing-behavior GC
+    emission) is pinned by the hash."""
+    import pandas as pd
+
+    from ..catalog import table as batch_table
+    from ..streaming.triggers import (
+        DISCARDING,
+        AfterCount,
+        AfterWatermark,
+        TriggerDriver,
+    )
+
+    e = batch_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("double").alias("tse"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def run_kernel(pdf):
+        pdf = pdf.sort_values(["tse", "event_id"])
+        uid = int(pdf["user_id"].iloc[0])
+        drv = TriggerDriver(
+            3600.0,
+            AfterWatermark(early=AfterCount(3), late=AfterCount(2)),
+            DISCARDING,
+            allowed_lateness=1e12,
+        )
+        panes = []
+        late_mask = (pdf["event_id"] % 7 == 0).to_numpy()
+        for ts, v in zip(pdf["tse"][~late_mask], pdf["cents"][~late_mask]):
+            panes.extend(drv.on_elements([(float(ts), float(v))]))
+        panes.extend(drv.advance_watermark(4102444800.0))
+        for ts, v in zip(pdf["tse"][late_mask], pdf["cents"][late_mask]):
+            panes.extend(drv.on_elements([(float(ts), float(v))]))
+        panes.extend(drv.advance_watermark(1e13))
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(panes),
+                "window_start": [int(p.window_start) for p in panes],
+                "pane_index": [p.index for p in panes],
+                "timing": [p.timing for p in panes],
+                "n": [p.count for p in panes],
+                "sum_cents": [int(p.sum) for p in panes],
+            }
+        )
+
+    schema = (
+        "user_id long, window_start long, pane_index long, "
+        "timing string, n long, sum_cents long"
+    )
+    return e.groupBy("user_id").applyInPandas(run_kernel, schema)

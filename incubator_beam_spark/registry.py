@@ -138,15 +138,16 @@ _PRIORITY: tuple[str, ...] = (
     "sql_case_insensitive_agg",
     # scalar-function suites (SURVEY §2.8 scalar fn rows; the other 5
     # rotate to round 4 — all 9 are local-oracle-green)
-    "fn_string_suite",
-    # fn_math/datetime/conditional_suite rotated to round 4 to make room
-    # for this session's brand-new operator paths (higher risk than the
-    # pure-builtin fn suites, which stay local-oracle-green); also new
+    # fn_string/math/datetime/conditional_suite rotated to round 4 to make
+    # room for this session's brand-new operator paths (higher risk than
+    # the pure-builtin fn suites, which stay local-oracle-green); also new
     # this round but composed of driver-checked pieces, deferred to r4:
-    # sql_pandas_udaf, emb_index_persist_topk
+    # sql_pandas_udaf, emb_index_persist_topk, trigger_aftercount_panes
     "evt_disjoint_merge_window",
     "join_bloom_prefilter",
     "stream_deduplicate",
+    # the trigger VM's first exact-oracle row (scripted pane lifecycle)
+    "trigger_lifecycle_panes",
     # round-3 session additions (highest-risk: brand new operators)
     "io_cdc_apply",
     "stream_cdc_apply",
