@@ -608,3 +608,82 @@ def trigger_lifecycle_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timing string, n long, sum_cents long"
     )
     return e.groupBy("user_id").applyInPandas(run_kernel, schema)
+
+
+@query(
+    "trigger_accumulating_panes",
+    oracle="""
+    WITH cents AS (
+      SELECT user_id,
+             (floor(epoch(ts))::BIGINT // 3600) * 3600 AS window_start,
+             epoch(ts) AS tse, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events),
+    numbered AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, window_start
+                                ORDER BY tse, event_id) - 1 AS rn,
+             count(*) OVER (PARTITION BY user_id, window_start) AS n_w,
+             sum(v) OVER (PARTITION BY user_id, window_start
+                          ORDER BY tse, event_id ROWS UNBOUNDED PRECEDING)
+               AS prefix_sum,
+             sum(v) OVER (PARTITION BY user_id, window_start) AS total_sum
+      FROM cents),
+    early AS (
+      -- pane i fires at element rank 3(i+1): ACCUMULATING count/sum are
+      -- the full prefix, not the 3-element delta
+      SELECT user_id, window_start, rn // 3 AS pane_index, 'EARLY' AS timing,
+             CAST(rn + 1 AS BIGINT) AS n, CAST(prefix_sum AS BIGINT) AS sum_cents
+      FROM numbered WHERE (rn + 1) % 3 = 0),
+    finalpane AS (
+      -- GC closing pane only when undelivered elements remain; count/sum
+      -- are the window TOTALS under accumulation
+      SELECT DISTINCT user_id, window_start, n_w // 3 AS pane_index,
+             'ON_TIME' AS timing, n_w AS n, CAST(total_sum AS BIGINT) AS sum_cents
+      FROM numbered WHERE n_w % 3 <> 0)
+    SELECT * FROM early UNION ALL SELECT * FROM finalpane
+    """,
+)
+def trigger_accumulating_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACCUMULATING accumulation mode, driver-checked (the twin of
+    trigger_aftercount_panes, which pins DISCARDING): every pane carries
+    the window's full running count/sum instead of the delta since the
+    last firing, and the GC closing pane reports the window totals. The
+    two gates' hashes differ exactly by the accumulation-mode semantics
+    (reference ``trigger.py:72`` AccumulationMode)."""
+    import pandas as pd
+
+    from ..catalog import table as batch_table
+    from ..streaming.triggers import ACCUMULATING, AfterCount, Repeatedly, TriggerDriver
+
+    e = batch_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("double").alias("tse"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def run_kernel(pdf):
+        pdf = pdf.sort_values(["tse", "event_id"])
+        uid = int(pdf["user_id"].iloc[0])
+        drv = TriggerDriver(3600.0, Repeatedly(AfterCount(3)), ACCUMULATING)
+        panes = []
+        for ts, v in zip(pdf["tse"], pdf["cents"]):
+            panes.extend(drv.on_elements([(float(ts), float(v))]))
+        panes.extend(drv.advance_watermark(float("inf")))
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(panes),
+                "window_start": [int(p.window_start) for p in panes],
+                "pane_index": [p.index for p in panes],
+                "timing": [p.timing for p in panes],
+                "n": [p.count for p in panes],
+                "sum_cents": [int(p.sum) for p in panes],
+            }
+        )
+
+    schema = (
+        "user_id long, window_start long, pane_index long, "
+        "timing string, n long, sum_cents long"
+    )
+    return e.groupBy("user_id").applyInPandas(run_kernel, schema)
