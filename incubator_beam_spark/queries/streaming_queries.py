@@ -687,3 +687,70 @@ def trigger_accumulating_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timing string, n long, sum_cents long"
     )
     return e.groupBy("user_id").applyInPandas(run_kernel, schema)
+
+
+@query(
+    "stateful_timer_flush",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             min(floor(epoch(ts))::BIGINT) AS first_s
+      FROM events GROUP BY user_id)
+    SELECT user_id, n, sum_cents
+    FROM g
+    WHERE first_s + 1800 <= (SELECT max(floor(epoch(ts))::BIGINT) FROM events)
+    """,
+)
+def stateful_timer_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful ParDo + event-time TIMER, end-to-end through the REAL
+    ``applyInPandasWithState`` adapter (streaming/userstate.py), driver-
+    checked: each user's events fold into a CombiningValue cell (count +
+    integer-cent sum — O(1) state, never a buffer), a value cell tracks
+    the first-seen second, and a 'flush' event-time timer arms at
+    first + 30min. The single-file fixture makes delivery one
+    deterministic micro-batch; the no-data watermark batch then fires
+    exactly the timers whose instant the final watermark passed — users
+    whose first event is within 30min of the global max never flush,
+    which the oracle states in SQL. Event times are floored to integer
+    seconds so the kernel's instant<=watermark comparison has no
+    millisecond-truncation boundary."""
+    from ..streaming.userstate import StatefulContext, stateful_pardo
+    from pyspark.sql import types as T
+
+    e = (
+        stream_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.timestamp_seconds(F.floor(F.col("ts").cast("double"))).alias("tsr"),
+        )
+        .withWatermark("tsr", "0 seconds")
+    )
+
+    def process(key, pdf, ctx: StatefulContext):
+        import operator
+
+        for c, t in zip(pdf["cents"], pdf["tsr"]):
+            ctx.combining_add("n", 1, operator.add)
+            ctx.combining_add("sum", int(c), operator.add)
+            s = t.timestamp()
+            first = ctx.read("first")
+            if first is None or s < first:
+                ctx.write("first", s)
+                ctx.set_timer("flush", s + 1800.0)
+        return []
+
+    def on_timer(key, name, ctx: StatefulContext):
+        return [(key, ctx.combining_read("n"), ctx.combining_read("sum"))]
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sum_cents", T.LongType()),
+        ]
+    )
+    out = stateful_pardo(e, "user_id", schema, process, on_timer=on_timer)
+    return _drain(out, "append")

@@ -100,7 +100,9 @@ _PRIORITY: tuple[str, ...] = (
     "stream_asof_enrich",
     # round-2-added LLM-data gates (text curation / fingerprints / packing)
     "doc_normalize",
-    "doc_fingerprint",
+    # doc_fingerprint (trivial md5 projection, lowest risk) -> round 4;
+    # its slot goes to the stateful-ParDo/timer kernel's first driver row
+    "stateful_timer_flush",
     "doc_repetition",
     "doc_pii_scrub",
     "doc_quality_filter",
