@@ -731,3 +731,56 @@ class WriteToRedis(PTransform):
             .save()
         )
         return pcoll
+
+
+class ReadFromPubSubLite(_Read):
+    """Pub/Sub Lite (reference ``meta/provider/pubsublite`` SQL table
+    provider + ``io/gcp/pubsublite``): delegates to Google's public
+    ``pubsublite-spark-sql-streaming`` DSv2 connector — one input
+    partition per Lite partition, offsets checkpointed by the engine.
+    Classic (non-Lite) Pub/Sub remains a documented drop: it has no
+    public Spark connector and its pull protocol has no stable
+    per-partition offsets to checkpoint (Kafka is this engine's
+    canonical broker)."""
+
+    def __init__(self, subscription_path: str, **options: Any):
+        # projects/<id>/locations/<loc>/subscriptions/<name>
+        parts = subscription_path.split("/")
+        if len(parts) != 6 or parts[0] != "projects" or parts[4] != "subscriptions":
+            raise ValueError(
+                "subscription_path must look like "
+                "projects/<project>/locations/<location>/subscriptions/<name>"
+            )
+        super().__init__(subscription_path=subscription_path, **options)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        opts = dict(self.options)
+        return (
+            spark.readStream.format("pubsublite")
+            .option("pubsublite.subscription", opts.pop("subscription_path"))
+            .options(**{k: str(v) for k, v in opts.items()})
+            .load()
+        )
+
+
+class WriteToPubSubLite(PTransform):
+    """Write path of the public pubsublite-spark connector (streaming
+    sink; ``data`` column carries the message payload)."""
+
+    def __init__(self, topic_path: str, **options: Any):
+        parts = topic_path.split("/")
+        if len(parts) != 6 or parts[0] != "projects" or parts[4] != "topics":
+            raise ValueError(
+                "topic_path must look like "
+                "projects/<project>/locations/<location>/topics/<name>"
+            )
+        self.topic_path, self.options = topic_path, options
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        (
+            pcoll.df.writeStream.format("pubsublite")
+            .option("pubsublite.topic", self.topic_path)
+            .options(**{k: str(v) for k, v in self.options.items()})
+            .start()
+        )
+        return pcoll

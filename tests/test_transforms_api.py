@@ -392,3 +392,16 @@ def test_es_cassandra_redis_wrappers_construct_without_connector():
     with pytest.raises(ValueError):
         ReadFromRedis("localhost", table="t", key_pattern="p")
     assert WriteToRedis("localhost", "sessions", "sid").key_column == "sid"
+
+
+def test_pubsublite_wrappers_construct_and_validate_paths():
+    from incubator_beam_spark.sources import ReadFromPubSubLite, WriteToPubSubLite
+
+    r = ReadFromPubSubLite("projects/p/locations/us-central1-a/subscriptions/s")
+    assert r.options["subscription_path"].endswith("/subscriptions/s")
+    with pytest.raises(ValueError):
+        ReadFromPubSubLite("projects/p/subscriptions/s")  # missing location
+    w = WriteToPubSubLite("projects/p/locations/us-central1-a/topics/t")
+    assert w.topic_path.endswith("/topics/t")
+    with pytest.raises(ValueError):
+        WriteToPubSubLite("topics/t")
