@@ -26,13 +26,35 @@ from ..streaming.source import stream_table
 _HOUR = 3600
 
 
-def _drain(df: DataFrame, mode: str = "complete") -> DataFrame:
+def _drain(df: DataFrame, mode: str = "complete", settle: bool = False) -> DataFrame:
     """Run the bounded file-backed stream to completion through a memory
-    sink; returns the sink contents as a batch DataFrame."""
+    sink; returns the sink contents as a batch DataFrame.
+
+    ``settle=True``: ALSO wait for the post-watermark no-data batches.
+    ``processAllAvailable`` only waits for available DATA; outputs that
+    exist purely because the watermark closed state (outer-join null
+    padding, timer GC) arrive in a later no-data batch. Poll the sink
+    until its row count is stable across consecutive checks."""
+    import time
+
     name = f"gate_stream_{uuid.uuid4().hex[:10]}"
     q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     try:
         q.processAllAvailable()
+        if settle:
+            spark = df.sparkSession
+            prev, stable = -1, 0
+            for _ in range(90):  # cap ~90s
+                n = spark.table(name).count()
+                stable = stable + 1 if n == prev else 0
+                prev = n
+                # no-data batches fire on the trigger thread with no
+                # fixed latency bound under load — demand a long quiet
+                # period (~8s) before declaring the stream settled
+                if stable >= 8:
+                    break
+                time.sleep(1.0)
+                q.processAllAvailable()
     finally:
         q.stop()
     return df.sparkSession.table(name)
@@ -754,3 +776,56 @@ def stateful_timer_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = stateful_pardo(e, "user_id", schema, process, on_timer=on_timer)
     return _drain(out, "append")
+
+
+@query(
+    "stream_stream_left_join",
+    oracle=f"""
+    SELECT p.user_id, (floor(epoch(p.ts))::BIGINT // {_HOUR}) * {_HOUR} AS window_start,
+           p.event_id AS p_event, c.event_id AS c_event
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND floor(epoch(p.ts))::BIGINT // {_HOUR} = floor(epoch(c.ts))::BIGINT // {_HOUR}
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the stateful behavior the inner
+    twin (stream_stream_join) cannot show: an unmatched left row is held
+    in the state store until the watermark proves no matching right row
+    can still arrive, THEN emits null-padded. Two scripted devices make
+    the flush deterministic on a bounded drain: (1) each side stages a
+    far-future watermark SENTINEL row (its own final micro-batch,
+    event_id=-1) carrying that side's event_type — the type filter is
+    pushed BELOW the watermark node by Catalyst, so the sentinel must
+    pass it to reach EventTimeWatermarkExec, and the ts-referencing
+    filter above the node (not pushable through a watermark) drops it
+    from the data path; (2) the drain settles through the post-watermark
+    no-data batches that emit the held null-padded rows. Result equals
+    the batch LEFT JOIN exactly."""
+    cutoff = F.lit("2098-01-01").cast("timestamp")
+    e1 = stream_table(
+        spark, sf_dir, "events", watermark_sentinel_ts="2099-01-01",
+        watermark_sentinel_overrides={"event_type": "purchase"},
+    ).withWatermark("ts", "1 hour").filter(F.col("ts") < cutoff)
+    e2 = stream_table(
+        spark, sf_dir, "events", watermark_sentinel_ts="2099-01-01",
+        watermark_sentinel_overrides={"event_type": "click"},
+    ).withWatermark("ts", "1 hour").filter(F.col("ts") < cutoff)
+    p = e1.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.window("ts", "1 hour").alias("w"),
+        F.col("event_id").alias("p_event"),
+    )
+    c = e2.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.window("ts", "1 hour").alias("w2"),
+        F.col("event_id").alias("c_event"),
+    )
+    j = p.join(
+        c, (p.user_id == c.c_user) & (p.w == c.w2), "left_outer"
+    ).select(
+        "user_id",
+        F.unix_timestamp(F.col("w.start")).alias("window_start"),
+        "p_event",
+        "c_event",
+    )
+    return _drain(j, "append", settle=True)

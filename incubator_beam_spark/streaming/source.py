@@ -15,12 +15,26 @@ from pyspark.sql import functions as F
 
 
 def stream_table(
-    spark: SparkSession, sf_dir: str, name: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    max_files_per_trigger: int | None = None,
+    watermark_sentinel_ts: str | None = None,
+    watermark_sentinel_overrides: dict | None = None,
 ) -> DataFrame:
     """Read a fixture table as an unbounded stream (file source).
 
     Schema comes from a bounded peek (streaming reads require an explicit
     schema); the nanos->timestamp normalization matches catalog.table.
+
+    ``watermark_sentinel_ts`` (e.g. "2099-01-01"): stage an extra
+    one-row parquet whose ``ts`` is that instant, mtime-ordered AFTER the
+    real file so it arrives as its own later micro-batch. Its only job is
+    to push the watermark past every real event — the move that makes
+    hold-until-expiry semantics (outer stream-stream joins, event-time
+    timers near stream end) flush deterministically on a bounded drain.
+    The sentinel row carries ``event_id = -1``; filter it out of the
+    data path (watermark tracking happens before user filters).
     """
     from ..catalog import table
 
@@ -30,6 +44,13 @@ def stream_table(
     # Stage a symlink in a temp dir (no data copy) and stream that dir.
     stage = tempfile.mkdtemp(prefix=f"stream_{name}_")
     os.symlink(path, os.path.join(stage, f"{name}.parquet"))
+    if watermark_sentinel_ts is not None:
+        _write_sentinel(
+            spark, bounded, stage, watermark_sentinel_ts,
+            watermark_sentinel_overrides or {},
+        )
+        if max_files_per_trigger is None:
+            max_files_per_trigger = 1  # sentinel must be its OWN batch
     reader = spark.readStream.schema(bounded.schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -47,6 +68,51 @@ def stream_table(
     if ntz:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
+
+
+def _write_sentinel(
+    spark, bounded: DataFrame, stage: str, ts: str, extra: dict
+) -> None:
+    """One-row parquet in the staged dir with ts=``ts``, event_id=-1,
+    schema identical to the real file; mtime bumped so the file source
+    (which orders by modification time) delivers it LAST. ``extra``
+    overrides literal column values (e.g. event_type='purchase' so the
+    sentinel PASSES a type filter that Catalyst pushes below the
+    watermark node — it must reach EventTimeWatermarkExec to do its
+    job, and only the ts-referencing filter ABOVE the node, which
+    Catalyst cannot push through, may drop it)."""
+    import glob
+    import shutil
+
+    import time
+
+    from pyspark.sql.types import LongType
+
+    row = bounded.limit(1)
+    overrides = {}
+    for f in row.schema.fields:
+        if f.name == "ts":
+            if isinstance(f.dataType, LongType):  # legacy nanos layout
+                import pandas as pd
+
+                overrides["ts"] = F.lit(int(pd.Timestamp(ts).value))
+            else:
+                overrides["ts"] = F.lit(ts).cast("timestamp").cast(
+                    f.dataType.simpleString()
+                )
+        elif f.name == "event_id":
+            overrides["event_id"] = F.lit(-1).cast(f.dataType.simpleString())
+        elif f.name in extra:
+            overrides[f.name] = F.lit(extra[f.name]).cast(f.dataType.simpleString())
+    row = row.withColumns(overrides)
+    tmp = tempfile.mkdtemp(prefix="sentinel_")
+    row.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    dest = os.path.join(stage, "zz-sentinel.parquet")
+    shutil.move(part, dest)
+    shutil.rmtree(tmp, ignore_errors=True)
+    future = time.time() + 3600
+    os.utime(dest, (future, future))
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:

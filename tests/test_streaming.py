@@ -497,3 +497,45 @@ def test_per_key_counter_string_keys(spark):
                          (_ts(0, 3), "bob", 3.0)]).advance()
         got = {r.key: r.total for r in ts.results().collect()}
         assert got == {"alice": 2, "bob": 1}
+
+
+def test_watermark_sentinel_advances_past_bounded_data(spark):
+    """stream_table's watermark sentinel: a far-future one-row file in
+    its own final micro-batch pushes the watermark beyond every real
+    event, so watermark-gated state (outer joins, timers) flushes on a
+    bounded drain. The sentinel must be filtered ABOVE the watermark
+    node with a ts-referencing predicate."""
+    import uuid
+
+    from incubator_beam_spark.streaming.source import stream_table
+
+    e = stream_table(
+        spark, SF_DIR, "events", watermark_sentinel_ts="2099-01-01"
+    ).withWatermark("ts", "1 hour").filter(
+        F.col("ts") < F.lit("2098-01-01").cast("timestamp")
+    )
+    agg = e.groupBy(F.window("ts", "1 hour")).agg(F.count(F.lit(1)).alias("n"))
+    name = f"sentinel_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        import time
+
+        for _ in range(20):
+            time.sleep(0.5)
+            q.processAllAvailable()
+            wm = (q.lastProgress or {}).get("eventTime", {}).get("watermark", "")
+            if wm.startswith("2098"):
+                break
+        # watermark passed every real event -> append mode emitted ALL
+        # windows, including the final one
+        batch_windows = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .select(F.window(F.col("ts").cast("timestamp"), "1 hour"))
+            .distinct()
+            .count()
+        )
+        assert spark.table(name).count() == batch_windows
+        assert wm.startswith("2098")
+    finally:
+        q.stop()
