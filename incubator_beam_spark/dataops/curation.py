@@ -272,3 +272,51 @@ def temperature_resample(
         .filter(bucket < F.col("keep_lt"))
         .drop("keep_lt")
     )
+
+
+def bigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram language-model scoring with add-1 smoothing — the KenLM
+    counting shape distributed: p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V).
+    Returns (doc_id, mean_logprob) over each document's bigrams
+    (documents with fewer than 2 tokens emit nothing).
+
+    Scale: the bigram table is |distinct bigrams| rows and is NOT
+    broadcast — scoring joins it back on the same (w1,w2) key the count
+    shuffle produced (co-partitioned, Exchange reused); the context
+    (unigram) table is |vocab| and broadcasts; V is one scalar. The
+    token stream shuffles twice (bigram count, score join) carrying
+    two-word keys — never documents."""
+    from .text import tokens
+
+    base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("ts"))
+    big = (
+        base.filter(F.size("ts") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts)-1), "
+                    "i -> struct(element_at(ts, i) as w1, element_at(ts, i+1) as w2))"
+                )
+            ).alias("bz"),
+        )
+        .select(id_col, F.col("bz.w1").alias("w1"), F.col("bz.w2").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = base.select(F.explode("ts").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))), 4
+            ).alias("mean_logprob")
+        )
+    )

@@ -1850,3 +1850,32 @@ def emb_index_persist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .q
     )
     return pq_adc_topk(cand, pq_adc_lut(cb, list(qvec)), k=10)
+
+
+@query(
+    "doc_bigram_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+    big AS (
+      SELECT doc_id,
+             unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS bz
+      FROM tok WHERE len(ts) >= 2),
+    pairs AS (SELECT doc_id, bz[1] AS w1, bz[2] AS w2 FROM big),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+    v AS (SELECT count(DISTINCT t) AS v
+          FROM (SELECT unnest(ts) AS t FROM tok))
+    SELECT p.doc_id,
+           round(avg(ln((c2.c2 + 1.0) / (c1.c1 + v.v))), 4) AS mean_logprob
+    FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+    GROUP BY p.doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM perplexity scoring (add-1 smoothed, KenLM counting
+    shape; the conditional-probability upgrade of doc_unigram_logprob):
+    bigram counts shuffle on (w1,w2) and join back co-partitioned —
+    the |bigrams| table is never broadcast; contexts and V are."""
+    from ..dataops.curation import bigram_logprob
+
+    return bigram_logprob(table(spark, sf_dir, "documents"))
