@@ -62,9 +62,12 @@ HEADLINE = [
     # bloom-prefiltered shuffle join + general (disjoint) merging windows
     "join_bloom_prefilter",
     "evt_disjoint_merge_window",
-    # capped sessionization + funnel analysis
+    # capped sessionization + funnel analysis + retention + anomaly + bigram LM
     "evt_capped_session_window",
     "evt_funnel_steps",
+    "evt_retention_cohorts",
+    "evt_anomaly_zscore",
+    "doc_bigram_logprob",
 ]
 
 

@@ -86,7 +86,11 @@ _PRIORITY: tuple[str, ...] = (
     # additions not already below: sql_pandas_udaf, emb_index_persist_topk,
     # stream_nexmark_q7, stream_incremental_dedup, core_elementwise_chain,
     # core_partition_fanout, core_reshuffle_stability,
-    # schema_surgery_roundtrip, join_lookup_broadcast, io_tfrecord_roundtrip.
+    # schema_surgery_roundtrip, join_lookup_broadcast, io_tfrecord_roundtrip,
+    # evt_capped_session_window, evt_funnel_steps, evt_retention_cohorts,
+    # evt_anomaly_zscore, doc_bigram_logprob, stream_stream_left_join,
+    # trigger_aftercount_panes, trigger_accumulating_panes, doc_fingerprint
+    # (bumped for stateful_timer_flush).
     # Verify with `python scripts/driver_emulate.py <names>` before rotating.
     # Lead with the round-2 red row (TIMESTAMP_NTZ fix proof):
     "evt_range_join",
