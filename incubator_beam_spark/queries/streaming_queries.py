@@ -49,9 +49,14 @@ def _drain(df: DataFrame, mode: str = "complete", settle: bool = False) -> DataF
                 stable = stable + 1 if n == prev else 0
                 prev = n
                 # no-data batches fire on the trigger thread with no
-                # fixed latency bound under load — demand a long quiet
-                # period (~8s) before declaring the stream settled
-                if stable >= 8:
+                # fixed latency bound under load — demand a quiet period
+                # before declaring the stream settled. Once the LAST
+                # batch was itself a no-data batch (watermark-close work
+                # done), a short stability window suffices; otherwise
+                # hold out longer (~8s).
+                lp = q.lastProgress
+                drained = lp is not None and lp["numInputRows"] == 0
+                if stable >= (3 if drained else 8):
                     break
                 time.sleep(1.0)
                 q.processAllAvailable()
