@@ -55,3 +55,15 @@ def test_tfidf_ranks_rare_terms_higher(spark):
     out = {(r.doc_id, r.word): r.tf_idf for r in tfidf(spark, docs).collect()}
     assert out[(1, "rare")] > out[(1, "common")]
     assert abs(out[(2, "common")] - 0.0) < 1e-12  # in all docs -> idf 0... common appears in all 3
+
+
+def test_streaming_wordcount_matches_batch(spark):
+    from streaming_wordcount import streaming_wordcount
+    from wordcount import wordcount
+
+    lines = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").alias("element")
+    )
+    batch = {(r.word, r.n) for r in wordcount(spark, lines).collect()}
+    stream = {(r.word, r.n) for r in streaming_wordcount(spark, SF_DIR).collect()}
+    assert stream == batch
