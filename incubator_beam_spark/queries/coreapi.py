@@ -463,3 +463,38 @@ def df_pandas_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("roll_cents").cast("long").alias("roll_cents"),
         F.col("roll_n").cast("long").alias("roll_n"),
     )
+
+
+@query(
+    "df_pandas_dt_accessor",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def df_pandas_dt_accessor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deferred-pandas .dt accessor (reference ``frames.py:4256``
+    _DeferredDatetimeMethods): dt.year/dt.month lower to JVM
+    year()/month() expressions — codegen intact, no pandas
+    materialization — then an ordinary deferred groupby."""
+    from ..dataframe import to_dataframe, to_pcollection
+
+    o = table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    pdf = to_dataframe(o)
+    pdf = pdf.assign(
+        y=pdf.o_orderdate.dt.year.astype("int64"),
+        m=pdf.o_orderdate.dt.month.astype("int64"),
+        cents=(pdf.o_totalprice * 100).round().astype("int64"),
+    )
+    g = pdf.groupby(["y", "m"])
+    out = g.size().to_frame("n").join(g.cents.sum().to_frame("cents")).reset_index()
+    sdf = to_pcollection(out)
+    return sdf.select(
+        F.col("y").cast("long"),
+        F.col("m").cast("long"),
+        F.col("n").cast("long"),
+        F.col("cents").cast("long"),
+    )

@@ -834,3 +834,51 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_event",
     )
     return _drain(j, "append", settle=True)
+
+
+@query(
+    "stream_session_window_append",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       >= 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           floor(epoch(min(ts)))::BIGINT AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows in APPEND mode — each session emits exactly once,
+    when the watermark proves it can no longer merge or grow (the
+    production sink-friendly path; the complete-mode twin
+    stream_session_window re-emits everything every batch). The final
+    sessions only finalize because the watermark SENTINEL pushes the
+    watermark past all real data; same oracle as the batch twin."""
+    e = (
+        stream_table(
+            spark, sf_dir, "events", watermark_sentinel_ts="2099-01-01"
+        )
+        .withWatermark("ts", "30 minutes")
+        .filter(F.col("ts") < F.lit("2098-01-01").cast("timestamp"))
+    )
+    agg = (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _drain(agg, "append", settle=True)
