@@ -1879,3 +1879,53 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dataops.curation import bigram_logprob
 
     return bigram_logprob(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_curation_pipeline",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, text,
+             len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_words
+      FROM documents),
+    q AS (SELECT * FROM base WHERE n_words BETWEEN 50 AND 100000),
+    keep AS (SELECT min(doc_id) AS doc_id
+             FROM q GROUP BY substr(md5({_NORM.replace("text", "q.text")}), 1, 16)),
+    kept AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+    split AS (
+      SELECT doc_id, source, n_words,
+             CASE WHEN b < 10 THEN 'test'
+                  WHEN b < 20 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM (SELECT *, ('0x' || substr(md5('0|' || source), 1, 8))::BIGINT % 100 AS b
+            FROM kept))
+    SELECT split, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS sum_words,
+           count(DISTINCT source) AS n_sources
+    FROM split GROUP BY split
+    """,
+)
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as ONE composition of the real
+    operators — quality gate (Gopher word-count rule, scan-side) ->
+    exact dedup keep-lowest (`dedup.exact_dedup`, 24-byte fp shuffle) ->
+    leakage-safe splits (`packing.hash_split`, source-keyed md5) ->
+    per-split accounting. Proves the operator library COMPOSES: each
+    stage consumes the previous one's DataFrame, Catalyst fuses the
+    scan-side stages, and the whole chain is two shuffles (fp groupBy,
+    final rollup) + one broadcast join, end to end."""
+    from ..dataops.dedup import exact_dedup
+    from ..dataops.packing import hash_split
+
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    q = d.select("doc_id", "source", "text", n_words.alias("n_words")).filter(
+        F.col("n_words").between(50, 100000)
+    )
+    keep = exact_dedup(q).select(F.col("keep_id").alias("doc_id"))
+    kept = q.join(F.broadcast(keep), "doc_id")
+    split = hash_split(kept.select("doc_id", "source", "n_words"), "source")
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("sum_words"),
+        F.countDistinct("source").alias("n_sources"),
+    )

@@ -91,7 +91,9 @@ _PRIORITY: tuple[str, ...] = (
     # evt_anomaly_zscore, doc_bigram_logprob, stream_stream_left_join,
     # trigger_aftercount_panes, trigger_accumulating_panes, doc_fingerprint
     # (bumped for stateful_timer_flush).
-    # Verify with `python scripts/driver_emulate.py <names>` before rotating.
+    # Mechanical rotation: `python scripts/rotate_window.py [--verify]`
+    # unions all CORRECTNESS_r*.json rows and prints the never-checked
+    # names as a ready-to-paste window (run AFTER the r3 file lands).
     # Lead with the round-2 red row (TIMESTAMP_NTZ fix proof):
     "evt_range_join",
     # streaming ValidatesRunner parity gates (engine namesake; two were
