@@ -334,7 +334,13 @@ class Create(PTransform):
 
     def expand(self, pcoll: PCollection) -> PCollection:
         spark = pcoll.pipeline.spark
-        rows, cols = _to_rows(self.values)
+        vals = self.values
+        if vals and all(isinstance(v, TimestampedValue) for v in vals):
+            rows = [(v.value, v.timestamp) for v in vals]
+            return PCollection(
+                spark.createDataFrame(rows, ["element", "ts"]), pcoll.pipeline
+            )
+        rows, cols = _to_rows(vals)
         return PCollection(spark.createDataFrame(rows, cols), pcoll.pipeline)
 
 
@@ -1124,3 +1130,40 @@ def combine_per_key_lifted(
 
     partials = df.select(key_col, value_col).mapInPandas(partial, acc_schema)
     return partials.groupBy(key_col).applyInPandas(merge, out_schema)
+
+
+class TimestampedValue:
+    """reference ``transforms/window.py:221`` TimestampedValue: a value
+    paired with an explicit event timestamp (epoch seconds). ``Create``
+    materializes these as (element, ts) rows — the ``ts`` column is this
+    engine's WindowedValue timestamp (SURVEY §1.3), so everything
+    downstream (WindowInto, watermarks, timestamp combiners) just
+    works."""
+
+    __slots__ = ("value", "timestamp")
+
+    def __init__(self, value: Any, timestamp: float):
+        self.value = value
+        self.timestamp = float(timestamp)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"TimestampedValue({self.value!r}, {self.timestamp})"
+
+
+class ReshufflePerKey(PTransform):
+    """reference ``transforms/util.py:652``: redistribution that
+    PRESERVES keys' co-location — a hash repartition on the key column
+    (Reshuffle redistributes round-robin; this one keeps each key on one
+    partition so downstream per-key work is shuffle-free)."""
+
+    def __init__(self, key_col: str = "key", num_partitions: int | None = None):
+        self.key_col, self.n = key_col, num_partitions
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        df = pcoll.df
+        df = (
+            df.repartition(self.n, F.col(self.key_col))
+            if self.n
+            else df.repartition(F.col(self.key_col))
+        )
+        return PCollection(df, pcoll.pipeline)

@@ -152,3 +152,16 @@ def periodic_impulse(
         .load()
         .select(F.col("timestamp").alias("ts"), F.col("value"))
     )
+
+
+class PeriodicImpulse:
+    """Class spelling of :func:`periodic_impulse` (reference
+    ``transforms/periodicsequence.py:137`` is a PTransform class):
+    ``PeriodicImpulse(fire_interval=N).expand(pipeline)`` or call
+    ``read(spark)`` directly."""
+
+    def __init__(self, fire_interval: float = 1.0):
+        self.fire_interval = fire_interval
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return periodic_impulse(spark, self.fire_interval)

@@ -192,3 +192,84 @@ def stateful_pardo(
         df.groupBy(F.col(key_col))
         .applyInPandasWithState(fn, output_schema, state_schema, "Append", timeout)
     )
+
+
+# -- declarative state/timer spec classes (API-parity spellings) -----------
+# reference ``transforms/userstate.py:73,82,91,100,162``: Beam DoFns
+# DECLARE state cells and timers as class attributes; this engine's
+# StatefulContext addresses cells by name at use time. These spec classes
+# give ported DoFns the familiar declaration spelling — each is a named
+# handle whose methods delegate to the ctx cell of the same name.
+
+
+class _Spec:
+    def __init__(self, name: str):
+        self.name = name
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"{type(self).__name__}({self.name!r})"
+
+
+class ReadModifyWriteStateSpec(_Spec):
+    """Value cell (reference ``userstate.py:73``)."""
+
+    def read(self, ctx: StatefulContext, default=None):
+        return ctx.read(self.name, default)
+
+    def write(self, ctx: StatefulContext, value) -> None:
+        ctx.write(self.name, value)
+
+    def clear(self, ctx: StatefulContext) -> None:
+        ctx.clear(self.name)
+
+
+class BagStateSpec(_Spec):
+    """Bag cell (reference ``userstate.py:82``)."""
+
+    def add(self, ctx: StatefulContext, value) -> None:
+        ctx.bag_add(self.name, value)
+
+    def read(self, ctx: StatefulContext) -> list:
+        return ctx.bag_read(self.name)
+
+    def clear(self, ctx: StatefulContext) -> None:
+        ctx.clear(self.name)
+
+
+class SetStateSpec(_Spec):
+    """Set cell (reference ``userstate.py:91``)."""
+
+    def add(self, ctx: StatefulContext, value) -> None:
+        ctx.set_add(self.name, value)
+
+    def contains(self, ctx: StatefulContext, value) -> bool:
+        return ctx.set_contains(self.name, value)
+
+    def read(self, ctx: StatefulContext) -> list:
+        return ctx.set_read(self.name)
+
+
+class CombiningValueStateSpec(_Spec):
+    """Combining cell (reference ``userstate.py:100``): holds ONLY the
+    accumulator; adds fold eagerly."""
+
+    def __init__(self, name: str, combine_fn):
+        super().__init__(name)
+        self.combine_fn = combine_fn
+
+    def add(self, ctx: StatefulContext, value) -> None:
+        ctx.combining_add(self.name, value, self.combine_fn)
+
+    def read(self, ctx: StatefulContext):
+        return ctx.combining_read(self.name, self.combine_fn)
+
+
+class TimerSpec(_Spec):
+    """Named timer family (reference ``userstate.py:162``); domain is a
+    property of the enclosing ``stateful_pardo`` call."""
+
+    def set(self, ctx: StatefulContext, instant: float) -> None:
+        ctx.set_timer(self.name, instant)
+
+    def clear(self, ctx: StatefulContext) -> None:
+        ctx.clear_timer(self.name)

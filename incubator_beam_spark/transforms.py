@@ -608,3 +608,24 @@ class WaitOn(PTransform):
         for s in self.signals:
             s.df.count()  # materialize: the barrier
         return pcoll
+
+
+class BatchElements(PTransform):
+    """reference ``transforms/util.py:559``: adaptive row->batch
+    conversion. On this engine batching is STRUCTURAL — every Python
+    boundary already receives Arrow record batches (mapInPandas), sized
+    by ``spark.sql.execution.arrow.maxRecordsPerBatch`` — so the
+    transform is the identity on the dataflow; it exists so reference
+    pipelines port verbatim. ``max_batch_size`` adjusts the Arrow batch
+    cap session-wide when given."""
+
+    def __init__(self, min_batch_size: int = 1, max_batch_size: int | None = None):
+        self.max_batch_size = max_batch_size
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        if self.max_batch_size:
+            pcoll.pipeline.spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(self.max_batch_size),
+            )
+        return pcoll

@@ -328,3 +328,71 @@ def test_exception_handling_and_outputs_mutually_exclusive(spark):
     pc = p | ibs.Create([1])
     with pytest.raises(ValueError):
         pc | ibs.ParDo(Fn()).with_outputs("x").with_exception_handling()
+
+
+def test_timestamped_value_create_and_window(spark):
+    """Create(TimestampedValue...) -> (element, ts) rows that window
+    directly (reference window.py:221 + wordcount-with-timestamps
+    example shape)."""
+    import incubator_beam_spark.core as ibs
+    from incubator_beam_spark.windows import FixedWindows, WindowInto
+
+    p = ibs.Pipeline(spark)
+    pc = p | ibs.Create(
+        [ibs.TimestampedValue("a", 5.0), ibs.TimestampedValue("b", 15.0),
+         ibs.TimestampedValue("c", 17.0)]
+    )
+    out = (pc | WindowInto(FixedWindows(10), ts_col="ts")).df
+    got = sorted((r.element, r.window_start) for r in out.collect())
+    assert got == [("a", 0.0), ("b", 10.0), ("c", 10.0)]
+
+
+def test_reshuffle_per_key_colocates(spark):
+    import incubator_beam_spark.core as ibs
+    from pyspark.sql import functions as F
+
+    p = ibs.Pipeline(spark)
+    df = spark.createDataFrame([(i % 5, i) for i in range(100)], ["key", "value"])
+    out = (ibs.PCollection(df, p) | ibs.ReshufflePerKey(num_partitions=4)).df
+    # every key lives in exactly one partition
+    parts = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("key")
+        .agg(F.countDistinct("pid").alias("n"))
+        .collect()
+    )
+    assert all(r.n == 1 for r in parts)
+
+
+def test_batch_elements_identity_and_conf(spark):
+    import incubator_beam_spark.core as ibs
+    from incubator_beam_spark.transforms import BatchElements
+
+    p = ibs.Pipeline(spark)
+    df = spark.range(10).select(F.col("id").alias("element"))
+    out = (ibs.PCollection(df, p) | BatchElements(max_batch_size=2048)).df
+    assert out.count() == 10
+    assert spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "2048"
+
+
+def test_state_spec_classes_delegate(spark):
+    from incubator_beam_spark.streaming.userstate import (
+        BagStateSpec,
+        CombiningValueStateSpec,
+        ReadModifyWriteStateSpec,
+        SetStateSpec,
+        StatefulContext,
+        TimerSpec,
+    )
+    import operator
+
+    cells, timers = {}, {}
+    ctx = StatefulContext(cells, timers, 0.0, 0.0)
+    v = ReadModifyWriteStateSpec("v"); v.write(ctx, 7); assert v.read(ctx) == 7
+    b = BagStateSpec("b"); b.add(ctx, 1); b.add(ctx, 2); assert b.read(ctx) == [1, 2]
+    s = SetStateSpec("s"); s.add(ctx, "x"); s.add(ctx, "x")
+    assert s.read(ctx) == ["x"] and s.contains(ctx, "x")
+    c = CombiningValueStateSpec("c", operator.add)
+    c.add(ctx, 3); c.add(ctx, 4); assert c.read(ctx) == 7
+    t = TimerSpec("flush"); t.set(ctx, 99.0); assert timers["flush"] == 99.0
+    t.clear(ctx); assert "flush" not in timers
