@@ -882,3 +882,28 @@ def stream_session_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(agg, "append", settle=True)
+
+
+@query(
+    "stream_union_flatten",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events WHERE event_type IN ('purchase', 'click')
+    GROUP BY event_type
+    """,
+)
+def stream_union_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten over UNBOUNDED inputs (reference ``core.py:2850`` on
+    streams — the multi-topic union every production pipeline starts
+    with): two independently-filtered streams union into one stateful
+    aggregate; micro-batches from both sides interleave through the
+    same state. Same oracle as the batch union."""
+    a = stream_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    b = stream_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    u = a.unionByName(b)
+    agg = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return _drain(agg, "complete")

@@ -36,8 +36,12 @@ def stream_table(
     The sentinel row carries ``event_id = -1``; filter it out of the
     data path (watermark tracking happens before user filters).
     """
-    from ..catalog import table
+    from ..catalog import _ensure_session_confs
 
+    # Pin UTC + nanosAsLong on a FOREIGN session (the driver's) here too:
+    # the NTZ->timestamp cast below is exact only under UTC, and relying
+    # on an earlier catalog.table() call having set it is order-fragile.
+    _ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     bounded = spark.read.parquet(path)
     # FileStreamSource requires a directory; fixtures are single files.
