@@ -320,3 +320,59 @@ def bigram_logprob(
             ).alias("mean_logprob")
         )
     )
+
+
+def epoch_repeats(
+    docs: DataFrame,
+    domain_col: str = "source",
+    weight_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-document repeat counts that EQUALIZE domains by repetition —
+    the up-sampling half of mixture control (temperature_resample /
+    domain_rebalance down-sample): every domain is repeated to match the
+    LARGEST domain's total weight, fractional epochs resolved per
+    document (LLaMA-style data scheduling: 2.3 epochs = 2 full copies +
+    a 30% md5-deterministic chance of a third).
+
+    Returns (id, domain, n_copies >= 1). Sum over a domain of n_copies
+    approaches target/available exactly in expectation and is fully
+    deterministic (md5 uniforms — rerun-stable, engine-portable).
+
+    Scale: per-domain totals are a |domains|-row aggregate broadcast
+    back; the repeat decision is scan-side arithmetic. Nothing else
+    shuffles — the exploded copies (if the caller explodes) inherit the
+    scan's partitioning."""
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    d = docs.select(F.col(id_col), F.col(domain_col).alias("domain"), w.alias("w"))
+    totals = d.groupBy("domain").agg(F.sum("w").alias("avail"))
+    target = totals.agg(F.max("avail").alias("target"))
+    rates = totals.crossJoin(F.broadcast(target))
+    # integer micro-rate: pure BIGINT division — float would lose
+    # precision past 2^53 (a 10B-doc domain x 1e6 exceeds it); exact up
+    # to ~9e12 docs/weight per domain (long overflow bound, documented)
+    rates = rates.select(
+        "domain",
+        F.expr("target * 1000000L DIV avail").alias("rate_ppm"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(f"rep{seed}"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") % 1_000_000
+    return (
+        d.join(F.broadcast(rates), "domain")
+        .select(
+            id_col,
+            "domain",
+            (
+                (F.col("rate_ppm") / 1_000_000).cast("long")
+                + F.when(u < F.col("rate_ppm") % 1_000_000, 1).otherwise(0)
+            ).alias("n_copies"),
+        )
+    )

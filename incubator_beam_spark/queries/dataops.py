@@ -1929,3 +1929,30 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").cast("long").alias("sum_words"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+@query(
+    "doc_epoch_repeats",
+    oracle="""
+    WITH totals AS (SELECT source, count(*)::BIGINT AS avail
+                    FROM documents GROUP BY source),
+    tgt AS (SELECT max(avail) AS target FROM totals),
+    rates AS (SELECT source,
+                     CAST(floor(target * 1000000.0 / avail) AS BIGINT) AS rate_ppm
+              FROM totals CROSS JOIN tgt)
+    SELECT d.doc_id, d.source AS domain,
+           rate_ppm // 1000000
+             + CASE WHEN ('0x' || substr(md5('rep0|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 1000000 < rate_ppm % 1000000
+                    THEN 1 ELSE 0 END AS n_copies
+    FROM documents d JOIN rates USING (source)
+    """,
+)
+def doc_epoch_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-repeat planning (LLaMA-style mixture up-sampling): every
+    domain repeats to the largest domain's size; fractional epochs
+    resolve per doc with md5 uniforms — integer micro-rates so both
+    engines make the identical floor/threshold decisions."""
+    from ..dataops.curation import epoch_repeats
+
+    return epoch_repeats(table(spark, sf_dir, "documents"))

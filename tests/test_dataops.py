@@ -1412,3 +1412,27 @@ def test_connected_components_contract_on_off_identical(spark):
         for r in connected_components(e, local_contract=False).collect()
     }
     assert on == off
+
+
+def test_epoch_repeats_equalizes_domains(spark):
+    """Expected copies per domain ~= the largest domain's size; the
+    largest domain itself repeats exactly once per doc."""
+    from incubator_beam_spark.dataops.curation import epoch_repeats
+
+    rows = [(i, "big") for i in range(600)] + [(1000 + i, "small") for i in range(100)]
+    d = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = epoch_repeats(d)
+    per = {r.domain: r.s for r in out.groupBy("domain").agg(F.sum("n_copies").alias("s")).collect()}
+    assert per["big"] == 600                      # rate exactly 1.0
+    assert 540 <= per["small"] <= 660             # 6.0 epochs +- sampling
+    assert out.filter(F.col("n_copies") < 1).count() == 0
+
+
+def test_epoch_repeats_deterministic(spark):
+    from incubator_beam_spark.dataops.curation import epoch_repeats
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(200)]
+    d = spark.createDataFrame(rows, ["doc_id", "source"])
+    a = sorted((r.doc_id, r.n_copies) for r in epoch_repeats(d).collect())
+    b = sorted((r.doc_id, r.n_copies) for r in epoch_repeats(d).collect())
+    assert a == b
