@@ -83,23 +83,26 @@ def pq_encode(
     df = emb.select(
         F.col(id_col), *[F.col(c) for c in keep], quantized(F.col(vec_col)).alias("vq")
     )
-    codes = []
-    for s in range(m):
-        cb_lit = F.array(
-            *[F.array(*[F.lit(c) for c in cent]) for cent in codebook[s]]
+    # The whole encoder is ONE SQL string parsed once: building the same
+    # tree through Column operators costs thousands of py4j round-trips
+    # (~1s of driver time per call for K=16, m=8) for an identical plan.
+    def dists(s: int) -> str:
+        cents = ", ".join(
+            "array(" + ", ".join(str(int(c)) for c in cent) + ")"
+            for cent in codebook[s]
         )
-        subv = F.slice("vq", s * sub + 1, sub)
-        dists = F.transform(
-            cb_lit,
-            lambda c: F.aggregate(
-                F.zip_with(subv, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
+        return (
+            f"transform(array({cents}), c -> aggregate("
+            f"zip_with(slice(vq, {s * sub + 1}, {sub}), c, (x, y) -> (x - y) * (x - y)), "
+            f"0L, (acc, x) -> acc + x))"
         )
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+
+    codes_sql = "array(" + ", ".join(
+        f"CAST(array_position({dists(s)}, array_min({dists(s)})) - 1 AS INT)"
+        for s in range(m)
+    ) + ")"
     return df.select(
-        id_col, *[F.col(c) for c in keep], F.array(*codes).alias("codes")
+        id_col, *[F.col(c) for c in keep], F.expr(codes_sql).alias("codes")
     )
 
 
