@@ -68,6 +68,9 @@ HEADLINE = [
     "evt_retention_cohorts",
     "evt_anomaly_zscore",
     "doc_bigram_logprob",
+    # end-to-end curation composition + mixture up-sampling
+    "doc_curation_pipeline",
+    "doc_epoch_repeats",
 ]
 
 
