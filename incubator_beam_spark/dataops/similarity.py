@@ -577,20 +577,18 @@ def kmeans_lloyd(
     dim = len(cents[0])
 
     def assign(df: DataFrame) -> DataFrame:
-        dists = F.array(*[
-            F.aggregate(
-                F.zip_with(
-                    F.col("_vq"),
-                    F.array(*[F.lit(int(v)) for v in c]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            for c in cents
-        ])
-        cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        return df.withColumn("cell", cell)
+        # one parsed SQL string per round: k*dim literals via Column
+        # operators would cost thousands of py4j round-trips per round
+        # for an identical plan (same lesson as pq_encode)
+        cents_sql = ", ".join(
+            "array(" + ", ".join(str(int(v)) for v in c) + ")" for c in cents
+        )
+        d = (
+            f"transform(array({cents_sql}), c -> aggregate("
+            f"zip_with(_vq, c, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x))"
+        )
+        cell = f"CAST(array_position({d}, array_min({d})) - 1 AS INT)"
+        return df.withColumn("cell", F.expr(cell))
 
     base = emb.select(id_col, vq.alias("_vq"))
     assigned = None
