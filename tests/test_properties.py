@@ -181,3 +181,55 @@ def test_bloom_prefilter_join_matches_plain_join(spark, dim_keys, fact_keys, num
     )
     want = sorted((r.key, r.v) for r in fact.join(dim, "key").collect())
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # key
+            st.floats(min_value=0, max_value=500),           # start
+            st.floats(min_value=1, max_value=60),            # length
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from([0.0, 5.0, 25.0]),
+)
+@settings(max_examples=10, deadline=None)
+def test_slack_merge_matches_python_reference(spark, rows, slack):
+    """Property: merge_proto_windows(slack) equals a brute-force Python
+    interval-coalescing reference for arbitrary windows and slacks
+    (slack=0 is overlap-only; slack>0 merges disjoint gaps <= slack)."""
+    from pyspark.sql import functions as F
+
+    from incubator_beam_spark.windows import merge_proto_windows
+
+    data = [(k, float(s), float(s + ln)) for k, s, ln in rows]
+    df = spark.createDataFrame(data, "key int, window_start double, window_end double")
+    got = sorted(
+        (r.key, r.window_start, r.window_end)
+        for r in merge_proto_windows(df, ["key"], slack=slack).collect()
+    )
+
+    # python reference: per key, sort by (start, end), coalesce islands
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, s, e in data:
+        by_key[k].append((s, e))
+    expected = []
+    for k, wins in by_key.items():
+        wins.sort()
+        islands = []
+        for s, e in wins:
+            if islands and s <= islands[-1][1] + slack:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        # every original window maps to its island's merged bounds
+        for s, e in wins:
+            for ms, me in islands:
+                if ms <= s and e <= me:
+                    expected.append((k, ms, me))
+                    break
+    assert got == sorted(expected)
