@@ -907,3 +907,22 @@ def stream_union_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
     return _drain(agg, "complete")
+
+
+@query(
+    "stream_per_key_counter",
+    oracle="SELECT user_id AS key, count(*) AS total FROM events GROUP BY user_id",
+)
+def stream_per_key_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ReadModifyWriteState hello-world (reference ``userstate.py:73``)
+    as a driver gate: a custom ``applyInPandasWithState`` kernel keeps a
+    running per-key count in a value cell and emits the updated total
+    once per key per micro-batch (Update mode). On the single-file
+    fixture the drain is one deterministic batch, so the emitted totals
+    are exactly the per-key counts — gating the custom keyed-state
+    UPDATE path distinctly from every windowed/native-stateful gate."""
+    from ..streaming.stateful import per_key_counter
+
+    e = stream_table(spark, sf_dir, "events")
+    out = per_key_counter(e, "user_id")
+    return _drain(out, "update")
