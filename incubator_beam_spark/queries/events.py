@@ -1123,3 +1123,70 @@ def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter((F.col("n_prior") >= 5) & (F.col("sd") > 0) & (F.abs(z) > 2))
         .select("user_id", "event_id", F.round(z, 4).alias("z"))
     )
+
+
+@query(
+    "evt_funnel_windowed",
+    oracle="""
+    WITH v AS (SELECT user_id, min(epoch(ts)) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(epoch(e.ts)) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click'
+            AND epoch(e.ts) > v.t_view AND epoch(e.ts) <= v.t_view + 86400
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(epoch(e.ts)) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch(e.ts) > c.t_click AND epoch(e.ts) <= c.t_click + 86400
+          GROUP BY e.user_id)
+    SELECT count(*) AS n_view,
+           CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_click,
+           CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchase
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def evt_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with per-step CONVERSION WINDOWS (click within 24h of the
+    first view, purchase within 24h of that click — how funnels are
+    actually measured): same one-shuffle conditional-min plan as
+    evt_funnel_steps, each step's predicate adding the time bound."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    ts_s = F.col("ts").cast("double")
+    u = W.partitionBy("user_id")
+    day = 86400.0
+    t_view = F.min(F.when(F.col("event_type") == "view", ts_s)).over(u)
+    step = e.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (ts_s > F.col("t_view"))
+            & (ts_s <= F.col("t_view") + day),
+            ts_s,
+        )
+    ).over(u)
+    step = step.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (ts_s > F.col("t_click"))
+            & (ts_s <= F.col("t_click") + day),
+            ts_s,
+        )
+    ).over(u)
+    step = step.withColumn("t_purchase", t_purchase)
+    per_user = (
+        step.filter(F.col("t_view").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.first("t_click").alias("tc"),
+            F.first("t_purchase").alias("tp"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_view"),
+        F.sum(F.when(F.col("tc").isNotNull(), 1).otherwise(0)).cast("long").alias("n_click"),
+        F.sum(F.when(F.col("tp").isNotNull(), 1).otherwise(0)).cast("long").alias("n_purchase"),
+    )
