@@ -1782,21 +1782,78 @@ def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "kept_lines", F.md5("text").alias("fp"))
 
 
-@query("emb_kmeans_lloyd")
+def _km_assign(prev_cent: str, name: str) -> str:
+    return f"""
+    {name} AS (
+      SELECT v.id, v.q,
+             arg_min(c.cell, (list_sum(list_transform(generate_series(1, len(v.q)),
+                       i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i])))::BIGINT) * 1000
+                     + c.cell) AS cell
+      FROM vq v CROSS JOIN {prev_cent} c
+      GROUP BY v.id, v.q)"""
+
+
+def _km_recompute(a: str, prev_cent: str, name: str) -> str:
+    # ((s - pmod(s, n)) / n) is exact BIGINT floor division — matches the
+    # engine's Python `//` centroid update for negative sums too
+    return f"""
+    {name}_new AS (
+      SELECT cell, i,
+             ((s - (((s % n) + n) % n)) / n)::BIGINT AS v
+      FROM (SELECT cell, i, sum(q[i])::BIGINT AS s, count(*)::BIGINT AS n
+            FROM {a}, unnest(generate_series(1, len(q))) AS u(i)
+            GROUP BY cell, i))
+    , {name} AS (
+      SELECT p.cell, list(nw.v ORDER BY nw.i) FILTER (nw.v IS NOT NULL) AS newq,
+             p.cq AS prevq
+      FROM {prev_cent} p LEFT JOIN {name}_new nw USING (cell)
+      GROUP BY p.cell, p.cq)
+    , {name}f AS (
+      SELECT cell, CASE WHEN newq IS NULL OR len(newq) = 0 THEN prevq ELSE newq END AS cq
+      FROM {name})"""
+
+
+@query(
+    "emb_kmeans_lloyd",
+    oracle=f"""
+    WITH vq AS (SELECT vec_id AS id,
+                       list_transform(embedding::DOUBLE[], x -> round(x*10000)::BIGINT) AS q
+                FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, q AS cq
+           FROM (SELECT id, q FROM vq ORDER BY id LIMIT 8)),
+    {_km_assign("c0", "a1")},
+    {_km_recompute("a1", "c0", "cent1")},
+    {_km_assign("cent1f", "a2")},
+    {_km_recompute("a2", "cent1f", "cent2")},
+    {_km_assign("cent2f", "a3")},
+    {_km_recompute("a3", "cent2f", "cent3")}
+    SELECT a.cell, count(*) AS n, cs.checksum AS centroid_checksum
+    FROM a3 a JOIN (SELECT cell, list_sum(cq)::BIGINT AS checksum
+                    FROM cent3f GROUP BY cell, cq) cs USING (cell)
+    GROUP BY a.cell, cs.checksum
+    """,
+)
 def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full distributed Lloyd k-means (3 rounds, k=8) — the IVF coarse-
     quantizer training loop. Exact integer trajectory (e4 units, BIGINT
-    L2^2, floor means) so the run is bit-reproducible; no SQL oracle
-    (iterative) — a numpy differential test mirrors the arithmetic and
-    asserts exact equality of assignments and centroids."""
+    L2^2, floor means) so the run is bit-reproducible — reproducible
+    enough that the ORACLE is the entire three-round loop UNROLLED into
+    DuckDB SQL (assign-recompute x3 with exact floor-division centroid
+    updates): an iterative distributed training loop hash-matched
+    end-to-end. A numpy differential test additionally mirrors the
+    arithmetic."""
     from ..dataops.similarity import kmeans_lloyd
 
     e = table(spark, sf_dir, "embeddings")
     assigned, cents = kmeans_lloyd(e, k=8, n_iters=3)
     checksum = {j: sum(c) for j, c in enumerate(cents)}
-    m = F.create_map(*[F.lit(v) for kv in checksum.items() for v in kv])
+    m = F.create_map(
+        *[F.lit(v).cast("long") for kv in checksum.items() for v in kv]
+    )
     return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).select(
-        "cell", "n", m[F.col("cell")].alias("centroid_checksum")
+        F.col("cell").cast("long").alias("cell"),
+        "n",
+        m[F.col("cell").cast("long")].alias("centroid_checksum"),
     )
 
 

@@ -128,7 +128,9 @@ _PRIORITY: tuple[str, ...] = (
     "doc_concat_chunk_spans",
     # embedding ops: normalization, k-means, quantization, IVF-PQ, keyed inference
     "emb_normalize",
-    "emb_kmeans_step",
+    # the full Lloyd loop's UNROLLED exact oracle subsumes the one-step
+    # gate (emb_kmeans_step -> round 4)
+    "emb_kmeans_lloyd",
     "emb_quantize",
     "emb_inference_keyed",
     "emb_centroid_outliers",
