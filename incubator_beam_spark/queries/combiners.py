@@ -634,3 +634,48 @@ def agg_sample_per_key_deterministic(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("rn") <= 3)
         .select("o_orderpriority", "o_orderkey")
     )
+
+
+@query(
+    "win_navigation_suite",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey)      OVER w AS prev_order,
+           lead(o_orderkey)     OVER w AS next_order,
+           lag(o_orderkey, 2, -1)  OVER w AS prev2_or_default,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_order,
+           CAST(round(o_totalprice - coalesce(lag(o_totalprice) OVER w, o_totalprice), 2)
+                AS DOUBLE) AS price_delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def win_navigation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE/LAST_VALUE (reference
+    ``BeamBuiltinAnalyticFunctions.java:41-47``) + LEAD/LAG with offsets
+    and defaults (the free Spark extras SURVEY §2.8 notes): per-customer
+    order navigation — previous/next order ids, a 2-back lag with a
+    default, first/last order in the partition (last over the FULL
+    frame — the default running frame is the classic silent-wrong-answer
+    for last_value), and the order-to-order price delta."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.lag("o_orderkey", 2, -1).over(w).alias("prev2_or_default"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+        F.round(
+            F.col("o_totalprice")
+            - F.coalesce(F.lag("o_totalprice").over(w), F.col("o_totalprice")),
+            2,
+        ).alias("price_delta"),
+    )
