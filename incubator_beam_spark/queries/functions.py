@@ -441,3 +441,46 @@ def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.map_keys(F.col("m"))).cast("long").alias("n_types"),
         )
     )
+
+
+@query(
+    "fn_hof_suite",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding::DOUBLE[], x -> x > 0))::BIGINT AS n_pos,
+           (len(list_filter(embedding::DOUBLE[], x -> x > 0.9)) > 0) AS any_big,
+           (len(list_filter(embedding::DOUBLE[], x -> abs(x) <= 1.0))
+              = len(embedding)) AS all_unit,
+           CAST(round(list_sum(list_transform(
+                 list_zip(embedding[1:8], embedding[9:16]),
+                 p -> p[1]::DOUBLE * p[2]::DOUBLE)) * 1000000) AS BIGINT)
+             AS dot8_e6
+    FROM embeddings
+    """,
+)
+def fn_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order function surface (filter/exists/forall/zip_with —
+    the lambda-expression layer SURVEY §1.2 maps ArrayType onto): count
+    of positive components, existence of a large one, a forall unit
+    bound, and a zip_with dot product over two slices — every lambda
+    codegen'd, zero UDFs."""
+    e = table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(F.filter(dbl, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.exists(dbl, lambda x: x > 0.9).alias("any_big"),
+        F.forall(dbl, lambda x: F.abs(x) <= 1.0).alias("all_unit"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(dbl, 1, 8), F.slice(dbl, 9, 8), lambda a, b: a * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("dot8_e6"),
+    )

@@ -368,3 +368,31 @@ def sql_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
         """,
     )
+
+
+@query(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS bal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (the SQL:2016 surface behind Calcite's
+    correlate rels; top-3 customers per nation by balance): the
+    per-outer-row dependent subquery — Spark plans the
+    correlation as a join + per-group limit, never a driver loop."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS bal
+        FROM nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+        """,
+    )
