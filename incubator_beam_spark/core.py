@@ -335,7 +335,14 @@ class Create(PTransform):
     def expand(self, pcoll: PCollection) -> PCollection:
         spark = pcoll.pipeline.spark
         vals = self.values
-        if vals and all(isinstance(v, TimestampedValue) for v in vals):
+        n_tsv = sum(isinstance(v, TimestampedValue) for v in vals)
+        if n_tsv and n_tsv != len(vals):
+            raise ValueError(
+                f"Create: {n_tsv} of {len(vals)} values are TimestampedValue — "
+                "mix of timestamped and plain values is not allowed; wrap all "
+                "elements in TimestampedValue or none"
+            )
+        if vals and n_tsv == len(vals):
             rows = [(v.value, v.timestamp) for v in vals]
             return PCollection(
                 spark.createDataFrame(rows, ["element", "ts"]), pcoll.pipeline

@@ -163,6 +163,7 @@ def neardup_pairs(
     n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket self-join, then
     exact cosine verify (the embedding analog of MinHash LSH dedup).
@@ -178,6 +179,20 @@ def neardup_pairs(
     planes left the join quadratic at corpus scale). Pass an explicit
     count when the caller already knows N or needs a reproducible bucket
     layout (the gate query pins 4 to match its oracle).
+
+    ``max_bucket`` caps bucket size (default 1000) the same way
+    ``minhash_lsh_pairs`` caps band buckets: ``auto_planes`` sizes the
+    EXPECTED bucket, but a degenerate embedding cluster (zero/near-zero
+    vectors all sharing one sign pattern) makes one bucket quadratic at
+    corpus scale regardless of plane count. Buckets over the cap are
+    dropped LOUDLY before the self-join — the hot-key removal is a
+    map-side-combined count + broadcast anti-join, no second shuffle of
+    the vector rows. Unlike multi-band MinHash, a dropped sign-LSH
+    bucket has no other band to recover through, so the drop trades
+    recall on the degenerate cluster for a bounded join (the standard
+    mitigation; the degenerate cluster is near-identical anyway and is
+    better handled by exact dedup upstream). ``max_bucket=None``
+    disables the cap.
     """
     from .dedup import ensure_parallelism
 
@@ -193,6 +208,14 @@ def neardup_pairs(
         .withColumn("nrm", norm(F.col("v")))
         .repartition("bucket")
     )
+    if max_bucket is not None:
+        hot = (
+            v.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket)
+            .select("bucket")
+        )
+        v = v.join(F.broadcast(hot), ["bucket"], "left_anti")
     a = v.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"),
                  F.col("nrm").alias("na"))
     b = v.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"),

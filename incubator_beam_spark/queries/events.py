@@ -927,7 +927,7 @@ def nexmark_q12_proc_time_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evt_capped_session_window",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
                   THEN 1 ELSE 0 END AS brk
@@ -935,7 +935,7 @@ def nexmark_q12_proc_time_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
       SELECT user_id, ts, value,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged),
     capped AS (
@@ -969,7 +969,9 @@ def evt_capped_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = flagged.withColumn(
         "sid",
         F.sum("brk").over(
-            W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)
         ),
     )
     sess_start = F.min(ts_s).over(W.partitionBy("user_id", "sid"))

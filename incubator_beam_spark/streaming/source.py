@@ -169,3 +169,13 @@ class PeriodicImpulse:
 
     def read(self, spark: SparkSession) -> DataFrame:
         return periodic_impulse(spark, self.fire_interval)
+
+    def expand(self, pipeline):
+        """PTransform spelling: ``PeriodicImpulse(...).expand(pipeline)``
+        returns a PCollection wrapping the rate stream (accepts either a
+        Pipeline or a SparkSession)."""
+        from ..core import PCollection, Pipeline
+
+        if isinstance(pipeline, Pipeline):
+            return PCollection(self.read(pipeline.spark), pipeline)
+        return PCollection(self.read(pipeline), Pipeline(spark=pipeline))

@@ -617,15 +617,26 @@ class BatchElements(PTransform):
     by ``spark.sql.execution.arrow.maxRecordsPerBatch`` — so the
     transform is the identity on the dataflow; it exists so reference
     pipelines port verbatim. ``max_batch_size`` adjusts the Arrow batch
-    cap session-wide when given."""
+    cap SESSION-WIDE when given (Spark has one Arrow batch-size conf per
+    session, not per-operator — a warning is emitted because later
+    pipelines on the same session see the new cap). ``min_batch_size``
+    is accepted for API parity but is a NO-OP: Arrow batching has no
+    lower bound knob (tail batches are naturally smaller)."""
 
     def __init__(self, min_batch_size: int = 1, max_batch_size: int | None = None):
+        # min_batch_size intentionally unused — see docstring.
         self.max_batch_size = max_batch_size
 
     def expand(self, pcoll: PCollection) -> PCollection:
         if self.max_batch_size:
-            pcoll.pipeline.spark.conf.set(
-                "spark.sql.execution.arrow.maxRecordsPerBatch",
-                str(self.max_batch_size),
+            import warnings
+
+            conf = pcoll.pipeline.spark.conf
+            key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+            warnings.warn(
+                f"BatchElements sets {key}={self.max_batch_size} session-wide; "
+                "subsequent pipelines on this SparkSession inherit it",
+                stacklevel=3,
             )
+            conf.set(key, str(self.max_batch_size))
         return pcoll

@@ -81,7 +81,13 @@ class WindowFn:
     ) -> "list[tuple[list[tuple[float, float]], tuple[float, float]]]":
         """Override for fully-general merging (disjoint, conditional,
         element-count-independent — anything). Default: engine-side
-        overlap/slack merge."""
+        overlap/slack merge.
+
+        The directives must be the FINAL FIXPOINT in this single
+        invocation: returned windows are applied as-is and are NOT
+        re-merged against each other (unlike Beam's MergeContext, which
+        may call merge repeatedly). Directives may only name windows
+        from the input list — unknown members raise ValueError."""
         raise NotImplementedError
 
 
@@ -189,10 +195,18 @@ def merge_proto_windows_general(
 
     def apply_merge(pdf):
         wins = sorted(set(zip(pdf["window_start"], pdf["window_end"])))
+        winset = {(float(s), float(e)) for s, e in wins}
         mapping = {}
         for members, merged in windowfn.merge(wins):
             for m in members:
-                mapping[(float(m[0]), float(m[1]))] = merged
+                key = (float(m[0]), float(m[1]))
+                if key not in winset:
+                    raise ValueError(
+                        f"WindowFn.merge directive names window {key} which is "
+                        f"not among this key's distinct windows; merge() must "
+                        f"only reference windows it was given"
+                    )
+                mapping[key] = merged
         if mapping:
             new = [
                 mapping.get((float(s), float(e)), (s, e))

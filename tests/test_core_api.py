@@ -396,3 +396,26 @@ def test_state_spec_classes_delegate(spark):
     c.add(ctx, 3); c.add(ctx, 4); assert c.read(ctx) == 7
     t = TimerSpec("flush"); t.set(ctx, 99.0); assert timers["flush"] == 99.0
     t.clear(ctx); assert "flush" not in timers
+
+
+def test_create_mixed_timestamped_values_raises(p):
+    with pytest.raises(ValueError, match="TimestampedValue"):
+        p | ibs.Create([ibs.TimestampedValue("a", 1.0), "plain"])
+
+
+def test_side_input_view_size_guard(p):
+    """An oversized AsList fails loudly BEFORE materializing the full
+    collection on the driver (VERDICT r3 item 5)."""
+    from incubator_beam_spark import pvalue
+    from incubator_beam_spark.pvalue import SideInputSizeError
+
+    big = p | ibs.Create(list(range(50)))
+    with pytest.raises(SideInputSizeError, match="cap"):
+        pvalue.AsList(big, max_rows=10).resolve()
+    # explicit raise of the cap resolves fine
+    assert sorted(pvalue.AsList(big, max_rows=50).resolve()) == list(range(50))
+    # AsDict inherits the same guard
+    kv = p | ibs.Create([(i, i * 2) for i in range(20)])
+    with pytest.raises(SideInputSizeError):
+        pvalue.AsDict(kv, max_rows=5).resolve()
+    assert pvalue.AsDict(kv, max_rows=20).resolve()[3] == 6

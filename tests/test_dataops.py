@@ -1436,3 +1436,26 @@ def test_epoch_repeats_deterministic(spark):
     a = sorted((r.doc_id, r.n_copies) for r in epoch_repeats(d).collect())
     b = sorted((r.doc_id, r.n_copies) for r in epoch_repeats(d).collect())
     assert a == b
+
+
+def test_neardup_pairs_hot_bucket_cap(spark):
+    # a planted degenerate cluster: 40 identical vectors share one sign
+    # bucket -> quadratic without the cap; 2 normal near-dups elsewhere
+    deg = [0.001] * 8
+    base = [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0]
+    jig = [v * 0.99 for v in base]
+    rows = [(i, deg) for i in range(100, 140)] + [(1, base), (2, jig)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    capped = {
+        (r.id_a, r.id_b)
+        for r in similarity.neardup_pairs(
+            emb, dim=8, threshold=0.9, n_planes=4, max_bucket=10
+        ).collect()
+    }
+    # degenerate bucket dropped entirely; the healthy pair survives
+    assert (1, 2) in capped
+    assert all(a < 100 and b < 100 for a, b in capped)
+    uncapped = similarity.neardup_pairs(
+        emb, dim=8, threshold=0.9, n_planes=4, max_bucket=None
+    ).count()
+    assert uncapped >= 40 * 39 / 2  # the quadratic blow-up the cap prevents

@@ -211,3 +211,24 @@ def test_general_merge_rows_keep_all_columns(spark, p):
     ).df
     rows = sorted((r.user, r.etype, r.ts, r.window_start, r.window_end) for r in out.collect())
     assert rows == [(1, "x", 0.0, 0.0, 101.0), (1, "y", 100.0, 0.0, 101.0)]
+
+
+def test_general_merge_rejects_unknown_member(spark):
+    """A merge directive naming a window not in the key's distinct set
+    raises instead of being silently ignored (ADVICE r3)."""
+    from incubator_beam_spark.windows import WindowFn, merge_proto_windows_general
+
+    class BadFn(WindowFn):
+        merging = True
+
+        def merge(self, windows):
+            return [([(999.0, 1000.0)], (0.0, 1.0))]
+
+    df = spark.createDataFrame(
+        [("u", 0.0, 10.0), ("u", 5.0, 15.0)], ["k", "window_start", "window_end"]
+    )
+    out = merge_proto_windows_general(df, ["k"], BadFn())
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not among"):
+        out.collect()
