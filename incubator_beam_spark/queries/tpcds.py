@@ -1,0 +1,630 @@
+"""TPC-DS-shaped SQL conformance gates.
+
+The reference's largest SQL conformance asset is its TPC-DS harness —
+103 query files under
+``sdks/java/testing/tpcds/src/main/resources/queries/`` driven by
+``sdks/java/testing/tpcds/.../SqlTransformRunner.java`` — exercising
+rollup/grouping, window frames, correlated subqueries, multi-CTE
+year-over-year self-joins, INTERSECT, and cumulative-window full-outer
+joins that the hand-written sql_* gates don't reach. This module ports
+the distinctive SHAPES of 14 of those queries onto the fixture's
+TPC-H-ish star schema (the same adaptation the TPC-H gates use):
+
+  store_sales            -> lineitem (+ orders for the sold date)
+  date_dim               -> year()/month() of o_orderdate / l_shipdate
+  item                   -> part (i_category -> p_type, i_brand -> p_brand)
+  store                  -> supplier (s_state -> nation via s_nationkey)
+  customer_address.state -> nation via c_nationkey
+  sales channels         -> l_linestatus 'F'/'O' + l_returnflag 'R'
+  store_returns          -> lineitem rows with l_returnflag = 'R'
+
+Every gate runs through the SQL front door (``plans/sqlfront.py``:
+temp views + Catalyst) so predicate pushdown / join reordering /
+broadcast selection come from the optimizer, and carries an exact
+DuckDB oracle.
+
+Exactness conventions (registry docstring): money sums are emitted as
+BIGINT 1e-4-unit integers (products of 2dp price x 2dp discount are
+4-decimal, so the true sums are integral in those units and round()
+only strips float ulp noise); ratio FILTERS are rewritten into integer
+arithmetic (``10*abs(n*m - S) > S`` instead of ``abs(m - S/n)/(S/n) >
+0.1``) because a rational ratio CAN land exactly on a decimal boundary
+where engines' HALF_UP/half-even disagree; rank() windows order by
+integer-unit sums with unique tie-breaks so no two engines can rank
+near-equal doubles differently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
+from ..plans.sqlfront import run_sql
+from ..registry import query
+
+
+def _sql(spark: SparkSession, sf_dir: str, q: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return run_sql(spark, q)
+
+
+# revenue in exact 1e-4 units (price 2dp x (1-discount) 2dp = 4dp terms)
+_REV_UM = "CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)"
+
+
+@query(
+    "sql_tpcds_q3",
+    oracle="""
+    SELECT year(l_shipdate) AS d_year, p_brand AS brand,
+           CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_agg_um
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO' AND month(l_shipdate) = 12
+    GROUP BY year(l_shipdate), p_brand
+    ORDER BY d_year, sum_agg_um DESC, brand
+    LIMIT 100
+    """,
+)
+def sql_tpcds_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query3 (``.../tpcds/.../queries/query3.sql``): brand revenue
+    by year for one manufacturer in December. Dim join broadcasts part;
+    the only shuffle is the final hash-agg on (year, brand). ORDER
+    BY+LIMIT keys are unique (year, brand) so the cut is deterministic."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT year(l_shipdate) AS d_year, p_brand AS brand,
+               CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_agg_um
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'PROMO' AND month(l_shipdate) = 12
+        GROUP BY year(l_shipdate), p_brand
+        ORDER BY d_year, sum_agg_um DESC, brand
+        LIMIT 100
+        """,
+    )
+
+
+@query(
+    "sql_tpcds_q7",
+    oracle="""
+    SELECT p_brand,
+           round(avg(l_quantity), 4) AS agg1,
+           round(avg(l_extendedprice), 4) AS agg2,
+           round(avg(l_discount), 4) AS agg3,
+           round(avg(l_tax), 4) AS agg4
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderpriority IN ('5-LOW', '4-NOT SPECIFIED')
+      AND year(o_orderdate) = 1998
+    GROUP BY p_brand
+    ORDER BY p_brand
+    LIMIT 100
+    """,
+)
+def sql_tpcds_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query7 (``queries/query7.sql``): four demographic-filtered
+    averages per item. customer_demographics -> c_mktsegment, promotion
+    channel -> o_orderpriority. part/customer broadcast; lineitem⨝orders
+    is the one big shuffle."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT p_brand,
+               round(avg(l_quantity), 4) AS agg1,
+               round(avg(l_extendedprice), 4) AS agg2,
+               round(avg(l_discount), 4) AS agg3,
+               round(avg(l_tax), 4) AS agg4
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderpriority IN ('5-LOW', '4-NOT SPECIFIED')
+          AND year(o_orderdate) = 1998
+        GROUP BY p_brand
+        ORDER BY p_brand
+        LIMIT 100
+        """,
+    )
+
+
+_Q1_BODY = """
+    WITH ctr AS (
+      SELECT c.c_custkey AS ctr_cust, c.c_nationkey AS ctr_nation,
+             CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                  AS BIGINT) AS ctr_total_um
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_nationkey)
+    SELECT c.c_name
+    FROM ctr ctr1
+    JOIN customer c ON ctr1.ctr_cust = c.c_custkey
+    WHERE ctr1.ctr_total_um * 5
+            * (SELECT count(*) FROM ctr ctr2
+               WHERE ctr1.ctr_nation = ctr2.ctr_nation)
+          > (SELECT sum(ctr2.ctr_total_um) FROM ctr ctr2
+             WHERE ctr1.ctr_nation = ctr2.ctr_nation) * 6
+    ORDER BY c.c_name
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q1", oracle=_Q1_BODY)
+def sql_tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query1 (``queries/query1.sql``): customers whose returns
+    exceed 1.2x their state's average return total — CTE + correlated
+    scalar-average subquery over the CTE. store_returns -> l_returnflag
+    = 'R'; s_state -> c_nationkey. The 1.2x comparison runs in exact
+    integer units (total*5*count > sum*6 <=> total > 1.2*avg) so no
+    float boundary can flip membership between engines."""
+    return _sql(spark, sf_dir, _Q1_BODY)
+
+
+_Q6_BODY = """
+    SELECT n.n_name AS state, CAST(count(*) AS BIGINT) AS cnt
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE year(o.o_orderdate) = 1998 AND month(o.o_orderdate) = 1
+      AND CAST(round(p.p_retailprice * 100) AS BIGINT) * 10
+            * (SELECT count(*) FROM part p2 WHERE p2.p_type = p.p_type)
+          > (SELECT sum(CAST(round(p2.p_retailprice * 100) AS BIGINT))
+             FROM part p2 WHERE p2.p_type = p.p_type) * 12
+    GROUP BY n.n_name
+    HAVING count(*) >= 10
+    ORDER BY cnt, state
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q6", oracle=_Q6_BODY)
+def sql_tpcds_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query6 (``queries/query6.sql``): states where >=10
+    customers bought items priced over 1.2x their category average in a
+    month — correlated average subquery in the join predicate + HAVING.
+    customer_address.ca_state -> nation; i_category -> p_type. The
+    1.2x threshold is cross-multiplied into integer-cent arithmetic
+    (price_cents*10*count > sum_cents*12) so no float average can sit on
+    an engine-dependent boundary."""
+    return _sql(spark, sf_dir, _Q6_BODY)
+
+
+_Q11_BODY = """
+    WITH year_total AS (
+      SELECT o.o_custkey AS cust, l.l_linestatus AS channel,
+             year(o.o_orderdate) AS dyear,
+             CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                  AS BIGINT) AS total_um
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey, l.l_linestatus, year(o.o_orderdate))
+    SELECT c.c_name
+    FROM year_total s1
+    JOIN year_total s2 ON s1.cust = s2.cust
+    JOIN year_total w1 ON s1.cust = w1.cust
+    JOIN year_total w2 ON s1.cust = w2.cust
+    JOIN customer c ON s1.cust = c.c_custkey
+    WHERE s1.channel = 'F' AND s2.channel = 'F'
+      AND w1.channel = 'O' AND w2.channel = 'O'
+      AND s1.dyear = 1997 AND s2.dyear = 1998
+      AND w1.dyear = 1997 AND w2.dyear = 1998
+      AND s1.total_um > 0 AND w1.total_um > 0
+      AND CAST(w2.total_um AS DECIMAL(19,0)) * s1.total_um
+          > CAST(s2.total_um AS DECIMAL(19,0)) * w1.total_um
+    ORDER BY c.c_name
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q11", oracle=_Q11_BODY)
+def sql_tpcds_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query11 (``queries/query11.sql``): customers whose
+    web-channel year-over-year growth beat their store-channel growth —
+    one CTE self-joined four ways. Channels -> l_linestatus 'F'/'O'.
+    The growth-ratio comparison w2/w1 > s2/s1 is cross-multiplied into
+    exact BIGINT arithmetic (w2*s1 > s2*w1), removing the division
+    entirely."""
+    return _sql(spark, sf_dir, _Q11_BODY)
+
+
+_Q12_BODY = """
+    WITH rev AS (
+      SELECT p.p_partkey AS item, p.p_type AS class,
+             CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                  AS BIGINT) AS itemrevenue_um
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-31'
+      GROUP BY p.p_partkey, p.p_type)
+    SELECT item, class, itemrevenue_um,
+           {IDIV} AS revenueratio_bp
+    FROM rev
+    ORDER BY class, revenueratio_bp, item
+    LIMIT 100
+"""
+
+
+@query(
+    "sql_tpcds_q12",
+    oracle=_Q12_BODY.replace(
+        "{IDIV}",
+        "CAST((itemrevenue_um * 10000) // sum(itemrevenue_um) OVER (PARTITION BY class) AS BIGINT)",
+    ),
+)
+def sql_tpcds_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query12 (``queries/query12.sql``): 30-day item revenue and
+    its share of the item's class — sum() OVER (PARTITION BY class)
+    ratio-to-report. The share is integer basis points via integer
+    division of exact integer units (Spark ``div``, DuckDB ``//``) —
+    bit-identical across engines, no float ratio anywhere."""
+    return _sql(
+        spark,
+        sf_dir,
+        _Q12_BODY.replace(
+            "{IDIV}",
+            "(itemrevenue_um * 10000) div sum(itemrevenue_um) OVER (PARTITION BY class)",
+        ),
+    )
+
+
+_Q36_BODY = """
+    WITH agg AS (
+      SELECT CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                  AS BIGINT) AS net_um,
+             CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT) AS gross_um,
+             p.p_type AS category, p.p_brand AS class,
+             grouping(p.p_type) + grouping(p.p_brand) AS lochierarchy,
+             grouping(p.p_brand) AS g_class
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY ROLLUP(p.p_type, p.p_brand))
+    SELECT (net_um * 100) {IDIV} gross_um AS gross_margin_bp,
+           category, class, lochierarchy,
+           rank() OVER (
+             PARTITION BY lochierarchy,
+                          CASE WHEN g_class = 0 THEN category END
+             ORDER BY (net_um * 100) {IDIV} gross_um,
+                      coalesce(class, category, '')
+           ) AS rank_within_parent
+    FROM agg
+"""
+
+
+@query("sql_tpcds_q36", oracle=_Q36_BODY.replace("{IDIV}", "//"))
+def sql_tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query36 (``queries/query36.sql``): gross margin by
+    category ROLLUP with grouping()-derived hierarchy level and
+    rank-within-parent — the canonical rollup+grouping+window shape.
+    Margin is integer basis points via exact integer division; the rank ORDER BY adds a
+    unique tie-break so near-equal margins cannot rank differently
+    across engines. grouping() is computed in the inner rollup query
+    and the window runs in the outer query (both dialects restrict
+    grouping() inside window specs)."""
+    return _sql(spark, sf_dir, _Q36_BODY.replace("{IDIV}", "div"))
+
+
+_Q38_BODY = """
+    SELECT CAST(count(*) AS BIGINT) AS hot_customers
+    FROM (
+      SELECT DISTINCT o.o_custkey FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE l.l_linestatus = 'F'
+      INTERSECT
+      SELECT DISTINCT o.o_custkey FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE l.l_linestatus = 'O'
+      INTERSECT
+      SELECT DISTINCT o.o_custkey FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE l.l_returnflag = 'R'
+    ) t
+"""
+
+
+@query("sql_tpcds_q38", oracle=_Q38_BODY)
+def sql_tpcds_q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query38 (``queries/query38.sql``): customers active in all
+    three channels — chained INTERSECT of per-channel DISTINCT sets,
+    then a global count. Channels -> l_linestatus 'F'/'O' and returns."""
+    return _sql(spark, sf_dir, _Q38_BODY)
+
+
+_Q44_BODY = """
+    WITH perf AS (
+      SELECT l_partkey,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000)
+                  AS BIGINT) AS rev_um
+      FROM lineitem GROUP BY l_partkey),
+    asc_rank AS (
+      SELECT l_partkey, rank() OVER (ORDER BY rev_um ASC, l_partkey) AS rnk
+      FROM perf),
+    desc_rank AS (
+      SELECT l_partkey, rank() OVER (ORDER BY rev_um DESC, l_partkey) AS rnk
+      FROM perf)
+    SELECT a.rnk, p1.p_name AS worst_performing, p2.p_name AS best_performing
+    FROM asc_rank a
+    JOIN desc_rank d ON a.rnk = d.rnk
+    JOIN part p1 ON a.l_partkey = p1.p_partkey
+    JOIN part p2 ON d.l_partkey = p2.p_partkey
+    WHERE a.rnk <= 10
+"""
+
+
+@query("sql_tpcds_q44", oracle=_Q44_BODY)
+def sql_tpcds_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query44 (``queries/query44.sql``): ten best and worst
+    performing items side by side — two opposite-direction rank()
+    windows over one aggregate, self-joined on rank. Ranks order by
+    exact integer units + partkey tie-break, so the two engines' rank
+    sequences are identical by construction."""
+    return _sql(spark, sf_dir, _Q44_BODY)
+
+
+_Q47_BODY = """
+    WITH v1 AS (
+      SELECT p.p_brand, s.s_name,
+             year(o.o_orderdate) AS d_year, month(o.o_orderdate) AS d_moy,
+             CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                  AS BIGINT) AS sum_sales_um
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY p.p_brand, s.s_name, year(o.o_orderdate), month(o.o_orderdate)),
+    v2 AS (
+      SELECT p_brand, s_name, d_year, d_moy, sum_sales_um,
+             CAST(sum(sum_sales_um) OVER (PARTITION BY p_brand, s_name,
+                                          d_year) AS BIGINT)
+               AS year_total_um,
+             CAST(count(*) OVER (PARTITION BY p_brand, s_name, d_year)
+                  AS BIGINT) AS n_months,
+             lag(sum_sales_um) OVER (PARTITION BY p_brand, s_name
+                                     ORDER BY d_year, d_moy) AS psum_um,
+             lead(sum_sales_um) OVER (PARTITION BY p_brand, s_name
+                                      ORDER BY d_year, d_moy) AS nsum_um
+      FROM v1)
+    SELECT p_brand, s_name, d_year, d_moy, sum_sales_um, year_total_um,
+           psum_um, nsum_um
+    FROM v2
+    WHERE d_year = 1998
+      AND year_total_um > 0
+      AND 10 * abs(n_months * sum_sales_um - year_total_um) > year_total_um
+    ORDER BY p_brand, s_name, d_year, d_moy
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q47", oracle=_Q47_BODY)
+def sql_tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query47 (``queries/query47.sql``): monthly (brand, store)
+    sales that deviate >10% from the year's monthly average, with the
+    neighboring months' sales via lag/lead over the same ordering. The
+    deviation filter abs(m - S/n)/(S/n) > 0.1 is rewritten to exact
+    integers: 10*abs(n*m - S) > S (a rational ratio CAN land exactly on
+    0.1, where float evaluation is engine-dependent)."""
+    return _sql(spark, sf_dir, _Q47_BODY)
+
+
+_Q51_BODY = """
+    WITH store_v AS (
+      SELECT l_partkey AS item, CAST(l_shipdate AS DATE) AS d,
+             CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sales_um
+      FROM lineitem WHERE l_linestatus = 'F' AND year(l_shipdate) = 1998
+      GROUP BY l_partkey, CAST(l_shipdate AS DATE)),
+    web_v AS (
+      SELECT l_partkey AS item, CAST(l_shipdate AS DATE) AS d,
+             CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sales_um
+      FROM lineitem WHERE l_linestatus = 'O' AND year(l_shipdate) = 1998
+      GROUP BY l_partkey, CAST(l_shipdate AS DATE)),
+    store_c AS (
+      SELECT item, d, CAST(sum(sales_um) OVER (PARTITION BY item
+                                               ORDER BY d) AS BIGINT)
+               AS cume_um
+      FROM store_v),
+    web_c AS (
+      SELECT item, d, CAST(sum(sales_um) OVER (PARTITION BY item
+                                               ORDER BY d) AS BIGINT)
+               AS cume_um
+      FROM web_v),
+    both_c AS (
+      SELECT coalesce(w.item, s.item) AS item, coalesce(w.d, s.d) AS d,
+             w.cume_um AS web_cume_um, s.cume_um AS store_cume_um
+      FROM web_c w FULL OUTER JOIN store_c s
+        ON w.item = s.item AND w.d = s.d),
+    filled AS (
+      SELECT item, d,
+             max(web_cume_um) OVER (PARTITION BY item ORDER BY d)
+               AS web_cume_um,
+             max(store_cume_um) OVER (PARTITION BY item ORDER BY d)
+               AS store_cume_um
+      FROM both_c)
+    SELECT item, CAST(d AS TIMESTAMP) AS d, web_cume_um, store_cume_um
+    FROM filled
+    WHERE web_cume_um > coalesce(store_cume_um, 0)
+    ORDER BY item, d
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q51", oracle=_Q51_BODY)
+def sql_tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query51 (``queries/query51.sql``): days where an item's
+    cumulative web sales overtook its cumulative store sales — two
+    per-channel running sums, FULL OUTER JOIN on (item, day), then
+    gap-filling running max over the joined rows. All cumulative values
+    are exact integer cents, so the overtake comparison is exact."""
+    return _sql(spark, sf_dir, _Q51_BODY)
+
+
+_Q59_BODY = """
+    WITH wss AS (
+      SELECT weekofyear(l.l_shipdate) AS d_week_seq, year(l.l_shipdate) AS yr,
+             l.l_suppkey,
+             CAST(round(sum(CASE WHEN dayofweek(l.l_shipdate) = {SUN}
+                                 THEN l.l_extendedprice ELSE 0 END) * 100)
+                  AS BIGINT) AS sun_um,
+             CAST(round(sum(CASE WHEN dayofweek(l.l_shipdate) = {MON}
+                                 THEN l.l_extendedprice ELSE 0 END) * 100)
+                  AS BIGINT) AS mon_um,
+             CAST(round(sum(CASE WHEN dayofweek(l.l_shipdate) = {FRI}
+                                 THEN l.l_extendedprice ELSE 0 END) * 100)
+                  AS BIGINT) AS fri_um
+      FROM lineitem l
+      GROUP BY weekofyear(l.l_shipdate), year(l.l_shipdate), l.l_suppkey)
+    SELECT s.s_name, y1.d_week_seq AS week_seq,
+           CASE WHEN y2.sun_um > 0
+                THEN (y1.sun_um * 10000) {IDIV} y2.sun_um END AS sun_ratio_bp,
+           CASE WHEN y2.mon_um > 0
+                THEN (y1.mon_um * 10000) {IDIV} y2.mon_um END AS mon_ratio_bp,
+           CASE WHEN y2.fri_um > 0
+                THEN (y1.fri_um * 10000) {IDIV} y2.fri_um END AS fri_ratio_bp
+    FROM wss y1
+    JOIN wss y2 ON y1.l_suppkey = y2.l_suppkey
+               AND y1.d_week_seq = y2.d_week_seq
+               AND y1.yr = 1998 AND y2.yr = 1997
+    JOIN supplier s ON y1.l_suppkey = s.s_suppkey
+    ORDER BY s.s_name, week_seq
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q59", oracle=_Q59_BODY.replace("{IDIV}", "//")
+    .replace("{SUN}", "0").replace("{MON}", "1").replace("{FRI}", "5"))
+def sql_tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query59 (``queries/query59.sql``): week-over-year sales
+    ratios by day-of-week — conditional-CASE pivot inside the aggregate,
+    then a self-join of this year's week against last year's same week.
+    store -> supplier. Ratios are integer basis points via integer
+    division of exact cents (Spark ``div`` / DuckDB ``//``); dayofweek()
+    is 1=Sunday in Spark but 0=Sunday in DuckDB, so the day literals are
+    substituted per engine."""
+    return _sql(
+        spark,
+        sf_dir,
+        _Q59_BODY.replace("{IDIV}", "div")
+        .replace("{SUN}", "1").replace("{MON}", "2").replace("{FRI}", "6"),
+    )
+
+
+_Q70_BODY = """
+    WITH state_sales AS (
+      SELECT n.n_name AS state, n.n_regionkey AS rk,
+             CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                  AS BIGINT) AS total_um
+      FROM lineitem l
+      JOIN supplier sup ON l.l_suppkey = sup.s_suppkey
+      JOIN nation n ON sup.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name, n.n_regionkey),
+    top_states AS (
+      SELECT state FROM (
+        SELECT state, rank() OVER (PARTITION BY rk
+                                   ORDER BY total_um DESC, state) AS r
+        FROM state_sales) t
+      WHERE r <= 3),
+    agg AS (
+      SELECT CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                  AS BIGINT) AS total_um,
+             r.r_name AS region, n.n_name AS state,
+             grouping(r.r_name) + grouping(n.n_name) AS lochierarchy,
+             grouping(n.n_name) AS g_state
+      FROM lineitem l
+      JOIN supplier sup ON l.l_suppkey = sup.s_suppkey
+      JOIN nation n ON sup.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE n.n_name IN (SELECT state FROM top_states)
+      GROUP BY ROLLUP(r.r_name, n.n_name))
+    SELECT total_um, region, state, lochierarchy,
+           rank() OVER (
+             PARTITION BY lochierarchy,
+                          CASE WHEN g_state = 0 THEN region END
+             ORDER BY total_um DESC, coalesce(state, region, '')
+           ) AS rank_within_parent
+    FROM agg
+"""
+
+
+@query("sql_tpcds_q70", oracle=_Q70_BODY)
+def sql_tpcds_q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query70 (``queries/query70.sql``): sales ROLLUP over
+    (region, state) restricted to each region's top-3 states — a
+    windowed rank subquery FEEDING a rollup, then rank-within-parent
+    over the rollup levels. s_state/s_county -> supplier's nation and
+    region. All rank orderings use integer units + unique tie-breaks."""
+    return _sql(spark, sf_dir, _Q70_BODY)
+
+
+_Q89_BODY = """
+    WITH monthly AS (
+      SELECT p.p_type, p.p_brand, s.s_name, month(o.o_orderdate) AS d_moy,
+             CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                  AS BIGINT) AS sum_sales_um
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE year(o.o_orderdate) = 1998
+      GROUP BY p.p_type, p.p_brand, s.s_name, month(o.o_orderdate)),
+    with_avg AS (
+      SELECT p_type, p_brand, s_name, d_moy, sum_sales_um,
+             CAST(sum(sum_sales_um) OVER (PARTITION BY p_type, p_brand,
+                                          s_name) AS BIGINT)
+               AS year_total_um,
+             CAST(count(*) OVER (PARTITION BY p_type, p_brand, s_name)
+                  AS BIGINT) AS n_months
+      FROM monthly)
+    SELECT p_type, p_brand, s_name, d_moy, sum_sales_um, year_total_um,
+           n_months
+    FROM with_avg
+    WHERE year_total_um > 0
+      AND 10 * abs(n_months * sum_sales_um - year_total_um) > year_total_um
+    ORDER BY (n_months * sum_sales_um - year_total_um), s_name, p_brand,
+             p_type, d_moy
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q89", oracle=_Q89_BODY)
+def sql_tpcds_q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query89 (``queries/query89.sql``): monthly (category,
+    brand, store) sales deviating >10% from that combination's monthly
+    average for the year — avg-over-partition + deviation filter, with
+    the ORDER BY on the (signed) deviation itself. Both the filter and
+    the sort key are exact integer arithmetic (10*abs(n*m - S) > S),
+    never a float ratio."""
+    return _sql(spark, sf_dir, _Q89_BODY)
+
+
+_Q98_BODY = """
+    WITH rev AS (
+      SELECT p.p_name AS i_item_desc, p.p_type AS i_category,
+             p.p_brand AS i_class, p.p_partkey AS item,
+             CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                  AS BIGINT) AS itemrevenue_um
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1998-02-01'
+        AND l.l_shipdate < TIMESTAMP '1998-03-03'
+      GROUP BY p.p_name, p.p_type, p.p_brand, p.p_partkey)
+    SELECT i_item_desc, i_category, i_class, item, itemrevenue_um,
+           CAST((itemrevenue_um * 10000)
+             {IDIV} sum(itemrevenue_um) OVER (PARTITION BY i_class)
+             AS BIGINT) AS revenueratio_bp
+    FROM rev
+    ORDER BY i_category, i_class, item
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q98", oracle=_Q98_BODY.replace("{IDIV}", "//"))
+def sql_tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query98 (``queries/query98.sql``): 30-day revenue share
+    within class (store channel twin of query12, kept for its different
+    grouping/order surface: item descriptor columns and class-ordered
+    output). Integer basis points via exact integer division."""
+    return _sql(
+        spark,
+        sf_dir,
+        _Q98_BODY.replace("{IDIV}", "div"),
+    )

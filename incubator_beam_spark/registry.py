@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "incubator_beam_spark.queries.functions",
     "incubator_beam_spark.queries.events",
     "incubator_beam_spark.queries.sqlfront",
+    "incubator_beam_spark.queries.tpcds",
     "incubator_beam_spark.queries.dataops",
     "incubator_beam_spark.queries.streaming_queries",
     "incubator_beam_spark.queries.loadtests",
