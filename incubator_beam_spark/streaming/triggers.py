@@ -53,6 +53,15 @@ class Trigger:
         """Reset/advance state after firing; returns True if FINISHED."""
         return True
 
+    def merge_states(self, states: list[dict]) -> dict:
+        """Combine the trigger states of merging windows (Sessions):
+        mirrors the reference's ``Trigger.on_merge`` (trigger.py). Only
+        triggers with a defined merge story implement this; others raise
+        so a merging WindowFn cannot silently corrupt state."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not define merging semantics"
+        )
+
 
 @dataclass(frozen=True)
 class AfterWatermark(Trigger):
@@ -97,6 +106,17 @@ class AfterWatermark(Trigger):
             st["late"] = self.late.new_state()
         return False
 
+    def merge_states(self, states: list[dict]) -> dict:
+        """Beam on_merge: if any merging window already fired on time the
+        result window has not (its end moved later), so the on-time state
+        resets; sub-trigger states merge recursively (trigger.py:510)."""
+        st: dict = {"on_time_fired": False}
+        if self.early:
+            st["early"] = self.early.merge_states([s["early"] for s in states])
+        if self.late:
+            st["late"] = self.late.merge_states([s["late"] for s in states])
+        return st
+
 
 class DefaultTrigger(AfterWatermark):
     """Beam's default (trigger.py:313): on-time at the watermark, then one
@@ -126,6 +146,11 @@ class AfterCount(Trigger):
     def on_fire(self, st: dict, ctx: "TriggerContext") -> bool:
         st["seen"] = 0
         return True
+
+    def merge_states(self, states: list[dict]) -> dict:
+        # element counts are a combining state: merging sums them
+        # (reference AfterCount rides on a COUNT CombiningValueStateSpec)
+        return {"seen": sum(s["seen"] for s in states)}
 
 
 @dataclass(frozen=True)
@@ -159,12 +184,18 @@ class Always(Trigger):
     def on_fire(self, st: dict, ctx: "TriggerContext") -> bool:
         return False
 
+    def merge_states(self, states: list[dict]) -> dict:
+        return {}
+
 
 class _Never(Trigger):
     """Only the final (GC-time) firing emits (trigger.py:458)."""
 
     def should_fire(self, st: dict, ctx: "TriggerContext") -> bool:
         return False
+
+    def merge_states(self, states: list[dict]) -> dict:
+        return {}
 
 
 @dataclass(frozen=True)
@@ -186,6 +217,9 @@ class Repeatedly(Trigger):
         if self.sub.on_fire(st["sub"], ctx):
             st["sub"] = self.sub.new_state()
         return False
+
+    def merge_states(self, states: list[dict]) -> dict:
+        return {"sub": self.sub.merge_states([s["sub"] for s in states])}
 
 
 @dataclass(frozen=True)
@@ -330,6 +364,12 @@ class Pane:
     count: int
     sum: float
     is_final: bool = False
+    # set only when the driver runs with track_values / a timestamp
+    # combiner (the transcript-conformance surface); None otherwise
+    values: "tuple | None" = None
+    output_ts: "float | None" = None
+    nonspeculative_index: "int | None" = None
+    window_end: "float | None" = None
 
 
 @dataclass
@@ -342,6 +382,14 @@ class WindowState:
     acc_count: int = 0
     acc_sum: float = 0.0
     closed: bool = False
+    #: window end; 0.0 means "derive as start + window_size" (fixed mode)
+    end: float = 0.0
+    pending_values: list = field(default_factory=list)
+    acc_values: list = field(default_factory=list)
+    #: per-pane watermark holds (element output times eligible to hold)
+    holds: list = field(default_factory=list)
+    #: count of non-EARLY panes already emitted (PaneInfo.nonspeculative_index)
+    nonspec_count: int = 0
 
 
 class TriggerDriver:
@@ -361,17 +409,41 @@ class TriggerDriver:
         accumulation: str = DISCARDING,
         allowed_lateness: float = 0.0,
         slide: float | None = None,
+        session_gap: float | None = None,
+        timestamp_combiner: str | None = None,
+        output_time_transform=None,
+        track_values: bool = False,
     ) -> None:
+        """``session_gap`` switches assignment to merging session windows
+        (Sessions, window.py:537) — ``window_size`` is ignored for
+        assignment then. ``timestamp_combiner`` ('EOW' | 'EARLIEST' |
+        'LATEST') computes per-pane output timestamps with Beam
+        watermark-hold semantics (an element behind the watermark at
+        arrival cannot hold, so the pane falls back to end-of-window);
+        ``output_time_transform`` maps element ts -> hold ts first (the
+        WindowFn.get_transformed_output_time hook). ``track_values``
+        collects the element timestamps per pane — the transcript
+        conformance surface; production paths leave it off (the kernel
+        stays a ~100-byte combining state)."""
         self.window_size = window_size
         self.slide = slide if slide is not None else window_size
         if self.slide > window_size:
             raise ValueError("slide must be <= window_size")
+        if session_gap is not None and slide is not None:
+            raise ValueError("session_gap and slide are mutually exclusive")
+        self.session_gap = session_gap
         self.trigger = trigger or DefaultTrigger()
         self.accumulation = accumulation
         self.allowed_lateness = allowed_lateness
+        self.timestamp_combiner = timestamp_combiner
+        self.output_time_transform = output_time_transform
+        self.track_values = track_values
         self.windows: dict[float, WindowState] = {}
         self.watermark = float("-inf")
         self.processing_time = 0.0
+
+    def _end(self, ws: float, st: WindowState) -> float:
+        return st.end if st.end else ws + self.window_size
 
     # -- input hooks --------------------------------------------------------
 
@@ -380,6 +452,11 @@ class TriggerDriver:
         panes: list[Pane] = []
         touched: list[float] = []
         for ts, v in ts_values:
+            if self.session_gap is not None:
+                ws = self._add_session(ts, v)
+                if ws is not None and ws not in touched:
+                    touched.append(ws)
+                continue
             for ws in self._assign(ts):
                 end = ws + self.window_size
                 if self.watermark >= end + self.allowed_lateness:
@@ -389,16 +466,83 @@ class TriggerDriver:
                     st = self.windows[ws] = WindowState(self.trigger.new_state())
                 if st.closed:
                     continue
-                st.pending_count += 1
-                st.pending_sum += v
-                st.acc_count += 1
-                st.acc_sum += v
-                self.trigger.on_element(st.trigger_state, self._ctx(ws, st))
+                self._add_to_window(ws, st, ts, v)
                 if ws not in touched:
                     touched.append(ws)
         for ws in touched:
-            panes.extend(self._maybe_fire(ws))
+            if ws in self.windows:
+                panes.extend(self._maybe_fire(ws))
         return panes
+
+    def _add_to_window(self, ws: float, st: WindowState, ts: float, v: float) -> None:
+        st.pending_count += 1
+        st.pending_sum += v
+        st.acc_count += 1
+        st.acc_sum += v
+        if self.track_values:
+            st.pending_values.append(ts)
+            st.acc_values.append(ts)
+        if self.timestamp_combiner in ("EARLIEST", "LATEST"):
+            hold = (
+                self.output_time_transform(ts)
+                if self.output_time_transform
+                else ts
+            )
+            # Beam watermark-hold rule: an element at/behind the input
+            # watermark cannot hold the output watermark; the pane then
+            # falls back to end-of-window.
+            if ts >= self.watermark:
+                st.holds.append(hold)
+        self.trigger.on_element(st.trigger_state, self._ctx(ws, st))
+
+    def _add_session(self, ts: float, v: float) -> float | None:
+        """Sessions assignment with merging (window.py:537 + the
+        WindowFn.merge contract): the element's proto-window
+        [ts, ts+gap) coalesces with every overlapping open window. If
+        the merged extent equals an existing window's, the element is
+        absorbed (pane numbering continues); otherwise the merged window
+        is NEW — pane index and on-time status restart, trigger states
+        merge via Trigger.merge_states, values/counters combine."""
+        gap = self.session_gap
+        if self.watermark >= ts + gap + self.allowed_lateness:
+            return None  # expired
+        lo, hi = ts, ts + gap
+        overlapping = [
+            (ws, st)
+            for ws, st in self.windows.items()
+            if not st.closed and ws < hi and self._end(ws, st) > lo
+        ]
+        if len(overlapping) == 1:
+            ws, st = overlapping[0]
+            if ws <= lo and self._end(ws, st) >= hi:
+                # fully contained: absorb, window identity unchanged
+                self._add_to_window(ws, st, ts, v)
+                return ws
+        new_lo = min([lo] + [ws for ws, _ in overlapping])
+        new_hi = max([hi] + [self._end(ws, st) for ws, st in overlapping])
+        merged = WindowState(
+            trigger_state=self.trigger.merge_states(
+                [st.trigger_state for _, st in overlapping]
+            )
+            if overlapping
+            else self.trigger.new_state(),
+            pane_index=0,
+            on_time_done=False,
+            pending_count=sum(st.pending_count for _, st in overlapping),
+            pending_sum=sum(st.pending_sum for _, st in overlapping),
+            acc_count=sum(st.acc_count for _, st in overlapping),
+            acc_sum=sum(st.acc_sum for _, st in overlapping),
+            end=new_hi,
+        )
+        for _, st in overlapping:
+            merged.pending_values.extend(st.pending_values)
+            merged.acc_values.extend(st.acc_values)
+            merged.holds.extend(st.holds)
+        for ws, _ in overlapping:
+            del self.windows[ws]
+        self.windows[new_lo] = merged
+        self._add_to_window(new_lo, merged, ts, v)
+        return new_lo
 
     def advance_watermark(self, wm: float) -> list[Pane]:
         self.watermark = wm
@@ -432,16 +576,52 @@ class TriggerDriver:
 
     def _ctx(self, ws: float, st: WindowState) -> TriggerContext:
         return TriggerContext(
-            window_end=ws + self.window_size,
+            window_end=self._end(ws, st),
             watermark=self.watermark,
             processing_time=self.processing_time,
             pending=st.pending_count,
         )
 
     def _timing(self, ws: float, st: WindowState) -> str:
-        if self.watermark < ws + self.window_size:
+        if self.watermark < self._end(ws, st):
             return EARLY
         return LATE if st.on_time_done else ON_TIME
+
+    def _pane_output_ts(self, ws: float, st: WindowState) -> float | None:
+        """Per-pane output timestamp under the configured combiner
+        (window.py:95 TimestampCombiner + watermark-hold fallback)."""
+        if self.timestamp_combiner is None:
+            return None
+        eow = self._end(ws, st) - 1  # max_timestamp for integral bounds
+        if self.timestamp_combiner == "EOW" or not st.holds:
+            return eow
+        if self.timestamp_combiner == "EARLIEST":
+            return min(st.holds)
+        return max(st.holds)  # LATEST
+
+    def _emit(
+        self, ws: float, st: WindowState, timing: str, count: int,
+        total: float, is_final: bool,
+    ) -> Pane:
+        values = None
+        if self.track_values:
+            values = tuple(
+                st.acc_values if self.accumulation == ACCUMULATING
+                else st.pending_values
+            )
+        nonspec = -1 if timing == EARLY else st.nonspec_count
+        pane = Pane(
+            ws, st.pane_index, timing, count, total, is_final,
+            values=values,
+            output_ts=self._pane_output_ts(ws, st),
+            nonspeculative_index=nonspec,
+            window_end=self._end(ws, st),
+        )
+        st.pane_index += 1
+        if timing != EARLY:
+            st.nonspec_count += 1
+        st.holds.clear()
+        return pane
 
     def _maybe_fire(self, ws: float) -> list[Pane]:
         st = self.windows.get(ws)
@@ -459,11 +639,11 @@ class TriggerDriver:
                 count, total = st.pending_count, st.pending_sum
             finished = self.trigger.on_fire(st.trigger_state, self._ctx(ws, st))
             if count > 0 or timing == ON_TIME:
-                panes.append(Pane(ws, st.pane_index, timing, count, total))
-                st.pane_index += 1
+                panes.append(self._emit(ws, st, timing, count, total, finished))
             if timing == ON_TIME:
                 st.on_time_done = True
             st.pending_count, st.pending_sum = 0, 0.0
+            st.pending_values.clear()
             if finished:
                 st.closed = True
         return panes
@@ -472,15 +652,13 @@ class TriggerDriver:
         st = self.windows.get(ws)
         if st is None:
             return []
-        if self.watermark >= ws + self.window_size + self.allowed_lateness:
+        if self.watermark >= self._end(ws, st) + self.allowed_lateness:
             del self.windows[ws]
             if not st.closed and st.pending_count > 0:
                 # closing behavior: emit the final pane with leftovers
                 count = st.acc_count if self.accumulation == ACCUMULATING else st.pending_count
                 total = st.acc_sum if self.accumulation == ACCUMULATING else st.pending_sum
-                return [
-                    Pane(ws, st.pane_index, self._timing(ws, st), count, total, True)
-                ]
+                return [self._emit(ws, st, self._timing(ws, st), count, total, True)]
         return []
 
     def next_deadline(self) -> float | None:
@@ -488,15 +666,15 @@ class TriggerDriver:
         wake-up even without new data: its end (on-time pane) or its GC
         horizon (final pane / cleanup)."""
         deadlines = [
-            ws + self.window_size
+            self._end(ws, st)
             if not st.on_time_done
-            else ws + self.window_size + self.allowed_lateness
+            else self._end(ws, st) + self.allowed_lateness
             for ws, st in self.windows.items()
             if not st.closed or not st.on_time_done
         ]
         # closed windows still need GC, but nothing will fire: include them
         deadlines += [
-            ws + self.window_size + self.allowed_lateness
+            self._end(ws, st) + self.allowed_lateness
             for ws, st in self.windows.items()
             if st.closed
         ]
@@ -518,6 +696,11 @@ class TriggerDriver:
                         "ac": st.acc_count,
                         "as": st.acc_sum,
                         "c": st.closed,
+                        "e": st.end,
+                        "pv": st.pending_values,
+                        "av": st.acc_values,
+                        "h": st.holds,
+                        "ns": st.nonspec_count,
                     }
                     for ws, st in self.windows.items()
                 },
@@ -537,6 +720,11 @@ class TriggerDriver:
                 acc_count=s["ac"],
                 acc_sum=s["as"],
                 closed=s["c"],
+                end=s.get("e", 0.0),
+                pending_values=s.get("pv", []),
+                acc_values=s.get("av", []),
+                holds=s.get("h", []),
+                nonspec_count=s.get("ns", 0),
             )
             for ws, s in d["windows"].items()
         }
