@@ -42,9 +42,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+_QUANT = r"(?:[?*+]|\{\d+(?:,\d*)?\})\??|"
 _TOKEN = re.compile(
-    r"\s+|(?P<sym>[A-Za-z_][A-Za-z_0-9]*)(?P<quant>[?*+]?)"
-    r"|(?P<punct>[()|])(?P<pquant>[?*+]?)"
+    r"\s+|(?P<sym>[A-Za-z_][A-Za-z_0-9]*)(?P<quant>" + _QUANT + r")"
+    r"|(?P<punct>[()|])(?P<pquant>" + _QUANT + r")"
 )
 
 
@@ -67,14 +68,26 @@ def _ends_extendable(pat: str) -> bool:
     boundary because the next micro-batch might extend the match.
 
     Handles trailing quantifiers ('A B+'), trailing quantified groups
-    ('A (B|C)+'), and quantifiers hidden inside a trailing group's
-    alternatives ('A (C|B+)') — the case the round-1 guard missed.
+    ('A (B|C)+'), quantifiers hidden inside a trailing group's
+    alternatives ('A (C|B+)') — the case the round-1 guard missed —
+    plus bounded ('{n,m}': extendable iff max > min or unbounded) and
+    reluctant quantifiers (a trailing reluctant quant NEVER extends:
+    with no later pattern element to force it, it consumes its minimum
+    and additional input cannot change the match).
     """
     if not pat:
         return False
     c = pat[-1]
+    if c == "?" and len(pat) >= 2 and pat[-2] in "*+?}":
+        return False  # reluctant marker
     if c in "*+?":
         return True
+    if c == "}":
+        i = pat.rfind("{")
+        from .nfa import parse_quant
+
+        mn, mx, _ = parse_quant(pat[i:])
+        return mx is None or mx > mn
     if c == ")":
         depth, i = 0, len(pat) - 1
         while i >= 0:

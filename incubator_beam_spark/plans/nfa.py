@@ -36,10 +36,39 @@ from __future__ import annotations
 import re
 from collections.abc import Callable
 
+_QUANT = r"(?:[?*+]|\{\d+(?:,\d*)?\})\??|"
 _TOKEN = re.compile(
-    r"\s+|(?P<sym>[A-Za-z_][A-Za-z_0-9]*)(?P<quant>[?*+]?)"
-    r"|(?P<punct>[()|])(?P<pquant>[?*+]?)"
+    r"\s+|(?P<sym>[A-Za-z_][A-Za-z_0-9]*)(?P<quant>" + _QUANT + r")"
+    r"|(?P<punct>[()|])(?P<pquant>" + _QUANT + r")"
 )
+
+
+def parse_quant(q: str) -> tuple[int, int | None, bool]:
+    """Quantifier text -> (min, max, greedy); max None = unbounded.
+    Supports the full Calcite/reference NFA.java quantifier surface:
+    ``? * +``, bounded ``{n} {n,} {n,m}``, and reluctant variants
+    (trailing ``?``: ``*? +? ?? {n,m}?``)."""
+    greedy = True
+    if len(q) > 1 and q.endswith("?"):
+        greedy, q = False, q[:-1]
+    if q == "?":
+        return 0, 1, greedy
+    if q == "*":
+        return 0, None, greedy
+    if q == "+":
+        return 1, None, greedy
+    m = re.fullmatch(r"\{(\d+)(?:,(\d*))?\}", q)
+    if not m:
+        raise ValueError(f"bad quantifier {q!r}")
+    mn = int(m.group(1))
+    if m.group(2) is None:  # {n}
+        return mn, mn, greedy
+    if m.group(2) == "":  # {n,}
+        return mn, None, greedy
+    mx = int(m.group(2))
+    if mx < mn:
+        raise ValueError(f"bad quantifier bounds {q!r}")
+    return mn, mx, greedy
 
 
 # -- pattern AST --------------------------------------------------------------
@@ -64,8 +93,8 @@ def _tokenize(pattern: str) -> list[tuple[str, str]]:
 
 
 def parse_pattern(pattern: str):
-    """Parse 'A (B|C)+ D?' into an AST of ('sym', name) / ('seq', [...]) /
-    ('alt', [...]) / ('quant', node, '?'|'*'|'+')."""
+    """Parse 'A (B|C)+ D? E{2,4} F*?' into an AST of ('sym', name) /
+    ('seq', [...]) / ('alt', [...]) / ('quant', node, (min, max, greedy))."""
     toks = _tokenize(pattern)
     i = 0
 
@@ -104,7 +133,7 @@ def parse_pattern(pattern: str):
         else:
             raise ValueError(f"unexpected token {toks[i]!r} in pattern {pattern!r}")
         if peek() == "quant":
-            node = ("quant", node, toks[i][1])
+            node = ("quant", node, parse_quant(toks[i][1]))
             i += 1
         return node
 
@@ -162,29 +191,43 @@ class NFA:
                 self.states[ca].append(("eps", None, a))
             return s, a
         if kind == "quant":
-            fs, fa = self._build(ast[1])
-            q = ast[2]
-            if q == "?":
-                s, a = self._new(), self._new()
-                # greedy: try the fragment before skipping it
-                self.states[s].append(("eps", None, fs))
-                self.states[s].append(("eps", None, a))
-                self.states[fa].append(("eps", None, a))
-                return s, a
-            if q == "*":
-                s = self._new()
-                a = self._new()
-                self.states[s].append(("eps", None, fs))  # greedy: loop first
-                self.states[s].append(("eps", None, a))
-                self.states[fa].append(("eps", None, s))
-                return s, a
-            if q == "+":
+            # general bounded repetition (NFA.java quantifier surface):
+            # min mandatory copies chained, then either an unbounded loop
+            # or (max-min) optional copies; transition ORDER encodes
+            # greedy (consume first) vs reluctant (skip first).
+            mn, mx, greedy = ast[2]
+            start = self._new()
+            a = self._new()
+            cur = start
+            for _ in range(mn):
+                fs, fa = self._build(ast[1])
+                self.states[cur].append(("eps", None, fs))
+                cur = fa
+            if mx is None:
                 loop = self._new()
-                a = self._new()
+                self.states[cur].append(("eps", None, loop))
+                fs, fa = self._build(ast[1])
+                if greedy:
+                    self.states[loop].append(("eps", None, fs))
+                    self.states[loop].append(("eps", None, a))
+                else:
+                    self.states[loop].append(("eps", None, a))
+                    self.states[loop].append(("eps", None, fs))
                 self.states[fa].append(("eps", None, loop))
-                self.states[loop].append(("eps", None, fs))  # greedy
-                self.states[loop].append(("eps", None, a))
-                return fs, a
+            else:
+                for _ in range(mx - mn):
+                    fs, fa = self._build(ast[1])
+                    nxt = self._new()
+                    if greedy:
+                        self.states[cur].append(("eps", None, fs))
+                        self.states[cur].append(("eps", None, a))
+                    else:
+                        self.states[cur].append(("eps", None, a))
+                        self.states[cur].append(("eps", None, fs))
+                    self.states[fa].append(("eps", None, nxt))
+                    cur = nxt
+                self.states[cur].append(("eps", None, a))
+            return start, a
         raise AssertionError(f"unknown AST node {ast!r}")
 
     def match_at(

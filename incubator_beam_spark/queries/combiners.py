@@ -347,6 +347,64 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_approx_quantiles_bounds",
+    oracle="""
+    SELECT q_bp, TRUE AS within_bounds,
+           (SELECT count(*) FROM lineitem) AS n
+    FROM (VALUES (2500), (5000), (7500), (9000)) t(q_bp)
+    """,
+)
+def agg_approx_quantiles_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable accuracy gate for ApproximateQuantiles
+    (``stats.py:284`` -> percentile_approx): the sketch value itself is
+    engine-specific, but its GK error GUARANTEE is not — with
+    accuracy=1000 the rank of the returned value must be within
+    n/1000 of the target rank. The query computes the approximate
+    quantiles, then the EXACT CDF position of each returned value with
+    a second pass over the data (4-row broadcast join + conditional
+    count), and emits one boolean per quantile. The oracle is the
+    guarantee itself (all TRUE): a sketch regression flips a row and
+    the value-hash goes red. Scale shape: one combiner-lifted sketch
+    agg + one broadcast join — no extra shuffle of data rows."""
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    qs = [0.25, 0.5, 0.75, 0.9]
+    quant = (
+        li.agg(
+            F.percentile_approx("l_extendedprice", qs, 1000).alias("vs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.posexplode("vs").alias("i", "v"),
+            "n",
+        )
+        .select(
+            (F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("i") + 1)).alias("q"),
+            "v",
+            "n",
+        )
+    )
+    joined = li.crossJoin(F.broadcast(quant))
+    return (
+        joined.groupBy("q", "n")
+        .agg(
+            (
+                F.sum((F.col("l_extendedprice") <= F.col("v")).cast("long"))
+                / F.col("n")
+            ).alias("frac")
+        )
+        .select(
+            F.round(F.col("q") * 10000).cast("int").alias("q_bp"),
+            # GK rank-error bound 1/accuracy, plus 1-rank slack for ties
+            (
+                F.abs(F.col("frac") - F.col("q"))
+                <= (F.lit(1.0 / 1000) + F.lit(1.0) / F.col("n"))
+            ).alias("within_bounds"),
+            F.col("n"),
+        )
+    )
+
+
 @query("agg_sample_fixed")
 def agg_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample.FixedSizeGlobally (reference ``combiners.py:522``): uniform

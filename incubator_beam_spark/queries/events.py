@@ -556,6 +556,165 @@ def cep_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cep_quantifier_bounded",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    np AS (
+      SELECT user_id, event_id, event_type, rn,
+             lag(event_type) OVER w AS prev_type,
+             lag(event_id) OVER w AS prev_event,
+             lag(rn) OVER w AS prev_rn
+      FROM ordered WHERE event_type <> 'click'
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+    matches AS (
+      SELECT user_id, prev_event AS start_event, event_id AS end_event,
+             rn - prev_rn - 1 AS n_clicks, prev_rn
+      FROM np WHERE event_type = 'purchase' AND prev_type = 'signup'
+        AND rn - prev_rn - 1 BETWEEN 2 AND 4)
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY prev_rn) AS match_number,
+           start_event, end_event, n_clicks
+    FROM matches
+    """,
+)
+def cep_quantifier_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE bounded quantifier (reference NFA.java supports
+    Calcite's full quantifier surface): ``S C{2,4} P`` — signup, two to
+    four consecutive clicks, purchase. Greedy bound choice is determined
+    by the data (the run length of clicks before the purchase), so the
+    lag-over-non-click oracle with a BETWEEN captures it exactly."""
+    from ..plans.cep import match_recognize
+
+    e = table(spark, sf_dir, "events")
+    return match_recognize(
+        e,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "P": F.col("event_type") == "purchase",
+        },
+        pattern="S C{2,4} P",
+        measures={
+            "start_event": ("first", "S", "event_id"),
+            "end_event": ("last", "P", "event_id"),
+            "n_clicks": ("count", "C"),
+        },
+    )
+
+
+@query(
+    "cep_reluctant_lazy",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    scoped AS (
+      SELECT user_id, event_id, event_type, rn,
+             min(CASE WHEN event_type NOT IN ('click', 'purchase')
+                      THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_blocker,
+             min(CASE WHEN event_type = 'purchase' THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 2 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS first_p2
+      FROM ordered),
+    matches AS (
+      SELECT user_id, rn AS s_rn, first_p2 AS e_rn
+      FROM scoped
+      WHERE event_type = 'signup' AND first_p2 IS NOT NULL
+        AND (next_blocker IS NULL OR first_p2 < next_blocker))
+    SELECT m.user_id,
+           row_number() OVER (PARTITION BY m.user_id ORDER BY m.s_rn)
+             AS match_number,
+           o.event_id AS end_event,
+           CAST(m.e_rn - m.s_rn + 1 AS BIGINT) AS n_rows
+    FROM matches m
+    JOIN ordered o ON o.user_id = m.user_id AND o.rn = m.e_rn
+    """,
+)
+def cep_reluctant_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE reluctant quantifier: ``S (C|P)+? P`` — from each
+    signup, the SHORTEST run of clicks/purchases ending in a purchase
+    (lazy + stops at the first qualifying terminator, where greedy would
+    run to the last purchase of the run). The oracle computes the lazy
+    end directly: the first purchase at least two rows ahead that
+    precedes any non-click/purchase blocker. Matches cannot overlap (a
+    span contains no signup), so SKIP PAST LAST ROW is the identity."""
+    from ..plans.cep import match_recognize
+
+    e = table(spark, sf_dir, "events")
+    return match_recognize(
+        e,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "P": F.col("event_type") == "purchase",
+        },
+        pattern="S (C|P)+? P",
+        measures={
+            "end_event": ("last", None, "event_id"),
+            "n_rows": ("count", None),
+        },
+    )
+
+
+@query(
+    "cep_nfa_ambiguous_quant",
+    oracle="""
+    WITH strs AS (
+      SELECT user_id,
+             string_agg(CASE WHEN value >= 150 THEN 'H' ELSE 'm' END,
+                        '' ORDER BY ts, event_id) AS cs
+      FROM events GROUP BY user_id),
+    m AS (
+      SELECT user_id, regexp_extract_all(cs, 'H[Hm]{2,3}H') AS ms
+      FROM strs)
+    SELECT user_id,
+           CAST(length(ms) AS BIGINT) AS n_matches,
+           CAST(coalesce(list_sum(list_transform(ms, x -> length(x))), 0)
+                AS BIGINT) AS sum_span
+    FROM m WHERE length(ms) > 0
+    """,
+)
+def cep_nfa_ambiguous_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with NON-mutually-exclusive defines + bounded
+    quantifier: ``H M{2,3} H`` where H = value >= 150 and M = any row —
+    every H row also satisfies M, so the engine routes to the
+    backtracking NFA (plans/nfa.py), not the classifier-string fast
+    path. Span acceptance under hierarchical ambiguity equals the
+    leftmost-greedy regex over the H/m classifier string, which is the
+    oracle (per-user match count + total span length)."""
+    from ..plans.cep import match_recognize
+
+    e = table(spark, sf_dir, "events")
+    matches = match_recognize(
+        e,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        define={
+            "H": F.col("value") >= 150,
+            "M": F.col("value").isNotNull(),
+        },
+        pattern="H M{2,3} H",
+        measures={"n_rows": ("count", None)},
+    )
+    return matches.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.sum("n_rows").alias("sum_span"),
+    )
+
+
+@query(
     "nexmark_q9_winning_bids",
     oracle=f"""
     WITH ranked AS (

@@ -233,12 +233,13 @@ def test_compile_pattern_tokens():
 def test_nfa_parse_and_greedy_match():
     from incubator_beam_spark.plans.nfa import NFA, parse_pattern
 
+    # quantifiers normalize to (min, max, greedy)
     assert parse_pattern("A (B|C)+ D?") == (
         "seq",
         [
             ("sym", "A"),
-            ("quant", ("alt", [("sym", "B"), ("sym", "C")]), "+"),
-            ("quant", ("sym", "D"), "?"),
+            ("quant", ("alt", [("sym", "B"), ("sym", "C")]), (1, None, True)),
+            ("quant", ("sym", "D"), (0, 1, True)),
         ],
     )
     nfa = NFA("A B* C")
@@ -356,3 +357,65 @@ def test_match_recognize_stream_rejects_trailing_quantifier(spark):
         match_recognize_stream(
             df, "key", "seq", defines, ok, {"s": ("first", None, "seq")}
         )
+
+
+def test_nfa_quantifier_surface_differential():
+    """Bounded {n}/{n,}/{n,m} and reluctant quantifiers: the NFA must
+    agree with the host regex engine (the reference NFA.java quantifier
+    surface) on randomized symbol strings."""
+    import random
+    import re as _re
+
+    from incubator_beam_spark.plans.nfa import NFA
+
+    cases = [
+        ("A B{2,4} C", "AB{2,4}C"),
+        ("A B{2} C", "AB{2}C"),
+        ("A B{1,} C", "AB{1,}C"),
+        ("A (B|C)+? C", "A[BC]+?C"),
+        ("A B*? B", "AB*?B"),
+        ("A B?? C", "AB??C"),
+        ("A (B|C){1,3} D", "A[BC]{1,3}D"),
+        ("X (A B){2,3}? Y", "X(AB){2,3}?Y"),
+    ]
+    rng = random.Random(7)
+    for pat, rx_s in cases:
+        nfa = NFA(pat)
+        rx = _re.compile(rx_s)
+        alphabet = sorted(nfa.symbols) + ["X", "Y"]
+        alphabet = sorted(set(alphabet))
+        for _ in range(60):
+            s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 14)))
+
+            def can(sym, i, trail, s=s):
+                return s[i] == sym
+
+            got = [(lo, hi) for lo, hi, _ in nfa.finditer(len(s), can)]
+            want = [
+                (m.start(), m.end())
+                for m in rx.finditer(s)
+                if m.end() > m.start()
+            ]
+            assert got == want, (pat, s, got, want)
+
+
+def test_pattern_rejects_bad_quantifiers():
+    import pytest as _pytest
+
+    from incubator_beam_spark.plans.nfa import NFA
+
+    with _pytest.raises(ValueError):
+        NFA("A B{3,2}")
+    with _pytest.raises(ValueError):
+        NFA("A B{")
+
+
+def test_ends_extendable_quantifier_forms():
+    from incubator_beam_spark.plans.cep import _ends_extendable
+
+    assert _ends_extendable("A B{2,4}")          # greedy, room to grow
+    assert _ends_extendable("A B{2,}")           # unbounded
+    assert not _ends_extendable("A B{3}")        # exact
+    assert not _ends_extendable("A B+?")         # reluctant never extends
+    assert not _ends_extendable("A B{2,4}?")     # reluctant bounded
+    assert _ends_extendable("A B?")              # plain optional
