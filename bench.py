@@ -74,6 +74,135 @@ HEADLINE = [
 ]
 
 
+def _scaled_docs(spark, sf_dir: str, k: int):
+    """k deterministic variants of the documents table. Copy i rotates
+    the alphabet (scan-side translate), so copies are NOT near-dups of
+    each other — the dedup candidate structure scales linearly with the
+    corpus instead of quadratically by construction."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame, functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = "abcdefghijklmnopqrstuvwxyz"
+    copies = []
+    for i in range(k):
+        ci = d.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        if i:
+            rot = (i % 25) + 1
+            ci = ci.withColumn("text", F.translate("text", src, src[rot:] + src[:rot]))
+        copies.append(ci)
+    return reduce(DataFrame.unionAll, copies)
+
+
+def _scaled_emb(spark, sf_dir: str, k: int):
+    from functools import reduce
+
+    from pyspark.sql import DataFrame, functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = []
+    for i in range(k):
+        ci = e.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        if i:
+            off = float(i) * 0.0371
+            ci = ci.withColumn(
+                "embedding", F.transform("embedding", lambda x: x + F.lit(off))
+            )
+        copies.append(ci)
+    return reduce(DataFrame.unionAll, copies)
+
+
+def scale_lane(spark, sf_dir: str, scales=(1, 10)) -> dict:
+    """Linear-scaling evidence for the dedup/ANN family (VERDICT r3 item
+    9): run each op at 1x and 10x the sf corpus (deterministic synthetic
+    variants) and report the wall-clock scaling exponent
+    log(t_hi/t_lo) / log(rows_hi/rows_lo) — ~1.0 = linear, <1 =
+    overhead-amortized, ~2 = quadratic blow-up."""
+    import math
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from incubator_beam_spark.dataops import dedup
+    from incubator_beam_spark.dataops.pq import (
+        ivfpq_index,
+        pq_adc_lut,
+        pq_adc_topk,
+        pq_codebook,
+        quantized,
+    )
+
+    def run_minhash(k):
+        return dedup.minhash_lsh_pairs(_scaled_docs(spark, sf_dir, k))
+
+    def run_clusters(k):
+        d = _scaled_docs(spark, sf_dir, k).select("doc_id")
+        w = W.partitionBy("block").orderBy("doc_id")
+        edges = (
+            d.withColumn("block", F.expr("doc_id div 100"))
+            .withColumn("prev", F.lag("doc_id").over(w))
+            .filter(F.col("prev").isNotNull())
+            .select(F.col("doc_id").alias("src"), F.col("prev").alias("dst"))
+        )
+        return dedup.connected_components(
+            edges, nodes=d.select(F.col("doc_id").alias("node"))
+        )
+
+    def run_ivfpq(k):
+        e = _scaled_emb(spark, sf_dir, k)
+        seeds = e.filter(F.col("vec_id") < 16)
+        cb = pq_codebook(e, n_centroids=16, m=8)
+        idx = ivfpq_index(e, seeds, cb)
+        qcell = idx.filter(F.col("vec_id") == 7).select("cell")
+        cand = idx.join(F.broadcast(qcell), "cell").select("vec_id", "codes")
+        qvec = (
+            e.filter(F.col("vec_id") == 7)
+            .select(quantized(F.col("embedding")).alias("q"))
+            .collect()[0]
+            .q
+        )
+        return pq_adc_topk(cand, pq_adc_lut(cb, list(qvec)), k=10)
+
+    def run_line_dedup(k):
+        return dedup.line_dedup(
+            _scaled_docs(spark, sf_dir, k), line_tokens=3, max_count=3
+        )
+
+    ops = {
+        "doc_minhash_lsh_pairs": run_minhash,
+        "doc_neardup_clusters": run_clusters,
+        "emb_ivfpq_topk": run_ivfpq,
+        "doc_line_dedup": run_line_dedup,
+    }
+    base_rows = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    emb_rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    out = {}
+    for name, fn in ops.items():
+        rows0 = emb_rows if name.startswith("emb_") else base_rows
+        times = {}
+        fn(scales[0]).count()  # warmup: codegen + IO cache, untimed
+        for k in scales:
+            t0 = time.perf_counter()
+            fn(k).count()
+            times[k] = time.perf_counter() - t0
+        lo, hi = scales[0], scales[-1]
+        exponent = math.log(times[hi] / times[lo]) / math.log(hi / lo)
+        out[name] = {
+            "rows_1x": rows0 * lo,
+            "rows_10x": rows0 * hi,
+            "t_1x_sec": round(times[lo], 3),
+            "t_10x_sec": round(times[hi], 3),
+            "scaling_exponent": round(exponent, 3),
+        }
+        print(
+            f"# scale {name}: {times[lo]:.2f}s @{lo}x -> {times[hi]:.2f}s "
+            f"@{hi}x (exp {exponent:.2f})",
+            file=sys.stderr,
+        )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -82,6 +211,11 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--warmup", type=int, default=1, help="untimed passes per query")
     ap.add_argument("--all", action="store_true", help="bench every registered query")
+    ap.add_argument(
+        "--no-scale-lane",
+        action="store_true",
+        help="skip the 1x-vs-10x dedup/ANN scaling lane",
+    )
     args = ap.parse_args()
 
     registry.load_all()
@@ -134,6 +268,9 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else args.sf_dir,
     }
+    if not args.no_scale_lane and not args.all:
+        cleanup()
+        out["scale_lane"] = scale_lane(spark, args.sf_dir)
     print(json.dumps(out))
 
 
