@@ -405,6 +405,62 @@ def agg_approx_quantiles_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_approx_distinct_bounds",
+    oracle="""
+    SELECT count(DISTINCT o_custkey) AS exact_n, TRUE AS within_bounds
+    FROM orders
+    """,
+)
+def agg_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable accuracy gate for ApproximateUnique
+    (``stats.py:90`` -> approx_count_distinct): the HLL++ estimate is
+    engine-specific but its relative-standard-deviation guarantee is
+    not. One pass computes both the sketch estimate (rsd=0.02) and the
+    exact distinct count; the emitted boolean asserts the estimate sits
+    within 5 standard deviations. The oracle is the guarantee (TRUE) +
+    the exact count — a sketch regression flips the row."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count_distinct("o_custkey").alias("exact_n"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_n"),
+    ).select(
+        "exact_n",
+        (
+            F.abs(F.col("approx_n") - F.col("exact_n"))
+            <= F.lit(5 * 0.02) * F.col("exact_n")
+        ).alias("within_bounds"),
+    )
+
+
+@query(
+    "agg_hll_bounds",
+    oracle="""
+    SELECT count(DISTINCT l_partkey) AS exact_n, TRUE AS within_bounds
+    FROM lineitem
+    """,
+)
+def agg_hll_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the zetasketch HllCount surface
+    (``hll_sketch_agg`` / ``hll_sketch_estimate``): build the sketch at
+    lgConfigK=14 (rsd ~ 1.04/sqrt(2^14) ~ 0.8%), estimate, and assert
+    the estimate within 6 standard deviations of the exact distinct
+    count computed in the same plan. Mergeability (MergePartial) is
+    covered by the partial/final split of the agg itself."""
+    li = table(spark, sf_dir, "lineitem")
+    rsd = 1.04 / (2**14) ** 0.5
+    return li.agg(
+        F.count_distinct("l_partkey").alias("exact_n"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 14))").alias("approx_n"),
+    ).select(
+        "exact_n",
+        (
+            F.abs(F.col("approx_n") - F.col("exact_n"))
+            <= F.lit(6 * rsd) * F.col("exact_n")
+        ).alias("within_bounds"),
+    )
+
+
 @query("agg_sample_fixed")
 def agg_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample.FixedSizeGlobally (reference ``combiners.py:522``): uniform

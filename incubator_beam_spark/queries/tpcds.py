@@ -628,3 +628,177 @@ def sql_tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         _Q98_BODY.replace("{IDIV}", "div"),
     )
+
+
+_Q16_BODY = """
+    SELECT CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS order_count,
+           CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT) AS total_um
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE year(o.o_orderdate) = 1998
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l.l_orderkey
+                    AND l2.l_suppkey <> l.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l.l_orderkey
+                        AND l3.l_returnflag = 'R')
+"""
+
+
+@query("sql_tpcds_q16", oracle=_Q16_BODY)
+def sql_tpcds_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query16 (``queries/query16.sql``): orders shipped by more
+    than one supplier ('another warehouse') with no returns — correlated
+    EXISTS + NOT EXISTS feeding a count(DISTINCT) + sum aggregate. The
+    Catalyst plan rewrites both into semi/anti joins on l_orderkey."""
+    return _sql(spark, sf_dir, _Q16_BODY)
+
+
+_Q23_BODY = """
+    WITH freq AS (
+      SELECT l.l_partkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_partkey
+      HAVING count(DISTINCT CAST(o.o_orderdate AS DATE)) > 20),
+    tot AS (
+      SELECT o_custkey,
+             CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS sc
+      FROM orders GROUP BY o_custkey),
+    best AS (
+      SELECT o_custkey FROM tot
+      WHERE sc * 10 > (SELECT max(sc) FROM tot) * 5)
+    SELECT CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT) AS total_um,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_partkey IN (SELECT l_partkey FROM freq)
+      AND o.o_custkey IN (SELECT o_custkey FROM best)
+"""
+
+
+@query("sql_tpcds_q23", oracle=_Q23_BODY)
+def sql_tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query23 (``queries/query23a.sql``): revenue from frequently
+    sold items bought by best customers — two filter CTEs (one with a
+    HAVING over count(DISTINCT date), one comparing each customer to a
+    scalar max-over-CTE at >50%), both applied as IN semi-joins. The
+    50% threshold is integer cross-multiplied (sc*10 > max*5)."""
+    return _sql(spark, sf_dir, _Q23_BODY)
+
+
+_Q34_BODY = """
+    WITH cnt AS (
+      SELECT l.l_orderkey, o.o_custkey, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_orderkey, o.o_custkey
+      HAVING count(*) BETWEEN 5 AND 7)
+    SELECT c.c_name, cnt.l_orderkey AS ticket, cnt.n
+    FROM cnt JOIN customer c ON cnt.o_custkey = c.c_custkey
+    ORDER BY cnt.l_orderkey
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q34", oracle=_Q34_BODY)
+def sql_tpcds_q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query34 (``queries/query34.sql``): customers whose ticket
+    (order) held a specific item-count band — HAVING BETWEEN on a
+    grouped count, then a dimension join for the customer name. ORDER
+    BY the unique orderkey makes the LIMIT deterministic."""
+    return _sql(spark, sf_dir, _Q34_BODY)
+
+
+_Q41_BODY = """
+    SELECT DISTINCT p1.p_name
+    FROM part p1
+    WHERE p1.p_size BETWEEN 10 AND 20
+      AND EXISTS (
+        SELECT 1 FROM part p2
+        WHERE p2.p_brand = p1.p_brand
+          AND ((p2.p_type = 'PROMO' AND p2.p_size BETWEEN 5 AND 15)
+            OR (p2.p_type = 'ECONOMY' AND p2.p_size BETWEEN 15 AND 25)))
+    ORDER BY p1.p_name
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q41", oracle=_Q41_BODY)
+def sql_tpcds_q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query41 (``queries/query41.sql``): item names whose
+    manufacturer also makes items matching OR-combined attribute
+    bundles — correlated EXISTS with disjunctive predicates (the shape
+    that forces a non-equi-correlated semi-join rewrite)."""
+    return _sql(spark, sf_dir, _Q41_BODY)
+
+
+_Q54_BODY = """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rc
+      FROM orders
+      WHERE year(o_orderdate) = 1998
+      GROUP BY o_custkey)
+    SELECT rc {IDIV} 5000000 AS segment,
+           CAST(count(*) AS BIGINT) AS num_customers
+    FROM rev
+    GROUP BY rc {IDIV} 5000000
+    ORDER BY segment
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q54", oracle=_Q54_BODY.replace("{IDIV}", "//"))
+def sql_tpcds_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query54 (``queries/query54.sql``, the revenue-segment
+    histogram tail): per-customer yearly revenue bucketed into $50k
+    segments via exact integer division of cents, counting customers
+    per segment."""
+    return _sql(spark, sf_dir, _Q54_BODY.replace("{IDIV}", "div"))
+
+
+_Q88_BODY = """
+    SELECT * FROM
+      (SELECT CAST(count(*) AS BIGINT) AS h0_3 FROM events
+       WHERE event_type = 'purchase' AND hour(ts) BETWEEN 0 AND 2) s1,
+      (SELECT CAST(count(*) AS BIGINT) AS h3_6 FROM events
+       WHERE event_type = 'purchase' AND hour(ts) BETWEEN 3 AND 5) s2,
+      (SELECT CAST(count(*) AS BIGINT) AS h6_9 FROM events
+       WHERE event_type = 'purchase' AND hour(ts) BETWEEN 6 AND 8) s3,
+      (SELECT CAST(count(*) AS BIGINT) AS h9_12 FROM events
+       WHERE event_type = 'purchase' AND hour(ts) BETWEEN 9 AND 11) s4,
+      (SELECT CAST(count(*) AS BIGINT) AS h12_15 FROM events
+       WHERE event_type = 'purchase' AND hour(ts) BETWEEN 12 AND 14) s5,
+      (SELECT CAST(count(*) AS BIGINT) AS h15_18 FROM events
+       WHERE event_type = 'purchase' AND hour(ts) BETWEEN 15 AND 17) s6,
+      (SELECT CAST(count(*) AS BIGINT) AS h18_21 FROM events
+       WHERE event_type = 'purchase' AND hour(ts) BETWEEN 18 AND 20) s7,
+      (SELECT CAST(count(*) AS BIGINT) AS h21_24 FROM events
+       WHERE event_type = 'purchase' AND hour(ts) BETWEEN 21 AND 23) s8
+"""
+
+
+@query("sql_tpcds_q88", oracle=_Q88_BODY)
+def sql_tpcds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query88 (``queries/query88.sql``): eight time-of-day
+    activity counters crossed into a single row — eight scalar
+    aggregate subqueries joined with no key (each is a 1-row broadcast;
+    the store-hours analog uses the events stream's hour(ts))."""
+    return _sql(spark, sf_dir, _Q88_BODY)
+
+
+_Q90_BODY = """
+    SELECT CASE WHEN pm.cnt > 0
+                THEN (am.cnt * 10000) {IDIV} pm.cnt END AS am_pm_ratio_bp
+    FROM (SELECT CAST(count(*) AS BIGINT) AS cnt FROM events
+          WHERE event_type = 'purchase' AND hour(ts) < 12) am,
+         (SELECT CAST(count(*) AS BIGINT) AS cnt FROM events
+          WHERE event_type = 'purchase' AND hour(ts) >= 12) pm
+"""
+
+
+@query("sql_tpcds_q90", oracle=_Q90_BODY.replace("{IDIV}", "//"))
+def sql_tpcds_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query90 (``queries/query90.sql``): the am/pm activity
+    ratio — two scalar counts crossed and divided; integer basis points
+    via exact integer division."""
+    return _sql(spark, sf_dir, _Q90_BODY.replace("{IDIV}", "div"))
