@@ -71,6 +71,15 @@ HEADLINE = [
     # end-to-end curation composition + mixture up-sampling
     "doc_curation_pipeline",
     "doc_epoch_repeats",
+    # round-4 additions: TPC-DS conformance shapes (dim join, rollup+rank,
+    # cumulative full-outer), CEP bounded quantifiers, ANN recall eval,
+    # sketch-accuracy bounds
+    "sql_tpcds_q3",
+    "sql_tpcds_q36",
+    "sql_tpcds_q51",
+    "cep_quantifier_bounded",
+    "emb_ivf_recall",
+    "agg_approx_quantiles_bounds",
 ]
 
 

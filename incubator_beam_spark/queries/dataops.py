@@ -434,6 +434,70 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_ivf_recall",
+    oracle=f"""
+    WITH vv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT id, v, cid AS cell,
+             sqrt(list_dot_product(v, v)) AS vn
+      FROM (SELECT vv.id, vv.v, cent.cid, {_IVF_COS} AS cos_c
+            FROM vv CROSS JOIN cent) s
+      QUALIFY row_number() OVER (PARTITION BY id ORDER BY cos_c DESC, cid) = 1),
+    qa AS (SELECT id AS query_id, cell, v AS qv, vn AS qn
+           FROM assigned WHERE id < 20),
+    ivf AS (
+      SELECT query_id, match_id FROM (
+        SELECT query_id, a.id AS match_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY
+                 round(list_dot_product(qv, a.v) / (qn * a.vn), 6) DESC,
+                 a.id) AS rank
+        FROM qa JOIN assigned a USING (cell) WHERE a.id != query_id)
+      WHERE rank <= 5),
+    exact AS (
+      SELECT query_id, match_id FROM (
+        SELECT q.query_id, c.id AS match_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(q.qv, c.v) / (q.qn * c.vn), 6) DESC,
+                 c.id) AS rank
+        FROM qa q CROSS JOIN assigned c WHERE c.id != q.query_id)
+      WHERE rank <= 5)
+    SELECT i.query_id,
+           CAST(count(e.match_id) AS BIGINT) AS hits_at_5
+    FROM ivf i LEFT JOIN exact e
+      ON i.query_id = e.query_id AND i.match_id = e.match_id
+    GROUP BY i.query_id
+    """,
+)
+def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality EVALUATION as a first-class op: recall@5 of IVF
+    (nprobe=1) against the exact brute-force top-5, per query — the
+    standard embedding-index acceptance metric, fully deterministic so
+    it hash-checks (both engines rank on 6dp-rounded cosine with id
+    tie-breaks). At 100 TB the exact side runs on a sampled query set
+    (here: 20 queries x corpus), which is the production recipe too."""
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20)
+    centroids = e.filter(F.col("vec_id") < 8)
+    ivf = similarity.ivf_topk(queries, e, centroids, k=5).select(
+        "query_id", "match_id"
+    )
+    exact = similarity.brute_force_topk(queries, e, k=5).select(
+        F.col("query_id").alias("eq"), F.col("match_id").alias("em")
+    )
+    return (
+        ivf.join(
+            exact,
+            (F.col("query_id") == F.col("eq")) & (F.col("match_id") == F.col("em")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("em").alias("hits_at_5"))
+    )
+
+
+@query(
     "doc_repetition",
     oracle=f"""
     WITH sh_t AS (SELECT doc_id, {_SHINGLES} AS sh, text FROM documents)

@@ -497,3 +497,50 @@ def test_retention_no_self_join_of_events(spark):
     plan = plan_of(spark, "evt_retention_cohorts")
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tpcds_q3_broadcast_and_pushdown(spark):
+    """TPC-DS q3: the part dim broadcasts and the category filter is
+    pushed to the parquet scan; top-100 is TakeOrderedAndProject."""
+    plan = plan_of(spark, "sql_tpcds_q3")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan and "p_type" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpcds_q12_ratio_single_window_exchange(spark):
+    """Ratio-to-report: one hash-agg shuffle + one window exchange on
+    class — no Python, no cartesian."""
+    plan = plan_of(spark, "sql_tpcds_q12")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tpcds_q36_rollup_single_expand(spark):
+    """ROLLUP compiles to one Expand + hash aggregate, the window rank
+    on top — not a union of per-level aggregates."""
+    plan = plan_of(spark, "sql_tpcds_q36")
+    assert plan.count("Expand") >= 1
+    assert "Union" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q16_exists_becomes_semi_anti_join(spark):
+    """EXISTS / NOT EXISTS must lower to semi/anti hash joins on the
+    order key, never to a nested-loop per-row subquery."""
+    plan = plan_of(spark, "sql_tpcds_q16")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_neardup_pairs_cap_is_broadcast_anti_join(spark):
+    """The sign-LSH hot-bucket cap (round-4 fix) removes degenerate
+    buckets via a broadcast anti-join reusing the bucket Exchange — no
+    extra shuffle of the vector rows."""
+    plan = plan_of(spark, "emb_neardup_pairs")
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
