@@ -866,6 +866,69 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_fold(list_expr: str, a: str, b: str) -> str:
+    """DuckDB mirror of bpe._merge_pair: greedy left-to-right merge of
+    adjacent (a, b) via list_reduce with a space-joined string
+    accumulator (the first element seeds the accumulator, which is
+    correct because a single leading symbol is its own merged form)."""
+    merged = a + b
+    return (
+        f"string_split(list_reduce({list_expr}, (acc, x) -> "
+        f"CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = '{a}' AND x = '{b}' "
+        f"THEN regexp_replace(acc, '([^ ]+)$', '{merged}') "
+        f"ELSE acc || ' ' || x END), ' ')"
+    )
+
+
+#: fixed rank-ordered merge table for the encode gate (merge 3 consumes
+#: merge 2's output, so rank-order application is actually exercised)
+_BPE_MERGES = [
+    ("e", "▁"), ("t", "h"), ("th", "e"), ("a", "n"),
+    ("i", "n"), ("o", "n"), ("e", "r"), ("s", "▁"),
+]
+
+
+def _bpe_encode_oracle() -> str:
+    enc = "list_concat(string_split(w, ''), ['▁'])"
+    for a, b in _BPE_MERGES:
+        enc = _bpe_fold(enc, a, b)
+    # per-word encode inside list_transform: pure list ops, so word
+    # order is preserved without any unnest/re-aggregate round trip
+    return f"""
+    WITH enc AS (
+      SELECT doc_id,
+             array_to_string(list_transform(
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            ' '),
+               w -> array_to_string({enc}, ' ')), ' ') AS all_toks
+      FROM documents)
+    SELECT doc_id,
+           CAST(length(string_split(all_toks, ' ')) AS BIGINT) AS n_tokens,
+           md5(all_toks) AS fp
+    FROM enc
+    """
+
+
+@query("doc_bpe_encode", oracle=_bpe_encode_oracle())
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer INFERENCE at corpus scale (the apply side of
+    doc_bpe_merges' learning): a fixed rank-ordered merge table applied
+    as chained greedy adjacent-pair folds — one codegen'd projection
+    per document, zero shuffle. The oracle replays the identical fold
+    chain in DuckDB (list_reduce with a string accumulator), so the
+    full token stream hash-checks, not just counts."""
+    from ..dataops.bpe import bpe_encode
+
+    d = table(spark, sf_dir, "documents")
+    merges = [(i, a, b, 0) for i, (a, b) in enumerate(_BPE_MERGES)]
+    out = bpe_encode(d, merges)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "tokens")).alias("fp"),
+    )
+
+
 @query("doc_bpe_merges")
 def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merge rules learned distributed over the corpus

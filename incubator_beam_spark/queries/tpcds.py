@@ -802,3 +802,175 @@ def sql_tpcds_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio — two scalar counts crossed and divided; integer basis points
     via exact integer division."""
     return _sql(spark, sf_dir, _Q90_BODY.replace("{IDIV}", "div"))
+
+
+_Q39_BODY = """
+    WITH inv AS (
+      SELECT l_partkey, l_suppkey, month(l_shipdate) AS moy,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(round(sum(l_quantity)) AS BIGINT) AS sx,
+             CAST(round(sum(l_quantity * l_quantity)) AS BIGINT) AS sxx
+      FROM lineitem
+      WHERE year(l_shipdate) = 1998
+      GROUP BY l_partkey, l_suppkey, month(l_shipdate)
+      HAVING count(*) >= 2),
+    cov AS (
+      SELECT l_partkey, l_suppkey, moy, n
+      FROM inv
+      -- cov = stdev/mean >= 1  <=>  var >= mean^2, in exact integers:
+      -- (n*sxx - sx*sx) * n >= sx*sx * (n-1)
+      WHERE sx > 0 AND (n * sxx - sx * sx) * n >= sx * sx * (n - 1))
+    SELECT a.l_partkey, a.l_suppkey, a.n AS n_jan, b.n AS n_feb
+    FROM cov a
+    JOIN cov b ON a.l_partkey = b.l_partkey AND a.l_suppkey = b.l_suppkey
+              AND a.moy = 1 AND b.moy = 2
+    ORDER BY a.l_partkey, a.l_suppkey
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q39", oracle=_Q39_BODY)
+def sql_tpcds_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query39 (``queries/query39a.sql``): (item, warehouse)
+    pairs whose quantity coefficient-of-variation exceeds 1 in two
+    CONSECUTIVE months — the stdev/mean filter self-joined month to
+    month+1. The CoV threshold runs in exact integer moments
+    (var >= mean^2 <=> (n*sxx - sx^2)*n >= sx^2*(n-1)), so no sqrt or
+    float division can flip membership between engines."""
+    return _sql(spark, sf_dir, _Q39_BODY)
+
+
+_Q49_BODY = """
+    WITH base AS (
+      SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'web'
+                  WHEN o.o_orderpriority = '3-MEDIUM' THEN 'catalog'
+                  ELSE 'store' END AS channel,
+             l.l_partkey AS item,
+             CAST(round(sum(CASE WHEN l.l_returnflag = 'R'
+                                 THEN l.l_quantity ELSE 0 END)) AS BIGINT)
+               AS ret_qty,
+             CAST(round(sum(l.l_quantity)) AS BIGINT) AS tot_qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE year(o.o_orderdate) = 1998
+      GROUP BY 1, l.l_partkey
+      HAVING sum(l.l_quantity) > 0),
+    ranked AS (
+      SELECT channel, item, ret_qty, tot_qty,
+             rank() OVER (PARTITION BY channel
+                          ORDER BY CAST(ret_qty AS DOUBLE) / tot_qty DESC,
+                                   item) AS rnk
+      FROM base)
+    SELECT channel, item, ret_qty, tot_qty, rnk
+    FROM ranked WHERE rnk <= 10
+    ORDER BY channel, rnk, item
+"""
+
+
+@query("sql_tpcds_q49", oracle=_Q49_BODY)
+def sql_tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query49 (``queries/query49.sql``): worst return ratios per
+    channel — three channels ranked independently and unioned (here via
+    one partitioned rank over a channel CASE). The ratio ordering is
+    IEEE division of exact small integers (identical doubles in both
+    engines) with an item tie-break, so ranks are deterministic."""
+    return _sql(spark, sf_dir, _Q49_BODY)
+
+
+_Q77_BODY = """
+    WITH per AS (
+      SELECT CASE WHEN l.l_linestatus = 'F' THEN 'store' ELSE 'web' END
+               AS channel,
+             s.s_nationkey AS id,
+             CAST(round(sum(CASE WHEN l.l_returnflag <> 'R'
+                                 THEN l.l_extendedprice * (1 - l.l_discount)
+                                 ELSE 0 END) * 10000) AS BIGINT) AS sales_um,
+             CAST(round(sum(CASE WHEN l.l_returnflag = 'R'
+                                 THEN l.l_extendedprice * (1 - l.l_discount)
+                                 ELSE 0 END) * 10000) AS BIGINT) AS returns_um
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, s.s_nationkey)
+    SELECT channel, id,
+           CAST(sum(sales_um) AS BIGINT) AS sales_um,
+           CAST(sum(returns_um) AS BIGINT) AS returns_um,
+           CAST(sum(sales_um - returns_um) AS BIGINT) AS profit_um,
+           grouping(channel) + grouping(id) AS lochierarchy
+    FROM per
+    GROUP BY ROLLUP(channel, id)
+"""
+
+
+@query("sql_tpcds_q77", oracle=_Q77_BODY)
+def sql_tpcds_q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query77 (``queries/query77.sql``): per-channel profit and
+    loss (sales minus returns) rolled up across channels and locations
+    — conditional aggregation into a ROLLUP with grouping() level ids,
+    all exact integer units."""
+    return _sql(spark, sf_dir, _Q77_BODY)
+
+
+_Q97_BODY = """
+    WITH store_c AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_linestatus = 'F'),
+    web_c AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_linestatus = 'O')
+    SELECT CAST(sum(CASE WHEN s.cust IS NOT NULL AND w.cust IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+           CAST(sum(CASE WHEN s.cust IS NULL AND w.cust IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS web_only,
+           CAST(sum(CASE WHEN s.cust IS NOT NULL AND w.cust IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS both_channels
+    FROM store_c s
+    FULL OUTER JOIN web_c w ON s.cust = w.cust AND s.item = w.item
+"""
+
+
+@query("sql_tpcds_q97", oracle=_Q97_BODY)
+def sql_tpcds_q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query97 (``queries/query97.sql``): (customer, item) pair
+    overlap between channels — two DISTINCT projections FULL OUTER
+    JOINed, counted into store-only / web-only / both buckets."""
+    return _sql(spark, sf_dir, _Q97_BODY)
+
+
+_Q31_BODY = """
+    WITH chan AS (
+      SELECT CASE WHEN l.l_linestatus = 'F' THEN 'store' ELSE 'web' END
+               AS channel,
+             c.c_nationkey AS nation, quarter(o.o_orderdate) AS qtr,
+             CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                  AS BIGINT) AS rev_um
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE year(o.o_orderdate) = 1998 AND quarter(o.o_orderdate) IN (1, 2)
+      GROUP BY 1, c.c_nationkey, quarter(o.o_orderdate))
+    SELECT s1.nation,
+           s1.rev_um AS store_q1_um, s2.rev_um AS store_q2_um,
+           w1.rev_um AS web_q1_um, w2.rev_um AS web_q2_um
+    FROM chan s1
+    JOIN chan s2 ON s1.nation = s2.nation
+    JOIN chan w1 ON s1.nation = w1.nation
+    JOIN chan w2 ON s1.nation = w2.nation
+    WHERE s1.channel = 'store' AND s1.qtr = 1
+      AND s2.channel = 'store' AND s2.qtr = 2
+      AND w1.channel = 'web' AND w1.qtr = 1
+      AND w2.channel = 'web' AND w2.qtr = 2
+      AND s1.rev_um > 0 AND w1.rev_um > 0
+      AND CAST(w2.rev_um AS DECIMAL(19,0)) * s1.rev_um
+          > CAST(s2.rev_um AS DECIMAL(19,0)) * w1.rev_um
+    ORDER BY s1.nation
+"""
+
+
+@query("sql_tpcds_q31", oracle=_Q31_BODY)
+def sql_tpcds_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query31 (``queries/query31.sql``): counties whose web
+    quarter-over-quarter growth beat their store growth — one channel
+    CTE self-joined four ways on (nation, quarter), growth ratios
+    compared by exact DECIMAL cross-multiplication (the q11 device)."""
+    return _sql(spark, sf_dir, _Q31_BODY)
