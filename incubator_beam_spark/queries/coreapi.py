@@ -184,6 +184,45 @@ def agg_approx_quantiles_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "io_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_um
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY l_returnflag
+    """,
+)
+def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip (the reference IO matrix's other
+    columnar format; Spark's ORC datasource is built in): write the
+    lineitem projection to ORC, read it back with a pushed filter, and
+    aggregate — byte fidelity proven by hash-matching the aggregate
+    against the ORIGINAL parquet data. The read-side filter reaches the
+    ORC scan as a pushed predicate (same PushedFilters contract as
+    parquet)."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="ibs_orc_")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    li.write.mode("overwrite").orc(out_dir)
+    return (
+        spark.read.orc(out_dir)
+        .filter(F.col("l_quantity") >= 25)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice") * 100)
+            .cast("long")
+            .alias("sum_price_um"),
+        )
+    )
+
+
+@query(
     "io_write_dynamic",
     oracle="""
     SELECT event_type AS dest, count(*) AS n FROM events GROUP BY event_type
@@ -279,6 +318,85 @@ def df_pandas_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.col("n").cast("long").alias("n"),
         F.col("total_cents").cast("long").alias("total_cents"),
+    )
+
+
+@query(
+    "df_pandas_pivot_table",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0)
+               AS BIGINT) AS f_cents,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+                 THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0)
+               AS BIGINT) AS o_cents,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+                 THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0)
+               AS BIGINT) AS p_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def df_pandas_pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deferred-pandas pivot_table (reference dataframe/frames.py
+    DeferredDataFrame.pivot_table): index x columns x sum lowered to a
+    Catalyst PIVOT (one hash aggregate with conditional sums — no
+    per-cell pandas). Values in integer cents, NULL cells filled 0."""
+    from ..dataframe import to_dataframe, to_pcollection
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus", "o_totalprice"
+    )
+    pdf = to_dataframe(o)
+    pdf = pdf.assign(cents=(pdf.o_totalprice * 100).round().astype("int64"))
+    pv = pdf.pivot_table(
+        index=["o_orderpriority"], columns="o_orderstatus", values="cents",
+        aggfunc="sum", fill_value=0,
+    )
+    sdf = to_pcollection(pv.reset_index())
+    cols = {c: c for c in sdf.columns}
+    return sdf.select(
+        F.col(cols["o_orderpriority"]).alias("o_orderpriority"),
+        F.col("F").cast("long").alias("f_cents"),
+        F.col("O").cast("long").alias("o_cents"),
+        F.col("P").cast("long").alias("p_cents"),
+    )
+
+
+@query(
+    "df_pandas_resample",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate)
+    """,
+)
+def df_pandas_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deferred-pandas time resampling (reference dataframe/frames.py
+    resample sugar): monthly downsample of the order stream through the
+    pandas dialect — the month key computed with the .dt/.strftime
+    accessor (lowered to a JVM date_format expression; pyspark.pandas
+    resample() rejects month-start rules, and lowers to exactly this
+    truncate+groupby shape internally anyway), then groupby/size/sum as
+    one hash aggregate."""
+    from ..dataframe import to_dataframe, to_pcollection
+
+    o = table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    pdf = to_dataframe(o)
+    pdf = pdf.assign(
+        cents=(pdf.o_totalprice * 100).round().astype("int64"),
+        month=pdf.o_orderdate.dt.strftime("%Y-%m-01"),
+    )
+    g = pdf.groupby("month")
+    out = g.size().to_frame("n").join(g.cents.sum().to_frame("cents"))
+    sdf = to_pcollection(out.reset_index())
+    return sdf.select(
+        F.col("month").cast("timestamp").alias("month"),
+        F.col("n").cast("long").alias("n"),
+        F.col("cents").cast("long").alias("cents"),
     )
 
 

@@ -715,6 +715,64 @@ def cep_nfa_ambiguous_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_cep_quantifier",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events),
+    np AS (
+      SELECT user_id, event_id, event_type, rn,
+             lag(event_type) OVER w AS prev_type,
+             lag(event_id) OVER w AS prev_event,
+             lag(rn) OVER w AS prev_rn
+      FROM ordered WHERE event_type <> 'click'
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+    matches AS (
+      SELECT user_id, prev_event AS start_event, event_id AS end_event,
+             rn - prev_rn - 1 AS n_clicks, prev_rn
+      FROM np WHERE event_type = 'purchase' AND prev_type = 'signup'
+        AND rn - prev_rn - 1 BETWEEN 2 AND 4)
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY prev_rn)
+             AS match_number,
+           start_event, end_event, n_clicks
+    FROM matches
+    """,
+)
+def stream_cep_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MATCH_RECOGNIZE with a bounded quantifier: the batch
+    cep_quantifier_bounded pattern ``S C{2,4} P`` run through
+    ``match_recognize_stream`` (applyInPandasWithState NFA-tail buffer;
+    the bounded quantifier passes the extendability guard because the
+    pattern ends on the non-extendable P). Single-parquet file stream =
+    one deterministic micro-batch; ordering by event_id (the stream
+    kernel keys its buffer on one order column), oracle adjusted to the
+    same ordering."""
+    from ..plans.cep import match_recognize_stream
+    from .streaming_queries import _drain, stream_table
+
+    e = stream_table(spark, sf_dir, "events")
+    out = match_recognize_stream(
+        e,
+        partition_by="user_id",
+        order_by="event_id",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "P": F.col("event_type") == "purchase",
+        },
+        pattern="S C{2,4} P",
+        measures={
+            "start_event": ("first", "S", "event_id"),
+            "end_event": ("last", "P", "event_id"),
+            "n_clicks": ("count", "C"),
+        },
+    )
+    return _drain(out, "append")
+
+
+@query(
     "nexmark_q9_winning_bids",
     oracle=f"""
     WITH ranked AS (
