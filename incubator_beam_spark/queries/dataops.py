@@ -929,12 +929,59 @@ def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_bpe_merges")
+def _bpe_learn_oracle(k: int = 8) -> str:
+    """The 8-round BPE learning loop UNROLLED into one DuckDB query (the
+    emb_kmeans_lloyd device: an iterative algorithm becomes an exact
+    oracle by chaining one CTE block per round). Round r: adjacent-pair
+    counts weighted by word frequency (every adjacent position counts,
+    like the engine's per-position explode), argmax with the same
+    (w DESC, a, b) tie-break, then the greedy left-to-right merge fold
+    applied via list_reduce with the winning pair as correlated
+    columns."""
+    ctes = [
+        """w0 AS (
+      SELECT count(*)::BIGINT AS freq,
+             list_concat(string_split(w, ''), ['▁']) AS sym
+      FROM (SELECT unnest(string_split(
+              regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY w)"""
+    ]
+    for r in range(1, k + 1):
+        p = r - 1
+        ctes.append(f"""p{r} AS (
+      SELECT sym[i] AS a, sym[i + 1] AS b, sum(freq)::BIGINT AS w
+      FROM (SELECT freq, sym,
+                   unnest(generate_series(1, len(sym) - 1)) AS i
+            FROM w{p} WHERE len(sym) >= 2)
+      GROUP BY 1, 2)""")
+        ctes.append(f"""m{r} AS (
+      SELECT a, b, w FROM p{r} ORDER BY w DESC, a, b LIMIT 1)""")
+        if r < k:
+            ctes.append(f"""w{r} AS (
+      SELECT t.freq,
+             string_split(list_reduce(t.sym, (acc, x) ->
+               CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = m.a AND x = m.b
+                    THEN regexp_replace(acc, '([^ ]+)$', m.a || m.b)
+                    ELSE acc || ' ' || x END), ' ') AS sym
+      FROM w{p} t CROSS JOIN m{r} m)""")
+    selects = [
+        f"SELECT {r - 1}::INTEGER AS step, a AS \"left\", b AS \"right\","
+        f" w AS weight FROM m{r}"
+        for r in range(1, k + 1)
+    ]
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@query("doc_bpe_merges", oracle=_bpe_learn_oracle(8))
 def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First 8 BPE merge rules learned distributed over the corpus
-    word histogram (rows-only: k chained argmax iterations are not
-    one-shot SQL; determinism is pinned by lexicographic tie-breaks and
-    checked against a pure-python BPE reference in tests)."""
+    """First 8 BPE merge rules learned distributed over the corpus word
+    histogram. EXACT oracle since round 4: the k chained argmax
+    iterations are UNROLLED into one DuckDB query (one pair-count +
+    argmax + merge-fold CTE block per round — the same device that made
+    the Lloyd k-means loop hash-checkable), with determinism pinned by
+    the (weight DESC, left, right) tie-break on both engines; also
+    checked against a pure-python BPE reference in tests."""
     from ..dataops.bpe import bpe_merges_df
 
     return bpe_merges_df(table(spark, sf_dir, "documents"), k=8)

@@ -544,3 +544,12 @@ def test_neardup_pairs_cap_is_broadcast_anti_join(spark):
     assert "LeftAnti" in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_orc_roundtrip_pushes_filter_to_orc_scan(spark):
+    """The ORC read side must push the quantity predicate into the ORC
+    scan (same PushedFilters contract as parquet)."""
+    plan = plan_of(spark, "io_orc_roundtrip")
+    assert "Scan orc" in plan
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_quantity,25" in plan

@@ -54,3 +54,53 @@ def test_transcript(spec):
             run_transcript(spec)
     else:
         run_transcript(spec)
+
+
+def _specs_by_name():
+    return {s["name"]: s for s in _SPECS if "name" in s}
+
+
+@pytest.mark.parametrize(
+    "name,mutate",
+    [
+        ("early_late_sessions",
+         lambda s: _first_expect(s)[0].__setitem__("values", [1, 3])),
+        ("known_late_data_watermark",
+         lambda s: _first_expect(s)[0].__setitem__("timestamp", 8)),
+        ("discarding_early_fixed",
+         lambda s: _first_expect(s)[0].__setitem__("index", 5)),
+        ("early_late_sessions",
+         lambda s: _first_expect(s)[0].__setitem__("early", False)),
+        ("early_late_sessions",
+         lambda s: _last_expect(s)[0].__setitem__("nonspeculative_index", 7)),
+    ],
+)
+def test_transcript_harness_discriminates(name, mutate):
+    """Anti-vacuity: corrupting any single expected attribute must fail
+    the transcript — proves the partial matcher actually compares
+    values/timestamps/indexes/flags rather than vacuously passing."""
+    import copy
+
+    spec = copy.deepcopy(_specs_by_name()[name])
+    mutate(spec)
+    with pytest.raises(AssertionError, match="Unmatched output"):
+        run_transcript(spec)
+
+
+def _first_expect(spec):
+    return next(t["expect"] for t in spec["transcript"] if "expect" in t)
+
+
+def _last_expect(spec):
+    return [t["expect"] for t in spec["transcript"] if "expect" in t][-1]
+
+
+def test_transcript_harness_catches_unexpected_output():
+    import copy
+
+    spec = copy.deepcopy(_specs_by_name()["fixed_default"])
+    spec["transcript"] = [
+        t for t in spec["transcript"] if "expect" not in t
+    ] + [{"watermark": 300}]
+    with pytest.raises(AssertionError, match="Unexpected output"):
+        run_transcript(spec)
