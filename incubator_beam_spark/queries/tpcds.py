@@ -974,3 +974,486 @@ def sql_tpcds_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE self-joined four ways on (nation, quarter), growth ratios
     compared by exact DECIMAL cross-multiplication (the q11 device)."""
     return _sql(spark, sf_dir, _Q31_BODY)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 extension: 15 more distinctive TPC-DS shapes (42 total).
+# New SQL surface covered below: week-over-week self-join (q2), scalar
+# subqueries inside CASE arms (q9), multi-OR band predicates (q13),
+# stddev-vs-mean filters via integer moments (q17), ROLLUP averages
+# (q22, q27), per-channel CTE UNION re-aggregation (q33), EXISTS + IN
+# combined on one correlation (q35), day-of-week pivot (q43), latency
+# bucketing on date arithmetic (q50), below-group-average filtering
+# (q65), year-over-year decline (q75), NULL-column channel union (q76),
+# chained EXCEPT (q87), and returns netting (q93).
+# ---------------------------------------------------------------------------
+
+
+_Q2_BODY = """
+    WITH wk AS (
+      SELECT year(l_shipdate) AS yr, weekofyear(l_shipdate) AS wk,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000)
+                  AS BIGINT) AS rev_um
+      FROM lineitem
+      WHERE year(l_shipdate) IN (1997, 1998)
+      GROUP BY year(l_shipdate), weekofyear(l_shipdate))
+    SELECT a.wk AS week_seq, a.rev_um AS y1997_um, b.rev_um AS y1998_um,
+           (b.rev_um * 10000) {IDIV} a.rev_um AS growth_bp
+    FROM wk a JOIN wk b ON a.wk = b.wk
+    WHERE a.yr = 1997 AND b.yr = 1998 AND a.rev_um > 0
+    ORDER BY week_seq
+"""
+
+
+@query("sql_tpcds_q2", oracle=_Q2_BODY.replace("{IDIV}", "//"))
+def sql_tpcds_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query2 (``queries/query2.sql``): week-over-week revenue
+    ratio across two years — one weekly CTE self-joined on ISO week
+    number (weekofyear is ISO-8601 in both engines). The ratio is
+    integer basis points via exact integer division, the q12 device.
+    One shuffle builds the weekly aggregate; the self-join is
+    broadcast-sized (<=53 rows per year)."""
+    return _sql(spark, sf_dir, _Q2_BODY.replace("{IDIV}", "div"))
+
+
+def _q9_bucket(lo: int, hi: int, alias: str) -> str:
+    base = f"SELECT {{expr}} FROM lineitem WHERE l_quantity BETWEEN {lo} AND {hi}"
+    cnt = base.format(expr="count(*)")
+    gross = base.format(
+        expr="CAST(round(sum(l_extendedprice) * 100) AS BIGINT)")
+    net = base.format(
+        expr="CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000)"
+             " AS BIGINT)")
+    return (f"CASE WHEN ({cnt}) > 5000"
+            f" THEN (({gross})) {{IDIV}} (({cnt}))"
+            f" ELSE (({net})) {{IDIV}} (({cnt}) * 100) END AS {alias}")
+
+
+_Q9_BODY = """
+    SELECT {b1}, {b2}, {b3}
+    FROM nation WHERE n_nationkey = 0
+""".format(b1=_q9_bucket(1, 20, "bucket1"),
+           b2=_q9_bucket(21, 35, "bucket2"),
+           b3=_q9_bucket(36, 50, "bucket3"))
+
+
+@query("sql_tpcds_q9", oracle=_Q9_BODY.replace("{IDIV}", "//"))
+def sql_tpcds_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query9 (``queries/query9.sql``): three quantity buckets,
+    each choosing between two averages by a count threshold — NINE
+    uncorrelated scalar subqueries inside CASE arms over a one-row
+    anchor table (reference anchors on ``reason``; here ``nation`` row
+    0). Both CASE arms are exact integer-cent divisions (the ELSE arm's
+    1e-4 units are divided by 100*count to land in the same cents
+    scale). Catalyst evaluates each scalar subquery as an independent
+    broadcast-able subplan."""
+    return _sql(spark, sf_dir, _Q9_BODY.replace("{IDIV}", "div"))
+
+
+_Q13_BODY = """
+    WITH f AS (
+      SELECT l.l_quantity, l.l_extendedprice
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE (c.c_mktsegment = 'BUILDING'
+             AND c.c_acctbal BETWEEN 100 AND 6000
+             AND l.l_discount BETWEEN 0.00 AND 0.04)
+         OR (c.c_mktsegment = 'MACHINERY'
+             AND c.c_acctbal BETWEEN 500 AND 8000
+             AND l.l_discount BETWEEN 0.03 AND 0.07)
+         OR (c.c_mktsegment = 'AUTOMOBILE'
+             AND c.c_acctbal BETWEEN 1000 AND 9999
+             AND l.l_discount BETWEEN 0.06 AND 0.10))
+    SELECT CAST(count(*) AS BIGINT) AS cnt,
+           CAST(round(sum(l_quantity) * 100) AS BIGINT)
+             {IDIV} count(*) AS avg_qty_c,
+           CAST(round(sum(l_extendedprice) * 100) AS BIGINT)
+             {IDIV} count(*) AS avg_price_c
+    FROM f
+"""
+
+
+@query("sql_tpcds_q13", oracle=_Q13_BODY.replace("{IDIV}", "//"))
+def sql_tpcds_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query13 (``queries/query13.sql``): averages under three
+    OR-ed (demographic-band AND discount-band) predicates — the
+    multi-OR band-predicate shape that stresses CNF conversion and
+    partial pushdown. Demographics -> (c_mktsegment, c_acctbal).
+    Averages are exact integer-cent divisions."""
+    return _sql(spark, sf_dir, _Q13_BODY.replace("{IDIV}", "div"))
+
+
+_Q17_BODY = """
+    WITH s AS (
+      SELECT p.p_brand, l.l_linestatus AS chan,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(round(sum(l.l_quantity) * 100) AS BIGINT) AS sx_c,
+             CAST(round(sum(l.l_quantity * l.l_quantity) * 10000)
+                  AS BIGINT) AS sxx_c2
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, l.l_linestatus)
+    SELECT f.p_brand AS brand, f.n AS store_n, o.n AS web_n,
+           (f.sx_c {IDIV} f.n) AS store_mean_c,
+           (o.sx_c {IDIV} o.n) AS web_mean_c,
+           CASE WHEN CAST(f.n AS DECIMAL(38,0))
+                       * (f.n * f.sxx_c2 - f.sx_c * f.sx_c)
+                     > CAST(f.sx_c AS DECIMAL(38,0)) * f.sx_c * (f.n - 1)
+                THEN 1 ELSE 0 END AS store_cov_gt_1,
+           CASE WHEN CAST(o.n AS DECIMAL(38,0))
+                       * (o.n * o.sxx_c2 - o.sx_c * o.sx_c)
+                     > CAST(o.sx_c AS DECIMAL(38,0)) * o.sx_c * (o.n - 1)
+                THEN 1 ELSE 0 END AS web_cov_gt_1
+    FROM s f JOIN s o ON f.p_brand = o.p_brand
+    WHERE f.chan = 'F' AND o.chan = 'O' AND f.n >= 2 AND o.n >= 2
+    ORDER BY brand
+"""
+
+
+@query("sql_tpcds_q17", oracle=_Q17_BODY.replace("{IDIV}", "//"))
+def sql_tpcds_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query17 (``queries/query17.sql``): per-item quantity mean
+    and coefficient-of-variation (>1) across two channels. The stdev >
+    mean filter never touches a float: sample variance > mean^2 iff
+    n*(n*sxx - sx^2) > sx^2*(n-1) in exact integer moments (DECIMAL(38)
+    guards the n*(...) product past int64 at large n; Spark is ANSI so
+    a silent wrap is impossible, it would throw). Means are exact
+    integer-cent divisions."""
+    return _sql(spark, sf_dir, _Q17_BODY.replace("{IDIV}", "div"))
+
+
+_Q22_BODY = """
+    SELECT p.p_type AS category, p.p_brand AS brand,
+           grouping(p.p_type) + grouping(p.p_brand) AS lochierarchy,
+           CAST(round(sum(l.l_quantity) * 100) AS BIGINT)
+             {IDIV} count(*) AS qoh_c
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY ROLLUP(p.p_type, p.p_brand)
+    ORDER BY qoh_c, coalesce(category, ''), coalesce(brand, ''), lochierarchy
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q22", oracle=_Q22_BODY.replace("{IDIV}", "//"))
+def sql_tpcds_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query22 (``queries/query22.sql``): average quantity-on-hand
+    by product hierarchy ROLLUP ordered by the average — rollup + an
+    ORDER BY on an aggregate-derived value. The average is an exact
+    integer division so the global sort key is engine-stable, and the
+    (category, brand, lochierarchy) suffix makes the LIMIT cut
+    deterministic across rollup levels."""
+    return _sql(spark, sf_dir, _Q22_BODY.replace("{IDIV}", "div"))
+
+
+_Q27_BODY = """
+    SELECT n.n_name AS state, grouping(n.n_name) AS g_state,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(round(sum(l.l_quantity) * 100) AS BIGINT)
+             {IDIV} count(*) AS agg1_c,
+           CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT)
+             {IDIV} count(*) AS agg2_c,
+           CAST(round(sum(l.l_discount) * 100) AS BIGINT)
+             {IDIV} count(*) AS agg3_c,
+           CAST(round(sum(l.l_tax) * 100) AS BIGINT)
+             {IDIV} count(*) AS agg4_c
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_mktsegment = 'AUTOMOBILE' AND year(o.o_orderdate) = 1998
+    GROUP BY ROLLUP(n.n_name)
+    ORDER BY g_state, state
+"""
+
+
+@query("sql_tpcds_q27", oracle=_Q27_BODY.replace("{IDIV}", "//"))
+def sql_tpcds_q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query27 (``queries/query27.sql``): four demographic-sliced
+    averages by state with a ROLLUP total row (grouping() emitted so the
+    total row is distinguishable from a state literally named NULL).
+    customer_demographics -> c_mktsegment, ca_state -> nation. All four
+    averages are exact integer-cent divisions."""
+    return _sql(spark, sf_dir, _Q27_BODY.replace("{IDIV}", "div"))
+
+
+_Q33_BODY = """
+    WITH st AS (
+      SELECT p.p_brand, CAST(round(sum(l.l_extendedprice * (1 - l.l_discount))
+             * 10000) AS BIGINT) AS rev_um
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_linestatus = 'F' AND p.p_type = 'PROMO'
+      GROUP BY p.p_brand),
+    cs AS (
+      SELECT p.p_brand, CAST(round(sum(l.l_extendedprice * (1 - l.l_discount))
+             * 10000) AS BIGINT) AS rev_um
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_returnflag = 'R' AND p.p_type = 'PROMO'
+      GROUP BY p.p_brand),
+    ws AS (
+      SELECT p.p_brand, CAST(round(sum(l.l_extendedprice * (1 - l.l_discount))
+             * 10000) AS BIGINT) AS rev_um
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_linestatus = 'O' AND p.p_type = 'PROMO'
+      GROUP BY p.p_brand)
+    SELECT p_brand, CAST(sum(rev_um) AS BIGINT) AS total_um
+    FROM (SELECT * FROM st UNION ALL SELECT * FROM cs
+          UNION ALL SELECT * FROM ws) u
+    GROUP BY p_brand
+    ORDER BY total_um, p_brand
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q33", oracle=_Q33_BODY)
+def sql_tpcds_q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query33 (``queries/query33.sql``): one manufacturer
+    category's revenue summed across three per-channel CTEs UNION ALLed
+    and re-aggregated. Channels -> l_linestatus 'F'/'O' + l_returnflag
+    'R'. Each CTE broadcasts part; the union re-aggregation shuffles
+    only (brand, rev) pairs."""
+    return _sql(spark, sf_dir, _Q33_BODY)
+
+
+_Q35_BODY = """
+    SELECT n.n_name AS state, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(round(min(c.c_acctbal) * 100) AS BIGINT) AS min_bal_c,
+           CAST(round(max(c.c_acctbal) * 100) AS BIGINT) AS max_bal_c,
+           CAST(round(sum(c.c_acctbal) * 100) AS BIGINT)
+             {IDIV} count(*) AS avg_bal_c
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND year(o.o_orderdate) = 1998)
+      AND c.c_custkey IN (SELECT o.o_custkey FROM orders o
+                          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                          WHERE l.l_returnflag = 'R')
+    GROUP BY n.n_name
+    ORDER BY state
+"""
+
+
+@query("sql_tpcds_q35", oracle=_Q35_BODY.replace("{IDIV}", "//"))
+def sql_tpcds_q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query35 (``queries/query35.sql``): customer demographic
+    stats (count/min/max/avg) by state for customers passing BOTH an
+    EXISTS and an IN subquery on the same correlation key — both lower
+    to left-semi joins in Catalyst. Average is an exact integer-cent
+    division."""
+    return _sql(spark, sf_dir, _Q35_BODY.replace("{IDIV}", "div"))
+
+
+def _q43_day(name: str, idx: int, dow: str) -> str:
+    return (f"CAST(round(sum(CASE WHEN {dow} = {idx} THEN"
+            f" l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) * 10000)"
+            f" AS BIGINT) AS {name}_um")
+
+
+def _q43_body(dow: str) -> str:
+    days = ", ".join(
+        _q43_day(n, i + 1, dow)
+        for i, n in enumerate(
+            ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]))
+    return f"""
+    SELECT n.n_name AS s_state, {days}
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY s_state
+"""
+
+
+@query("sql_tpcds_q43", oracle=_q43_body("(dayofweek(l.l_shipdate) + 1)"))
+def sql_tpcds_q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query43 (``queries/query43.sql``): revenue pivoted into
+    seven day-of-week columns per store (supplier nation). The one
+    dialect trap is parameterized, not papered over: Spark dayofweek()
+    is 1=Sunday while DuckDB's is 0=Sunday, so the oracle uses
+    dayofweek()+1 (memory: dialect traps). Pure scan-side CASE pivot —
+    one shuffle on the nation key."""
+    return _sql(spark, sf_dir, _q43_body("dayofweek(l.l_shipdate)"))
+
+
+def _q50_body(days_expr: str) -> str:
+    return f"""
+    WITH lat AS (
+      SELECT s.s_nationkey, {days_expr} AS d
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+    SELECT n.n_name AS s_state,
+           CAST(sum(CASE WHEN d <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d_30,
+           CAST(sum(CASE WHEN d > 30 AND d <= 60 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d_31_60,
+           CAST(sum(CASE WHEN d > 60 AND d <= 90 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d_61_90,
+           CAST(sum(CASE WHEN d > 90 AND d <= 120 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d_91_120,
+           CAST(sum(CASE WHEN d > 120 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d_120_plus
+    FROM lat JOIN nation n ON lat.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY s_state
+"""
+
+
+@query(
+    "sql_tpcds_q50",
+    oracle=_q50_body("datediff('day', o.o_orderdate, l.l_shipdate)"),
+)
+def sql_tpcds_q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query50 (``queries/query50.sql``): order-to-ship latency
+    bucketed into 30/60/90/120/120+ day columns per store — date
+    arithmetic + CASE pivot. The day count is parameterized per dialect
+    (Spark datediff(end, start) vs DuckDB datediff('day', start, end));
+    both count whole calendar days so the bucket edges agree exactly."""
+    return _sql(
+        spark, sf_dir, _q50_body("datediff(l.l_shipdate, o.o_orderdate)"))
+
+
+_Q65_BODY = """
+    WITH sb AS (
+      SELECT l.l_suppkey, l.l_partkey,
+             CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                  AS BIGINT) AS rev_um
+      FROM lineitem l GROUP BY l.l_suppkey, l.l_partkey),
+    sm AS (
+      SELECT l_suppkey, CAST(sum(rev_um) AS BIGINT) AS tot_um,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM sb GROUP BY l_suppkey)
+    SELECT s.s_name, p.p_name, sb.l_partkey AS partkey, sb.rev_um
+    FROM sb
+    JOIN sm ON sb.l_suppkey = sm.l_suppkey
+    JOIN supplier s ON sb.l_suppkey = s.s_suppkey
+    JOIN part p ON sb.l_partkey = p.p_partkey
+    WHERE sb.rev_um * 10 * sm.n_items <= sm.tot_um
+    ORDER BY s.s_name, p.p_name, partkey
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q65", oracle=_Q65_BODY)
+def sql_tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query65 (``queries/query65.sql``): (store, item) pairs
+    whose revenue is at most 10% of the store's average item revenue —
+    a per-group average threshold computed once per store and joined
+    back. The 0.1x threshold is exact integer cross-multiplication
+    (rev*10*n <= total), never a float average. sb reuses one shuffle
+    for both the pair aggregate and the per-store re-aggregate.
+    partkey is carried in the output because p_name collides at larger
+    SFs — (s_name, p_name, partkey) makes the LIMIT cut unique."""
+    return _sql(spark, sf_dir, _Q65_BODY)
+
+
+_Q75_BODY = """
+    WITH yr AS (
+      SELECT p.p_brand, year(l.l_shipdate) AS y,
+             CAST(round(sum(l.l_quantity) * 100) AS BIGINT) AS qty_c,
+             CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                  AS BIGINT) AS rev_um
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE year(l.l_shipdate) IN (1997, 1998)
+      GROUP BY p.p_brand, year(l.l_shipdate))
+    SELECT a.p_brand AS brand, a.qty_c AS prev_qty_c, b.qty_c AS curr_qty_c,
+           b.qty_c - a.qty_c AS qty_diff_c,
+           b.rev_um - a.rev_um AS rev_diff_um
+    FROM yr a JOIN yr b ON a.p_brand = b.p_brand
+    WHERE a.y = 1997 AND b.y = 1998
+      AND b.qty_c * 10 < a.qty_c * 9
+    ORDER BY brand
+"""
+
+
+@query("sql_tpcds_q75", oracle=_Q75_BODY)
+def sql_tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query75 (``queries/query75.sql``): brands whose sales
+    quantity declined more than 10% year-over-year, with quantity and
+    revenue deltas — prev-year self-join with a ratio filter done as
+    exact integer cross-multiplication (curr*10 < prev*9)."""
+    return _sql(spark, sf_dir, _Q75_BODY)
+
+
+_Q76_BODY = """
+    SELECT channel, y,
+           CAST(count(*) AS BIGINT) AS sales_cnt,
+           CAST(count(col_null) AS BIGINT) AS null_key_cnt,
+           CAST(round(sum(amt) * 10000) AS BIGINT) AS ext_sales_um
+    FROM (
+      SELECT 'store' AS channel, year(l_shipdate) AS y,
+             CAST(NULL AS BIGINT) AS col_null,
+             l_extendedprice * (1 - l_discount) AS amt
+      FROM lineitem WHERE l_linestatus = 'F'
+      UNION ALL
+      SELECT 'web' AS channel, year(l_shipdate) AS y,
+             l_partkey AS col_null,
+             l_extendedprice * (1 - l_discount) AS amt
+      FROM lineitem WHERE l_linestatus = 'O'
+      UNION ALL
+      SELECT 'catalog' AS channel, year(l_shipdate) AS y,
+             l_suppkey AS col_null,
+             l_extendedprice * (1 - l_discount) AS amt
+      FROM lineitem WHERE l_returnflag = 'R') u
+    GROUP BY channel, y
+    ORDER BY channel, y
+"""
+
+
+@query("sql_tpcds_q76", oracle=_Q76_BODY)
+def sql_tpcds_q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query76 (``queries/query76.sql``): cross-channel union
+    where each branch projects a different (sometimes NULL-typed)
+    column into a shared schema, then counts non-NULLs — the
+    NULL-column-harmonization shape. The typed CAST(NULL AS BIGINT)
+    keeps the union schema identical across branches in both engines."""
+    return _sql(spark, sf_dir, _Q76_BODY)
+
+
+_Q87_BODY = """
+    SELECT CAST(count(*) AS BIGINT) AS store_only_customers
+    FROM (
+      SELECT DISTINCT o.o_custkey FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_linestatus = 'F'
+      EXCEPT
+      SELECT DISTINCT o.o_custkey FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_linestatus = 'O'
+      EXCEPT
+      SELECT DISTINCT o.o_custkey FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R') t
+"""
+
+
+@query("sql_tpcds_q87", oracle=_Q87_BODY)
+def sql_tpcds_q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query87 (``queries/query87.sql``): customers in the store
+    channel but neither web nor catalog — chained EXCEPT (set MINUS),
+    the complement of q38's chained INTERSECT. Lowers to left-anti
+    joins over the distinct key sets; no row payload crosses the
+    shuffle beyond the key."""
+    return _sql(spark, sf_dir, _Q87_BODY)
+
+
+_Q93_BODY = """
+    SELECT o.o_custkey AS customer,
+           CAST(round(sum(CASE WHEN l.l_returnflag = 'R'
+                                THEN -l.l_extendedprice * (1 - l.l_discount)
+                                ELSE l.l_extendedprice * (1 - l.l_discount)
+                           END) * 10000) AS BIGINT) AS act_sales_um
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+    ORDER BY act_sales_um, customer
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q93", oracle=_Q93_BODY)
+def sql_tpcds_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query93 (``queries/query93.sql``): actual sales per
+    customer after netting out returned lines (returns negate the line
+    amount) — conditional-negation aggregation. ORDER BY
+    (act_sales_um, customer) is a unique full ordering so the LIMIT
+    100 cut is deterministic."""
+    return _sql(spark, sf_dir, _Q93_BODY)
