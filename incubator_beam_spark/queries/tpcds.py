@@ -7,7 +7,7 @@ The reference's largest SQL conformance asset is its TPC-DS harness —
 rollup/grouping, window frames, correlated subqueries, multi-CTE
 year-over-year self-joins, INTERSECT, and cumulative-window full-outer
 joins that the hand-written sql_* gates don't reach. This module ports
-the distinctive SHAPES of 14 of those queries onto the fixture's
+the distinctive SHAPES of 56 of those queries onto the fixture's
 TPC-H-ish star schema (the same adaptation the TPC-H gates use):
 
   store_sales            -> lineitem (+ orders for the sold date)
