@@ -1517,7 +1517,12 @@ def sql_tpcds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling). Both growth comparisons are exact DECIMAL(38)
     cross-multiplications with positive-denominator guards; no ratio is
     ever materialized. Channels map to returnflag/linestatus slices.
-    One shuffle builds yt; the six probes reuse its Exchange."""
+    Plan note: Catalyst inlines the CTE and pushes each probe's
+    (chan, y) literals into its own copy, so the verbatim shape scans
+    the fact six times — exactly what stock Spark does on TPC-DS q4.
+    The one-scan rewrite (conditional-aggregation pivot per
+    channel-year, then a single filter) is the 100-TB hand-written
+    alternative; the pivot path itself is gated by agg_pivot."""
     return _sql(spark, sf_dir, _Q4_BODY)
 
 

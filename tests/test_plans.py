@@ -553,3 +553,36 @@ def test_orc_roundtrip_pushes_filter_to_orc_scan(spark):
     assert "Scan orc" in plan
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(l_quantity,25" in plan
+
+
+def test_tpcds_q45_disjunctive_in_is_existence_join(spark):
+    """The OR-ed IN-subquery must plan as an ExistenceJoin (a semi-join
+    emitting a boolean consumed by the disjunctive filter), never a
+    per-row nested-loop subquery or a cartesian expansion."""
+    plan = plan_of(spark, "sql_tpcds_q45")
+    assert "ExistenceJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q32_correlated_scalar_decorrelates(spark):
+    """The correlated scalar subquery in WHERE must decorrelate into an
+    aggregate + equi-join on the item key — no nested-loop re-execution
+    per outer row, no Python."""
+    plan = plan_of(spark, "sql_tpcds_q32")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan and "Join" in plan
+
+
+def test_tpcds_q67_deep_rollup_rank(spark):
+    """GROUP BY category + ROLLUP(brand, yr, qtr) compiles to Expand +
+    one hash aggregate with the rank window on top — never a UNION of
+    per-level aggregates, and no global sort below the window (the
+    window partitions by category)."""
+    plan = plan_of(spark, "sql_tpcds_q67")
+    assert "Expand" in plan
+    assert "Union" not in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
