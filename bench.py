@@ -80,6 +80,12 @@ HEADLINE = [
     "cep_quantifier_bounded",
     "emb_ivf_recall",
     "agg_approx_quantiles_bounds",
+    # round-4 session additions: the costliest new TPC-DS shapes (6-way
+    # self-join growth chain; deep rollup + rank) + full-outer
+    # stream-stream join
+    "sql_tpcds_q4",
+    "sql_tpcds_q67",
+    "stream_stream_full_outer_join",
 ]
 
 

@@ -926,3 +926,58 @@ def stream_per_key_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = stream_table(spark, sf_dir, "events")
     out = per_key_counter(e, "user_id")
     return _drain(out, "update")
+
+
+@query(
+    "stream_stream_full_outer_join",
+    oracle=f"""
+    SELECT coalesce(p.user_id, c.user_id) AS user_id,
+           (coalesce(floor(epoch(p.ts))::BIGINT // {_HOUR},
+                     floor(epoch(c.ts))::BIGINT // {_HOUR})) * {_HOUR}
+             AS window_start,
+           p.event_id AS p_event, c.event_id AS c_event
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND floor(epoch(p.ts))::BIGINT // {_HOUR} = floor(epoch(c.ts))::BIGINT // {_HOUR}
+    """,
+)
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join — both sides hold unmatched rows in
+    the state store and null-pad them only when the watermark closes the
+    window (reference Beam expresses this as CoGroupByKey over windowed
+    PCollections with both iterables possibly empty; Spark's native
+    stream-stream full_outer is the idiomatic lowering). Same two
+    scripted devices as the left twin (far-future watermark sentinel per
+    side surviving the pushed type filter; settled drain emits the held
+    rows), plus full-outer-specific output hygiene: user_id and
+    window_start COALESCE across sides because either side may be the
+    null-padded one. Result equals the batch FULL JOIN exactly."""
+    cutoff = F.lit("2098-01-01").cast("timestamp")
+    e1 = stream_table(
+        spark, sf_dir, "events", watermark_sentinel_ts="2099-01-01",
+        watermark_sentinel_overrides={"event_type": "purchase"},
+    ).withWatermark("ts", "1 hour").filter(F.col("ts") < cutoff)
+    e2 = stream_table(
+        spark, sf_dir, "events", watermark_sentinel_ts="2099-01-01",
+        watermark_sentinel_overrides={"event_type": "click"},
+    ).withWatermark("ts", "1 hour").filter(F.col("ts") < cutoff)
+    p = e1.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.window("ts", "1 hour").alias("w"),
+        F.col("event_id").alias("p_event"),
+    )
+    c = e2.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.window("ts", "1 hour").alias("w2"),
+        F.col("event_id").alias("c_event"),
+    )
+    j = p.join(
+        c, (p.p_user == c.c_user) & (p.w == c.w2), "full_outer"
+    ).select(
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        F.unix_timestamp(
+            F.coalesce(F.col("w.start"), F.col("w2.start"))
+        ).alias("window_start"),
+        "p_event",
+        "c_event",
+    )
+    return _drain(j, "append", settle=True)
