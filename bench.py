@@ -81,11 +81,12 @@ HEADLINE = [
     "emb_ivf_recall",
     "agg_approx_quantiles_bounds",
     # round-4 session additions: the costliest new TPC-DS shapes (6-way
-    # self-join growth chain; deep rollup + rank) + full-outer
-    # stream-stream join
+    # self-join growth chain; deep rollup + rank). Streaming gates stay
+    # OUT of the headline on purpose: a scripted drain is ~7s of fixed
+    # micro-batch machinery per run, which would swamp the batch
+    # throughput signal this lane exists to track.
     "sql_tpcds_q4",
     "sql_tpcds_q67",
-    "stream_stream_full_outer_join",
 ]
 
 
@@ -184,17 +185,56 @@ def scale_lane(spark, sf_dir: str, scales=(1, 10)) -> dict:
             _scaled_docs(spark, sf_dir, k), line_tokens=3, max_count=3
         )
 
+    def _scaled_rel(k):
+        """k offset copies of (lineitem, orders): l_orderkey and
+        o_orderkey shift together so the fact-fact join key space scales
+        with the data, while dim keys (partkey/suppkey/custkey) stay
+        in-domain so dim joins keep their selectivity."""
+        from functools import reduce
+
+        from pyspark.sql import DataFrame
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        lcopies, ocopies = [], []
+        for i in range(k):
+            off = F.lit(i * 10_000_000)
+            lcopies.append(li.withColumn("l_orderkey", F.col("l_orderkey") + off))
+            ocopies.append(od.withColumn("o_orderkey", F.col("o_orderkey") + off))
+        reduce(DataFrame.unionAll, lcopies).createOrReplaceTempView("lineitem")
+        reduce(DataFrame.unionAll, ocopies).createOrReplaceTempView("orders")
+        spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView("part")
+
+    def run_sql_rollup_rank(k):
+        from incubator_beam_spark.queries import tpcds
+
+        _scaled_rel(k)
+        return spark.sql(tpcds._Q67_BODY)
+
+    def run_sql_agg_antijoin(k):
+        from incubator_beam_spark.queries import tpcds
+
+        _scaled_rel(k)
+        return spark.sql(tpcds._Q78_BODY.replace("{IDIV}", "div"))
+
     ops = {
         "doc_minhash_lsh_pairs": run_minhash,
         "doc_neardup_clusters": run_clusters,
         "emb_ivfpq_topk": run_ivfpq,
         "doc_line_dedup": run_line_dedup,
+        "sql_tpcds_q67": run_sql_rollup_rank,
+        "sql_tpcds_q78": run_sql_agg_antijoin,
     }
     base_rows = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     emb_rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     out = {}
     for name, fn in ops.items():
-        rows0 = emb_rows if name.startswith("emb_") else base_rows
+        rows0 = (
+            emb_rows if name.startswith("emb_")
+            else li_rows if name.startswith("sql_")
+            else base_rows
+        )
         times = {}
         fn(scales[0]).count()  # warmup: codegen + IO cache, untimed
         for k in scales:
