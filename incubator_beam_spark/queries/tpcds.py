@@ -7,7 +7,7 @@ The reference's largest SQL conformance asset is its TPC-DS harness —
 rollup/grouping, window frames, correlated subqueries, multi-CTE
 year-over-year self-joins, INTERSECT, and cumulative-window full-outer
 joins that the hand-written sql_* gates don't reach. This module ports
-the distinctive SHAPES of 56 of those queries onto the fixture's
+the distinctive SHAPES of 61 of those queries onto the fixture's
 TPC-H-ish star schema (the same adaptation the TPC-H gates use):
 
   store_sales            -> lineitem (+ orders for the sold date)
@@ -1733,7 +1733,7 @@ _Q45_BODY = """
     SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_customers,
            CAST(round(sum(c.c_acctbal) * 100) AS BIGINT) AS bal_c
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE n.n_name IN ('FRANCE', 'GERMANY', 'ROMANIA')
+    WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
        OR c.c_custkey IN (
             SELECT o.o_custkey FROM orders o
             JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1979,3 +1979,210 @@ def sql_tpcds_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     basis points. ret is DISTINCT (order, item) keys only, so the
     anti-join shuffles nothing but keys."""
     return _sql(spark, sf_dir, _Q78_BODY.replace("{IDIV}", "div"))
+
+
+# ---------------------------------------------------------------------------
+# Round-4 extension III: 5 more distinctive TPC-DS shapes (61 total):
+# literal-list INTERSECT derived-set (q8), double-measure 24-column
+# month pivot over a channel union (q66), per-ticket aggregate then
+# per-customer argmax (q79), three-way aggregate join with share-of-
+# total ratio outputs (q83), and grouped multi-band OR predicates (q85).
+# ---------------------------------------------------------------------------
+
+
+def _q8_body(values_clause: str) -> str:
+    return f"""
+    WITH pref AS (
+      SELECT substring(n.n_name, 8, 1) AS zp
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE c.c_acctbal > 5000
+      GROUP BY substring(n.n_name, 8, 1)
+      HAVING count(*) >= 5),
+    zips AS (
+      SELECT zp FROM {values_clause}
+      INTERSECT
+      SELECT zp FROM pref)
+    SELECT n.n_name AS s_nation,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                AS BIGINT) AS rev_um
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE substring(n.n_name, 8, 1) IN (SELECT zp FROM zips)
+    GROUP BY n.n_name
+    ORDER BY s_nation
+"""
+
+
+_Q8_VALS = "('1'), ('2'), ('7'), ('9')"
+
+
+@query("sql_tpcds_q8", oracle=_q8_body(f"(VALUES {_Q8_VALS}) AS z(zp)"))
+def sql_tpcds_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query8 (``queries/query8.sql``): store revenue restricted
+    to zip prefixes that appear BOTH in a literal list and among
+    wealthy-customer locations — a VALUES literal table INTERSECTed
+    with a HAVING-filtered derived set, consumed through an
+    IN-subquery on a substring. The leading digit of the synthetic
+    nation id plays the zip-prefix role ('1' fans out to NATION_1 and
+    NATION_10..19, like a real zip prefix). The VALUES clause is
+    parameterized per dialect (Spark: bare VALUES in FROM; DuckDB:
+    parenthesized)."""
+    return _sql(spark, sf_dir, _q8_body(f"VALUES {_Q8_VALS} AS z(zp)"))
+
+
+def _q66_measures() -> str:
+    cols = []
+    for m in range(1, 13):
+        cols.append(
+            f"CAST(round(sum(CASE WHEN month(l_shipdate) = {m} THEN"
+            f" l_quantity ELSE 0 END) * 100) AS BIGINT) AS qty_m{m:02d}_c")
+    for m in range(1, 13):
+        cols.append(
+            f"CAST(round(sum(CASE WHEN month(l_shipdate) = {m} THEN"
+            f" l_extendedprice * (1 - l_discount) ELSE 0 END) * 10000)"
+            f" AS BIGINT) AS rev_m{m:02d}_um")
+    return ",\n           ".join(cols)
+
+
+_Q66_BODY = f"""
+    SELECT warehouse,
+           {_q66_measures()}
+    FROM (
+      SELECT n.n_name AS warehouse, l.l_shipdate, l.l_quantity,
+             l.l_extendedprice, l.l_discount
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE l.l_linestatus = 'F' AND year(l.l_shipdate) = 1998
+      UNION ALL
+      SELECT n.n_name AS warehouse, l.l_shipdate, l.l_quantity,
+             l.l_extendedprice, l.l_discount
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE l.l_linestatus = 'O' AND year(l.l_shipdate) = 1998) u
+    GROUP BY warehouse
+    ORDER BY warehouse
+"""
+
+
+@query("sql_tpcds_q66", oracle=_Q66_BODY)
+def sql_tpcds_q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query66 (``queries/query66.sql``): the WIDE pivot — per
+    warehouse, TWO measures (quantity and revenue) pivoted into 24
+    monthly columns, fed by a UNION ALL of two ship-mode branches that
+    is re-aggregated after the union (the reference unions web and
+    catalog). All 24 columns are exact integer units computed in one
+    hash aggregate over the union — Catalyst folds the 24 CASEs into a
+    single Expand-free aggregate, one shuffle on the warehouse key."""
+    return _sql(spark, sf_dir, _Q66_BODY)
+
+
+_Q79_BODY = """
+    WITH per_order AS (
+      SELECT o.o_custkey AS ck, l.l_orderkey AS ok,
+             CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                  AS BIGINT) AS rev_um,
+             CAST(round(sum(l.l_quantity) * 100) AS BIGINT) AS qty_c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE month(o.o_orderdate) = 12
+      GROUP BY o.o_custkey, l.l_orderkey),
+    ranked AS (
+      SELECT ck, ok, rev_um, qty_c,
+             row_number() OVER (PARTITION BY ck
+                                ORDER BY rev_um DESC, ok) AS rn
+      FROM per_order)
+    SELECT ck AS customer, ok AS best_order, rev_um, qty_c
+    FROM ranked WHERE rn = 1
+    ORDER BY customer
+"""
+
+
+@query("sql_tpcds_q79", oracle=_Q79_BODY)
+def sql_tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query79 (``queries/query79.sql``): each customer's single
+    biggest shopping trip — aggregate per (customer, ticket) first,
+    then argmax per customer (the reference's MAX over per-ticket
+    profit). Two-level nesting: the per-order aggregate shuffles on the
+    order key, the argmax re-uses a row_number window partitioned by
+    customer with (rev DESC, order key) — a unique ordering, so the
+    rn=1 cut is deterministic. Order keys are integers; no float ever
+    decides the winner."""
+    return _sql(spark, sf_dir, _Q79_BODY)
+
+
+_Q83_BODY = """
+    WITH r96 AS (
+      SELECT l_partkey, CAST(round(sum(l_quantity) * 100) AS BIGINT) AS q_c
+      FROM lineitem WHERE l_returnflag = 'R' AND year(l_shipdate) = 1996
+      GROUP BY l_partkey),
+    r97 AS (
+      SELECT l_partkey, CAST(round(sum(l_quantity) * 100) AS BIGINT) AS q_c
+      FROM lineitem WHERE l_returnflag = 'R' AND year(l_shipdate) = 1997
+      GROUP BY l_partkey),
+    r98 AS (
+      SELECT l_partkey, CAST(round(sum(l_quantity) * 100) AS BIGINT) AS q_c
+      FROM lineitem WHERE l_returnflag = 'R' AND year(l_shipdate) = 1998
+      GROUP BY l_partkey)
+    SELECT r96.l_partkey AS partkey,
+           r96.q_c AS q96_c, r97.q_c AS q97_c, r98.q_c AS q98_c,
+           (r96.q_c * 3000) {IDIV} (r96.q_c + r97.q_c + r98.q_c)
+             AS share96_pm,
+           (r97.q_c * 3000) {IDIV} (r96.q_c + r97.q_c + r98.q_c)
+             AS share97_pm,
+           (r98.q_c * 3000) {IDIV} (r96.q_c + r97.q_c + r98.q_c)
+             AS share98_pm
+    FROM r96
+    JOIN r97 ON r96.l_partkey = r97.l_partkey
+    JOIN r98 ON r96.l_partkey = r98.l_partkey
+    ORDER BY partkey
+"""
+
+
+@query("sql_tpcds_q83", oracle=_Q83_BODY.replace("{IDIV}", "//"))
+def sql_tpcds_q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query83 (``queries/query83.sql``): returned quantity per
+    item in three channels joined on the item key, each emitting its
+    share of the three-channel total (the reference's
+    ``cr_qty/(cr+sr+wr)/3 * 100``) — here exact integer permille-of-
+    average via ``q*3000 div total``. Channels map to return years.
+    Three slim aggregates share the lineitem scan pattern; the 3-way
+    join is on the already-shuffled item key."""
+    return _sql(spark, sf_dir, _Q83_BODY.replace("{IDIV}", "div"))
+
+
+_Q85_BODY = """
+    SELECT o.o_orderpriority AS reason,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(round(sum(l.l_quantity) * 100) AS BIGINT)
+             {IDIV} count(*) AS avg_qty_c,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                AS BIGINT) {IDIV} count(*) AS avg_refund_um
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE l.l_returnflag = 'R'
+      AND ((c.c_mktsegment = 'BUILDING'
+            AND c.c_acctbal BETWEEN 100 AND 5000
+            AND l.l_quantity BETWEEN 1 AND 20)
+        OR (c.c_mktsegment = 'MACHINERY'
+            AND c.c_acctbal BETWEEN 2000 AND 8000
+            AND l.l_quantity BETWEEN 10 AND 35)
+        OR (c.c_mktsegment = 'HOUSEHOLD'
+            AND c.c_acctbal BETWEEN 4000 AND 9999
+            AND l.l_quantity BETWEEN 25 AND 50))
+    GROUP BY o.o_orderpriority
+    ORDER BY reason
+"""
+
+
+@query("sql_tpcds_q85", oracle=_Q85_BODY.replace("{IDIV}", "//"))
+def sql_tpcds_q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query85 (``queries/query85.sql``): refund statistics per
+    return reason under three OR-ed (demographic-band AND
+    quantity-band) predicates — q13's multi-OR band shape but GROUPED
+    by a dimension (return reason -> order priority) instead of
+    collapsed to one row, so partial pushdown must coexist with the
+    grouped aggregate. Averages are exact integer divisions."""
+    return _sql(spark, sf_dir, _Q85_BODY.replace("{IDIV}", "div"))
