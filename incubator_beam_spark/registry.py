@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "incubator_beam_spark.queries.dataops",
     "incubator_beam_spark.queries.streaming_queries",
     "incubator_beam_spark.queries.loadtests",
+    "incubator_beam_spark.queries.game",
     "incubator_beam_spark.queries.surface",
 )
 
