@@ -616,3 +616,115 @@ def df_pandas_dt_accessor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long"),
         F.col("cents").cast("long"),
     )
+
+
+@query(
+    "df_pandas_melt",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS variable,
+           CAST(p_size AS BIGINT) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'retail_cents' AS variable,
+           CAST(round(p_retailprice * 100) AS BIGINT) AS value
+    FROM part
+    """,
+)
+def df_pandas_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deferred-pandas melt (reference dataframe/frames.py
+    DeferredDataFrame.melt): wide-to-long unpivot through the pandas
+    dialect — pyspark.pandas lowers melt to a Catalyst
+    explode-of-struct-array (one generator, no per-row Python), the
+    same plan SQL UNPIVOT produces. Both value columns are pre-cast to
+    int64 so the long `value` column has one exact dtype."""
+    from ..dataframe import to_dataframe, to_pcollection
+
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    pdf = to_dataframe(p)
+    pdf = pdf.assign(
+        p_size=pdf.p_size.astype("int64"),
+        retail_cents=(pdf.p_retailprice * 100).round().astype("int64"),
+    )[["p_partkey", "p_size", "retail_cents"]]
+    molten = pdf.melt(id_vars=["p_partkey"], value_vars=["p_size", "retail_cents"])
+    sdf = to_pcollection(molten)
+    return sdf.select(
+        F.col("p_partkey"),
+        F.col("variable"),
+        F.col("value").cast("long").alias("value"),
+    )
+
+
+@query(
+    "df_pandas_cumsum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+             - 1 AS seq
+    FROM orders
+    """,
+)
+def df_pandas_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deferred-pandas grouped cumulative sum + cumcount (reference
+    dataframe/frames.py groupby.cumsum/cumcount): the pandas running
+    total lowered onto Catalyst ROWS UNBOUNDED PRECEDING window frames.
+    sort_values pins the deferred frame's natural order to
+    (o_orderdate, o_orderkey) — a unique ordering, so the running sums
+    are engine-stable; sums in exact integer cents."""
+    from ..dataframe import to_dataframe, to_pcollection
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    pdf = to_dataframe(o)
+    pdf = pdf.assign(cents=(pdf.o_totalprice * 100).round().astype("int64"))
+    pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
+    # Two ps sharp edges pinned here: (1) cumulative ops order by the
+    # frame's NATURAL order (the internal monotonic id minted at frame
+    # creation) which sort_values does NOT re-pin — round-trip through
+    # Spark so the sorted plan mints a fresh natural order that IS the
+    # (o_orderdate, o_orderkey) order; (2) assigning a groupby-derived
+    # series back onto the frame is an INDEX-ALIGNMENT JOIN, and the
+    # repo default "distributed" index is not stable across
+    # recomputations — anchor the index to the REAL unique o_orderkey so
+    # the alignment joins on a deterministic key. Both series are
+    # derived from the pristine sorted anchor before either setitem.
+    pdf = pdf.to_spark().pandas_api(index_col="o_orderkey")
+    cs = pdf.groupby("o_custkey").cents.cumsum()
+    cc = pdf.groupby("o_custkey").cents.cumcount()
+    pdf["run_cents"] = cs
+    pdf["seq"] = cc
+    sdf = to_pcollection(pdf.reset_index()[["o_custkey", "o_orderkey", "run_cents", "seq"]])
+    return sdf.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("run_cents").cast("long").alias("run_cents"),
+        F.col("seq").cast("long").alias("seq"),
+    )
+
+
+@query(
+    "df_pandas_value_counts",
+    oracle="""
+    SELECT o_orderpriority AS value, CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def df_pandas_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deferred-pandas value_counts (reference dataframe/frames.py
+    DeferredSeries.value_counts): the one-liner frequency table, lowered
+    to a single HashAggregate — no driver-side pandas."""
+    from ..dataframe import to_dataframe, to_pcollection
+
+    o = table(spark, sf_dir, "orders").select("o_orderpriority")
+    pdf = to_dataframe(o)
+    vc = pdf.o_orderpriority.value_counts().to_frame("n").reset_index()
+    sdf = to_pcollection(vc)
+    first = sdf.columns[0]
+    return sdf.select(
+        F.col(first).alias("value"), F.col("n").cast("long").alias("n")
+    )
