@@ -981,3 +981,40 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         "c_event",
     )
     return _drain(j, "append", settle=True)
+
+
+@query(
+    "stream_sliding_agg",
+    oracle=f"""
+    WITH offsets AS (SELECT unnest([0, 900, 1800, 2700]) AS off)
+    SELECT ((floor(epoch(ts))::BIGINT - off) // {_HOUR}) * {_HOUR} + off
+             AS window_start,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events, offsets
+    WHERE floor(epoch(ts))::BIGINT
+            >= ((floor(epoch(ts))::BIGINT - off) // {_HOUR}) * {_HOUR} + off
+    GROUP BY 1
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """evt_sliding_window executed as a STREAM (hopping window, complete
+    mode): SlidingWindows(size=1h, period=15m) is Spark's native sliding
+    F.window in a streaming aggregate — each event lands in 4 windows.
+    Oracle replays the multi-assignment with an offset unnest, the same
+    device as the batch twin. The ValidatesRunner check for hopping
+    windows: stream result equals the batch assignment exactly."""
+    e = stream_table(spark, sf_dir, "events")
+    agg = (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+    return _drain(agg, "complete")

@@ -586,3 +586,21 @@ def test_tpcds_q67_deep_rollup_rank(spark):
     assert "Union" not in plan
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_game_hourly_filters_pushed(spark):
+    """hourly_team_score: the [start, stop) slice must reach the parquet
+    scan as pushed filters; the JSON team extraction stays JVM-side."""
+    plan = plan_of(spark, "game_hourly_team_score")
+    assert "PushedFilters" in plan and "ts" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_game_spammy_mean_is_broadcast_scalar(spark):
+    """CalculateSpammyUsers: the global-mean side input must be a
+    broadcast one-row join (nested-loop on a single row is fine; a
+    shuffled or row-multiplying plan is not), and the whole plan stays
+    JVM-side."""
+    plan = plan_of(spark, "game_spammy_users")
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
