@@ -1018,3 +1018,136 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(agg, "complete")
+
+
+@query(
+    "stream_chained_watermarks",
+    oracle="""
+    WITH hourly AS (
+      SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS h,
+             user_id,
+             count(*) AS n,
+             CAST(round(sum(value) * 100) AS BIGINT) AS sum_c
+      FROM events GROUP BY 1, 2)
+    SELECT (h // 86400) * 86400 AS day_start,
+           CAST(count(*) AS BIGINT) AS n_user_hours,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(sum_c) AS BIGINT) AS day_sum_c
+    FROM hourly GROUP BY 1
+    """,
+)
+def stream_chained_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-TRANSFORM WATERMARKS (reference ``runners/direct/
+    watermark_manager.py:35``: each transform carries its own input/
+    output watermark; Spark holds ONE watermark per query). The Beam
+    semantics are recovered by CHAINING two streaming queries, each with
+    its OWN watermark, the way Beam's runner propagates a transform's
+    output watermark downstream:
+
+    - Stage 1 (hourly per-user totals): event stream + sentinel ->
+      watermark(1h) -> tumbling 1h append. foreachBatch appends plain
+      parquet per micro-batch (a streaming sink WITHOUT _spark_metadata,
+      so stage 2's file source can watch the same directory).
+    - Watermark propagation: when stage 1 finishes, a one-row sentinel
+      parquet (window far in the future) is appended to the
+      intermediate directory — the scripted materialization of "stage
+      1's output watermark advanced past its last emitted window".
+    - Stage 2 (daily rollup of stage 1's output): file stream over the
+      intermediate dir, its OWN watermark(1h) on the hourly window
+      start, tumbling 1-day append.
+
+    Scores are integer cents from stage 1 onward, so the two-level
+    aggregation is exact; the oracle is the batch two-level rollup."""
+    import os
+    import tempfile
+
+    inter = tempfile.mkdtemp(prefix="chain_wm_")
+    cutoff = F.lit("2098-01-01").cast("timestamp")
+
+    e = stream_table(
+        spark, sf_dir, "events", watermark_sentinel_ts="2099-01-01"
+    ).withWatermark("ts", "1 hour")
+    hourly = (
+        e.filter(F.col("ts") < cutoff)
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value") * 100).cast("long").alias("sum_c"),
+        )
+        .select(
+            F.col("window.start").alias("wstart"),
+            "user_id",
+            "n",
+            "sum_c",
+        )
+    )
+    q1 = (
+        hourly.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(inter, "_ckpt1"))
+        .foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("append").parquet(
+                os.path.join(inter, "data")
+            )
+        )
+        .start()
+    )
+    q1.processAllAvailable()
+    # settle: the windows closed by the sentinel's watermark advance are
+    # emitted in a NO-DATA batch that processAllAvailable does not wait
+    # for — poll the sink directory until its row count is stable (the
+    # same device _drain uses for memory sinks).
+    import time as _time
+
+    prev, stable = -1, 0
+    for _ in range(60):
+        try:
+            n = spark.read.parquet(os.path.join(inter, "data")).count()
+        except Exception:
+            n = -1
+        stable = stable + 1 if n == prev else 0
+        prev = n
+        if stable >= 3:
+            break
+        _time.sleep(1.0)
+        q1.processAllAvailable()
+    q1.stop()
+
+    # propagate stage 1's final output watermark: one far-future row
+    schema_df = spark.read.parquet(os.path.join(inter, "data"))
+    # The sentinel must SURVIVE every filter Catalyst pushes below the
+    # EventTimeWatermark node (non-watermark-column predicates get
+    # pushed; only wstart-referencing ones stay above) — so it carries
+    # innocuous values and is excluded by a wstart cutoff, not by id.
+    spark.createDataFrame(
+        [("2099-01-01 00:00:00", 0, 0, 0)],
+        "wstart string, user_id long, n long, sum_c long",
+    ).select(
+        F.col("wstart").cast("timestamp"), "user_id", "n", "sum_c"
+    ).write.mode("append").parquet(os.path.join(inter, "data"))
+
+    # one batch ingests ALL files (data + sentinel): per-batch watermark
+    # advancement would otherwise drop stage 1's overlapping part-files
+    # as late data; with a single batch the watermark jumps once, after
+    # it, and the day windows flush in the no-data batch the settled
+    # drain waits for.
+    s2 = (
+        spark.readStream.schema(schema_df.schema)
+        .parquet(os.path.join(inter, "data"))
+        .withWatermark("wstart", "1 hour")
+    )
+    daily = (
+        s2.filter(F.col("wstart") < cutoff)
+        .groupBy(F.window("wstart", "1 day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_user_hours"),
+            F.sum("n").alias("n_events"),
+            F.sum("sum_c").alias("day_sum_c"),
+        )
+        .select(
+            F.unix_timestamp("window.start").alias("day_start"),
+            "n_user_hours",
+            "n_events",
+            "day_sum_c",
+        )
+    )
+    return _drain(daily, "append", settle=True)
