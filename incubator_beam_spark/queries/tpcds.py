@@ -7,7 +7,7 @@ The reference's largest SQL conformance asset is its TPC-DS harness —
 rollup/grouping, window frames, correlated subqueries, multi-CTE
 year-over-year self-joins, INTERSECT, and cumulative-window full-outer
 joins that the hand-written sql_* gates don't reach. This module ports
-the distinctive SHAPES of 61 of those queries onto the fixture's
+the distinctive SHAPES of 63 of those queries onto the fixture's
 TPC-H-ish star schema (the same adaptation the TPC-H gates use):
 
   store_sales            -> lineitem (+ orders for the sold date)
@@ -2186,3 +2186,78 @@ def sql_tpcds_q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsed to one row, so partial pushdown must coexist with the
     grouped aggregate. Averages are exact integer divisions."""
     return _sql(spark, sf_dir, _Q85_BODY.replace("{IDIV}", "div"))
+
+
+_Q10_BODY = """
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(round(sum(c.c_acctbal) * 100) AS BIGINT) AS bal_c
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1998)
+      AND (EXISTS (
+             SELECT 1 FROM lineitem l
+             JOIN orders o ON l.l_orderkey = o.o_orderkey
+             WHERE o.o_custkey = c.c_custkey AND l.l_linestatus = 'O'
+               AND year(o.o_orderdate) = 1998)
+        OR EXISTS (
+             SELECT 1 FROM lineitem l
+             JOIN orders o ON l.l_orderkey = o.o_orderkey
+             WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R'
+               AND year(o.o_orderdate) = 1998))
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+"""
+
+
+@query("sql_tpcds_q10", oracle=_Q10_BODY)
+def sql_tpcds_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query10 (``queries/query10.sql``): customer demographics
+    for people active in a base channel AND in (web OR catalog) — a
+    conjunctive EXISTS plus a DISJUNCTION OF TWO EXISTS on the same
+    correlation key. The disjunctive pair lowers to two ExistenceJoins
+    feeding one boolean OR (q45's shape with subqueries on both sides
+    of the OR); the conjunctive one stays a plain left-semi."""
+    return _sql(spark, sf_dir, _Q10_BODY)
+
+
+_Q74_BODY = """
+    WITH yt AS (
+      SELECT o.o_custkey AS ck, year(o.o_orderdate) AS y,
+             CAST(round(max(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                  AS BIGINT) AS best_um
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE year(o.o_orderdate) IN (1997, 1998)
+        AND l.l_linestatus = 'F'
+      GROUP BY o.o_custkey, year(o.o_orderdate)),
+    wt AS (
+      SELECT o.o_custkey AS ck, year(o.o_orderdate) AS y,
+             CAST(round(max(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                  AS BIGINT) AS best_um
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE year(o.o_orderdate) IN (1997, 1998)
+        AND l.l_linestatus = 'O'
+      GROUP BY o.o_custkey, year(o.o_orderdate))
+    SELECT s1.ck AS customer,
+           s1.best_um AS store_prev_um, s2.best_um AS store_curr_um,
+           w1.best_um AS web_prev_um, w2.best_um AS web_curr_um
+    FROM yt s1 JOIN yt s2 ON s1.ck = s2.ck
+    JOIN wt w1 ON s1.ck = w1.ck JOIN wt w2 ON s1.ck = w2.ck
+    WHERE s1.y = 1997 AND s2.y = 1998 AND w1.y = 1997 AND w2.y = 1998
+      AND s1.best_um > 0 AND w1.best_um > 0
+      AND CAST(w2.best_um AS DECIMAL(38,0)) * s1.best_um
+            > CAST(s2.best_um AS DECIMAL(38,0)) * w1.best_um
+    ORDER BY customer
+"""
+
+
+@query("sql_tpcds_q74", oracle=_Q74_BODY)
+def sql_tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query74 (``queries/query74.sql``): q11's year-over-year
+    growth chain computed over MAX (the customer's single best line)
+    instead of SUM — the aggregate swap changes the decorrelation
+    shape (max is not re-aggregatable across channels, so each channel
+    keeps its own CTE). Growth comparison is the exact DECIMAL(38)
+    cross-multiplication with positive-denominator guards."""
+    return _sql(spark, sf_dir, _Q74_BODY)

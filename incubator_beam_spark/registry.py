@@ -82,7 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     # round-3 sql_tpcds_* (q3 q6 q7 q12 q38 q44 q89 q98), the 29
     # round-4-session sql_tpcds_* additions (q2 q4 q5 q9 q13 q14 q17
     # q21 q22 q25 q27 q32 q33 q35 q40 q43 q45 q50 q53 q58 q64 q65 q67
-    # q66 q69 q75 q76 q78 q79 q83 q85 q87 q93 q8), stream_stream_full_outer_join, and
+    # q66 q69 q75 q76 q78 q79 q83 q85 q87 q93 q8 q10 q74), the game suite, df_pandas_melt/cumsum/value_counts, stream_stream_full_outer_join, stream_sliding_agg, stream_chained_watermarks, and
     # whatever else this round adds after the window freezes.
     # Mechanical rotation: `python scripts/rotate_window.py [--verify]`.
     "nexmark_q0_passthrough",
