@@ -87,6 +87,9 @@ HEADLINE = [
     # throughput signal this lane exists to track.
     "sql_tpcds_q4",
     "sql_tpcds_q67",
+    # tokenization is THE hot loop of training-data prep — keep the BPE
+    # encoder's throughput visible per round
+    "doc_bpe_encode",
 ]
 
 

@@ -604,3 +604,34 @@ def test_game_spammy_mean_is_broadcast_scalar(spark):
     plan = plan_of(spark, "game_spammy_users")
     assert "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tpcds_q14_intersect_lowers_to_semi_joins(spark):
+    """The 3-way INTERSECT must lower to left-semi joins over distinct
+    keys — never a cartesian expansion. (A BroadcastNestedLoopJoin IS
+    expected here: the scalar `tot` row joins in as a broadcast
+    ONE-ROW cross join, the standard scalar-side-input lowering.)"""
+    plan = plan_of(spark, "sql_tpcds_q14")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tpcds_q8_values_intersect_semi(spark):
+    """The VALUES-list INTERSECT derived-set, consumed through IN, must
+    become semi joins against the tiny literal relation — no
+    nested-loop, no Python."""
+    plan = plan_of(spark, "sql_tpcds_q8")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q10_disjunctive_exists_existence_joins(spark):
+    """OR of two EXISTS: both subqueries must plan as ExistenceJoins
+    (booleans consumed by the filter), the conjunctive EXISTS as a
+    plain left-semi."""
+    plan = plan_of(spark, "sql_tpcds_q10")
+    assert "ExistenceJoin" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
