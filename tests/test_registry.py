@@ -1,0 +1,44 @@
+"""Guards on the driver-contract registry itself.
+
+The driver emits correctness rows for the FIRST 50 registered names
+only, so the registry's priority window is load-bearing: these tests
+pin the invariants a refactor could silently break."""
+
+from __future__ import annotations
+
+from incubator_beam_spark import registry
+
+
+def test_priority_window_is_registry_prefix():
+    qs = registry.load_all()
+    names = list(qs)
+    prio = [n for n in registry._PRIORITY if n in qs]
+    assert names[: len(prio)] == prio, (
+        "the priority window must be the exact prefix of registration order"
+    )
+
+
+def test_priority_names_all_exist():
+    qs = registry.load_all()
+    missing = [n for n in registry._PRIORITY if n not in qs]
+    assert not missing, f"_PRIORITY references unknown gates: {missing}"
+
+
+def test_window_gates_all_have_oracles():
+    """Everything inside the 50-row driver window must be exact-oracle —
+    a rows-only gate would waste a window slot on a weaker check."""
+    qs = registry.load_all()
+    window = list(qs)[:50]
+    no_oracle = [n for n in window if qs[n].oracle is None]
+    assert not no_oracle, f"rows-only gates inside the driver window: {no_oracle}"
+
+
+def test_no_duplicate_registration():
+    qs = registry.load_all()
+    assert len(qs) == len(set(qs)), "duplicate gate names"
+
+
+def test_every_oracle_is_nonempty_sql():
+    qs = registry.load_all()
+    bad = [n for n, q in qs.items() if q.oracle is not None and "SELECT" not in q.oracle.upper()]
+    assert not bad, f"oracles without a SELECT: {bad}"
