@@ -86,6 +86,7 @@ HEADLINE = [
     # micro-batch machinery per run, which would swamp the batch
     # throughput signal this lane exists to track.
     "sql_tpcds_q4",
+    "sql_tpcds_q4_pivot",
     "sql_tpcds_q67",
     # tokenization is THE hot loop of training-data prep — keep the BPE
     # encoder's throughput visible per round

@@ -2261,3 +2261,63 @@ def sql_tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps its own CTE). Growth comparison is the exact DECIMAL(38)
     cross-multiplication with positive-denominator guards."""
     return _sql(spark, sf_dir, _Q74_BODY)
+
+
+@query("sql_tpcds_q4_pivot", oracle=_Q4_BODY)
+def sql_tpcds_q4_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB rewrite of q4 (same oracle as sql_tpcds_q4): instead
+    of letting Catalyst inline the CTE six times (six fact scans — what
+    stock Spark does with the verbatim SQL), pivot all six
+    (channel, year) revenue legs out of ONE scan with conditional
+    aggregation, then apply the growth comparisons as a plain filter.
+    One scan + one shuffle on the customer key replaces six of each;
+    the exact DECIMAL(38) cross-multiplications are unchanged. All six
+    legs must be positive to mirror the 6-way INNER join's presence
+    requirement (a missing leg pivots to 0, the join drops the row).
+    The pair (q4 = shape conformance, q4_pivot = hand-optimized plan)
+    documents the trade explicitly."""
+    leg = (
+        "CAST(round(sum(CASE WHEN {cond} THEN net ELSE 0 END) * 10000)"
+        " AS BIGINT) AS {alias}"
+    )
+    conds = {
+        "store_prev_um": "chan = 'store' AND y = 1997",
+        "store_curr_um": "chan = 'store' AND y = 1998",
+        "web_prev_um": "chan = 'web' AND y = 1997",
+        "web_curr_um": "chan = 'web' AND y = 1998",
+        "ctlg_prev_um": "chan = 'ctlg' AND y = 1997",
+        "ctlg_curr_um": "chan = 'ctlg' AND y = 1998",
+    }
+    legs = ",\n             ".join(
+        leg.format(cond=c, alias=a) for a, c in conds.items()
+    )
+    return _sql(
+        spark,
+        sf_dir,
+        f"""
+        WITH base AS (
+          SELECT o.o_custkey AS ck, year(o.o_orderdate) AS y,
+                 CASE WHEN l.l_returnflag = 'R' THEN 'ctlg'
+                      WHEN l.l_linestatus = 'F' THEN 'store' ELSE 'web' END
+                   AS chan,
+                 l.l_extendedprice * (1 - l.l_discount) AS net
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE year(o.o_orderdate) IN (1997, 1998)),
+        pv AS (
+          SELECT ck,
+             {legs}
+          FROM base GROUP BY ck)
+        SELECT ck AS customer,
+               store_prev_um, store_curr_um,
+               web_prev_um, web_curr_um,
+               ctlg_prev_um, ctlg_curr_um
+        FROM pv
+        WHERE store_prev_um > 0 AND web_prev_um > 0 AND ctlg_prev_um > 0
+          AND store_curr_um > 0 AND web_curr_um > 0 AND ctlg_curr_um > 0
+          AND CAST(ctlg_curr_um AS DECIMAL(38,0)) * store_prev_um
+                > CAST(store_curr_um AS DECIMAL(38,0)) * ctlg_prev_um
+          AND CAST(web_curr_um AS DECIMAL(38,0)) * store_prev_um
+                > CAST(store_curr_um AS DECIMAL(38,0)) * web_prev_um
+        ORDER BY customer
+        """,
+    )

@@ -635,3 +635,15 @@ def test_tpcds_q10_disjunctive_exists_existence_joins(spark):
     assert "ExistenceJoin" in plan
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q4_pivot_single_fact_scan(spark):
+    """The hand-optimized q4 rewrite must touch the fact once: the
+    verbatim-shape twin (sql_tpcds_q4) scans lineitem six times because
+    Catalyst inlines the CTE per probe (24 parquet scans total at last
+    audit); the pivot must stay at <=4 scans (lineitem + orders, plus
+    AQE-reported duplicates) with no sort-merge join at all."""
+    plan = plan_of(spark, "sql_tpcds_q4_pivot")
+    assert plan.count("Scan parquet") <= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
