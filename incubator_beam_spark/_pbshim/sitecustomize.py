@@ -1,0 +1,45 @@
+"""Worker-side half of incubator_beam_spark.pbshim.
+
+Python's ``site`` module imports ``sitecustomize`` at interpreter startup
+from the first directory on ``sys.path`` that has one; Spark Python
+workers inherit PYTHONPATH from the JVM, so when ``pbshim.activate()``
+prepends this directory before the session starts, every worker runs this
+file. It makes the Cloud-SDK-vendored pure-Python protobuf runtime
+importable as ``google.protobuf`` and disables the gencode>runtime
+version-policy gate (vendored runtime 6.32 vs pyspark's 6.33 gencode —
+wire-identical; see pbshim.py for the full rationale).
+
+PHANTOM-PACKAGE TRAP: Spark workers have spark-core's JAR on sys.path
+(zipimport), and that jar ships ``google/protobuf/*.proto`` resources —
+enough for ``import google.protobuf`` to SUCCEED as an empty namespace
+package (``__file__ is None``) with no Python modules inside. A bare
+try/except-ImportError probe is therefore fooled; probe ``__file__``
+instead, and purge the phantom from sys.modules before adding the vendor
+path (a module already bound as a namespace package stays one even after
+a regular package appears on sys.path).
+"""
+
+import os
+import sys
+
+_VENDOR = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+
+
+def _real_protobuf() -> bool:
+    try:
+        import google.protobuf as _gp
+    except ImportError:
+        return False
+    return getattr(_gp, "__file__", None) is not None
+
+
+if not _real_protobuf() and os.path.isdir(os.path.join(_VENDOR, "google", "protobuf")):
+    for _k in [k for k in sys.modules if k == "google" or k.startswith("google.")]:
+        del sys.modules[_k]
+    sys.path.append(_VENDOR)
+    try:
+        from google.protobuf import runtime_version as _rv
+
+        _rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
+    except ImportError:
+        pass

@@ -19,6 +19,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..registry import query
 from ..streaming.source import stream_table
@@ -1151,3 +1152,54 @@ def stream_chained_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(daily, "append", settle=True)
+
+
+@query(
+    "stream_per_key_counter_tws",
+    oracle="SELECT user_id AS key, count(*) AS total FROM events GROUP BY user_id",
+)
+def stream_per_key_counter_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same ReadModifyWriteState counter as ``stream_per_key_counter``
+    (reference ``userstate.py:73``) on the OTHER stateful backend: Spark
+    4's native ``transformWithStateInPandas`` (engine-managed typed state,
+    RocksDB store) instead of ``applyInPandasWithState`` — the two-backend
+    conversion the round-4 review asked for once the vendored-protobuf
+    shim (pbshim.py) unblocked TWS in this sandbox.
+
+    The process hook runs once per Arrow chunk of the key's batch rows, so
+    each call folds its chunk into the count cell and emits the RUNNING
+    total; the final per-key total is the max over emitted rows (totals
+    are monotone), reduced in a downstream batch agg. On the single-file
+    fixture the drain is one micro-batch, so the result equals the batch
+    GROUP BY exactly."""
+    from ..streaming.userstate_tws import stateful_pardo_tws
+
+    e = stream_table(spark, sf_dir, "events")
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("total", T.LongType()),
+        ]
+    )
+
+    def process(key, pdf, ctx):
+        total = ctx.read("count", 0) + len(pdf)
+        ctx.write("count", total)
+        return [(int(key), total)]
+
+    # stateful_pardo_tws flips the session state store to RocksDB (the
+    # transformWithState contract); scope the flip to this gate so later
+    # queries in the same session keep the session default.
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        out = stateful_pardo_tws(
+            e, key_col="user_id", output_schema=out_schema,
+            process=process, time_mode="None",
+        )
+        drained = _drain(out, "append")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    return drained.groupBy("key").agg(F.max("total").alias("total"))

@@ -18,6 +18,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from incubator_beam_spark import pbshim
+
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
@@ -29,6 +31,10 @@ def get_spark(app_name: str = "incubator_beam_spark", cpus: int | None = None) -
     topology).
     """
     cpus = cpus or DEFAULT_CPUS
+    # Must run before the JVM launches: workers inherit PYTHONPATH from the
+    # JVM env, and the pbshim (vendored protobuf for transformWithState)
+    # rides PYTHONPATH via sitecustomize. No-op when protobuf is installed.
+    pbshim.activate()
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(max(cpus, 2)))

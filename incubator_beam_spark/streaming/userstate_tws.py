@@ -17,20 +17,20 @@ EventTime requires an upstream ``withWatermark``.
 ENVIRONMENT GATE: the engine-side TWS state server speaks protobuf to
 the Python worker; if ``google.protobuf`` is not importable the query
 crashes at init ([STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE]).
-``stateful_pardo_tws`` raises a clear ImportError up front in that case
-— use ``userstate.stateful_pardo`` (applyInPandasWithState, no protobuf
-dependency) instead; same contract.
+``stateful_pardo_tws`` calls ``pbshim.activate()`` up front and raises a
+clear ImportError only when no protobuf runtime exists at all — use
+``userstate.stateful_pardo`` (applyInPandasWithState, no protobuf
+dependency) in that case; same contract.
 
-Unblock attempt (round 4, documented impossibility for this sandbox):
-no protobuf runtime distribution exists anywhere on this filesystem
-(only typeshed type stubs and pyspark's ``sql/protobuf`` wrapper, which
-itself needs the real library), pip/apt are unavailable, and stubbing
-is not viable because the worker must speak the actual proto wire
-format to the JVM state server (pyspark.sql.streaming.proto
-StateMessage_pb2). On any normally-provisioned cluster (where
-``pip install protobuf`` works) this adapter runs as-is; in this
-sandbox the applyInPandasWithState backend covers the same contract
-and IS oracle-verified (stateful_timer_flush, driver-green r3).
+UNBLOCKED (round 5, superseding round 4's impossibility note): round 4
+missed the Google Cloud SDK's vendored pure-Python protobuf 6.32.0
+runtime (unmodified ``google.protobuf`` package names under
+``platform/google_appengine``). ``incubator_beam_spark/pbshim.py`` makes
+it importable in the driver AND in JVM-spawned Python workers (a
+``sitecustomize`` rides PYTHONPATH, set before the JVM starts), no-oping
+only the 6.32-runtime-vs-6.33-gencode version-policy gate — the wire
+format is identical. On a normally-provisioned cluster the real
+``pip install protobuf`` is found first and the shim is inert.
 """
 
 from __future__ import annotations
@@ -119,7 +119,10 @@ class _BeamProcessor(StatefulProcessor):
         if rows:
             yield pd.DataFrame(rows, columns=self._out_cols)
 
-    def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        # pyspark invokes these hooks with camelCase KEYWORD arguments
+        # (stateful_processor_util.py) — parameter names are part of the ABI.
+        timer_values = timerValues
         blob, registers, deletes = self._load(), [], []
         ctx = TwsContext(self._state, blob, timer_values, registers, deletes)
         out: list = []
@@ -129,7 +132,8 @@ class _BeamProcessor(StatefulProcessor):
         self._finish(blob, registers, deletes)
         return self._emit(out)
 
-    def handleExpiredTimer(self, key, timer_values, expired_timer_info) -> Iterator[pd.DataFrame]:
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
+        timer_values, expired_timer_info = timerValues, expiredTimerInfo
         expired_ms = expired_timer_info.getExpiryTimeInMs()
         blob, registers, deletes = self._load(), [], []
         ctx = TwsContext(self._state, blob, timer_values, registers, deletes)
@@ -161,13 +165,14 @@ def stateful_pardo_tws(
     on_timer emitting tuples for ``output_schema``), but timers are
     engine-managed: no deadline re-arming, per-timer wake-ups, and the
     state store is RocksDB."""
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError as e:
+    from incubator_beam_spark import pbshim
+
+    if not pbshim.activate():
         raise ImportError(
-            "transformWithStateInPandas requires google.protobuf; "
+            "transformWithStateInPandas requires google.protobuf (none "
+            "installed and no vendored runtime found — see pbshim.py); "
             "use userstate.stateful_pardo (applyInPandasWithState) instead"
-        ) from e
+        )
     spark = df.sparkSession
     if "RocksDB" not in (
         spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")

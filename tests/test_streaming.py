@@ -21,12 +21,13 @@ from incubator_beam_spark.streaming.source import run_to_completion, stream_even
 from .conftest import SF_DIR
 
 
-try:  # transformWithStateInPandas needs protobuf in the state-server worker
-    import google.protobuf  # noqa: F401
+# transformWithStateInPandas needs protobuf in the state-server worker;
+# pbshim activates the Cloud-SDK-vendored runtime when pip protobuf is
+# absent (it also rides PYTHONPATH into workers via sitecustomize — the
+# conftest spark fixture calls get_spark, which activates before the JVM).
+from incubator_beam_spark import pbshim
 
-    _HAS_PROTOBUF = True
-except ImportError:
-    _HAS_PROTOBUF = False
+_HAS_PROTOBUF = pbshim.activate()
 
 
 def _ts(minute: int, second: int = 0) -> datetime.datetime:
