@@ -133,6 +133,16 @@ class Pipeline:
 
     def __exit__(self, *exc) -> None:
         # DataFrames are lazy; sinks (write/collect) already ran inline.
+        # Restore any Arrow batch cap a BatchElements in this pipeline set
+        # (transforms.py BatchElements.expand records the prior value).
+        if hasattr(self, "_arrow_cap_restore"):
+            key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+            prev = self._arrow_cap_restore
+            del self._arrow_cap_restore
+            if prev is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prev)
         return None
 
     def __or__(self, transform: PTransform) -> Any:

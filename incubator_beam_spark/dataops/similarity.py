@@ -213,9 +213,27 @@ def neardup_pairs(
             v.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("__bsz"))
             .filter(F.col("__bsz") > max_bucket)
-            .select("bucket")
+            .select("bucket", "__bsz")
         )
-        v = v.join(F.broadcast(hot), ["bucket"], "left_anti")
+        # the LOUD half of the drop: reduce to one driver row (bucket and
+        # vector counts), warn when non-zero. The extra job is map-side
+        # combined; the anti-join itself stays lazy and broadcast.
+        n_hot, n_rows_dropped = hot.agg(
+            F.count(F.lit(1)), F.coalesce(F.sum("__bsz"), F.lit(0))
+        ).collect()[0]
+        if n_hot:
+            import warnings
+
+            warnings.warn(
+                f"neardup_pairs: dropping {n_hot} bucket(s) over "
+                f"max_bucket={max_bucket} ({n_rows_dropped} vectors lose "
+                "near-dup recall; handle degenerate clusters with exact "
+                "dedup upstream or raise max_bucket)",
+                stacklevel=2,
+            )
+            v = v.join(
+                F.broadcast(hot.select("bucket")), ["bucket"], "left_anti"
+            )
     a = v.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"),
                  F.col("nrm").alias("na"))
     b = v.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"),

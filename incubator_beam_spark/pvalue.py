@@ -61,15 +61,18 @@ class AsSingleton(_View):
     """reference ``pvalue.py:475`` — exactly-one-element view."""
 
     def resolve(self) -> Any:
-        vals = self.pcoll.df.limit(2).collect()
+        # Route through PCollection.collect (via a limit(2) probe, like
+        # _collect_capped) so EVERY schema translation lives in one place
+        # — element/kv unwrapping AND the CoGroupByKey (key, {tag: list})
+        # shape carried by _cogbk_names.
+        from .core import PCollection
+
+        probe = PCollection(self.pcoll.df.limit(2), self.pcoll.pipeline)
+        probe._cogbk_names = getattr(self.pcoll, "_cogbk_names", None)
+        vals = probe.collect()
         if len(vals) != 1:
             raise ValueError(f"AsSingleton expects exactly 1 element, got {len(vals)}")
-        row = vals[0]
-        if self.pcoll.df.columns == ["element"]:
-            return row.element
-        if self.pcoll.df.columns == ["key", "value"]:
-            return (row.key, row.value)
-        return row
+        return vals[0]
 
 
 class AsList(_View):

@@ -174,6 +174,13 @@ class AfterProcessingTime(Trigger):
         st["deadline"] = None
         return True
 
+    def merge_states(self, states: list[dict]) -> dict:
+        # reference AfterProcessingTime.on_merge: the merged window keeps
+        # the EARLIEST pending fire time (a set timer is never delayed by
+        # a merge); all-None stays unarmed until the next element.
+        pending = [s["deadline"] for s in states if s.get("deadline") is not None]
+        return {"deadline": min(pending) if pending else None}
+
 
 class Always(Trigger):
     """Fire on every bundle with pending input (trigger.py:414)."""
@@ -246,6 +253,16 @@ class AfterAny(Trigger):
                 finished = s.on_fire(ss, ctx) or finished
         return finished
 
+    def merge_states(self, states: list[dict]) -> dict:
+        # composite on_merge (reference ParallelTriggerFn.on_merge):
+        # merge each sub-trigger's states position-wise, recursively.
+        return {
+            "subs": [
+                s.merge_states([st["subs"][i] for st in states])
+                for i, s in enumerate(self.subs)
+            ]
+        }
+
 
 @dataclass(frozen=True)
 class AfterAll(Trigger):
@@ -272,6 +289,21 @@ class AfterAll(Trigger):
             if not st["fin"][i]:
                 st["fin"][i] = s.on_fire(ss, ctx)
         return all(st["fin"])
+
+    def merge_states(self, states: list[dict]) -> dict:
+        # sub-states merge position-wise; a sub counts as finished in the
+        # merged window only if it finished in EVERY merging window (the
+        # merge brought in data the unfinished copies still owe a fire
+        # for — the conservative reading of ParallelTriggerFn.on_merge).
+        return {
+            "subs": [
+                s.merge_states([st["subs"][i] for st in states])
+                for i, s in enumerate(self.subs)
+            ],
+            "fin": [
+                all(st["fin"][i] for st in states) for i in range(len(self.subs))
+            ],
+        }
 
 
 @dataclass(frozen=True)
@@ -304,6 +336,17 @@ class AfterEach(Trigger):
             st["sub"] = nxt.new_state() if nxt else {}
         return st["idx"] >= len(self.subs)
 
+    def merge_states(self, states: list[dict]) -> dict:
+        # the merged window resumes from the LEAST-advanced sequence
+        # position (merging cannot skip a pending sub-trigger's fire);
+        # only windows sitting AT that position contribute sub-state —
+        # further-advanced windows no longer hold state for it.
+        idx = min(s["idx"] for s in states)
+        if idx >= len(self.subs):
+            return {"idx": idx, "sub": {}}
+        at = [s["sub"] for s in states if s["idx"] == idx]
+        return {"idx": idx, "sub": self.subs[idx].merge_states(at)}
+
 
 @dataclass(frozen=True)
 class OrFinally(Trigger):
@@ -331,6 +374,12 @@ class OrFinally(Trigger):
         if self.until.should_fire(st["until"], ctx):
             return True  # finished: the 'until' firing is terminal
         return self.main.on_fire(st["main"], ctx)
+
+    def merge_states(self, states: list[dict]) -> dict:
+        return {
+            "main": self.main.merge_states([s["main"] for s in states]),
+            "until": self.until.merge_states([s["until"] for s in states]),
+        }
 
 
 def _or_finally(self: Trigger, until: Trigger) -> OrFinally:
@@ -382,8 +431,10 @@ class WindowState:
     acc_count: int = 0
     acc_sum: float = 0.0
     closed: bool = False
-    #: window end; 0.0 means "derive as start + window_size" (fixed mode)
-    end: float = 0.0
+    #: window end; None means "derive as start + window_size" (fixed mode).
+    #: None (not 0.0) is the sentinel: a merged session ending exactly at
+    #: timestamp 0 is a real end (negative-timestamp elements).
+    end: float | None = None
     pending_values: list = field(default_factory=list)
     acc_values: list = field(default_factory=list)
     #: per-pane watermark holds (element output times eligible to hold)
@@ -443,7 +494,7 @@ class TriggerDriver:
         self.processing_time = 0.0
 
     def _end(self, ws: float, st: WindowState) -> float:
-        return st.end if st.end else ws + self.window_size
+        return st.end if st.end is not None else ws + self.window_size
 
     # -- input hooks --------------------------------------------------------
 
@@ -720,7 +771,7 @@ class TriggerDriver:
                 acc_count=s["ac"],
                 acc_sum=s["as"],
                 closed=s["c"],
-                end=s.get("e", 0.0),
+                end=s.get("e"),
                 pending_values=s.get("pv", []),
                 acc_values=s.get("av", []),
                 holds=s.get("h", []),

@@ -617,11 +617,16 @@ class BatchElements(PTransform):
     by ``spark.sql.execution.arrow.maxRecordsPerBatch`` — so the
     transform is the identity on the dataflow; it exists so reference
     pipelines port verbatim. ``max_batch_size`` adjusts the Arrow batch
-    cap SESSION-WIDE when given (Spark has one Arrow batch-size conf per
-    session, not per-operator — a warning is emitted because later
-    pipelines on the same session see the new cap). ``min_batch_size``
-    is accepted for API parity but is a NO-OP: Arrow batching has no
-    lower bound knob (tail batches are naturally smaller)."""
+    cap when given (Spark has one Arrow batch-size conf per session, not
+    per-operator); the previous value is recorded on the Pipeline and
+    restored at ``with``-block exit, so the cap is scoped to this
+    pipeline's executions — sinks/collects run inline inside the block.
+    Outside a ``with`` block the change persists (a warning says so).
+    ``min_batch_size`` is accepted for API parity but is a NO-OP: Arrow
+    batching has no lower bound knob (tail batches are naturally
+    smaller)."""
+
+    ARROW_CAP_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
 
     def __init__(self, min_batch_size: int = 1, max_batch_size: int | None = None):
         # min_batch_size intentionally unused — see docstring.
@@ -631,12 +636,16 @@ class BatchElements(PTransform):
         if self.max_batch_size:
             import warnings
 
-            conf = pcoll.pipeline.spark.conf
-            key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-            warnings.warn(
-                f"BatchElements sets {key}={self.max_batch_size} session-wide; "
-                "subsequent pipelines on this SparkSession inherit it",
-                stacklevel=3,
-            )
+            pipeline = pcoll.pipeline
+            conf = pipeline.spark.conf
+            key = self.ARROW_CAP_KEY
+            if not hasattr(pipeline, "_arrow_cap_restore"):
+                pipeline._arrow_cap_restore = conf.get(key, None)
+                warnings.warn(
+                    f"BatchElements sets {key}={self.max_batch_size}; restored "
+                    "when the Pipeline `with` block exits (persists session-wide "
+                    "if the Pipeline is not used as a context manager)",
+                    stacklevel=3,
+                )
             conf.set(key, str(self.max_batch_size))
         return pcoll

@@ -132,6 +132,21 @@ def test_cogroup_by_key(p):
     assert out["bob"] == {"emails": ["bob@x.com"], "phones": []}
 
 
+def test_as_singleton_of_cogbk_result(p):
+    """AsSingleton resolves through PCollection.collect, so a CoGroupByKey
+    result used as a singleton side input keeps the (key, {tag: list})
+    shape (round-4 ADVICE: the direct df.collect path dropped the
+    _cogbk_names translation and returned a raw Row)."""
+    from incubator_beam_spark.pvalue import AsSingleton
+
+    emails = p | "se" >> ibs.Create([("amy", "amy@x.com")])
+    phones = p | "sp" >> ibs.Create([("amy", "111")])
+    cogbk = p | ibs.CoGroupByKey(emails=emails, phones=phones)
+    key, tagged = AsSingleton(cogbk).resolve()
+    assert key == "amy"
+    assert tagged == {"emails": ["amy@x.com"], "phones": ["111"]}
+
+
 def test_deduplicate_and_with_timestamps(p):
     pc = p | ibs.Create([("a", 1), ("a", 1), ("b", 2)]) | tx.Deduplicate()
     assert_that(pc, equal_to([("a", 1), ("b", 2)]))

@@ -234,3 +234,83 @@ def test_or_finally_main_never_until_watermark():
     d = TriggerDriver(10, OrFinally(_Never(), AfterWatermark()), DISCARDING, 100)
     assert d.on_elements([(1, 1.0), (2, 2.0)]) == []
     assert pane_tuples(d.advance_watermark(15)) == [(0, 0, ON_TIME, 2, 3.0)]
+
+
+# -- round-5 ADVICE fixes: merge_states for composites / AfterProcessingTime,
+#    and the end==0.0 sentinel bug for negative-timestamp sessions ---------
+
+
+def test_sessions_merge_after_processing_time_keeps_earliest_deadline():
+    """Sessions + AfterProcessingTime: merging windows keeps the EARLIEST
+    pending fire time (reference defines on_merge for every trigger; this
+    combination used to raise NotImplementedError mid-stream)."""
+    d = TriggerDriver(
+        10, AfterProcessingTime(5.0), DISCARDING, 100, session_gap=10
+    )
+    d.advance_processing_time(0.0)
+    assert d.on_elements([(0, 1.0)]) == []  # deadline armed at pt 5
+    d.advance_processing_time(3.0)
+    # second session [15,25) arms its own deadline at pt 8
+    assert d.on_elements([(15, 2.0)]) == []
+    # bridging element [8,18) merges both; merged deadline = min(5, 8)
+    assert d.on_elements([(8, 4.0)]) == []
+    panes = d.advance_processing_time(5.0)
+    assert pane_tuples(panes) == [(0, 0, EARLY, 3, 7.0)]
+
+
+def test_sessions_merge_composite_triggers():
+    """AfterAny/AfterAll/OrFinally merge recursively under Sessions
+    instead of raising."""
+    for trig in (
+        AfterAny((AfterCount(3), AfterProcessingTime(99.0))),
+        AfterAll((AfterCount(3), Repeatedly(AfterCount(1)))),
+        Repeatedly(AfterCount(1)).or_finally(AfterCount(99)),
+    ):
+        d = TriggerDriver(10, trig, DISCARDING, 100, session_gap=10)
+        d.on_elements([(0, 1.0)])
+        d.on_elements([(15, 1.0)])
+        d.on_elements([(8, 1.0)])  # merge must not raise
+        assert len(d.windows) == 1
+
+
+def test_sessions_merge_after_count_sums_across_windows():
+    """AfterAny(AfterCount(3)): two 1-element sessions merge; the bridging
+    element makes 3 seen total, so the merged window fires immediately."""
+    d = TriggerDriver(
+        10, AfterAny((AfterCount(3), _Never())), DISCARDING, 100, session_gap=10
+    )
+    assert d.on_elements([(0, 1.0)]) == []
+    assert d.on_elements([(15, 2.0)]) == []
+    panes = d.on_elements([(8, 4.0)])
+    assert pane_tuples(panes) == [(0, 0, EARLY, 3, 7.0)]
+
+
+def test_after_each_merge_resumes_least_advanced_position():
+    """AfterEach under Sessions: the merged window resumes at the least-
+    advanced sequence index."""
+    seq = AfterEach((AfterCount(2), AfterCount(1)))
+    d = TriggerDriver(10, seq, DISCARDING, 100, session_gap=10)
+    # session A fires its first sub-trigger (idx -> 1)
+    assert pane_tuples(d.on_elements([(0, 1.0), (1, 1.0)])) == [
+        (0, 0, EARLY, 2, 2.0)
+    ]
+    # session B still at idx 0 with 1 element seen
+    assert d.on_elements([(15, 1.0)]) == []
+    # merge: resumes at idx 0; bridging element makes 2 seen -> fires
+    panes = d.on_elements([(8, 1.0)])
+    assert len(panes) == 1 and panes[0].count == 2
+
+
+def test_session_end_at_timestamp_zero_is_not_unset():
+    """A merged session whose end lands exactly at 0.0 (negative-timestamp
+    elements) keeps that end — end=None is the only 'derive it' sentinel
+    now, so the watermark can close the window at its true end."""
+    d = TriggerDriver(10, DefaultTrigger(), DISCARDING, 0, session_gap=10)
+    assert d.on_elements([(-18.0, 1.0), (-10.0, 2.0)]) == []  # merge: [-18, 0)
+    st = d.windows[-18.0]
+    assert st.end == 0.0
+    # watermark at exactly the true end closes the window; the buggy
+    # fallback (ws + window_size = -8) would have fired this at wm -5
+    assert d.advance_watermark(-5.0) == []
+    panes = d.advance_watermark(0.0)
+    assert pane_tuples(panes) == [(-18.0, 0, ON_TIME, 2, 3.0)]
