@@ -806,37 +806,43 @@ def sql_tpcds_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q39_BODY = """
     WITH inv AS (
-      SELECT l_partkey, l_suppkey, month(l_shipdate) AS moy,
+      SELECT l_partkey, month(l_shipdate) AS moy,
              CAST(count(*) AS BIGINT) AS n,
              CAST(round(sum(l_quantity)) AS BIGINT) AS sx,
              CAST(round(sum(l_quantity * l_quantity)) AS BIGINT) AS sxx
       FROM lineitem
       WHERE year(l_shipdate) = 1998
-      GROUP BY l_partkey, l_suppkey, month(l_shipdate)
+      GROUP BY l_partkey, month(l_shipdate)
       HAVING count(*) >= 2),
     cov AS (
-      SELECT l_partkey, l_suppkey, moy, n
+      SELECT l_partkey, moy, n
       FROM inv
-      -- cov = stdev/mean >= 1  <=>  var >= mean^2, in exact integers:
-      -- (n*sxx - sx*sx) * n >= sx*sx * (n-1)
-      WHERE sx > 0 AND (n * sxx - sx * sx) * n >= sx * sx * (n - 1))
-    SELECT a.l_partkey, a.l_suppkey, a.n AS n_jan, b.n AS n_feb
+      -- cov = stdev/mean >= 0.6  <=>  var*25 >= mean^2*9, exact integers:
+      -- (n*sxx - sx*sx) * n * 25 >= sx*sx * (n-1) * 9. The fixture's
+      -- quantity is uniform[1,50] (population cov ~0.57), so the TPC-DS
+      -- literal 1.0 selects the empty set at EVERY sf — 0.6 keeps the
+      -- shape discriminating (round-5 de-vacuization; memory: check
+      -- literal predicates against actual fixture domains).
+      WHERE sx > 0 AND (n * sxx - sx * sx) * n * 25 >= sx * sx * (n - 1) * 9)
+    SELECT a.l_partkey, a.n AS n_jan, b.n AS n_feb
     FROM cov a
-    JOIN cov b ON a.l_partkey = b.l_partkey AND a.l_suppkey = b.l_suppkey
+    JOIN cov b ON a.l_partkey = b.l_partkey
               AND a.moy = 1 AND b.moy = 2
-    ORDER BY a.l_partkey, a.l_suppkey
+    ORDER BY a.l_partkey
     LIMIT 100
 """
 
 
 @query("sql_tpcds_q39", oracle=_Q39_BODY)
 def sql_tpcds_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS query39 (``queries/query39a.sql``): (item, warehouse)
-    pairs whose quantity coefficient-of-variation exceeds 1 in two
-    CONSECUTIVE months — the stdev/mean filter self-joined month to
-    month+1. The CoV threshold runs in exact integer moments
-    (var >= mean^2 <=> (n*sxx - sx^2)*n >= sx^2*(n-1)), so no sqrt or
-    float division can flip membership between engines."""
+    """TPC-DS query39 (``queries/query39a.sql``): items whose quantity
+    coefficient-of-variation clears a threshold in two CONSECUTIVE
+    months — the stdev/mean filter self-joined month to month+1. The CoV
+    threshold runs in exact integer moments (var*25 >= mean^2*9 <=>
+    (n*sxx - sx^2)*n*25 >= sx^2*(n-1)*9), so no sqrt or float division
+    can flip membership between engines; 0.6 replaces the TPC-DS 1.0
+    literal, which is unreachable for this fixture's uniform[1,50]
+    quantity (cov ~0.57) and made the gate vacuously green."""
     return _sql(spark, sf_dir, _Q39_BODY)
 
 
@@ -2321,3 +2327,697 @@ def sql_tpcds_q4_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY customer
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# round 5: the remaining 39 reference query shapes (VERDICT r4 item 6)
+# ---------------------------------------------------------------------------
+
+_Q14B_BODY = """
+    WITH cross_items AS (
+      SELECT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_linestatus = 'F'
+      INTERSECT
+      SELECT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_linestatus = 'O'
+      INTERSECT
+      SELECT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'R'),
+    this_year AS (
+      SELECT p.p_brand AS brand,
+             CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                  AS BIGINT) AS sales_um,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE year(l.l_shipdate) = 1999 AND month(l.l_shipdate) = 12
+        AND p.p_brand IN (SELECT p_brand FROM cross_items)
+      GROUP BY p.p_brand),
+    last_year AS (
+      SELECT p.p_brand AS brand,
+             CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                  AS BIGINT) AS sales_um,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE year(l.l_shipdate) = 1998 AND month(l.l_shipdate) = 12
+        AND p.p_brand IN (SELECT p_brand FROM cross_items)
+      GROUP BY p.p_brand)
+    SELECT ty.brand, ty.sales_um AS ty_sales_um, ty.n_lines AS ty_n,
+           ly.sales_um AS ly_sales_um, ly.n_lines AS ly_n
+    FROM this_year ty JOIN last_year ly ON ty.brand = ly.brand
+    WHERE ty.sales_um > ly.sales_um
+    ORDER BY ty.brand
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q14_pair", oracle=_Q14B_BODY)
+def sql_tpcds_q14_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query14b (``queries/query14b.sql``, the second half of the
+    q14 pair): items sold through ALL channels (3-way INTERSECT, same
+    cross_items device as q14/query14a) compared THIS-period vs
+    SAME-period-LAST-YEAR side by side, keeping brands that grew. Both
+    period legs reuse the broadcast cross_items semi-join; the final
+    brand-to-brand join is dimension-sized."""
+    return _sql(spark, sf_dir, _Q14B_BODY)
+
+
+_Q15_BODY = """
+    SELECT n.n_name AS ca_zip,
+           CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT) AS sum_price_um
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE (substring(n.n_name, 8, 1) IN ('1', '2')
+           OR n.n_name IN ('NATION_5', 'NATION_6', 'NATION_7')
+           OR l.l_extendedprice > 50000)
+      AND l.l_linestatus = 'O'
+      AND year(o.o_orderdate) = 2000
+    GROUP BY n.n_name
+    ORDER BY ca_zip
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q15", oracle=_Q15_BODY)
+def sql_tpcds_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query15 (``queries/query15.sql``): catalog sales by zip,
+    kept when ANY of three disjoint predicates hits — a zip-prefix
+    substring IN, an explicit zip list, or a high-ticket amount. The OR
+    spans two tables so it cannot push below the join; everything else
+    (channel, year) does. Nation plays the zip dim as usual."""
+    return _sql(spark, sf_dir, _Q15_BODY)
+
+
+_Q18_BODY = """
+    SELECT coalesce(r.r_name, '__ALL__') AS country,
+           coalesce(n.n_name, '__ALL__') AS state,
+           coalesce(c.c_mktsegment, '__ALL__') AS county,
+           CAST(round(sum(l.l_quantity) * 100) AS BIGINT) AS sum_qty_um,
+           CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT) AS sum_price_um,
+           CAST(round(sum(l.l_discount) * 100) AS BIGINT) AS sum_disc_um,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE year(o.o_orderdate) = 1998 AND o.o_orderpriority = '2-HIGH'
+    GROUP BY ROLLUP (r.r_name, n.n_name, c.c_mktsegment)
+    ORDER BY country, state, county
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q18", oracle=_Q18_BODY)
+def sql_tpcds_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query18 (``queries/query18.sql``): demographic averages over
+    a (country, state, county) ROLLUP. Averages are emitted as exact
+    integer (sum, count) pairs instead of quotients — the q18 avg(cast
+    decimal) outputs are derivable and engines can't disagree on a .5
+    boundary. Rollup NULLs coalesce to sentinels in BOTH output and order
+    (q67 lesson) to sidestep NULLS FIRST/LAST dialect splits."""
+    return _sql(spark, sf_dir, _Q18_BODY)
+
+
+_Q19_BODY = """
+    SELECT p.p_brand AS brand,
+           CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT) AS ext_price_um
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE month(o.o_orderdate) = 11 AND year(o.o_orderdate) = 1999
+      AND c.c_nationkey <> s.s_nationkey
+      AND l.l_linestatus = 'F'
+    GROUP BY p.p_brand
+    ORDER BY ext_price_um DESC, brand
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q19", oracle=_Q19_BODY)
+def sql_tpcds_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query19 (``queries/query19.sql``): brand revenue counted
+    only when the customer shops OUTSIDE their home zip (ca_zip <>
+    s_zip) — here customer nation <> supplier nation. The inequality is
+    between two broadcast dims, evaluated after both key joins; all
+    equality predicates push into the scans."""
+    return _sql(spark, sf_dir, _Q19_BODY)
+
+
+_Q20_BODY = """
+    WITH rev AS (
+      SELECT p.p_brand AS item, p.p_type AS class,
+             CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                  AS BIGINT) AS itemrevenue_um
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_linestatus = 'O'
+        AND l.l_shipdate >= TIMESTAMP '1999-02-01'
+        AND l.l_shipdate < TIMESTAMP '1999-03-03'
+      GROUP BY p.p_brand, p.p_type)
+    SELECT item, class, itemrevenue_um,
+           {IDIV} AS revenueratio_bp
+    FROM rev
+    ORDER BY class, revenueratio_bp, item
+    LIMIT 100
+"""
+
+_Q20_RATIO = (
+    "CAST((itemrevenue_um * 10000) {OP} sum(itemrevenue_um)"
+    " OVER (PARTITION BY class) AS BIGINT)"
+)
+
+
+@query(
+    "sql_tpcds_q20",
+    oracle=_Q20_BODY.replace("{IDIV}", _Q20_RATIO.replace("{OP}", "//")),
+)
+def sql_tpcds_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query20 (``queries/query20.sql``): the catalog-channel twin
+    of q12's class-revenue-ratio shape at brand granularity — windowed
+    share-of-class ratio emitted as integer basis points (integer
+    division parameterized: Spark ``div``, DuckDB ``//``), 30-day date
+    window pushed to the scan."""
+    return _sql(
+        spark, sf_dir, _Q20_BODY.replace("{IDIV}", _Q20_RATIO.replace("{OP}", "div"))
+    )
+
+
+_Q23B_BODY = """
+    WITH frequent_items AS (
+      SELECT l_partkey
+      FROM lineitem
+      WHERE year(l_shipdate) BETWEEN 1996 AND 1999
+      GROUP BY l_partkey, year(l_shipdate)
+      HAVING count(*) > 4),
+    csales AS (
+      SELECT o.o_custkey,
+             CAST(round(sum(l.l_quantity * l.l_extendedprice) * 100)
+                  AS BIGINT) AS csales_um
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE year(l.l_shipdate) BETWEEN 1996 AND 1999
+      GROUP BY o.o_custkey),
+    mx AS (SELECT max(csales_um) AS tpcds_cmax FROM csales),
+    best_customers AS (
+      SELECT o_custkey FROM csales, mx
+      WHERE csales_um * 10 > tpcds_cmax * 5)
+    SELECT c.c_name,
+           CAST(round(sum(l.l_quantity * l.l_extendedprice) * 100) AS BIGINT)
+             AS sales_um
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE year(l.l_shipdate) = 2000 AND month(l.l_shipdate) = 3
+      AND l.l_partkey IN (SELECT l_partkey FROM frequent_items)
+      AND o.o_custkey IN (SELECT o_custkey FROM best_customers)
+    GROUP BY c.c_name
+    ORDER BY sales_um DESC, c.c_name
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q23_pair", oracle=_Q23B_BODY)
+def sql_tpcds_q23_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query23b (``queries/query23b.sql``, the second half of the
+    q23 pair): where query23a returns one grand total, the b-variant
+    attributes the frequent-item / best-customer sales BACK to each
+    customer — same two filter CTEs (HAVING count>4 per item-year;
+    customer total > 50% of the max customer, integer cross-multiplied)
+    applied as IN semi-joins, plus a customer join for the names."""
+    return _sql(spark, sf_dir, _Q23B_BODY)
+
+
+_Q24_BODY = """
+    WITH ssales AS (
+      SELECT c.c_name, s.s_name, split_part(p.p_name, ' ', 1) AS color,
+             CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                  AS BIGINT) AS netpaid_um
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_returnflag = 'R'
+        AND c.c_nationkey = s.s_nationkey
+      GROUP BY c.c_name, s.s_name, split_part(p.p_name, ' ', 1)),
+    tot AS (
+      SELECT CAST(sum(netpaid_um) AS BIGINT) AS total_um,
+             CAST(count(*) AS BIGINT) AS n FROM ssales)
+    SELECT ss.c_name, ss.s_name,
+           CAST(sum(ss.netpaid_um) AS BIGINT) AS paid_um
+    FROM ssales ss, tot
+    WHERE ss.color = 'blue'
+    GROUP BY ss.c_name, ss.s_name, tot.total_um, tot.n
+    HAVING CAST(sum(ss.netpaid_um) AS DECIMAL(38, 0)) * 20 * max(tot.n)
+           > max(tot.total_um)
+    ORDER BY ss.c_name, ss.s_name
+"""
+
+
+@query("sql_tpcds_q24", oracle=_Q24_BODY)
+def sql_tpcds_q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query24a/b (``queries/query24a.sql``): returned-sales net
+    paid per (customer, store) where the customer lives in the store's
+    zip (nation = nation), kept when one color's total beats 5% of the
+    average over ALL (customer, store, color) cells. The threshold is
+    the scalar-CTE-vs-group HAVING, cross-multiplied into integers
+    (sum * 20 * N > total) with a DECIMAL(38,0) cast so sf>=1 cannot
+    overflow BIGINT. The a/b variants differ only in the color literal."""
+    return _sql(spark, sf_dir, _Q24_BODY)
+
+
+_Q26_BODY = """
+    SELECT p.p_type,
+           CAST(round(sum(l.l_quantity) * 100) AS BIGINT) AS sum_qty_um,
+           CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT) AS sum_price_um,
+           CAST(round(sum(l.l_discount) * 100) AS BIGINT) AS sum_disc_um,
+           CAST(round(sum(l.l_tax) * 100) AS BIGINT) AS sum_tax_um,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_linestatus = 'O'
+      AND o.o_orderstatus = 'F'
+      AND o.o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+      AND year(o.o_orderdate) = 2000
+    GROUP BY p.p_type
+    ORDER BY p.p_type
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q26", oracle=_Q26_BODY)
+def sql_tpcds_q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query26 (``queries/query26.sql``): the catalog twin of q7's
+    four demographic-filtered averages per item — emitted as exact
+    integer (sum, count) pairs rather than float quotients. part
+    broadcasts; lineitem x orders is the one big shuffle."""
+    return _sql(spark, sf_dir, _Q26_BODY)
+
+
+def _q28_bucket(tag: str, qlo: int, qhi: int, plo: int, phi: int) -> str:
+    return f"""(
+      SELECT CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS {tag}_sum_um,
+             CAST(count(l_extendedprice) AS BIGINT) AS {tag}_cnt,
+             CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS {tag}_cntd
+      FROM lineitem
+      WHERE l_quantity BETWEEN {qlo} AND {qhi}
+        AND (l_extendedprice BETWEEN {plo} AND {phi}
+             OR l_extendedprice BETWEEN {plo + 20000} AND {phi + 20000}
+             OR l_extendedprice BETWEEN {plo + 40000} AND {phi + 40000})
+    ) {tag}"""
+
+
+_Q28_BODY = f"""
+    SELECT * FROM
+    {_q28_bucket("b1", 0, 5, 1000, 11000)},
+    {_q28_bucket("b2", 6, 10, 5000, 15000)},
+    {_q28_bucket("b3", 11, 15, 9000, 19000)},
+    {_q28_bucket("b4", 16, 20, 13000, 23000)},
+    {_q28_bucket("b5", 21, 25, 17000, 27000)},
+    {_q28_bucket("b6", 26, 30, 21000, 31000)}
+"""
+
+
+@query("sql_tpcds_q28", oracle=_Q28_BODY)
+def sql_tpcds_q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query28 (``queries/query28.sql``): six independent
+    quantity-band buckets, each with an OR of three price bands, each
+    producing (avg via exact sum+count, count, count DISTINCT), cross
+    joined into ONE row. Every bucket is a single-row aggregate so the
+    six-way cross join is six broadcast scalars; Catalyst runs the six
+    scans in one stage each with the band predicates pushed down."""
+    return _sql(spark, sf_dir, _Q28_BODY)
+
+
+_Q29_BODY = """
+    SELECT p.p_brand, s.s_name,
+           CAST(round(sum(ss.l_quantity)) AS BIGINT) AS store_qty,
+           CAST(round(sum(sr.l_quantity)) AS BIGINT) AS return_qty,
+           CAST(round(sum(cs.l_quantity)) AS BIGINT) AS catalog_qty
+    FROM lineitem ss
+    JOIN lineitem sr ON ss.l_partkey = sr.l_partkey
+                    AND ss.l_suppkey = sr.l_suppkey
+    JOIN lineitem cs ON ss.l_partkey = cs.l_partkey
+    JOIN part p ON ss.l_partkey = p.p_partkey
+    JOIN supplier s ON ss.l_suppkey = s.s_suppkey
+    WHERE ss.l_returnflag = 'A' AND ss.l_linestatus = 'F'
+      AND year(ss.l_shipdate) = 1997
+      AND month(ss.l_shipdate) BETWEEN 4 AND 7
+      AND sr.l_returnflag = 'R'
+      AND sr.l_shipdate >= ss.l_shipdate
+      AND cs.l_linestatus = 'O'
+      AND year(cs.l_shipdate) BETWEEN 1997 AND 1999
+    GROUP BY p.p_brand, s.s_name
+    ORDER BY p.p_brand, s.s_name
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q29", oracle=_Q29_BODY)
+def sql_tpcds_q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query29 (``queries/query29.sql``): quantity traced through
+    sell -> return -> re-purchase. Three aliased fact scans: the
+    store->return leg joins row-level on (item, store) = (l_partkey,
+    l_suppkey) with the return shipping no earlier than the sale (the
+    fixture never re-lists one part inside one order, so the ticket-level
+    key would be vacuous); the
+    catalog leg joins per item over the following three years. Channel
+    filters prune each scan before the joins; part/supplier broadcast."""
+    return _sql(spark, sf_dir, _Q29_BODY)
+
+
+_Q30_BODY = """
+    WITH ctr AS (
+      SELECT c.c_custkey AS ctr_cust, c.c_nationkey AS ctr_nation,
+             CAST(round(sum(l.l_extendedprice * (1 + l.l_tax)) * 10000)
+                  AS BIGINT) AS ctr_total_um
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE l.l_returnflag = 'R' AND l.l_linestatus = 'O'
+        AND year(l.l_shipdate) = 1998
+      GROUP BY c.c_custkey, c.c_nationkey)
+    SELECT c.c_name, c.c_mktsegment, n.n_name AS state, ctr1.ctr_total_um
+    FROM ctr ctr1
+    JOIN customer c ON ctr1.ctr_cust = c.c_custkey
+    JOIN nation n ON ctr1.ctr_nation = n.n_nationkey
+    WHERE ctr1.ctr_total_um * 5
+            * (SELECT count(*) FROM ctr ctr2
+               WHERE ctr1.ctr_nation = ctr2.ctr_nation)
+          > (SELECT sum(ctr2.ctr_total_um) FROM ctr ctr2
+             WHERE ctr1.ctr_nation = ctr2.ctr_nation) * 6
+    ORDER BY c.c_name
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q30", oracle=_Q30_BODY)
+def sql_tpcds_q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query30 (``queries/query30.sql``): the WEB-returns twin of
+    q1's 1.2x-state-average shape, with tax-inclusive return amounts
+    (wr_return_amt_inc_tax) and the customer's address block in the
+    output. Correlated scalar subqueries over the CTE decorrelate to one
+    per-state aggregate joined back; the 1.2 factor cross-multiplies as
+    5/6 in exact integer units."""
+    return _sql(spark, sf_dir, _Q30_BODY)
+
+
+_Q37_BODY = """
+    SELECT p.p_partkey AS item_id, p.p_name AS item_desc,
+           CAST(round(p.p_retailprice * 100) AS BIGINT) AS current_price_um
+    FROM part p
+    WHERE p.p_retailprice BETWEEN 905 AND 905 + 10
+      AND p.p_size BETWEEN 10 AND 40
+      AND p.p_brand IN ('Brand#3', 'Brand#7', 'Brand#17', 'Brand#21')
+      AND p.p_partkey IN (SELECT l_partkey FROM lineitem
+                          WHERE l_linestatus = 'O')
+    GROUP BY p.p_partkey, p.p_name, p.p_retailprice
+    ORDER BY item_id
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q37", oracle=_Q37_BODY)
+def sql_tpcds_q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query37 (``queries/query37.sql``): items in a price band and
+    manufacturer list, in stock (p_size band plays inv_quantity_on_hand)
+    and actually sold through the catalog channel — the IN-fact-subquery
+    lowers to a left-semi join with the dim predicates pushed to the
+    part scan."""
+    return _sql(spark, sf_dir, _Q37_BODY)
+
+
+_Q39B_BODY = """
+    WITH inv AS (
+      SELECT l_partkey, month(l_shipdate) AS moy,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(round(sum(l_quantity)) AS BIGINT) AS sx,
+             CAST(round(sum(l_quantity * l_quantity)) AS BIGINT) AS sxx
+      FROM lineitem
+      WHERE year(l_shipdate) = 1998
+      GROUP BY l_partkey, month(l_shipdate)
+      HAVING count(*) >= 2),
+    cov AS (
+      SELECT l_partkey, moy, n,
+             -- the b-variant's TIGHTER first-month bar: cov > 0.62
+             -- <=> var*2500 > mean^2*961, exact integers
+             CASE WHEN (n * sxx - sx * sx) * n * 2500
+                       > sx * sx * (n - 1) * 961
+                  THEN 1 ELSE 0 END AS hot
+      FROM inv
+      -- base bar cov >= 0.6, as in the q39a twin (fixture-calibrated)
+      WHERE sx > 0
+        AND (n * sxx - sx * sx) * n * 25 >= sx * sx * (n - 1) * 9)
+    SELECT a.l_partkey, a.n AS n_jan, b.n AS n_feb
+    FROM cov a
+    JOIN cov b ON a.l_partkey = b.l_partkey
+              AND a.moy = 1 AND b.moy = 2
+    WHERE a.hot = 1
+    ORDER BY a.l_partkey
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q39_pair", oracle=_Q39B_BODY)
+def sql_tpcds_q39_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query39b (``queries/query39b.sql``, the second half of the
+    q39 pair): same consecutive-month coefficient-of-variation self-join
+    as query39a, with the b-variant's tighter filter on the FIRST month
+    only (reference literal 1.5; fixture-calibrated to 0.62 over the
+    0.6 base so the tightening actually discriminates — see the q39a
+    docstring). Both thresholds run in exact integer moments so no
+    sqrt/division can flip membership between engines."""
+    return _sql(spark, sf_dir, _Q39B_BODY)
+
+
+_Q42_BODY = """
+    SELECT year(l.l_shipdate) AS d_year, p.p_type AS category,
+           CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT) AS sum_price_um
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE month(l.l_shipdate) = 11 AND l.l_linestatus = 'F'
+    GROUP BY year(l.l_shipdate), p.p_type
+    ORDER BY sum_price_um DESC, d_year, category
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q42", oracle=_Q42_BODY)
+def sql_tpcds_q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query42 (``queries/query42.sql``): store revenue per
+    (year, category) for one calendar month, revenue-descending. The
+    LIMIT cut is deterministic because the tie-break carries the full
+    (year, category) grouping key."""
+    return _sql(spark, sf_dir, _Q42_BODY)
+
+
+_Q46_BODY = """
+    WITH dn AS (
+      SELECT l.l_orderkey, o.o_custkey, s.s_nationkey AS bought_nation,
+             CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                  AS BIGINT) AS amt_um
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE dayofweek(o.o_orderdate) IN ({DOW_SAT}, {DOW_SUN})
+        AND o.o_orderpriority IN ('1-URGENT', '5-LOW')
+      GROUP BY l.l_orderkey, o.o_custkey, s.s_nationkey)
+    SELECT c.c_name, nh.n_name AS home_city, nb.n_name AS bought_city,
+           dn.l_orderkey AS ticket, dn.amt_um
+    FROM dn
+    JOIN customer c ON dn.o_custkey = c.c_custkey
+    JOIN nation nh ON c.c_nationkey = nh.n_nationkey
+    JOIN nation nb ON dn.bought_nation = nb.n_nationkey
+    WHERE c.c_nationkey <> dn.bought_nation
+    -- one ticket can span several supplier nations: bought_city joins
+    -- the sort so the LIMIT cut is a unique full ordering
+    ORDER BY c.c_name, dn.l_orderkey, bought_city
+    LIMIT 100
+"""
+
+
+@query(
+    "sql_tpcds_q46",
+    oracle=_Q46_BODY.replace("{DOW_SAT}", "6").replace("{DOW_SUN}", "0"),
+)
+def sql_tpcds_q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query46 (``queries/query46.sql``): weekend tickets bought in
+    a DIFFERENT city than the customer lives in — per-ticket aggregate
+    subquery, customer join, city inequality, name-ordered page. The
+    day-of-week literal is parameterized per dialect (Spark 1=Sunday,
+    DuckDB 0=Sunday); nation plays city on both sides so the inequality
+    compares two broadcast dims."""
+    return _sql(
+        spark,
+        sf_dir,
+        _Q46_BODY.replace("{DOW_SAT}", "7").replace("{DOW_SUN}", "1"),
+    )
+
+
+_Q48_BODY = """
+    SELECT CAST(round(sum(l.l_quantity)) AS BIGINT) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE l.l_linestatus = 'F'
+      AND ((c.c_mktsegment = 'BUILDING'
+            AND l.l_extendedprice BETWEEN 1000 AND 20000)
+        OR (c.c_mktsegment = 'MACHINERY'
+            AND l.l_extendedprice BETWEEN 20000 AND 50000)
+        OR (c.c_mktsegment = 'HOUSEHOLD'
+            AND l.l_extendedprice BETWEEN 50000 AND 90000))
+      AND ((c.c_nationkey BETWEEN 0 AND 7 AND l.l_discount <= 0.05)
+        OR (c.c_nationkey BETWEEN 8 AND 15 AND l.l_discount <= 0.08)
+        OR (c.c_nationkey BETWEEN 16 AND 24 AND l.l_discount <= 0.10))
+"""
+
+
+@query("sql_tpcds_q48", oracle=_Q48_BODY)
+def sql_tpcds_q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query48 (``queries/query48.sql``): one scalar quantity sum
+    under two independent OR-of-band predicate stacks (demographic x
+    price band, address x net-profit band). Neither OR can push below
+    the customer join; the channel filter does. Discount literals are
+    exact binary decimals at 2dp so both engines compare identically."""
+    return _sql(spark, sf_dir, _Q48_BODY)
+
+
+_Q52_BODY = """
+    SELECT year(l.l_shipdate) AS d_year, p.p_brand AS brand,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                AS BIGINT) AS ext_price_um
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE month(l.l_shipdate) = 11 AND l.l_linestatus = 'O'
+    GROUP BY year(l.l_shipdate), p.p_brand
+    ORDER BY d_year, ext_price_um DESC, brand
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q52", oracle=_Q52_BODY)
+def sql_tpcds_q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query52 (``queries/query52.sql``): brand net revenue per
+    year for one month on the catalog channel (q3's shape with the
+    discounted amount and a different dim cut — the reference keeps both
+    as separate conformance queries, so this port does too)."""
+    return _sql(spark, sf_dir, _Q52_BODY)
+
+
+_Q55_BODY = """
+    SELECT p.p_brand AS brand,
+           CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT) AS ext_price_um
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size BETWEEN 31 AND 40
+      AND month(l.l_shipdate) = 12 AND year(l.l_shipdate) = 2000
+    GROUP BY p.p_brand
+    ORDER BY ext_price_um DESC, brand
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q55", oracle=_Q55_BODY)
+def sql_tpcds_q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query55 (``queries/query55.sql``): one manager's brand
+    revenue for one month (i_manager_id -> a p_size band). The whole
+    query is a broadcast dim join + single hash aggregate — the
+    minimal star-join conformance shape."""
+    return _sql(spark, sf_dir, _Q55_BODY)
+
+
+_Q56_BODY = """
+    WITH color_items AS (
+      SELECT p_partkey FROM part
+      WHERE split_part(p_name, ' ', 1) IN ('blue', 'red', 'hot')),
+    ss AS (
+      SELECT l_partkey AS item,
+             CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS total_um
+      FROM lineitem
+      WHERE l_linestatus = 'F' AND year(l_shipdate) = 2000
+        AND month(l_shipdate) = 1
+        AND l_partkey IN (SELECT p_partkey FROM color_items)
+      GROUP BY l_partkey),
+    cs AS (
+      SELECT l_partkey AS item,
+             CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS total_um
+      FROM lineitem
+      WHERE l_linestatus = 'O' AND year(l_shipdate) = 2000
+        AND month(l_shipdate) = 1
+        AND l_partkey IN (SELECT p_partkey FROM color_items)
+      GROUP BY l_partkey),
+    ws AS (
+      SELECT l_partkey AS item,
+             CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS total_um
+      FROM lineitem
+      WHERE l_returnflag = 'R' AND year(l_shipdate) = 2000
+        AND month(l_shipdate) = 1
+        AND l_partkey IN (SELECT p_partkey FROM color_items)
+      GROUP BY l_partkey)
+    SELECT item, CAST(sum(total_um) AS BIGINT) AS total_sales_um
+    FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs
+          UNION ALL SELECT * FROM ws) tmp
+    GROUP BY item
+    ORDER BY total_sales_um, item
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q56", oracle=_Q56_BODY)
+def sql_tpcds_q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query56 (``queries/query56.sql``): per-item revenue for a
+    color list summed ACROSS all three channels — three channel CTEs
+    sharing one IN-subquery item filter (split_part of p_name plays
+    i_color), UNION ALL, re-aggregate. The color subquery broadcasts
+    into each leg; each leg is one pushed-filter scan + hash agg."""
+    return _sql(spark, sf_dir, _Q56_BODY)
+
+
+_Q57_BODY = """
+    WITH v1 AS (
+      SELECT p.p_type, o.o_orderpriority AS cc_name,
+             year(o.o_orderdate) AS d_year, month(o.o_orderdate) AS d_moy,
+             CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+                  AS BIGINT) AS sum_sales_um,
+             CAST(sum(CAST(round(sum(l.l_extendedprice * (1 - l.l_discount))
+                                 * 10000) AS BIGINT))
+                  OVER (PARTITION BY p.p_type, o.o_orderpriority,
+                        year(o.o_orderdate)) AS BIGINT) AS year_total_um,
+             CAST(count(*) OVER (PARTITION BY p.p_type, o.o_orderpriority,
+                                 year(o.o_orderdate)) AS BIGINT) AS n_months,
+             rank() OVER (PARTITION BY p.p_type, o.o_orderpriority
+                          ORDER BY year(o.o_orderdate),
+                                   month(o.o_orderdate)) AS rn
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_type, o.o_orderpriority,
+               year(o.o_orderdate), month(o.o_orderdate))
+    SELECT v1.p_type, v1.cc_name, v1.d_year, v1.d_moy, v1.sum_sales_um,
+           v1.year_total_um, v1_lag.sum_sales_um AS psum_um,
+           v1_lead.sum_sales_um AS nsum_um
+    FROM v1
+    JOIN v1 v1_lag ON v1.p_type = v1_lag.p_type
+                  AND v1.cc_name = v1_lag.cc_name AND v1.rn = v1_lag.rn + 1
+    JOIN v1 v1_lead ON v1.p_type = v1_lead.p_type
+                   AND v1.cc_name = v1_lead.cc_name
+                   AND v1.rn = v1_lead.rn - 1
+    WHERE v1.d_year = 1998
+      AND v1.year_total_um > 0
+      AND 10 * abs(v1.n_months * v1.sum_sales_um - v1.year_total_um)
+            > v1.year_total_um
+    ORDER BY v1.p_type, v1.cc_name, v1.d_year, v1.d_moy
+    LIMIT 100
+"""
+
+
+@query("sql_tpcds_q57", oracle=_Q57_BODY)
+def sql_tpcds_q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS query57 (``queries/query57.sql``): the call-center twin of
+    q47's monthly-deviation report, in the reference's OTHER formulation
+    — the neighbour months come from TWO SELF-JOINS of the windowed CTE
+    on rn +/- 1 (v1_lag / v1_lead aliases, exactly as the reference SQL
+    is written) instead of lag()/lead(). Catalyst reuses one Exchange
+    for the three v1 scans; the deviation filter is the usual integer
+    cross-multiplication."""
+    return _sql(spark, sf_dir, _Q57_BODY)
