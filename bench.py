@@ -91,6 +91,13 @@ HEADLINE = [
     # tokenization is THE hot loop of training-data prep — keep the BPE
     # encoder's throughput visible per round
     "doc_bpe_encode",
+    # round-5 additions: the join-heaviest new TPC-DS shape (q72: four
+    # dims + inequality date roles + nullable promo left join), the web
+    # rollup-rank (q86), and the count-min bounds gate (a full sketch
+    # build + broadcast-probe estimate pass)
+    "sql_tpcds_q72",
+    "sql_tpcds_q86",
+    "agg_count_min_bounds",
 ]
 
 
@@ -221,6 +228,45 @@ def scale_lane(spark, sf_dir: str, scales=(1, 10)) -> dict:
         _scaled_rel(k)
         return spark.sql(tpcds._Q78_BODY.replace("{IDIV}", "div"))
 
+    # round-5 breadth (VERDICT r4 item 8): the three most expensive bench
+    # queries that had no measured exponent.
+    def run_bm25(k):
+        from incubator_beam_spark.dataops.retrieval import bm25_topk
+        from incubator_beam_spark.queries.dataops import _BM25_TERMS
+
+        return bm25_topk(_scaled_docs(spark, sf_dir, k), list(_BM25_TERMS), k=25)
+
+    def run_bigram(k):
+        from incubator_beam_spark.dataops.curation import bigram_logprob
+
+        return bigram_logprob(_scaled_docs(spark, sf_dir, k))
+
+    def run_bloom_join(k):
+        from functools import reduce
+
+        from pyspark.sql import DataFrame
+
+        from incubator_beam_spark.dataops.joins import bloom_prefilter_join
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        copies = [
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10_000_000))
+            for i in range(k)
+        ]
+        fact = reduce(DataFrame.unionAll, copies).select(
+            F.col("l_suppkey").alias("s_suppkey"), "l_quantity"
+        )
+        sup = (
+            spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .filter(F.col("s_nationkey") < 5)
+            .select("s_suppkey", "s_nationkey")
+        )
+        joined = bloom_prefilter_join(fact, sup.hint("merge"), on="s_suppkey")
+        return joined.groupBy("s_nationkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+
     ops = {
         "doc_minhash_lsh_pairs": run_minhash,
         "doc_neardup_clusters": run_clusters,
@@ -228,6 +274,9 @@ def scale_lane(spark, sf_dir: str, scales=(1, 10)) -> dict:
         "doc_line_dedup": run_line_dedup,
         "sql_tpcds_q67": run_sql_rollup_rank,
         "sql_tpcds_q78": run_sql_agg_antijoin,
+        "doc_bm25_topk": run_bm25,
+        "doc_bigram_logprob": run_bigram,
+        "join_bloom_prefilter": run_bloom_join,
     }
     base_rows = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     emb_rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
@@ -236,7 +285,7 @@ def scale_lane(spark, sf_dir: str, scales=(1, 10)) -> dict:
     for name, fn in ops.items():
         rows0 = (
             emb_rows if name.startswith("emb_")
-            else li_rows if name.startswith("sql_")
+            else li_rows if name.startswith(("sql_", "join_"))
             else base_rows
         )
         times = {}
@@ -262,6 +311,175 @@ def scale_lane(spark, sf_dir: str, scales=(1, 10)) -> dict:
     return out
 
 
+def stress_lane(spark, n_events: int = 10_000_000, n_files: int = 20) -> dict:
+    """NEXMark STRESS-scale streaming throughput (VERDICT r4 item 4;
+    config anchor ``NexmarkSuite.java:73-81``): n_events synthetic bids
+    through the STATEFUL streaming Q5 (hot items: chained windowed
+    aggregations — count per (window, auction), then argmax per window
+    via window_time, Spark 3.4+'s multi-stateful-operator pipeline) and
+    Q7 (highest bid per window: one max(struct) aggregate, complete
+    mode). Reports events/s over the drain wall-clock and the
+    state-store peak (rows + bytes) from the query progress stream.
+
+    The input is written once as an n_files parquet directory and
+    streamed with maxFilesPerTrigger so the drain exercises real
+    micro-batch state updates, not one giant batch."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    src_dir = tempfile.mkdtemp(prefix="stress_bids_")
+    try:
+        bids = (
+            spark.range(n_events)
+            .select(
+                F.timestamp_seconds(
+                    F.lit(1704067200) + (F.col("id") % 172800)
+                ).alias("ts"),
+                (F.col("id") % 1000).alias("auction"),
+                F.pmod(F.xxhash64("id"), F.lit(10000)).alias("price"),
+                F.col("id").alias("bid_id"),
+            )
+        )
+        bids.repartition(n_files).write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+
+        def drain(df, mode):
+            name = f"stress_{abs(hash(mode + src_dir)) % 10**8}"
+            q = (
+                df.writeStream.outputMode(mode)
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            wall = time.perf_counter() - t0
+            peak_rows = peak_bytes = 0
+            for p in q.recentProgress:
+                ops_ = p.get("stateOperators") or []
+                peak_rows = max(peak_rows, sum(o["numRowsTotal"] for o in ops_))
+                peak_bytes = max(
+                    peak_bytes, sum(o["memoryUsedBytes"] for o in ops_)
+                )
+            rows_out = spark.table(name).count()
+            q.stop()
+            return wall, rows_out, peak_rows, peak_bytes
+
+        def stream():
+            return spark.readStream.schema(schema).option(
+                "maxFilesPerTrigger", max(n_files // 10, 1)
+            ).parquet(src_dir)
+
+        out = {"n_events": n_events}
+
+        # Q7: highest bid per hour — one stateful agg, complete mode.
+        q7 = (
+            stream()
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.max(F.struct("price", "bid_id")).alias("top"))
+        )
+        wall, rows_out, pr, pb = drain(q7, "complete")
+        out["q7_highest_value"] = {
+            "wall_sec": round(wall, 2),
+            "events_per_sec": int(n_events / wall),
+            "windows_out": rows_out,
+            "state_peak_rows": pr,
+            "state_peak_bytes": pb,
+        }
+        print(
+            f"# stress q7: {n_events} events in {wall:.1f}s = "
+            f"{n_events / wall:,.0f} ev/s, state {pr} rows",
+            file=sys.stderr,
+        )
+
+        # Q5: hot items — chained stateful aggs (watermark + window_time).
+        counts = (
+            stream()
+            .withWatermark("ts", "1 second")
+            .groupBy(F.window("ts", "1 hour"), "auction")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        hot = (
+            counts.groupBy(F.window(F.window_time("window"), "1 hour"))
+            .agg(F.max(F.struct("n", "auction")).alias("top"))
+        )
+        wall, rows_out, pr, pb = drain(hot, "append")
+        out["q5_hot_items"] = {
+            "wall_sec": round(wall, 2),
+            "events_per_sec": int(n_events / wall),
+            "windows_out": rows_out,
+            "state_peak_rows": pr,
+            "state_peak_bytes": pb,
+        }
+        print(
+            f"# stress q5: {n_events} events in {wall:.1f}s = "
+            f"{n_events / wall:,.0f} ev/s, state {pr} rows",
+            file=sys.stderr,
+        )
+        return out
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+
+R1_COMMIT = "866ff95"
+
+
+def control_lane(sf_dir: str, repeat: int, current: dict) -> dict | None:
+    """Like-for-like drift control (VERDICT r4 'What's wrong' 4): bench
+    the round-1 snapshot's own code in a cached git worktree on TODAY's
+    machine, intersect its headline with the current run, and emit both
+    totals + ratio. A recorded round-over-round slowdown that does NOT
+    appear here is environment drift, not a code regression — this makes
+    the BENCH JSON self-documenting instead of needing SCALE.md prose."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"spark_graft_r1_{R1_COMMIT}"
+    )
+    if not os.path.exists(os.path.join(wt, ".git")):
+        r = subprocess.run(
+            ["git", "-C", repo, "worktree", "add", "--detach", wt, R1_COMMIT],
+            capture_output=True, text=True,
+        )
+        if r.returncode != 0:
+            print(f"# control: worktree add failed: {r.stderr.strip()}",
+                  file=sys.stderr)
+            return None
+    r = subprocess.run(
+        [sys.executable, "bench.py", "--sf-dir", sf_dir, "--repeat", str(repeat)],
+        cwd=wt, capture_output=True, text=True, timeout=1800,
+    )
+    line = next(
+        (ln for ln in reversed(r.stdout.strip().splitlines())
+         if ln.startswith("{")),
+        None,
+    )
+    if line is None:
+        print(f"# control: r1 bench produced no JSON: {r.stderr[-400:]}",
+              file=sys.stderr)
+        return None
+    r1 = json.loads(line)
+    common = sorted(set(r1["queries"]) & set(current))
+    r1_total = round(sum(r1["queries"][n] for n in common), 4)
+    cur_total = round(sum(current[n] for n in common), 4)
+    ctl = {
+        "r1_commit": R1_COMMIT,
+        "n_common": len(common),
+        "r1_today_sec": r1_total,
+        "current_sec": cur_total,
+        "ratio": round(cur_total / r1_total, 4) if r1_total else None,
+    }
+    print(
+        f"# control: r1@today {r1_total}s vs current {cur_total}s over "
+        f"{len(common)} common queries = {ctl['ratio']}x",
+        file=sys.stderr,
+    )
+    return ctl
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -274,6 +492,22 @@ def main() -> None:
         "--no-scale-lane",
         action="store_true",
         help="skip the 1x-vs-10x dedup/ANN scaling lane",
+    )
+    ap.add_argument(
+        "--no-stress-lane",
+        action="store_true",
+        help="skip the 10M-event NEXMark streaming throughput lane",
+    )
+    ap.add_argument(
+        "--no-control",
+        action="store_true",
+        help="skip the r1-worktree like-for-like drift control",
+    )
+    ap.add_argument(
+        "--stress-events",
+        type=int,
+        default=10_000_000,
+        help="event count for the streaming stress lane",
     )
     args = ap.parse_args()
 
@@ -330,6 +564,16 @@ def main() -> None:
     if not args.no_scale_lane and not args.all:
         cleanup()
         out["scale_lane"] = scale_lane(spark, args.sf_dir)
+    if not args.no_stress_lane and not args.all:
+        cleanup()
+        out["stress_lane"] = stress_lane(spark, n_events=args.stress_events)
+    if not args.no_control and not args.all:
+        # run LAST and sequentially: a second Spark JVM benching in
+        # parallel would pollute both timings (memory: load noise once
+        # read as a 1.17x regression).
+        ctl = control_lane(args.sf_dir, args.repeat, per_query)
+        if ctl is not None:
+            out["control"] = ctl
     print(json.dumps(out))
 
 

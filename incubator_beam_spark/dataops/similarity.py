@@ -231,9 +231,10 @@ def neardup_pairs(
                 "dedup upstream or raise max_bucket)",
                 stacklevel=2,
             )
-            v = v.join(
-                F.broadcast(hot.select("bucket")), ["bucket"], "left_anti"
-            )
+        # the anti-join applies unconditionally (an empty hot set is an
+        # identity) so the plan shape — broadcast LeftAnti reusing the
+        # bucket Exchange — is invariant and plan-test-pinned.
+        v = v.join(F.broadcast(hot.select("bucket")), ["bucket"], "left_anti")
     a = v.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"),
                  F.col("nrm").alias("na"))
     b = v.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"),
