@@ -568,9 +568,12 @@ def main() -> None:
         cleanup()
         out["stress_lane"] = stress_lane(spark, n_events=args.stress_events)
     if not args.no_control and not args.all:
-        # run LAST and sequentially: a second Spark JVM benching in
-        # parallel would pollute both timings (memory: load noise once
-        # read as a 1.17x regression).
+        # run LAST, sequentially, and with THIS session's JVM stopped: a
+        # second Spark JVM benching against a resident 48g heap measures
+        # memory pressure, not the r1 code (first control recording
+        # showed r1 2.5x slower purely from running beside the loaded
+        # JVM; stopping the session restored parity).
+        spark.stop()
         ctl = control_lane(args.sf_dir, args.repeat, per_query)
         if ctl is not None:
             out["control"] = ctl

@@ -164,6 +164,7 @@ def neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = 1000,
+    verbose: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket self-join, then
     exact cosine verify (the embedding analog of MinHash LSH dedup).
@@ -184,15 +185,20 @@ def neardup_pairs(
     ``minhash_lsh_pairs`` caps band buckets: ``auto_planes`` sizes the
     EXPECTED bucket, but a degenerate embedding cluster (zero/near-zero
     vectors all sharing one sign pattern) makes one bucket quadratic at
-    corpus scale regardless of plane count. Buckets over the cap are
-    dropped LOUDLY before the self-join — the hot-key removal is a
-    map-side-combined count + broadcast anti-join, no second shuffle of
-    the vector rows. Unlike multi-band MinHash, a dropped sign-LSH
-    bucket has no other band to recover through, so the drop trades
-    recall on the degenerate cluster for a bounded join (the standard
-    mitigation; the degenerate cluster is near-identical anyway and is
-    better handled by exact dedup upstream). ``max_bucket=None``
-    disables the cap.
+    corpus scale regardless of plane count. By default over-cap buckets
+    are dropped SILENTLY inside one plan: the hot-key removal is a
+    map-side-combined count + broadcast anti-join whose build side
+    REUSES the bucket Exchange (ReusedExchange — zero extra scan or
+    shuffle). ``verbose=True`` makes the drop LOUD — a capped collect of
+    the hot set feeds a warning with dropped bucket/vector counts and
+    the anti-join probes the collected literal — at the cost of one
+    extra scan+shuffle job (~1.5x the silent runtime at bench scale;
+    the Exchange cannot be reused across jobs), which is why loud is
+    opt-in. Unlike multi-band MinHash, a dropped sign-LSH bucket has no
+    other band to recover through, so the drop trades recall on the
+    degenerate cluster for a bounded join (the standard mitigation; the
+    degenerate cluster is near-identical anyway and is better handled
+    by exact dedup upstream). ``max_bucket=None`` disables the cap.
     """
     from .dedup import ensure_parallelism
 
@@ -211,30 +217,49 @@ def neardup_pairs(
     if max_bucket is not None:
         hot = (
             v.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("__bsz"))
-            .filter(F.col("__bsz") > max_bucket)
-            .select("bucket", "__bsz")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") > max_bucket)
+            .select("bucket", "bsz")
         )
-        # the LOUD half of the drop: reduce to one driver row (bucket and
-        # vector counts), warn when non-zero. The extra job is map-side
-        # combined; the anti-join itself stays lazy and broadcast.
-        n_hot, n_rows_dropped = hot.agg(
-            F.count(F.lit(1)), F.coalesce(F.sum("__bsz"), F.lit(0))
-        ).collect()[0]
-        if n_hot:
-            import warnings
-
-            warnings.warn(
-                f"neardup_pairs: dropping {n_hot} bucket(s) over "
-                f"max_bucket={max_bucket} ({n_rows_dropped} vectors lose "
-                "near-dup recall; handle degenerate clusters with exact "
-                "dedup upstream or raise max_bucket)",
-                stacklevel=2,
+        if not verbose:
+            # silent default: single plan, the anti-join build side
+            # reuses the bucket Exchange (ReusedExchange) — zero extra
+            # scan/shuffle. Plan shape pinned by tests/test_plans.py.
+            v = v.join(
+                F.broadcast(hot.select("bucket")), ["bucket"], "left_anti"
             )
-        # the anti-join applies unconditionally (an empty hot set is an
-        # identity) so the plan shape — broadcast LeftAnti reusing the
-        # bucket Exchange — is invariant and plan-test-pinned.
-        v = v.join(F.broadcast(hot.select("bucket")), ["bucket"], "left_anti")
+        else:
+            # loud path: one extra job computes the hot set eagerly (the
+            # Exchange cannot be reused across jobs — that is the cost of
+            # loudness); its result feeds BOTH the warning and the
+            # anti-join literal. The collect is capped: beyond the cap it
+            # degrades to warning-with-floor + distributed build, never
+            # to a driver OOM.
+            cap = 100_000
+            hot_rows = hot.limit(cap + 1).collect()
+            overflow = len(hot_rows) > cap
+            if hot_rows:
+                import warnings
+
+                n_dropped = sum(r.bsz for r in hot_rows[:cap])
+                warnings.warn(
+                    f"neardup_pairs: dropping {'>' if overflow else ''}"
+                    f"{min(len(hot_rows), cap)} bucket(s) over "
+                    f"max_bucket={max_bucket} ({'>' if overflow else ''}"
+                    f"{n_dropped} vectors lose near-dup recall; handle "
+                    "degenerate clusters with exact dedup upstream or "
+                    "raise max_bucket)",
+                    stacklevel=2,
+                )
+            if overflow:
+                v = v.join(
+                    F.broadcast(hot.select("bucket")), ["bucket"], "left_anti"
+                )
+            else:
+                hot_lit = v.sparkSession.createDataFrame(
+                    [(int(r.bucket),) for r in hot_rows], "bucket INT"
+                )
+                v = v.join(F.broadcast(hot_lit), ["bucket"], "left_anti")
     a = v.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"),
                  F.col("nrm").alias("na"))
     b = v.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"),

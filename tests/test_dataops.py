@@ -1459,3 +1459,19 @@ def test_neardup_pairs_hot_bucket_cap(spark):
         emb, dim=8, threshold=0.9, n_planes=4, max_bucket=None
     ).count()
     assert uncapped >= 40 * 39 / 2  # the quadratic blow-up the cap prevents
+    # verbose=True: same result, but the drop is LOUD (round-4 ADVICE) —
+    # warns with the dropped bucket/vector counts
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        loud = {
+            (r.id_a, r.id_b)
+            for r in similarity.neardup_pairs(
+                emb, dim=8, threshold=0.9, n_planes=4, max_bucket=10,
+                verbose=True,
+            ).collect()
+        }
+    assert loud == capped
+    msgs = [str(c.message) for c in caught if "neardup_pairs" in str(c.message)]
+    assert msgs and "dropping 1 bucket(s)" in msgs[0] and "40 vectors" in msgs[0]
