@@ -50,13 +50,15 @@ except ImportError:  # env without Pillow -> deterministic stub kernel
 
 
 def decode_image_batch(payload: bytes) -> dict:
-    """Image decode kernel. When Pillow is importable the payload is
-    actually decoded (width/height/bands from the pixel data); otherwise
-    falls back to a deterministic fake derived from the bytes so the
-    mapInPandas pipeline stays testable end-to-end in minimal envs.
-    The registered ``mm_*`` gates that hash-compare are byte-parser based
-    (PNG/WAV/MP4 headers), not this kernel, so installing Pillow does not
-    perturb any exact oracle."""
+    """Image decode kernel. Decode order: Pillow when importable (any
+    format), then the built-in pure-Python gray-8 PNG pixel decoder
+    (``decode_png_gray`` — REAL decode, stdlib zlib only), then a
+    deterministic fake derived from the bytes so the mapInPandas
+    pipeline stays testable end-to-end on arbitrary payloads in minimal
+    envs. The registered ``mm_*`` gates that hash-compare are
+    byte-parser based (PNG/WAV/MP4 headers) or use ``decode_png_gray``
+    directly (``mm_png_pixel_roundtrip``), not this kernel, so
+    installing Pillow does not perturb any exact oracle."""
     if _PILImage is not None and payload:
         import io
 
@@ -69,6 +71,10 @@ def decode_image_batch(payload: bytes) -> dict:
                 }
         except Exception:
             pass  # undecodable bytes -> same deterministic fallback
+    if payload:
+        real = decode_png_gray(payload)
+        if real is not None:
+            return {"width": real[0], "height": real[1], "n_channels": 1}
     h = sum(payload[:64]) if payload else 0
     return {
         "width": 64 + h % 64,
@@ -353,6 +359,138 @@ def parse_png_meta(payload: bytes) -> dict | None:
         "color_type": color_type,
         "n_channels": channels,
     }
+
+
+def encode_png_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Complete, standards-valid 8-bit grayscale PNG (public PNG spec;
+    stdlib zlib only): signature + IHDR + one filter-0 IDAT + IEND, all
+    chunks CRC32'd. Pairs with ``decode_png_gray`` for a byte-real
+    encode->decode round trip with no image library."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray(payload: bytes) -> tuple[int, int, bytes] | None:
+    """REAL pixel decode for 8-bit grayscale PNGs (stdlib zlib only):
+    signature + chunk walk with CRC32 verify, multi-IDAT concat +
+    inflate, and per-scanline un-filtering for all five PNG filter
+    types (None/Sub/Up/Average/Paeth). Returns (width, height, pixels)
+    or None for anything that is not a valid gray-8 PNG."""
+    import struct
+    import zlib
+
+    meta = parse_png_meta(payload)
+    if meta is None or meta["color_type"] != 0 or meta["bit_depth"] != 8:
+        return None
+    w, h = meta["width"], meta["height"]
+    pos, idat = 8, []
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            return None
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            return None
+        if typ == b"IDAT":
+            idat.append(data)
+        pos += 12 + length
+        if typ == b"IEND":
+            break
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    if len(raw) != h * (w + 1):
+        return None
+    out = bytearray()
+    prev = bytearray(w)
+    for y in range(h):
+        line = raw[y * (w + 1) : (y + 1) * (w + 1)]
+        ftype, cur = line[0], bytearray(line[1:])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(1, w):
+                cur[x] = (cur[x] + cur[x - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(w):
+                cur[x] = (cur[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(w):
+                left = cur[x - 1] if x else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(w):
+                a = cur[x - 1] if x else 0
+                b, c = prev[x], (prev[x - 1] if x else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            return None
+        out += cur
+        prev = cur
+    return w, h, bytes(out)
+
+
+def decode_png_pixels(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """Pixel-level decode stage: mapInPandas over gray-8 PNG payloads ->
+    (doc_id, width, height, pixel_sum). The decoded pixel buffer never
+    leaves the Python worker — only the 28-byte feature row shuffles, so
+    at 100 TB the payload bytes are read exactly once, scan-side."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("pixel_sum", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_png_gray(bytes(p)) for p in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.array(
+                        [d[0] if d else None for d in decoded], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [d[1] if d else None for d in decoded], dtype="Int32"
+                    ),
+                    "pixel_sum": pd.array(
+                        [sum(d[2]) if d else None for d in decoded], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select("doc_id", binary_col).mapInPandas(run, out_schema)
 
 
 def image_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:

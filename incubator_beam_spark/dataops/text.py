@@ -274,6 +274,47 @@ def compression_ratio_df(df, id_col: str = "doc_id", text_col: str = "text"):
     return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
+def compression_roundtrip_df(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc zlib self-check backing the compression-ratio signal:
+    decompress(compress(text)) must reproduce the text byte-exactly, and
+    the ratio must sit in its provable envelope (positive; at most
+    (raw+64)/raw — zlib's worst-case stored-block overhead is 5 bytes
+    per 32 KiB block plus the 6-byte header/trailer, far under 64 for
+    fixture-sized docs). Emits (id, roundtrip_ok, ratio_bounded); bytes
+    never shuffle."""
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("roundtrip_ok", T.BooleanType(), True),
+            T.StructField("ratio_bounded", T.BooleanType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok, bounded = [], []
+            for t in pdf[text_col]:
+                raw = (t or "").encode("utf-8")
+                comp = zlib.compress(raw, 6)
+                ok.append(zlib.decompress(comp) == raw)
+                if raw:
+                    r = len(comp) / len(raw)
+                    bounded.append(0.0 < r <= (len(raw) + 64) / len(raw))
+                else:
+                    bounded.append(True)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "roundtrip_ok": ok, "ratio_bounded": bounded}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def stratified_sample(df, strata_col: str, fractions: dict, seed: int = 7):
     """Stratified (per-class) sampling for corpus rebalancing —
     ``sampleBy`` with a pinned seed: Bernoulli per row, no shuffle, scan

@@ -184,6 +184,166 @@ def agg_approx_quantiles_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_sample_size_bounds",
+    oracle="""
+    SELECT (SELECT least(100, count(*)) FROM orders)::BIGINT AS n_global,
+           TRUE AS global_distinct_ok,
+           (SELECT CAST(sum(least(10, c)) AS BIGINT)
+              FROM (SELECT count(*) AS c FROM events
+                    GROUP BY event_type)) AS n_perkey_rows,
+           TRUE AS perkey_sizes_ok
+    """,
+)
+def agg_sample_size_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable contract gate for the RANDOM sample family
+    (upgrades ``agg_sample_fixed``/``agg_sample_per_key`` from
+    rows-only; the deterministic twins pin values, this pins the random
+    variants' contract): Sample.FixedSizeGlobally(n) must return exactly
+    least(n, N) distinct rows, and Sample.FixedSizePerKey(k) must return
+    exactly least(k, n_key) rows for EVERY key — both totals
+    oracle-recomputed exactly in DuckDB. A wrong window rank, a
+    with-replacement regression, or a dropped key flips a number and
+    the value-hash goes red."""
+    p = _pipeline(spark)
+    g = (
+        core.PCollection(table(spark, sf_dir, "orders"), p)
+        | transforms.Sample.FixedSizeGlobally(100)
+    ).df
+    g_stats = g.agg(
+        F.count(F.lit(1)).alias("n_global"),
+        (F.count(F.lit(1)) == F.count_distinct("o_orderkey")).alias(
+            "global_distinct_ok"
+        ),
+    )
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"), F.col("event_id").alias("value")
+    )
+    samp_counts = (
+        (core.PCollection(ev, p) | transforms.Sample.FixedSizePerKey(10)).df
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_samp"))
+    )
+    src_counts = ev.groupBy("key").agg(F.count(F.lit(1)).alias("n_key"))
+    pk_stats = (
+        src_counts.join(samp_counts, "key", "left")
+        .withColumn("n_samp", F.coalesce("n_samp", F.lit(0)))
+        .agg(
+            F.sum("n_samp").alias("n_perkey_rows"),
+            F.bool_and(
+                F.col("n_samp") == F.least(F.lit(10), F.col("n_key"))
+            ).alias("perkey_sizes_ok"),
+        )
+    )
+    return g_stats.crossJoin(pk_stats).select(
+        "n_global", "global_distinct_ok", "n_perkey_rows", "perkey_sizes_ok"
+    )
+
+
+@query(
+    "agg_approx_unique_per_key_bounds",
+    oracle="""
+    SELECT event_type AS key, count(DISTINCT user_id)::BIGINT AS exact_n,
+           TRUE AS within_bounds
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_unique_per_key_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key accuracy gate for ApproximateUnique.PerKey (upgrades the
+    rows-only gate; the per-key twin of ``agg_approx_distinct_bounds``):
+    for EVERY key, the HLL++ estimate must sit within 6 relative
+    standard deviations (+1 integer slack) of the exact per-key distinct
+    count computed in the same plan. One row per key — a sketch-merge
+    regression on any key flips that key's boolean. Both aggregates are
+    combiner-lifted; the shuffle carries one sketch + one exact-distinct
+    partial per key per partition."""
+    rsd = 0.01
+    p = _pipeline(spark)
+    kv = core.PCollection(
+        table(spark, sf_dir, "events").select(
+            F.col("event_type").alias("key"), F.col("user_id").alias("value")
+        ),
+        p,
+    )
+    approx = (kv | transforms.ApproximateUnique.PerKey(rsd)).df.select(
+        "key", F.col("value").alias("approx_n")
+    )
+    exact = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("key"))
+        .agg(F.count_distinct("user_id").alias("exact_n"))
+    )
+    return exact.join(approx, "key").select(
+        "key",
+        "exact_n",
+        (
+            F.abs(F.col("approx_n") - F.col("exact_n"))
+            <= F.lit(6 * rsd) * F.col("exact_n") + F.lit(1)
+        ).alias("within_bounds"),
+    )
+
+
+@query(
+    "agg_approx_quantiles_per_key_bounds",
+    oracle="""
+    SELECT event_type AS key, q_bp, count(*)::BIGINT AS n,
+           TRUE AS within_bounds
+    FROM events, (VALUES (2500), (5000), (7500)) t(q_bp)
+    GROUP BY event_type, q_bp
+    """,
+)
+def agg_approx_quantiles_per_key_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key accuracy gate for ApproximateQuantiles.PerKey (upgrades
+    the rows-only gate; the per-key twin of
+    ``agg_approx_quantiles_bounds``, tightened for ties): for every
+    (key, quantile) the returned value v must satisfy the two-sided GK
+    rank guarantee P(x < v) <= q + eps + 1/n AND P(x <= v) >= q - eps -
+    1/n — the correct statement under duplicate values, where the
+    one-sided CDF distance of the global gate could false-alarm. 15
+    rows (5 keys x 3 quantiles); the verify pass is one broadcast join
+    of the 15 quantile rows back onto events + a conditional count."""
+    eps = 1.0 / 10000  # percentile_approx accuracy used by the transform
+    qs = [0.25, 0.5, 0.75]
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"), F.col("value").alias("value")
+    )
+    quant = (
+        ev.groupBy("key")
+        .agg(
+            F.percentile_approx("value", qs, 10000).alias("vs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("key", "n", F.posexplode("vs").alias("i", "v"))
+        .select(
+            "key",
+            "n",
+            F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("i") + 1).alias("q"),
+            "v",
+        )
+    )
+    joined = ev.join(F.broadcast(quant), "key")
+    return (
+        joined.groupBy("key", "q", "n")
+        .agg(
+            (F.sum((F.col("value") < F.col("v")).cast("long")) / F.col("n")).alias(
+                "frac_lt"
+            ),
+            (F.sum((F.col("value") <= F.col("v")).cast("long")) / F.col("n")).alias(
+                "frac_le"
+            ),
+        )
+        .select(
+            "key",
+            F.round(F.col("q") * 10000).cast("int").alias("q_bp"),
+            "n",
+            (
+                (F.col("frac_lt") <= F.col("q") + F.lit(eps) + 1 / F.col("n"))
+                & (F.col("frac_le") >= F.col("q") - F.lit(eps) - 1 / F.col("n"))
+            ).alias("within_bounds"),
+        )
+    )
+
+
+@query(
     "io_orc_roundtrip",
     oracle="""
     SELECT l_returnflag,

@@ -371,6 +371,55 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_png_pixel_roundtrip",
+    oracle="""
+    SELECT doc_id, 8 AS width, 8 AS height,
+           CAST(list_sum(list_transform(range(0, 64),
+                i -> (doc_id * 31 + i * 7) % 251)) AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+)
+def mm_png_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT image-decode gate (upgrades the ``mm_image_decode`` family
+    from rows-only): a REAL gray-8 PNG is built per doc (full spec —
+    IHDR/IDAT/IEND, CRC32s, zlib-deflated filter-0 scanlines; stdlib
+    only) with pixel(i) = (doc_id*31 + i*7) % 251 on an 8x8 canvas, then
+    decoded back by an independent pure-Python decoder (chunk walk, CRC
+    verify, inflate, un-filter). The emitted (width, height, pixel_sum)
+    must equal DuckDB's closed-form recomputation of the same pixel
+    function — any corruption in encode, deflate framing, or un-filter
+    flips the hash. Encode and decode are separate mapInPandas stages
+    (the payload crosses stages as a binary column, exactly how real
+    image bytes would); only the 28-byte feature row shuffles."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..dataops.multimodal import decode_png_pixels, encode_png_gray
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                encode_png_gray(
+                    bytes((int(did) * 31 + i * 7) % 251 for i in range(64)), 8, 8
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return decode_png_pixels(d.mapInPandas(synth, schema))
+
+
+@query(
     "mm_frame_extract",
     oracle="""
     WITH frames AS (
@@ -866,6 +915,85 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_stratified_bounds",
+    oracle="""
+    SELECT lang, count(*)::BIGINT AS n_source, TRUE AS within_bounds
+    FROM documents
+    WHERE lang IN ('en', 'de', 'es', 'fr')
+    GROUP BY lang
+    """,
+)
+def doc_stratified_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable accuracy gate for stratified sampling (upgrades
+    ``doc_stratified_sample`` from rows-only): per stratum, the exact
+    source count (oracle-recomputed) plus the Bernoulli concentration
+    GUARANTEE — the sampled count within 6 binomial standard deviations
+    (+1 for integer slack) of fraction * n_source. The sample values are
+    engine-specific; the bound is not. A broken sampleBy (wrong
+    fraction, dropped stratum, double-counted rows) flips a boolean and
+    the value-hash goes red. One scan for the sample, one map-side
+    combined count per side — no data-row shuffle beyond the two
+    stratum-sized aggregates."""
+    fractions = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.1}
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    frac_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in fractions.items() for x in kv]
+        ),
+        F.col("lang"),
+    )
+    src = (
+        d.filter(F.col("lang").isin(*fractions))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_source"))
+    )
+    samp = (
+        text.stratified_sample(d, "lang", fractions, seed=7)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_samp"))
+    )
+    return (
+        src.join(samp, "lang", "left")
+        .withColumn("n_samp", F.coalesce("n_samp", F.lit(0)))
+        .withColumn("frac", frac_col)
+        .select(
+            "lang",
+            "n_source",
+            (
+                F.abs(F.col("n_samp") - F.col("frac") * F.col("n_source"))
+                <= F.lit(6.0)
+                * F.sqrt(F.col("frac") * (1 - F.col("frac")) * F.col("n_source"))
+                + F.lit(1.0)
+            ).alias("within_bounds"),
+        )
+    )
+
+
+@query(
+    "doc_compression_roundtrip",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_docs, TRUE AS all_roundtrip_ok,
+           TRUE AS all_ratio_bounded
+    FROM documents
+    """,
+)
+def doc_compression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable self-consistency gate for the zlib compression
+    signal (upgrades ``doc_compression_ratio`` from rows-only): every
+    document must decompress back to its exact bytes and land inside the
+    provable ratio envelope (positive, <= stored-block overhead bound).
+    DuckDB has no zlib, so the oracle pins the GUARANTEE (count + all
+    TRUE) — a codec or determinism regression flips a boolean for some
+    doc and the conjunction (and the hash) goes red."""
+    d = table(spark, sf_dir, "documents")
+    return text.compression_roundtrip_df(d).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.bool_and("roundtrip_ok").alias("all_roundtrip_ok"),
+        F.bool_and("ratio_bounded").alias("all_ratio_bounded"),
+    )
+
+
 def _bpe_fold(list_expr: str, a: str, b: str) -> str:
     """DuckDB mirror of bpe._merge_pair: greedy left-to-right merge of
     adjacent (a, b) via list_reduce with a space-joined string
@@ -1139,6 +1267,71 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count(F.col("text")).alias("n_tokens")
     )
     return pack_sequences(d, budget=512, n_partitions=8)
+
+
+@query(
+    "doc_pack_bounds",
+    oracle=f"""
+    SELECT count(*)::BIGINT AS n_docs,
+           CAST(sum(len({_TOKENS})) AS BIGINT) AS total_tokens,
+           TRUE AS exactly_once, TRUE AS budget_ok, TRUE AS anyfit_tight
+    FROM documents
+    """,
+)
+def doc_pack_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable invariants gate for sequence packing (upgrades
+    ``doc_pack_sequences`` from rows-only). The pack ASSIGNMENT is
+    partitioning-dependent by design, but its contract is not:
+    conservation — every source doc packed exactly once and the total
+    token mass preserved (both oracle-recomputed EXACTLY from the
+    DuckDB tokenizer mirror); budget — every multi-doc pack fits in 512
+    tokens and the reported ``pack_tokens`` equals the recomputed fill;
+    tightness — the any-fit guarantee that each partition has at most
+    ONE pack under half budget (if a second bin opened while one was
+    half-empty, the item must not have fit there, so the new bin starts
+    over half full). A packing regression flips a number or boolean and
+    the value-hash goes red. Scale shape: one repartition for the pack
+    stage, then pack-count-sized aggregates only."""
+    from ..dataops.packing import pack_sequences
+    from ..dataops.text import token_count
+
+    budget = 512
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(d, budget=budget, n_partitions=8)
+    row_stats = packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.count(F.lit(1)) == F.count_distinct("doc_id")).alias("exactly_once"),
+    )
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.count(F.lit(1)).alias("n_in"),
+        F.min("pack_tokens").alias("pt_min"),
+        F.max("pack_tokens").alias("pt_max"),
+    )
+    pack_ok = per_pack.agg(
+        F.bool_and(
+            ((F.col("n_in") == 1) | (F.col("fill") <= budget))
+            & (F.col("pt_min") == F.col("fill"))
+            & (F.col("pt_max") == F.col("fill"))
+        ).alias("budget_ok")
+    )
+    tight = (
+        per_pack.groupBy(F.expr("pack_id div 1099511627776").alias("part"))
+        .agg(
+            F.sum((F.col("fill") <= budget / 2).cast("long")).alias("n_halfempty")
+        )
+        .agg(F.bool_and(F.col("n_halfempty") <= 1).alias("anyfit_tight"))
+    )
+    return (
+        row_stats.crossJoin(pack_ok)
+        .crossJoin(tight)
+        .select(
+            "n_docs", "total_tokens", "exactly_once", "budget_ok", "anyfit_tight"
+        )
+    )
 
 
 @query(

@@ -1141,6 +1141,76 @@ def nexmark_q12_proc_time_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nexmark_q14_session_side_input",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    bounds AS (
+      SELECT *, floor(epoch(min(ts) OVER p))::BIGINT AS session_start,
+             floor(epoch(max(ts) OVER p))::BIGINT + 1800 AS session_end
+      FROM sess
+      WINDOW p AS (PARTITION BY user_id, sid))
+    SELECT event_id, user_id AS bidder, round(value, 2) AS price,
+           CAST(user_id % 97 AS VARCHAR) || ':' || session_start || ':'
+             || session_end AS extra
+    FROM bounds
+    """,
+)
+def nexmark_q14_session_side_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark SessionSideInputJoin (reference
+    ``queries/SessionSideInputJoin.java:54``): sessionize the bid
+    stream per bidder (Sessions gap, here 30min to match the fixture's
+    other session gates), then enrich EVERY bid with the side-input
+    string for bidder % rowCount concatenated with its session's
+    [start, end) bounds — the reference's per-element window reify +
+    side-input lookup in one DoFn. Spark-first mapping: the session
+    assignment is gaps-and-islands over one (user, ts) sort — lag to
+    flag gaps, running sum to number sessions, min/max over the session
+    partition for bounds — all whole-stage-codegen window functions
+    reusing a single Exchange; the side input is a broadcast hash probe
+    of a 97-row dim. No Python, no second shuffle of the bids."""
+    side = spark.range(0, 97).select(
+        F.col("id").alias("side_id"), F.col("id").cast("string").alias("sval")
+    )
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ts_s = F.col("ts").cast("double")  # fractional epoch: the gap compare
+    # must see sub-second precision, exactly like the oracle's epoch()
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    p = W.partitionBy("user_id", "sid")
+    prev = F.lag(ts_s).over(w)
+    sess = (
+        e.select("user_id", "event_id", "ts", "value")
+        .withColumn(
+            "brk",
+            F.when(prev.isNull() | ((ts_s - prev) >= 1800), 1).otherwise(0),
+        )
+        .withColumn("sid", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("session_start", F.floor(F.min(ts_s).over(p)).cast("long"))
+        .withColumn(
+            "session_end", F.floor(F.max(ts_s).over(p)).cast("long") + 1800
+        )
+    )
+    return sess.join(F.broadcast(side), sess.user_id % 97 == side.side_id).select(
+        "event_id",
+        F.col("user_id").alias("bidder"),
+        F.round("value", 2).alias("price"),
+        F.concat_ws(
+            ":", "sval", F.col("session_start").cast("string"),
+            F.col("session_end").cast("string"),
+        ).alias("extra"),
+    )
+
+
+@query(
     "evt_capped_session_window",
     oracle="""
     WITH flagged AS (

@@ -1203,3 +1203,115 @@ def stream_per_key_counter_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     return drained.groupBy("key").agg(F.max("total").alias("total"))
+
+
+@query(
+    "nexmark_q13_side_input_join",
+    oracle="""
+    SELECT event_id, user_id AS bidder, round(value, 2) AS price,
+           CAST(user_id % 97 AS VARCHAR) AS extra
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def nexmark_q13_side_input_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark Query13 / BoundedSideInputJoin (reference
+    ``queries/BoundedSideInputJoin.java:44`` + the side-input generator
+    ``NexmarkUtils.java:654``): enrich an unbounded bid stream with a
+    bounded side input of (id, value-as-string) rows, joining on
+    bidder % rowCount — basic stream enrichment. Spark-first mapping:
+    the Beam ``View.asMap`` side input is a STREAM-STATIC broadcast
+    join (the static side builds once on the driver, ships with the
+    broadcast, and never shuffles the stream); each micro-batch probes
+    the same hash table. At 100 TB/day of bids the enrichment adds zero
+    shuffles — the only data movement is the 97-row dim broadcast."""
+    side = spark.range(0, 97).select(
+        F.col("id").alias("side_id"), F.col("id").cast("string").alias("extra")
+    )
+    bids = stream_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    out = (
+        bids.join(F.broadcast(side), bids.user_id % 97 == side.side_id)
+        .select(
+            "event_id",
+            F.col("user_id").alias("bidder"),
+            F.round("value", 2).alias("price"),
+            "extra",
+        )
+    )
+    return _drain(out, "append")
+
+
+@query(
+    "stateful_timer_flush_tws",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             min(floor(epoch(ts))::BIGINT) AS first_s
+      FROM events GROUP BY user_id)
+    SELECT user_id, n, sum_cents
+    FROM g
+    WHERE first_s + 1800 <= (SELECT max(floor(epoch(ts))::BIGINT) FROM events)
+    """,
+)
+def stateful_timer_flush_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stateful_timer_flush`` on the OTHER stateful backend: NATIVE
+    event-time timers through ``transformWithStateInPandas`` (RocksDB
+    state store, engine-managed per-timer wake-ups via registerTimer)
+    instead of the applyInPandasWithState adapter's deadline re-arming —
+    the two-backend twin for TIMERS that round 4's counter gate was for
+    STATE CELLS. Same exact oracle as the sibling gate: per-user count +
+    integer-cent sum flushed by a timer armed at first-seen + 30min;
+    users first seen within 30min of the stream's end never fire.
+    Delivery is one deterministic micro-batch (single parquet file);
+    the engine's post-watermark no-data batch expires exactly the
+    timers the final watermark passed."""
+    from ..streaming.userstate_tws import stateful_pardo_tws
+
+    e = (
+        stream_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.timestamp_seconds(F.floor(F.col("ts").cast("double"))).alias("tsr"),
+        )
+        .withWatermark("tsr", "0 seconds")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sum_cents", T.LongType()),
+        ]
+    )
+
+    def process(key, pdf, ctx):
+        n = ctx.read("n", 0) + len(pdf)
+        s = ctx.read("sum", 0) + int(pdf["cents"].sum())
+        ctx.write("n", n)
+        ctx.write("sum", s)
+        first = ctx.read("first")
+        batch_first = min(t.timestamp() for t in pdf["tsr"])
+        if first is None or batch_first < first:
+            ctx.write("first", batch_first)
+            ctx.set_timer("flush", batch_first + 1800.0)
+        return []
+
+    def on_timer(key, name, ctx):
+        return [(int(key), ctx.read("n", 0), ctx.read("sum", 0))]
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        out = stateful_pardo_tws(
+            e, key_col="user_id", output_schema=schema,
+            process=process, on_timer=on_timer, time_mode="EventTime",
+        )
+        drained = _drain(out, "append", settle=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    return drained

@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "incubator_beam_spark.queries.streaming_queries",
     "incubator_beam_spark.queries.loadtests",
     "incubator_beam_spark.queries.game",
+    "incubator_beam_spark.queries.examples",
     "incubator_beam_spark.queries.surface",
 )
 
@@ -77,9 +78,12 @@ _PRIORITY: tuple[str, ...] = (
     # the round-5 hard-signal gates (count-min bounds, streaming CEP
     # quantifiers), the sketch-bounds family, never-checked CEP/event
     # gates, and 12 never-checked TPC-DS shapes. Still never-checked
-    # after this window: ~125 (mostly TPC-DS; the registry grew by 42
-    # this round — rotation continues, `python scripts/rotate_window.py`
-    # emits the next window mechanically).
+    # after this window: ~135 (mostly TPC-DS; the registry grew by 52
+    # this round, incl. the late-session bounds-twin family, the TWS
+    # timer twin, and NEXMark Q13/Q14 — every late addition
+    # emulator-verified at all three SFs; rotation continues,
+    # `python scripts/rotate_window.py` emits the next window
+    # mechanically).
     "game_user_score",
     "game_hourly_team_score",
     "game_spammy_users",

@@ -823,6 +823,100 @@ def test_png_header_codec_roundtrip():
     assert parse_png_meta(corrupted) is None
 
 
+def test_png_gray_pixel_codec_roundtrip():
+    from incubator_beam_spark.dataops.multimodal import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    px = bytes((i * 13 + 5) % 256 for i in range(8 * 8))
+    png = encode_png_gray(px, 8, 8)
+    assert decode_png_gray(png) == (8, 8, px)
+    # corruption: flipped IEND CRC byte and truncated IDAT both reject
+    bad = bytearray(png)
+    bad[-5] ^= 0xFF
+    assert decode_png_gray(bytes(bad)) is None
+    assert decode_png_gray(png[:40]) is None
+    # non-gray PNGs (header-only RGB fixture) are refused, not mis-decoded
+    from incubator_beam_spark.dataops.multimodal import encode_png_header
+
+    assert decode_png_gray(encode_png_header(4, 4, color_type=2)) is None
+
+
+def test_decode_image_batch_real_png_path():
+    """The kernel's no-Pillow path really decodes gray-8 PNGs (via
+    decode_png_gray) instead of falling back to the deterministic fake."""
+    from incubator_beam_spark.dataops.multimodal import (
+        decode_image_batch,
+        encode_png_gray,
+    )
+
+    png = encode_png_gray(bytes(range(12 * 9))[: 12 * 9], 12, 9)
+    assert decode_image_batch(png) == {"width": 12, "height": 9, "n_channels": 1}
+    # non-PNG bytes still get the deterministic fake (pipeline never dies)
+    fake = decode_image_batch(b"\x00\x01garbage")
+    assert set(fake) == {"width", "height", "n_channels"}
+
+
+def test_png_gray_decode_all_filter_types():
+    """Decode a PNG produced by an INDEPENDENT encoder that uses a
+    different filter type per scanline (None/Sub/Up/Average/Paeth) —
+    proves the un-filter logic, not just a round trip of filter 0."""
+    import struct
+    import zlib
+
+    from incubator_beam_spark.dataops.multimodal import decode_png_gray
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    w, h = 6, 5
+    pixels = bytes((x * 37 + y * 91) % 256 for y in range(h) for x in range(w))
+    raw = bytearray()
+    prev = bytes(w)
+    for y in range(h):
+        line = pixels[y * w : (y + 1) * w]
+        f = y % 5
+        raw.append(f)
+        for x in range(w):
+            a = line[x - 1] if x else 0
+            b, c = prev[x], (prev[x - 1] if x else 0)
+            if f == 0:
+                raw.append(line[x])
+            elif f == 1:
+                raw.append((line[x] - a) & 0xFF)
+            elif f == 2:
+                raw.append((line[x] - b) & 0xFF)
+            elif f == 3:
+                raw.append((line[x] - ((a + b) >> 1)) & 0xFF)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                raw.append((line[x] - pred) & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+    assert decode_png_gray(png) == (w, h, pixels)
+
+
+def test_compression_roundtrip_df(spark):
+    from incubator_beam_spark.dataops.text import compression_roundtrip_df
+
+    d = spark.createDataFrame(
+        [(1, "hello world " * 50), (2, ""), (3, "x")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in compression_roundtrip_df(d).collect()}
+    assert all(rows[i].roundtrip_ok for i in (1, 2, 3))
+    assert all(rows[i].ratio_bounded for i in (1, 2, 3))
+
+
 def test_mp4_box_codec_roundtrip():
     from incubator_beam_spark.dataops.multimodal import (
         encode_mp4_header,

@@ -647,3 +647,39 @@ def test_tpcds_q4_pivot_single_fact_scan(spark):
     assert plan.count("Scan parquet") <= 4
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ex_autocomplete_vocab_sized_fanout(spark):
+    """The prefix explosion must sit ABOVE the word-count aggregate
+    (vocabulary-sized fan-out, the reference pipeline's key scale
+    property): the plan has a partial+final HashAggregate pair for the
+    count, one Generate (explode) consuming the AGGREGATED side, and no
+    Python eval anywhere."""
+    plan = plan_of(spark, "ex_autocomplete")
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the rank over prefixes partitions by prefix — a real Window, not a
+    # global sort
+    assert "Window" in plan
+
+
+def test_nexmark_q14_single_data_exchange(spark):
+    """Both analytic passes (islands keyed by user_id, bounds keyed by
+    (user_id, sid)) must reuse ONE data shuffle: HashPartitioning(user)
+    clusters (user, sid) too, so Catalyst must not add a second
+    Exchange; the 97-row side input must come in as a broadcast."""
+    plan = plan_of(spark, "nexmark_q14_session_side_input")
+    assert "BroadcastHashJoin" in plan
+    data_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert data_exchanges == 1, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_doc_pack_bounds_aggregate_sized_joins(spark):
+    """The invariant gate's cross-joins combine three ONE-ROW aggregates
+    (the allowed scalar pattern); the packing stage itself must be the
+    only Python stage."""
+    plan = plan_of(spark, "doc_pack_bounds")
+    assert plan.count("FlatMapsInPandas") + plan.count("MapInPandas") >= 1
+    assert "SortMergeJoin" not in plan
