@@ -383,6 +383,73 @@ def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "io_jdbc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_um
+    FROM lineitem
+    WHERE l_quantity < 25
+    GROUP BY l_returnflag
+    """,
+)
+def io_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC sink + partitioned source round-trip (reference
+    ``io/jdbc.py:210`` ReadFromJdbc / ``io/jdbc.py:99`` WriteToJdbc),
+    against a REAL database: Apache Derby embedded (its jars ship with
+    Spark), so the wrapper row is exercised end-to-end with no external
+    server — write the lineitem projection to a Derby table, read it
+    back through the repo's ReadFromJdbc with a partitioned parallel
+    read (partitionColumn/numPartitions/bounds — 8 concurrent JDBC
+    range scans, exactly how production Spark parallelizes RDBMS
+    ingest), and aggregate; byte fidelity proven by hash-matching
+    against the ORIGINAL parquet (doubles survive exactly — Derby
+    DOUBLE is IEEE 754).
+
+    The static bounds cover the fixture's l_orderkey domain at every
+    SF; at scale the bounds come from one min/max probe query (or
+    Spark's own predicate-free stride planner). Out-of-bounds keys are
+    NOT dropped — Spark's first/last JDBC partitions are unbounded."""
+    import tempfile
+
+    from ..sources.io import ReadFromJdbc
+
+    db = tempfile.mkdtemp(prefix="ibs_derby_") + "/db"
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    (
+        li.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "lineitem_rt")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    back = ReadFromJdbc(
+        url,
+        "lineitem_rt",
+        driver=driver,
+        partitionColumn="l_orderkey",
+        numPartitions=8,
+        lowerBound=1,
+        upperBound=6_000_000,
+    ).read(spark)
+    return (
+        back.filter(F.col("l_quantity") < 25)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice") * 100)
+            .cast("long")
+            .alias("sum_price_um"),
+        )
+    )
+
+
+@query(
     "io_write_dynamic",
     oracle="""
     SELECT event_type AS dest, count(*) AS n FROM events GROUP BY event_type

@@ -1,19 +1,23 @@
 """The reference's non-game example pipelines, re-expressed.
 
 ``sdks/python/apache_beam/examples/`` beyond the game suite
-(queries/game.py): complete/autocomplete.py (top-k completions per
-prefix), complete/top_wikipedia_sessions.py (longest user sessions per
-30-day window), and cookbook/mergecontacts.py (3-way CoGroupByKey
-merge). tfidf.py already has a gate in queries/dataops.py; wordcount
-variants are examples/wordcount.py here; estimate_pi.py is a
-Monte-Carlo demo whose value is nondeterministic by construction (its
-invariant — pi to ~2 digits at large n — is not a fixture-scale gate);
-juliaset and distribopt are image/scipy demos outside the data-engine
-surface; the remaining cookbook entries are either covered by existing
-gates (multiple_output_pardo -> pardo_tagged_outputs, filters ->
-core_elementwise_chain, custom_ptransform -> the PTransform machinery
-everywhere) or need external services (bigquery_*, datastore_*,
-bigtableio).
+(queries/game.py): wordcount.py (the hello-world, also runnable as
+``examples/wordcount.py``), complete/autocomplete.py (top-k completions
+per prefix), complete/top_wikipedia_sessions.py (longest user sessions
+per 30-day window), cookbook/mergecontacts.py (3-way CoGroupByKey
+merge), complete/estimate_pi.py (Monte-Carlo pi — made exact here by
+swapping ``random.uniform`` for a deterministic md5-derived
+low-discrepancy stream both engines replay bit-identically), and
+complete/juliaset/ (escape-time fractal — made exact with fixed-point
+integer arithmetic; the 100-step iteration is a single Spark
+``aggregate()`` fold and an unrolled 100-CTE chain in the oracle, the
+same device as the k-means/BPE-learn oracles). tfidf.py already has a
+gate in queries/dataops.py; distribopt is a scipy demo outside the
+data-engine surface; the remaining cookbook entries are either covered
+by existing gates (multiple_output_pardo -> pardo_tagged_outputs,
+filters -> core_elementwise_chain, custom_ptransform -> the PTransform
+machinery everywhere) or need external services (bigquery_*,
+datastore_*, bigtableio).
 
 Every gate here is exact: counts are integers, rankings carry full
 deterministic tie-breaks, group iterables are canonicalized sorted,
@@ -241,4 +245,179 @@ def ex_mergecontacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("email") == 0).alias("no_email"),
         (F.size("phone") == 0).alias("no_phone"),
         (F.size("snailmail") == 0).alias("no_address"),
+    )
+
+
+@query(
+    "ex_wordcount",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+          FROM documents)
+    GROUP BY word
+    """,
+)
+def ex_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """examples/wordcount.py — Beam's hello-world (read lines, split
+    into words, ``Count.PerElement``, format). The word regex is the
+    repo-wide ``[a-z]+`` over lower-cased text so both engines tokenize
+    identically (the reference uses ``[A-Za-z']+``). The runnable
+    script twin with file IO and the formatted ``word: count`` output
+    lines is examples/wordcount.py; this gate pins the counting
+    pipeline itself.
+
+    Scale shape: the explode is map-side (no shuffle), the count is one
+    hash-partial + final HashAggregate pair over vocabulary-sized
+    state — at 100 TB the shuffle carries one row per (partition,
+    word), bounded by vocabulary, not corpus size."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "ex_estimate_pi",
+    oracle="""
+    WITH pts AS (
+      SELECT ('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 7))::BIGINT AS x,
+             ('0x' || substr(md5(CAST(i AS VARCHAR)), 9, 7))::BIGINT AS y
+      FROM range(250000) t(i)),
+    agg AS (
+      SELECT count(*) AS n_points,
+             CAST(sum(CASE WHEN x*x + y*y <= 72057594037927936
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
+      FROM pts)
+    SELECT n_points, n_inside,
+           (4000000 * n_inside) // n_points AS pi_micro
+    FROM agg
+    """,
+)
+def ex_estimate_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """examples/complete/estimate_pi.py (run_trials + combine_results):
+    throw points at the unit square, count the quarter-circle hits,
+    estimate pi = 4 * inside / total. The reference draws
+    ``random.uniform`` floats — nondeterministic by construction — so
+    this gate replaces the RNG with a deterministic stream both engines
+    compute bit-identically: point i = (md5(i)[0:7], md5(i)[8:7]) as
+    28-bit integers in [0, 2^28), hit iff x^2 + y^2 <= 2^56 (integer
+    arithmetic, fits int64). The estimate is emitted in integer
+    micro-units via integer division (Spark ``div`` / DuckDB ``//``) —
+    the repo's ratio-output device. 250k points land pi_micro within
+    ~2e-3 of pi, same accuracy contract the reference's test asserts
+    (estimate_pi_test.py: |pi - 3.141592| < 0.02).
+
+    Scale shape: embarrassingly parallel map over ``range`` (Spark's
+    range source splits evenly across executors), one partial+final
+    aggregate pair; zero shuffle beyond the 1-row combine."""
+    pts = spark.range(250_000).selectExpr(
+        "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 7), 16, 10) AS BIGINT) AS x",
+        "CAST(conv(substring(md5(CAST(id AS STRING)), 9, 7), 16, 10) AS BIGINT) AS y",
+    )
+    return pts.selectExpr(
+        "count(*) AS n_points",
+        "CAST(sum(CASE WHEN x*x + y*y <= 72057594037927936 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_inside",
+    ).selectExpr(
+        "n_points",
+        "n_inside",
+        "(4000000 * n_inside) div n_points AS pi_micro",
+    )
+
+
+# Julia-set fixed-point constants: scale S = 2^20; c = -.62772 + .42193i
+# (juliaset.py:20) becomes (round(-.62772 * S), round(.42193 * S)); the
+# escape test |z|^2 > 2.0 (juliaset.py:40) becomes > 2 * S^2.
+_JULIA_N = 64
+_JULIA_CR = -658211
+_JULIA_CI = 442426
+_JULIA_ESC = 2 * (1 << 20) * (1 << 20)
+
+
+def _julia_oracle() -> str:
+    """Unrolled 100-CTE DuckDB oracle for the julia-set escape loop.
+
+    One CTE per iteration — the chained-CTE device the k-means and
+    BPE-learn oracles use. (A ``list_reduce`` fold would be the natural
+    dual of Spark's ``aggregate()``, but DuckDB 1.0's list_reduce
+    evaluates struct-accumulator fields sequentially IN PLACE — a later
+    field's expression sees an earlier field's NEW value — which
+    silently corrupts any recurrence with cross-field dependencies like
+    z^2's (zr, zi) rotation. The unrolled CTE form reads every
+    right-hand side from the previous step's row, so it cannot alias.)
+    """
+    n, esc, cr, ci = _JULIA_N, _JULIA_ESC, _JULIA_CR, _JULIA_CI
+    ctes = [
+        f"""s0 AS (
+      SELECT (i // {n})::BIGINT AS px, (i % {n})::BIGINT AS py,
+             ((i // {n}) * 32768 - 1048576)::BIGINT AS zr,
+             ((i % {n}) * 32768 - 1048576)::BIGINT AS zi,
+             0::BIGINT AS upd, false AS done
+      FROM range({n * n}) t(i))"""
+    ]
+    for k in range(1, 101):
+        ctes.append(
+            f"""s{k} AS (
+      SELECT px, py,
+        CASE WHEN done OR zr*zr + zi*zi > {esc} THEN zr
+             ELSE ((zr*zr - zi*zi) >> 20) + ({cr}) END AS zr,
+        CASE WHEN done OR zr*zr + zi*zi > {esc} THEN zi
+             ELSE ((2*zr*zi) >> 20) + ({ci}) END AS zi,
+        CASE WHEN done OR zr*zr + zi*zi > {esc} THEN upd ELSE upd + 1 END AS upd,
+        (done OR zr*zr + zi*zi > {esc}) AS done
+      FROM s{k - 1})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT px, py, CASE WHEN done THEN upd ELSE 99::BIGINT END AS it FROM s100"
+    )
+
+
+@query("ex_juliaset", oracle=_julia_oracle())
+def ex_juliaset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """examples/complete/juliaset/juliaset/juliaset.py
+    (get_julia_set_point_color): escape-time iteration of
+    f(z) = z^2 + c with c = -.62772 + .42193i over an NxN pixel grid
+    mapped to [-1, 1]^2, max 100 iterations, escape when |z|^2 > 2;
+    emits (x, y, iterations) per pixel exactly like the reference's
+    coordinate output. Floating-point escape loops are not
+    cross-engine-exact, so the dynamics run in 2^20 fixed-point integer
+    arithmetic: multiply, subtract, arithmetic-right-shift — identical
+    on both engines (Spark ``shiftright`` and DuckDB ``>>`` both floor
+    on negatives; verified, not assumed). Grid is 64x64 (the
+    reference's --grid_size default is 1000; the recurrence per pixel
+    is identical).
+
+    Spark-first shape: the whole 100-step loop is ONE ``aggregate()``
+    higher-order-function fold per row — a single codegen'd projection,
+    zero shuffle, no Python in the plan; at 100 TB of pixels this is a
+    pure map stage. The oracle unrolls the same loop into 100 chained
+    CTEs (see _julia_oracle for why list_reduce is unusable here)."""
+    n, esc, cr, ci = _JULIA_N, _JULIA_ESC, _JULIA_CR, _JULIA_CI
+    grid = spark.range(n * n).selectExpr(
+        f"CAST(id DIV {n} AS BIGINT) AS px", f"CAST(id % {n} AS BIGINT) AS py"
+    )
+    fold = f"""
+    aggregate(sequence(1, 100),
+      named_struct('zr', px * 32768L - 1048576L, 'zi', py * 32768L - 1048576L,
+                   'upd', 0L, 'done', false),
+      (s, k) -> CASE
+        WHEN s.done THEN s
+        WHEN s.zr*s.zr + s.zi*s.zi > {esc}L THEN
+          named_struct('zr', s.zr, 'zi', s.zi, 'upd', s.upd, 'done', true)
+        ELSE
+          named_struct('zr', shiftright(s.zr*s.zr - s.zi*s.zi, 20) + ({cr}L),
+                       'zi', shiftright(2*s.zr*s.zi, 20) + ({ci}L),
+                       'upd', s.upd + 1L, 'done', false)
+      END) AS s
+    """
+    return grid.selectExpr("px", "py", fold).selectExpr(
+        "px", "py", "CASE WHEN s.done THEN s.upd ELSE 99L END AS it"
     )

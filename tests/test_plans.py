@@ -683,3 +683,36 @@ def test_doc_pack_bounds_aggregate_sized_joins(spark):
     plan = plan_of(spark, "doc_pack_bounds")
     assert plan.count("FlatMapsInPandas") + plan.count("MapInPandas") >= 1
     assert "SortMergeJoin" not in plan
+
+
+def test_ex_juliaset_single_map_stage(spark):
+    """The 100-iteration escape loop must be ONE codegen'd projection
+    over the range source: no shuffle, no Python eval, no join."""
+    plan = plan_of(spark, "ex_juliaset")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "codegen id" in plan  # the range source + projections stay JVM-side
+
+
+def test_ex_wordcount_partial_final_agg(spark):
+    """Word counting must map-side combine: a partial+final
+    HashAggregate pair around one hash exchange."""
+    plan = plan_of(spark, "ex_wordcount")
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert "hashpartitioning" in plan
+    assert plan.count("- Exchange") == 1  # exactly one shuffle in the tree
+
+
+def test_io_jdbc_partitioned_scan(spark):
+    """The JDBC read must plan as a ranged multi-partition scan (8
+    concurrent JDBC range queries), not a single-connection pull."""
+    from incubator_beam_spark.catalog import table as _table  # noqa: F401
+
+    df = ALL["io_jdbc_roundtrip"].fn(spark, SF_DIR)
+    df.count()
+    # the JDBCRelation scan reports its partition count in the plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert re.search(r"JDBCRelation\(lineitem_rt\) \[numPartitions=8\]", plan)
