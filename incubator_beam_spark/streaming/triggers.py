@@ -680,9 +680,20 @@ class TriggerDriver:
         if st is None or st.closed:
             return panes
         # loop: a single advance can justify several firings (e.g. AfterEach)
+        # — but only while each firing makes STATE PROGRESS. A repeated
+        # level-triggered condition (Repeatedly(AfterWatermark()) once the
+        # watermark passed the end, Repeatedly(AfterProcessingTime(0)), …)
+        # resets to an identical state with should_fire still true; Beam's
+        # runners fire such triggers once per stimulus (element bundle /
+        # timer), not in a busy loop, so a revisited state breaks out.
+        seen_states: set[str] = set()
         while not st.closed and self.trigger.should_fire(
             st.trigger_state, self._ctx(ws, st)
         ):
+            state_key = json.dumps(st.trigger_state, sort_keys=True)
+            if state_key in seen_states:
+                break
+            seen_states.add(state_key)
             timing = self._timing(ws, st)
             if self.accumulation == ACCUMULATING:
                 count, total = st.acc_count, st.acc_sum
