@@ -210,3 +210,59 @@ def test_default_trigger_matches_model(script):
         if p.timing == ON_TIME
     ]
     assert got == default_trigger_model(script)
+
+
+def sessions_model(batches, gap):
+    """Islands model for Sessions + DefaultTrigger + DISCARDING: union
+    the per-element proto-windows [ts, ts+gap), one ON_TIME pane per
+    merged island when the watermark passes its end."""
+    ts = sorted(t for b in batches for t, _ in b)
+    vals = defaultdict(list)
+    for b in batches:
+        for t, v in b:
+            vals[t].append(v)
+    islands = []
+    for t in ts:
+        if islands and t < islands[-1][1]:
+            islands[-1][1] = max(islands[-1][1], t + gap)
+            islands[-1][2].append(t)
+        else:
+            islands.append([t, t + gap, [t]])
+    out = []
+    for lo, hi, members in islands:
+        n = sum(len(vals[m]) for m in set(members))
+        s = sum(v for m in set(members) for v in vals[m])
+        out.append((float(lo), float(hi), n, float(s)))
+    return sorted(out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 39), st.integers(1, 5)),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    gap=st.sampled_from([2.0, 3.0, 5.0]),
+)
+def test_sessions_default_trigger_matches_islands_model(batches, gap):
+    """Merging sessions, exact: deliver all elements (across several
+    bundles, so merging happens incrementally), then close the world —
+    the ON_TIME panes must be exactly the gap-islands of the timestamp
+    multiset, each with the island's full count/sum and window extent."""
+    d = TriggerDriver(10, DefaultTrigger(), DISCARDING, allowed_lateness=0.0,
+                      session_gap=gap)
+    panes = []
+    for b in batches:
+        panes.extend(d.on_elements([(float(t), float(v)) for t, v in b]))
+    panes.extend(d.advance_watermark(10_000.0))
+    got = sorted(
+        (p.window_start, p.window_end, p.count, p.sum)
+        for p in panes
+        if p.timing == ON_TIME and p.count > 0
+    )
+    assert got == sessions_model(batches, gap)
