@@ -356,8 +356,8 @@ def _julia_oracle() -> str:
     ctes = [
         f"""s0 AS (
       SELECT (i // {n})::BIGINT AS px, (i % {n})::BIGINT AS py,
-             ((i // {n}) * 32768 - 1048576)::BIGINT AS zr,
-             ((i % {n}) * 32768 - 1048576)::BIGINT AS zi,
+             ((2 * (i // {n}) * 1048576) // {n} - 1048576)::BIGINT AS zr,
+             ((2 * (i % {n}) * 1048576) // {n} - 1048576)::BIGINT AS zi,
              0::BIGINT AS upd, false AS done
       FROM range({n * n}) t(i))"""
     ]
@@ -406,7 +406,8 @@ def ex_juliaset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fold = f"""
     aggregate(sequence(1, 100),
-      named_struct('zr', px * 32768L - 1048576L, 'zi', py * 32768L - 1048576L,
+      named_struct('zr', (2L * px * 1048576L) DIV {n} - 1048576L,
+                   'zi', (2L * py * 1048576L) DIV {n} - 1048576L,
                    'upd', 0L, 'done', false),
       (s, k) -> CASE
         WHEN s.done THEN s
