@@ -61,6 +61,84 @@ def _sym_chars(define: dict) -> dict[str, str]:
     return chars
 
 
+def _split_last_atom(pat: str) -> tuple[str, str, str]:
+    """Split a compiled char-regex into (prefix, last_atom, quantifier).
+    last_atom is a single symbol char or a '(...)' group; quantifier is
+    '' / '?' / '*' / '+' / '{n,m}' with an optional trailing reluctant
+    '?'."""
+    quant = ""
+    i = len(pat)
+    if pat and pat[-1] == "?" and len(pat) >= 2 and pat[-2] in "*+?}":
+        quant = "?"
+        i -= 1
+    c = pat[i - 1] if i else ""
+    if c in "*+?":
+        quant = c + quant
+        i -= 1
+    elif c == "}":
+        j = pat.rfind("{", 0, i)
+        quant = pat[j:i] + quant
+        i = j
+    if i and pat[i - 1] == ")":
+        depth, j = 0, i - 1
+        while j >= 0:
+            if pat[j] == ")":
+                depth += 1
+            elif pat[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        return pat[:j], pat[j:i], quant
+    return pat[: i - 1] if i else "", pat[i - 1 : i], quant
+
+
+def _group_alts(group: str) -> list[str]:
+    """Top-level alternatives of a '(...)' group body."""
+    inner = group[1:-1]
+    alts, d, start = [], 0, 0
+    for j, ch in enumerate(inner):
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+        elif ch == "|" and d == 0:
+            alts.append(inner[start:j])
+            start = j + 1
+    alts.append(inner[start:])
+    return alts
+
+
+def _quant_bounds(quant: str) -> tuple[int, int | None, bool]:
+    """(min, max, reluctant) for a compiled quantifier string."""
+    reluctant = quant.endswith("?") and len(quant) > 1
+    core = quant[:-1] if reluctant else quant
+    if core == "":
+        return 1, 1, False
+    if core == "?":
+        return 0, 1, reluctant
+    if core == "*":
+        return 0, None, reluctant
+    if core == "+":
+        return 1, None, reluctant
+    from .nfa import parse_quant
+
+    mn, mx, _ = parse_quant(core)
+    return mn, mx, reluctant
+
+
+def _is_nullable(pat: str) -> bool:
+    """Can this (compiled) pattern fragment match the empty string?"""
+    if not pat:
+        return True
+    prefix, atom, quant = _split_last_atom(pat)
+    mn, _, _ = _quant_bounds(quant)
+    atom_nullable = mn == 0 or (
+        atom.startswith("(") and any(_is_nullable(a) for a in _group_alts(atom))
+    )
+    return atom_nullable and _is_nullable(prefix)
+
+
 def _ends_extendable(pat: str) -> bool:
     """True when a match ending at end-of-pattern could legally consume
     MORE symbols — i.e. the final position is nullable-extendable. Used by
@@ -70,46 +148,32 @@ def _ends_extendable(pat: str) -> bool:
     Handles trailing quantifiers ('A B+'), trailing quantified groups
     ('A (B|C)+'), quantifiers hidden inside a trailing group's
     alternatives ('A (C|B+)') — the case the round-1 guard missed —
-    plus bounded ('{n,m}': extendable iff max > min or unbounded) and
-    reluctant quantifiers (a trailing reluctant quant NEVER extends:
-    with no later pattern element to force it, it consumes its minimum
-    and additional input cannot change the match).
+    bounded ('{n,m}': extendable iff max > min or unbounded), reluctant
+    quantifiers (a trailing reluctant quant consumes its minimum: with
+    no later pattern element to force it, additional input cannot grow
+    THAT atom), and — the case the split-invariance fuzz found — leakage
+    THROUGH a nullable final atom: in 'B A? A*?' the reluctant tail
+    matches empty, so the match really ends at the greedy 'A?', which a
+    later batch can extend ('ba' -> 'baa'). The end is extendable iff
+    the last atom is, OR the last atom can match empty and the prefix's
+    end is.
     """
     if not pat:
         return False
-    c = pat[-1]
-    if c == "?" and len(pat) >= 2 and pat[-2] in "*+?}":
-        return False  # reluctant marker
-    if c in "*+?":
+    prefix, atom, quant = _split_last_atom(pat)
+    mn, mx, reluctant = _quant_bounds(quant)
+    if not reluctant and (mx is None or mx > mn):
         return True
-    if c == "}":
-        i = pat.rfind("{")
-        from .nfa import parse_quant
-
-        mn, mx, _ = parse_quant(pat[i:])
-        return mx is None or mx > mn
-    if c == ")":
-        depth, i = 0, len(pat) - 1
-        while i >= 0:
-            if pat[i] == ")":
-                depth += 1
-            elif pat[i] == "(":
-                depth -= 1
-                if depth == 0:
-                    break
-            i -= 1
-        inner = pat[i + 1 : -1]
-        alts, d, start = [], 0, 0
-        for j, ch in enumerate(inner):
-            if ch == "(":
-                d += 1
-            elif ch == ")":
-                d -= 1
-            elif ch == "|" and d == 0:
-                alts.append(inner[start:j])
-                start = j + 1
-        alts.append(inner[start:])
-        return any(_ends_extendable(a) for a in alts)
+    # a non-quantified group is extendable if any alternative ends so;
+    # a repeated group (max == min or reluctant) still ends with its
+    # LAST copy, whose inner end may itself be extendable
+    if atom.startswith("(") and any(_ends_extendable(a) for a in _group_alts(atom)):
+        return True
+    atom_nullable = mn == 0 or (
+        atom.startswith("(") and any(_is_nullable(a) for a in _group_alts(atom))
+    )
+    if atom_nullable and _ends_extendable(prefix):
+        return True
     return False
 
 
