@@ -377,6 +377,33 @@ def match_recognize(
     )
 
 
+def _stable_scan(nfa, n: int, can) -> tuple[list[tuple[int, int]], int]:
+    """Non-overlapping leftmost-greedy matches over a PARTIAL stream
+    prefix: scan like ``NFA.finditer`` but stop at the first position
+    whose outcome could still change with more input (some branch at or
+    above the winning priority probed past the buffer end). Returns
+    (decided matches, boundary): everything before ``boundary`` is
+    final — emit the matches, drop the prefix; rows from ``boundary``
+    on must stay buffered."""
+    matches: list[tuple[int, int]] = []
+    i = 0
+    while i < n:
+        probe = [False]
+        m = nfa.match_at(i, n, can, probe=probe)
+        if m is not None and m[0] == i:
+            # zero-width: the host engine retries non-empty at the same
+            # position; the retry's stability matters too
+            m = nfa.match_at(i, n, can, require_consume=True, probe=probe)
+        if probe[0]:
+            return matches, i
+        if m is None or m[0] == i:
+            i += 1
+            continue
+        matches.append((i, m[0]))
+        i = m[0]
+    return matches, n
+
+
 def match_recognize_stream(
     df: DataFrame,
     partition_by: str,
@@ -390,11 +417,21 @@ def match_recognize_stream(
     a per-key state buffer (``applyInPandasWithState``).
 
     Each micro-batch appends its (ordered) rows to the key's unconsumed
-    tail, re-runs the compiled pattern, emits completed matches, and
-    keeps only rows AFTER the last consumed match (AFTER MATCH SKIP PAST
-    LAST ROW). For incremental emission to be exact the pattern must end
-    with a non-quantified symbol (a trailing ``X*``/``X+`` could always
-    extend into the next batch; rejected up front). The buffer is capped
+    tail and runs a STABILITY-AWARE scan (``_stable_scan``): a match is
+    emitted only when no branch at or above its priority wanted a row
+    beyond the buffer, so the emission is final whatever the next
+    micro-batch delivers — the same hold-until-decided rule Flink's CEP
+    NFA applies. (A split-invariance fuzz showed the earlier
+    end-of-pattern check alone was insufficient: in ``C? C`` over
+    ``..CC`` split after the first C, the greedy ``C?`` re-decides when
+    the second C arrives, so a plain finditer over the buffer emits a
+    match the whole-sequence run never produces. The probe catches
+    exactly those cases; decided prefixes are dropped from state, the
+    undecided tail is carried.) Patterns whose END is extendable (a
+    trailing ``X*``/``X+``, even hidden in a group alternative or behind
+    a nullable tail) are still rejected up front — they are sound under
+    the probe rule but would hold every match until a LATER symbol
+    arrives, a stream that can go quiet forever. The buffer is capped
     at ``max_buffer`` unconsumed rows per key (oldest dropped) so state
     stays bounded — the streaming analog of Beam's NFA state in
     ``BeamMatchRel``.
@@ -406,14 +443,19 @@ def match_recognize_stream(
 
     if not define:
         raise ValueError("define must not be empty")
+    from .nfa import NFA
+
     sym_chars = _sym_chars(define)
     rx = _compile_pattern(pattern, sym_chars)
     if _ends_extendable(rx.pattern):
         raise ValueError(
             "streaming pattern must end with a non-extendable position "
-            "(a trailing quantifier — even inside a group alternative — "
-            "can always extend into the next batch)"
+            "(a trailing quantifier — even inside a group alternative or "
+            "behind a nullable tail — can always extend into the next "
+            "batch, so matches would be held until a later symbol "
+            "arrives)"
         )
+    nfa = NFA(pattern)
 
     classifier: Column = F.lit(".")
     for name in reversed(list(define)):
@@ -457,11 +499,12 @@ def match_recognize_stream(
         for i, c in enumerate(extra):
             col_idx[c] = 2 + i
         out = []
-        consumed = 0
-        for m in rx.finditer(syms):
-            lo, hi = m.start(), m.end()
-            if lo == hi:
-                continue
+
+        def can(sym, i, trail, s=syms):
+            return s[i] == sym_chars[sym]
+
+        decided, consumed = _stable_scan(nfa, len(syms), can)
+        for lo, hi in decided:
             blob["mn"] += 1
             vals = []
             for spec in specs:
@@ -479,7 +522,6 @@ def match_recognize_stream(
                     raise ValueError(f"unknown measure kind {kind!r}")
                 vals.append(rows[i][col_idx[spec[2]]] if i >= 0 else None)
             out.append([key[0], blob["mn"], *vals])
-            consumed = hi
         rows = rows[consumed:]
         if len(rows) > max_buffer:
             rows = rows[-max_buffer:]

@@ -235,12 +235,23 @@ class NFA:
         lo: int,
         n: int,
         can_consume: Callable[[str, int, tuple | None], bool],
+        require_consume: bool = False,
+        probe: list | None = None,
     ) -> tuple[int, list[tuple[int, str]]] | None:
         """Greedy match anchored at row ``lo``; rows are indices
         ``lo..n-1``. ``can_consume(sym, row_idx, trail)`` decides whether
         the row satisfies the symbol's DEFINE — ``trail`` is the reversed
         linked list of ``(sym, row_idx, parent)`` consumed so far, for
         match-state-dependent predicates.
+
+        ``require_consume`` rejects the zero-width match (the host
+        engine's retry-non-empty-at-same-position step). ``probe``, if
+        given a one-element list, has ``probe[0]`` set True when any
+        branch AT OR ABOVE the returned match's priority tried to
+        consume the row at index ``n`` — i.e. the outcome could change
+        if more rows arrive (the streaming stability signal; branches
+        below the returned match's priority are never explored, so a
+        clean return means the match is final whatever comes next).
 
         Returns ``(end_row_exclusive, [(row_idx, sym), ...])`` for the
         leftmost-greedy match, or None."""
@@ -254,6 +265,8 @@ class NFA:
                 continue
             seen.add((state, pos))
             if state == self.accept:
+                if require_consume and pos == lo:
+                    continue  # keep backtracking into a non-empty match
                 out = []
                 t = trail
                 while t is not None:
@@ -264,8 +277,11 @@ class NFA:
             for kind, sym, tgt in reversed(self.states[state]):
                 if kind == "eps":
                     stack.append((tgt, pos, trail))
-                elif pos < n and can_consume(sym, pos, trail):
-                    stack.append((tgt, pos + 1, (sym, pos, trail)))
+                elif pos < n:
+                    if can_consume(sym, pos, trail):
+                        stack.append((tgt, pos + 1, (sym, pos, trail)))
+                elif probe is not None:
+                    probe[0] = True  # wanted a row beyond the buffer
         return None
 
     def finditer(
@@ -274,11 +290,20 @@ class NFA:
         can_consume: Callable[[str, int, tuple | None], bool],
     ):
         """Non-overlapping greedy matches over rows 0..n-1 — AFTER MATCH
-        SKIP PAST LAST ROW. Yields (lo, hi, [(row_idx, sym), ...])."""
+        SKIP PAST LAST ROW. Yields (lo, hi, [(row_idx, sym), ...]).
+
+        Zero-width handling mirrors the host regex engine (the batch
+        kernel's fast path, so both paths stay interchangeable): a
+        zero-width match at ``i`` is retried at the SAME position with
+        the empty match disallowed — ``A*?`` over ``A`` still yields the
+        one-row match — and only a non-empty failure advances the
+        scan."""
         i = 0
         while i < n:
             m = self.match_at(i, n, can_consume)
-            if m is None or m[0] == i:  # no match / zero-width: advance
+            if m is not None and m[0] == i:  # zero-width: retry non-empty
+                m = self.match_at(i, n, can_consume, require_consume=True)
+            if m is None:
                 i += 1
                 continue
             hi, assignment = m

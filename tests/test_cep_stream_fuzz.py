@@ -59,9 +59,14 @@ def whole_run(rx, s: str) -> list[tuple[int, int, int]]:
     return out
 
 
-def incremental_run(rx, s: str, sizes) -> list[tuple[int, int, int]]:
-    """The match_recognize_stream consumption loop, minus Spark: buffer
-    unconsumed tail, finditer per chunk arrival, drop consumed prefix."""
+def incremental_run(pattern: str, s: str, sizes) -> list[tuple[int, int, int]]:
+    """The REAL streaming consumption loop: per chunk arrival, run
+    ``_stable_scan`` (the kernel's hold-until-decided scan) over the
+    buffered tail, emit decided matches, drop the decided prefix."""
+    from incubator_beam_spark.plans.cep import _stable_scan
+    from incubator_beam_spark.plans.nfa import NFA
+
+    nfa = NFA(pattern)
     out = []
     mn = 0
     buf = ""
@@ -75,26 +80,75 @@ def incremental_run(rx, s: str, sizes) -> list[tuple[int, int, int]]:
             k = len(s) - pos  # final flush: deliver the rest
         buf += s[pos : pos + k]
         pos += k
-        consumed = 0
-        for m in rx.finditer(buf):
-            if m.start() == m.end():
-                continue
+
+        def can(sym, i, trail, b=buf):
+            return b[i] == CHARS[sym]
+
+        decided, boundary = _stable_scan(nfa, len(buf), can)
+        for lo, hi in decided:
             mn += 1
-            out.append((mn, base + m.start(), base + m.end()))
-            consumed = m.end()
-        buf = buf[consumed:]
-        base += consumed
+            out.append((mn, base + lo, base + hi))
+        buf = buf[boundary:]
+        base += boundary
     return out
 
 
 @settings(max_examples=400, deadline=None)
 @given(pattern=patterns, stream=streams, sizes=chunkings)
 def test_stream_matches_equal_batch_matches(pattern, stream, sizes):
+    """Split invariance of the kernel scan, for EVERY grammar pattern
+    (including extendable ends the public constructor rejects): once a
+    terminating no-match row arrives, the incremental emissions equal
+    the whole-sequence run exactly; matches are never emitted that the
+    whole run would not produce."""
     try:
         rx = _compile_pattern(pattern, CHARS)
     except ValueError:
         assume(False)
-    # the streaming constructor rejects extendable ends; mirror it
-    assume(not _ends_extendable(rx.pattern))
-    s = stream.upper().replace(".", ".")  # defines map a/b/c rows; '.' = no symbol
-    assert incremental_run(rx, s, sizes) == whole_run(rx, s)
+    s = stream.upper() + "."  # trailing no-match row decides every tail
+    assert incremental_run(pattern, s, sizes) == whole_run(rx, s)
+
+
+@settings(max_examples=200, deadline=None)
+@given(pattern=patterns, stream=streams, sizes=chunkings)
+def test_stream_never_emits_unconfirmed(pattern, stream, sizes):
+    """Without a terminator, the held tail may delay matches but every
+    emission must be a prefix of the whole-run match sequence."""
+    try:
+        rx = _compile_pattern(pattern, CHARS)
+    except ValueError:
+        assume(False)
+    s = stream.upper()
+    got = incremental_run(pattern, s, sizes)
+    want = whole_run(rx, s)
+    assert got == want[: len(got)]
+
+
+# -- NFA vs host regex: grammar-wide differential ---------------------------
+#
+# test_cep.py pins 8 hand-picked quantifier shapes; this drives the SAME
+# leftmost-greedy equivalence over hypothesis-generated pattern trees —
+# every grammar production (bounded, reluctant, alternation over
+# sequences, nested groups) against every random string.
+
+
+@settings(max_examples=300, deadline=None)
+@given(pattern=patterns, stream=streams)
+def test_nfa_matches_host_regex_grammar_wide(pattern, stream):
+    import re as _re
+
+    from incubator_beam_spark.plans.nfa import NFA
+
+    try:
+        rx = _re.compile(_compile_pattern(pattern, CHARS))
+        nfa = NFA(pattern)
+    except ValueError:
+        assume(False)
+    s = stream.upper()
+
+    def can(sym, i, trail, s=s):
+        return s[i] == CHARS[sym]
+
+    got = [(lo, hi) for lo, hi, _ in nfa.finditer(len(s), can)]
+    want = [(m.start(), m.end()) for m in rx.finditer(s) if m.end() > m.start()]
+    assert got == want, (pattern, s)
