@@ -773,6 +773,115 @@ def stream_cep_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_cep_stability",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events),
+    clicks AS (
+      SELECT user_id, event_id, rn,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM ordered WHERE event_type = 'click'),
+    pos AS (
+      SELECT user_id, event_id, rn, grp,
+             row_number() OVER (PARTITION BY user_id, grp ORDER BY rn) AS p,
+             count(*) OVER (PARTITION BY user_id, grp) AS run_len,
+             lead(event_id) OVER (PARTITION BY user_id, grp ORDER BY rn)
+               AS next_id
+      FROM clicks),
+    m AS (
+      SELECT user_id, rn, event_id AS start_event,
+             CASE WHEN p < run_len THEN next_id ELSE event_id END AS end_event,
+             (CASE WHEN p < run_len THEN 2 ELSE 1 END)::BIGINT AS n_clicks
+      FROM pos WHERE p % 2 = 1)
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY rn)
+             AS match_number,
+           start_event, end_event, n_clicks
+    FROM m
+    """,
+)
+def stream_cep_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MATCH_RECOGNIZE split-stability pin: pattern ``C? C``
+    (greedy one-or-two clicks) over a TWO-micro-batch scripted delivery
+    whose boundary lands mid-click-run for many users. The greedy ``C?``
+    re-decides when the next batch's click arrives — a naive
+    emit-per-buffer kernel yields a 1-click match where the whole run
+    pairs them (the exact counterexample the split-invariance fuzz
+    found), so this gate hash-fails on any regression of the
+    hold-until-decided scan (plans/cep.py _stable_scan). Delivery:
+    events split at the median event_id into two parquet files with
+    mtimes 10s apart, maxFilesPerTrigger=1 — FileStreamSource processes
+    oldest-first, so batch order is deterministic and in event order.
+    Oracle = whole-sequence greedy chunking of each user's maximal
+    click runs into pairs then a trailing singleton."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..plans.cep import match_recognize_stream
+    from .streaming_queries import _drain
+
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    med = e.agg(F.expr("CAST(percentile(event_id, 0.5) AS BIGINT)")).collect()[0][0]
+    stage = tempfile.mkdtemp(prefix="cep_stability_")
+
+    def _stage_one(df, name: str, mtime: float) -> None:
+        tmp = os.path.join(stage, f"_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(stage, f"{name}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (mtime, mtime))
+
+    import time
+
+    t0 = time.time() - 100
+    _stage_one(e.filter(F.col("event_id") <= med), "a_first", t0)
+    _stage_one(e.filter(F.col("event_id") > med), "b_second", t0 + 10)
+    # terminator batch: one non-click row per user, AFTER every real
+    # event in the order column — a trailing odd click run at stream end
+    # would otherwise probe past the buffer and (correctly) be held
+    # forever; the terminator decides every tail. Not in the oracle's
+    # `events` view, and as a non-click it changes no click adjacency.
+    sentinels = (
+        e.select("user_id")
+        .distinct()
+        .withColumn(
+            "__rk", F.row_number().over(W.partitionBy().orderBy("user_id"))
+        )
+        .crossJoin(e.agg(F.max("event_id").alias("__mx")))
+        .select(
+            "user_id",
+            (F.col("__mx") + F.col("__rk")).alias("event_id"),
+            F.lit("sentinel").alias("event_type"),
+        )
+    )
+    _stage_one(sentinels, "c_sentinel", t0 + 20)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = match_recognize_stream(
+        stream,
+        partition_by="user_id",
+        order_by="event_id",
+        define={"C": F.col("event_type") == "click"},
+        pattern="C? C",
+        measures={
+            "start_event": ("first", None, "event_id"),
+            "end_event": ("last", None, "event_id"),
+            "n_clicks": ("count", None),
+        },
+    )
+    return _drain(out, "append")
+
+
+@query(
     "nexmark_q9_winning_bids",
     oracle=f"""
     WITH ranked AS (
