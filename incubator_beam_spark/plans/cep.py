@@ -412,6 +412,8 @@ def match_recognize_stream(
     pattern: str,
     measures: dict[str, tuple],
     max_buffer: int = 1000,
+    event_time: bool = False,
+    watermark_delay: str = "10 seconds",
 ):
     """Streaming MATCH_RECOGNIZE: the batch kernel run incrementally over
     a per-key state buffer (``applyInPandasWithState``).
@@ -435,6 +437,19 @@ def match_recognize_stream(
     at ``max_buffer`` unconsumed rows per key (oldest dropped) so state
     stays bounded — the streaming analog of Beam's NFA state in
     ``BeamMatchRel``.
+
+    ``event_time=True`` makes the kernel watermark-correct for
+    OUT-OF-ORDER arrival (Beam's BeamMatchRel / Flink CEP event-time
+    semantics): ``order_by`` must be a timestamp column, a watermark of
+    ``watermark_delay`` is applied to it, and the scan runs only over
+    the buffer prefix with ts < watermark — the region no future row
+    can enter — with the stability probe firing at the prefix edge.
+    Rows arriving later than the watermark are dropped (the standard
+    late-data contract); rows at/after it buffer unfinalized, whatever
+    order they arrive in. (With ``event_time=False`` the buffer order
+    is arrival order per batch — correct only for in-order sources.)
+    Measures must not target the order column in event-time mode (it is
+    held as integer microseconds in state).
 
     Single order/partition columns keep the state row narrow; measures
     reference the same C-level str scan as the batch kernel.
@@ -465,7 +480,14 @@ def match_recognize_stream(
         {spec[2] for spec in measures.values() if len(spec) > 2 and spec[2]}
     )
     keep = list(dict.fromkeys([partition_by, order_by, *measure_cols]))
+    if event_time and order_by in measure_cols:
+        raise ValueError(
+            "event_time mode holds the order column as integer "
+            "microseconds in state; measures must not reference it"
+        )
     proj = df.select(*keep, classifier.alias("__sym"))
+    if event_time:
+        proj = proj.withWatermark(order_by, watermark_delay)
     part_field = proj.schema[partition_by]
 
     def _measure_field(name: str, spec: tuple) -> T.StructField:
@@ -485,14 +507,34 @@ def match_recognize_stream(
     def fn(key, pdfs, state):
         blob = json.loads(state.get[0]) if state.exists else {"rows": [], "mn": 0}
         rows = blob["rows"]  # [order_val, sym, *data_cols-values]
+        wm_us = state.getCurrentWatermarkMs() * 1000 if event_time else None
         for pdf in pdfs:
+            if event_time:
+                # timestamps -> integer microseconds (JSON-safe state)
+                pdf = pdf.assign(
+                    **{
+                        order_by: pdf[order_by]
+                        .astype("datetime64[us]")
+                        .astype("int64")
+                    }
+                )
             pdf = pdf.sort_values(order_by, kind="mergesort")
             for tup in pdf[[order_by, "__sym", *[c for c in data_cols if c != order_by]]].itertuples(
                 index=False
             ):
                 vals = list(tup)
+                if wm_us is not None and vals[0] < wm_us:
+                    continue  # late row: behind the watermark, dropped
                 rows.append([vals[0], vals[1], *vals[2:]])
         rows.sort(key=lambda r: r[0])
+        # the scan may only decide the prefix no future row can enter:
+        # everything with ts < watermark (event-time), else the whole
+        # buffer (in-order contract)
+        n_scan = len(rows)
+        if wm_us is not None:
+            import bisect
+
+            n_scan = bisect.bisect_left([r[0] for r in rows], wm_us)
         syms = "".join(r[1] for r in rows)
         col_idx = {order_by: 0}
         extra = [c for c in data_cols if c != order_by]
@@ -503,7 +545,7 @@ def match_recognize_stream(
         def can(sym, i, trail, s=syms):
             return s[i] == sym_chars[sym]
 
-        decided, consumed = _stable_scan(nfa, len(syms), can)
+        decided, consumed = _stable_scan(nfa, n_scan, can)
         for lo, hi in decided:
             blob["mn"] += 1
             vals = []

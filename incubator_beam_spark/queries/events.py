@@ -882,6 +882,122 @@ def stream_cep_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_cep_event_time",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events),
+    np AS (
+      SELECT user_id, event_id, event_type, rn,
+             lag(event_type) OVER w AS prev_type,
+             lag(event_id) OVER w AS prev_event,
+             lag(rn) OVER w AS prev_rn
+      FROM ordered WHERE event_type <> 'click'
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+    matches AS (
+      SELECT user_id, prev_event AS start_event, event_id AS end_event,
+             rn - prev_rn - 1 AS n_clicks, prev_rn
+      FROM np WHERE event_type = 'purchase' AND prev_type = 'signup'
+        AND rn - prev_rn - 1 BETWEEN 2 AND 4)
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY prev_rn)
+             AS match_number,
+           start_event, end_event, n_clicks
+    FROM matches
+    """,
+)
+def stream_cep_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME streaming MATCH_RECOGNIZE over WILDLY out-of-order
+    arrival: the funnel pattern ``S C{2,4} P`` ordered by ``ts`` with a
+    watermark, delivered with the SECOND half of the month first —
+    batch 1 is every event from Jan 16 on, batch 2 is Jan 1-15. The
+    kernel buffers rows in event-time order and scans only the prefix
+    behind the watermark, so the disorder is invisible to the result;
+    an arrival-order kernel would consume batch-1 spans and corrupt
+    every user whose funnel crosses the midpoint. Delivery scripting:
+    watermark delay 60 days (> the 30-day fixture span, so reordered
+    halves are never late), then three per-user sentinel waves —
+    terminators at 2024-03-01 (decide trailing funnels), a watermark
+    push at 2024-06-01, and a 2024-06-02 wave whose batch runs every
+    key with the watermark now past the terminators, flushing all
+    decided matches. Sentinels never appear in the oracle's ``events``
+    view and, as non-click '.' rows after all real data, change no
+    match."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..plans.cep import match_recognize_stream
+    from .streaming_queries import _drain
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    stage = tempfile.mkdtemp(prefix="cep_evttime_")
+
+    def _stage_one(df, name: str, mtime: float) -> None:
+        tmp = os.path.join(stage, f"_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(stage, f"{name}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (mtime, mtime))
+
+    mid = F.lit("2024-01-16").cast("timestamp")
+
+    def _sentinel_wave(ts_lit: str) -> DataFrame:
+        return (
+            e.select("user_id")
+            .distinct()
+            .withColumn(
+                "__rk", F.row_number().over(W.partitionBy().orderBy("user_id"))
+            )
+            .crossJoin(e.agg(F.max("event_id").alias("__mx")))
+            .select(
+                "user_id",
+                F.lit(ts_lit).cast("timestamp").alias("ts"),
+                (F.col("__mx") + F.col("__rk")).alias("event_id"),
+                F.lit("sentinel").alias("event_type"),
+            )
+        )
+
+    t0 = time.time() - 100
+    _stage_one(e.filter(F.col("ts") >= mid), "a_late_half", t0)
+    _stage_one(e.filter(F.col("ts") < mid), "b_early_half", t0 + 10)
+    _stage_one(_sentinel_wave("2024-03-01"), "c_terminators", t0 + 20)
+    _stage_one(_sentinel_wave("2024-06-01"), "d_wm_push", t0 + 30)
+    _stage_one(_sentinel_wave("2024-06-02"), "e_flush", t0 + 40)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = match_recognize_stream(
+        stream,
+        partition_by="user_id",
+        order_by="ts",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "P": F.col("event_type") == "purchase",
+        },
+        pattern="S C{2,4} P",
+        measures={
+            "start_event": ("first", "S", "event_id"),
+            "end_event": ("last", "P", "event_id"),
+            "n_clicks": ("count", "C"),
+        },
+        event_time=True,
+        watermark_delay="60 days",
+    )
+    return _drain(out, "append", settle=True)
+
+
+@query(
     "nexmark_q9_winning_bids",
     oracle=f"""
     WITH ranked AS (
