@@ -772,6 +772,45 @@ def stream_cep_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(out, "append")
 
 
+def _stage_scripted_file(stage: str, df: DataFrame, name: str, mtime: float) -> None:
+    """Write ``df`` as a single parquet file ``stage/<name>.parquet``
+    with an explicit mtime — FileStreamSource processes oldest-first, so
+    ascending mtimes script a deterministic micro-batch order."""
+    import os
+    import shutil
+
+    tmp = os.path.join(stage, f"_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    dst = os.path.join(stage, f"{name}.parquet")
+    shutil.move(os.path.join(tmp, part), dst)
+    shutil.rmtree(tmp)
+    os.utime(dst, (mtime, mtime))
+
+
+def _per_user_sentinels(e: DataFrame, ts_lit: str | None = None) -> DataFrame:
+    """One non-click 'sentinel' row per user with a globally-unique
+    event_id above every real one; ``ts_lit`` adds a ts column (the
+    event-time gates' terminator / watermark-push / flush waves)."""
+    base = (
+        e.select("user_id")
+        .distinct()
+        .withColumn(
+            "__rk", F.row_number().over(W.partitionBy().orderBy("user_id"))
+        )
+        .crossJoin(e.agg(F.max("event_id").alias("__mx")))
+    )
+    cols = ["user_id"]
+    if ts_lit is not None:
+        base = base.withColumn("ts", F.lit(ts_lit).cast("timestamp"))
+        cols.append("ts")
+    return base.select(
+        *cols,
+        (F.col("__mx") + F.col("__rk")).alias("event_id"),
+        F.lit("sentinel").alias("event_type"),
+    )
+
+
 @query(
     "stream_cep_stability",
     oracle="""
@@ -816,9 +855,8 @@ def stream_cep_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     oldest-first, so batch order is deterministic and in event order.
     Oracle = whole-sequence greedy chunking of each user's maximal
     click runs into pairs then a trailing singleton."""
-    import os
-    import shutil
     import tempfile
+    import time
 
     from ..plans.cep import match_recognize_stream
     from .streaming_queries import _drain
@@ -827,39 +865,15 @@ def stream_cep_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = e.agg(F.expr("CAST(percentile(event_id, 0.5) AS BIGINT)")).collect()[0][0]
     stage = tempfile.mkdtemp(prefix="cep_stability_")
 
-    def _stage_one(df, name: str, mtime: float) -> None:
-        tmp = os.path.join(stage, f"_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        dst = os.path.join(stage, f"{name}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        shutil.rmtree(tmp)
-        os.utime(dst, (mtime, mtime))
-
-    import time
-
     t0 = time.time() - 100
-    _stage_one(e.filter(F.col("event_id") <= med), "a_first", t0)
-    _stage_one(e.filter(F.col("event_id") > med), "b_second", t0 + 10)
+    _stage_scripted_file(stage, e.filter(F.col("event_id") <= med), "a_first", t0)
+    _stage_scripted_file(stage, e.filter(F.col("event_id") > med), "b_second", t0 + 10)
     # terminator batch: one non-click row per user, AFTER every real
     # event in the order column — a trailing odd click run at stream end
     # would otherwise probe past the buffer and (correctly) be held
     # forever; the terminator decides every tail. Not in the oracle's
     # `events` view, and as a non-click it changes no click adjacency.
-    sentinels = (
-        e.select("user_id")
-        .distinct()
-        .withColumn(
-            "__rk", F.row_number().over(W.partitionBy().orderBy("user_id"))
-        )
-        .crossJoin(e.agg(F.max("event_id").alias("__mx")))
-        .select(
-            "user_id",
-            (F.col("__mx") + F.col("__rk")).alias("event_id"),
-            F.lit("sentinel").alias("event_type"),
-        )
-    )
-    _stage_one(sentinels, "c_sentinel", t0 + 20)
+    _stage_scripted_file(stage, _per_user_sentinels(e), "c_sentinel", t0 + 20)
 
     stream = (
         spark.readStream.schema(e.schema)
@@ -924,8 +938,6 @@ def stream_cep_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     decided matches. Sentinels never appear in the oracle's ``events``
     view and, as non-click '.' rows after all real data, change no
     match."""
-    import os
-    import shutil
     import tempfile
     import time
 
@@ -936,40 +948,15 @@ def stream_cep_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type"
     )
     stage = tempfile.mkdtemp(prefix="cep_evttime_")
-
-    def _stage_one(df, name: str, mtime: float) -> None:
-        tmp = os.path.join(stage, f"_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        dst = os.path.join(stage, f"{name}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        shutil.rmtree(tmp)
-        os.utime(dst, (mtime, mtime))
-
     mid = F.lit("2024-01-16").cast("timestamp")
 
-    def _sentinel_wave(ts_lit: str) -> DataFrame:
-        return (
-            e.select("user_id")
-            .distinct()
-            .withColumn(
-                "__rk", F.row_number().over(W.partitionBy().orderBy("user_id"))
-            )
-            .crossJoin(e.agg(F.max("event_id").alias("__mx")))
-            .select(
-                "user_id",
-                F.lit(ts_lit).cast("timestamp").alias("ts"),
-                (F.col("__mx") + F.col("__rk")).alias("event_id"),
-                F.lit("sentinel").alias("event_type"),
-            )
-        )
-
     t0 = time.time() - 100
-    _stage_one(e.filter(F.col("ts") >= mid), "a_late_half", t0)
-    _stage_one(e.filter(F.col("ts") < mid), "b_early_half", t0 + 10)
-    _stage_one(_sentinel_wave("2024-03-01"), "c_terminators", t0 + 20)
-    _stage_one(_sentinel_wave("2024-06-01"), "d_wm_push", t0 + 30)
-    _stage_one(_sentinel_wave("2024-06-02"), "e_flush", t0 + 40)
+    _stage_scripted_file(stage, e.filter(F.col("ts") >= mid), "a_late_half", t0)
+    _stage_scripted_file(stage, e.filter(F.col("ts") < mid), "b_early_half", t0 + 10)
+    sent = lambda ts: _per_user_sentinels(e, ts).select(e.columns)  # noqa: E731
+    _stage_scripted_file(stage, sent("2024-03-01"), "c_terminators", t0 + 20)
+    _stage_scripted_file(stage, sent("2024-06-01"), "d_wm_push", t0 + 30)
+    _stage_scripted_file(stage, sent("2024-06-02"), "e_flush", t0 + 40)
 
     stream = (
         spark.readStream.schema(e.schema)
@@ -993,6 +980,98 @@ def stream_cep_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         event_time=True,
         watermark_delay="60 days",
+    )
+    return _drain(out, "append", settle=True)
+
+
+@query(
+    "stream_cep_late_drop",
+    oracle="""
+    WITH kept AS (
+      SELECT user_id, event_id, event_type, ts FROM events
+      WHERE NOT (event_type = 'click' AND ts < TIMESTAMP '2024-01-10'
+                 AND event_id % 5 = 0)),
+    ordered AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM kept),
+    np AS (
+      SELECT user_id, event_id, event_type, rn,
+             lag(event_type) OVER w AS prev_type,
+             lag(event_id) OVER w AS prev_event,
+             lag(rn) OVER w AS prev_rn
+      FROM ordered WHERE event_type <> 'click'
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+    matches AS (
+      SELECT user_id, prev_event AS start_event, event_id AS end_event,
+             rn - prev_rn - 1 AS n_clicks, prev_rn
+      FROM np WHERE event_type = 'purchase' AND prev_type = 'signup'
+        AND rn - prev_rn - 1 BETWEEN 2 AND 4)
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY prev_rn)
+             AS match_number,
+           start_event, end_event, n_clicks
+    FROM matches
+    """,
+)
+def stream_cep_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time streaming MATCH_RECOGNIZE LATE-DATA contract: rows
+    arriving behind the watermark are dropped, exactly as Beam's
+    allowed-lateness horizon and Flink CEP do. Delivery: everything
+    EXCEPT a deterministic victim set (early-January clicks with
+    event_id % 5 = 0) arrives first; with a 1-day watermark delay the
+    watermark then stands at Jan 29, so the victims' second-batch
+    arrival is weeks late and every one is dropped before buffering.
+    The oracle computes the funnel matches over events MINUS the
+    victims — a kernel that admits late rows hash-fails (victim clicks
+    change funnel click counts), and one that drops non-late rows
+    fails the other event-time gates. Terminator/push/flush sentinel
+    waves close trailing funnels as in stream_cep_event_time."""
+    import tempfile
+    import time
+
+    from ..plans.cep import match_recognize_stream
+    from .streaming_queries import _drain
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    victim = (
+        (F.col("event_type") == "click")
+        & (F.col("ts") < F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("event_id") % 5 == 0)
+    )
+    stage = tempfile.mkdtemp(prefix="cep_latedrop_")
+    t0 = time.time() - 100
+    _stage_scripted_file(stage, e.filter(~victim), "a_on_time", t0)
+    _stage_scripted_file(stage, e.filter(victim), "b_too_late", t0 + 10)
+    sent = lambda ts: _per_user_sentinels(e, ts).select(e.columns)  # noqa: E731
+    _stage_scripted_file(stage, sent("2024-03-01"), "c_terminators", t0 + 20)
+    _stage_scripted_file(stage, sent("2024-03-05"), "d_wm_push", t0 + 30)
+    _stage_scripted_file(stage, sent("2024-03-06"), "e_flush", t0 + 40)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = match_recognize_stream(
+        stream,
+        partition_by="user_id",
+        order_by="ts",
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "P": F.col("event_type") == "purchase",
+        },
+        pattern="S C{2,4} P",
+        measures={
+            "start_event": ("first", "S", "event_id"),
+            "end_event": ("last", "P", "event_id"),
+            "n_clicks": ("count", "C"),
+        },
+        event_time=True,
+        watermark_delay="1 day",
     )
     return _drain(out, "append", settle=True)
 
