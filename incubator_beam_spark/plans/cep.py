@@ -205,6 +205,8 @@ def match_recognize(
     define: dict[str, "Column | callable"],
     pattern: str,
     measures: dict[str, tuple],
+    after_match: str = "past last row",
+    all_rows: bool = False,
 ) -> DataFrame:
     """Find per-key ordered event patterns; one output row per match.
 
@@ -228,9 +230,23 @@ def match_recognize(
     callable define — run the real leftmost-greedy backtracking NFA
     (``plans/nfa.py``), matching Calcite's NFA preference order. Both
     paths share the one-shuffle ``applyInPandas`` shape.
+
+    ``after_match`` is the SQL-standard AFTER MATCH SKIP clause:
+    ``"past last row"`` (default, non-overlapping) or ``"to next row"``
+    (the next scan starts one row after the previous MATCH START, so
+    matches may overlap — Calcite/Flink's other supported mode).
+    ``all_rows=True`` switches from ONE ROW PER MATCH to ALL ROWS PER
+    MATCH: one output row per MATCHED INPUT ROW carrying
+    (partition cols, match_number, classifier() symbol name, order
+    cols); ``measures`` must be empty in this mode (running-measure
+    semantics are not implemented).
     """
     if not define:
         raise ValueError("define must not be empty")
+    if after_match not in ("past last row", "to next row"):
+        raise ValueError(f"unsupported AFTER MATCH SKIP mode {after_match!r}")
+    if all_rows and measures:
+        raise ValueError("all_rows mode does not take measures")
     import numpy as np
 
     from .nfa import NFA, trail_bindings
@@ -276,15 +292,26 @@ def match_recognize(
             return T.StructField(name, T.LongType())
         return T.StructField(name, proj.schema[spec[2]].dataType)
 
-    out_schema = T.StructType(
-        [*part_fields]
-        + [T.StructField("match_number", T.LongType())]
-        + [_measure_field(n, s) for n, s in measures.items()]
-    )
+    if all_rows:
+        out_schema = T.StructType(
+            [*part_fields]
+            + [
+                T.StructField("match_number", T.LongType()),
+                T.StructField("classifier", T.StringType()),
+            ]
+            + [proj.schema[c] for c in order_by]
+        )
+    else:
+        out_schema = T.StructType(
+            [*part_fields]
+            + [T.StructField("match_number", T.LongType())]
+            + [_measure_field(n, s) for n, s in measures.items()]
+        )
     out_cols = [f.name for f in out_schema.fields]
 
     specs = list(measures.values())
     data_cols = [c for c in base_cols]
+    name_by_char = {c: n for n, c in sym_chars.items()}
 
     def _emit(key_vals, match_no, lo, hi, arrs, syms=None, assignment=None):
         """One output row from either kernel. ``syms`` drives the C-level
@@ -342,16 +369,48 @@ def match_recognize(
             for b in bools.values():
                 stack += b
             ambiguous = bool((stack > 1).any())
+        overlap = after_match == "to next row"
+
+        def _emit_all_rows(match_no, pairs):
+            # ALL ROWS PER MATCH: one row per matched input row
+            for idx, sym_name in pairs:
+                rows.append(
+                    [*key_vals, match_no, sym_name]
+                    + [arrs[c][idx] for c in order_by]
+                )
+
         if not ambiguous:
             # fast path: classifier string + host regex (C-level scans)
             syms = "".join(pdf["__sym"])
             match_no = 0
-            for m in rx.finditer(syms):
-                lo, hi = m.start(), m.end()
-                if lo == hi:
-                    continue
+
+            def host_matches():
+                if not overlap:
+                    yield from (
+                        (m.start(), m.end())
+                        for m in rx.finditer(syms)
+                        if m.end() > m.start()
+                    )
+                    return
+                # SKIP TO NEXT ROW: restart one past each match START
+                pos = 0
+                while pos < n:
+                    m = rx.search(syms, pos)
+                    if m is None:
+                        return
+                    if m.end() > m.start():
+                        yield m.start(), m.end()
+                    pos = m.start() + 1
+
+            for lo, hi in host_matches():
                 match_no += 1
-                rows.append(_emit(key_vals, match_no, lo, hi, arrs, syms=syms))
+                if all_rows:
+                    _emit_all_rows(
+                        match_no,
+                        [(i, name_by_char[syms[i]]) for i in range(lo, hi)],
+                    )
+                else:
+                    rows.append(_emit(key_vals, match_no, lo, hi, arrs, syms=syms))
         else:
 
             def can_consume(sym, i, trail):
@@ -359,12 +418,28 @@ def match_recognize(
                     return bool(bools[sym][i])
                 return bool(fn_defines[sym](arrs, i, trail_bindings(trail)))
 
+            def nfa_matches():
+                if not overlap:
+                    yield from nfa.finditer(n, can_consume)
+                    return
+                i = 0
+                while i < n:
+                    m = nfa.match_at(i, n, can_consume)
+                    if m is not None and m[0] == i:
+                        m = nfa.match_at(i, n, can_consume, require_consume=True)
+                    if m is not None:
+                        yield i, m[0], m[1]
+                    i += 1
+
             match_no = 0
-            for lo, hi, assignment in nfa.finditer(n, can_consume):
+            for lo, hi, assignment in nfa_matches():
                 match_no += 1
-                rows.append(
-                    _emit(key_vals, match_no, lo, hi, arrs, assignment=assignment)
-                )
+                if all_rows:
+                    _emit_all_rows(match_no, assignment)
+                else:
+                    rows.append(
+                        _emit(key_vals, match_no, lo, hi, arrs, assignment=assignment)
+                    )
         return pd.DataFrame(rows, columns=out_cols)
 
     # Explicit repartition: AQE would coalesce this tiny shuffle to 1-2

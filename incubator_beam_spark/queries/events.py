@@ -985,6 +985,102 @@ def stream_cep_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cep_skip_to_next_row",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events),
+    paired AS (
+      SELECT user_id, rn, event_id AS start_event,
+             lead(event_id) OVER w AS end_event,
+             lead(event_type) OVER w AS next_type, event_type
+      FROM ordered WINDOW w AS (PARTITION BY user_id ORDER BY rn))
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY rn)
+             AS match_number,
+           start_event, end_event
+    FROM paired WHERE event_type = 'click' AND next_type = 'click'
+    """,
+)
+def cep_skip_to_next_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFTER MATCH SKIP TO NEXT ROW (the SQL standard's overlapping
+    mode, Calcite/Flink's other supported skip strategy): pattern
+    ``C C`` over clicks restarts the scan ONE ROW past each match
+    start, so a run of k consecutive clicks yields k-1 overlapping
+    pairs — PAST LAST ROW would give floor(k/2) disjoint ones. Oracle:
+    every adjacent (click, click) row pair per user."""
+    from ..plans.cep import match_recognize
+
+    e = table(spark, sf_dir, "events")
+    return match_recognize(
+        e,
+        partition_by=["user_id"],
+        order_by=["event_id"],
+        define={"C": F.col("event_type") == "click"},
+        pattern="C C",
+        measures={
+            "start_event": ("first", None, "event_id"),
+            "end_event": ("last", None, "event_id"),
+        },
+        after_match="to next row",
+    )
+
+
+@query(
+    "cep_all_rows_per_match",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events),
+    np AS (
+      SELECT user_id, event_id, event_type, rn,
+             lag(event_type) OVER w AS prev_type,
+             lag(rn) OVER w AS prev_rn
+      FROM ordered WHERE event_type <> 'click'
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+    matches AS (
+      SELECT user_id, prev_rn AS start_rn, rn AS end_rn,
+             row_number() OVER (PARTITION BY user_id ORDER BY prev_rn)
+               AS match_number
+      FROM np WHERE event_type = 'purchase' AND prev_type = 'signup'
+        AND rn - prev_rn - 1 BETWEEN 2 AND 4)
+    SELECT m.user_id, m.match_number,
+           CASE o.event_type WHEN 'signup' THEN 'S'
+                             WHEN 'click' THEN 'C'
+                             ELSE 'P' END AS classifier,
+           o.event_id
+    FROM matches m
+    JOIN ordered o ON o.user_id = m.user_id
+                  AND o.rn BETWEEN m.start_rn AND m.end_rn
+    """,
+)
+def cep_all_rows_per_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL ROWS PER MATCH: the funnel ``S C{2,4} P`` emitting one
+    output row per MATCHED INPUT ROW with ``match_number`` and the
+    ``CLASSIFIER()`` symbol name — the SQL standard's other output
+    mode (ONE ROW PER MATCH is every other cep gate). Oracle expands
+    each funnel span back onto its rows with a CASE classifier."""
+    from ..plans.cep import match_recognize
+
+    e = table(spark, sf_dir, "events")
+    return match_recognize(
+        e,
+        partition_by=["user_id"],
+        order_by=["event_id"],
+        define={
+            "S": F.col("event_type") == "signup",
+            "C": F.col("event_type") == "click",
+            "P": F.col("event_type") == "purchase",
+        },
+        pattern="S C{2,4} P",
+        measures={},
+        all_rows=True,
+    )
+
+
+@query(
     "stream_cep_late_drop",
     oracle="""
     WITH kept AS (
