@@ -981,7 +981,10 @@ def stream_cep_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_time=True,
         watermark_delay="60 days",
     )
-    return _drain(out, "append", settle=True)
+    # every emission happens in the flush wave's DATA batch (the kernel
+    # is only invoked for keys with batch data), so processAllAvailable
+    # is sufficient — no settle poll, no timing surface under load
+    return _drain(out, "append")
 
 
 @query(
@@ -1169,7 +1172,8 @@ def stream_cep_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_time=True,
         watermark_delay="1 day",
     )
-    return _drain(out, "append", settle=True)
+    # see stream_cep_event_time: all output lands in the flush DATA batch
+    return _drain(out, "append")
 
 
 @query(
