@@ -267,6 +267,36 @@ def scale_lane(spark, sf_dir: str, scales=(1, 10)) -> dict:
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
         )
 
+    def run_cep(k):
+        """MATCH_RECOGNIZE funnel over k user-offset copies of events:
+        new user ids per copy, so the corpus (and the per-key kernel
+        work) scales linearly while every key's sequence is unchanged."""
+        from functools import reduce
+
+        from pyspark.sql import DataFrame
+
+        from incubator_beam_spark.plans.cep import match_recognize
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        copies = [
+            ev.withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
+            .withColumn("event_id", F.col("event_id") + F.lit(i * 100_000_000))
+            for i in range(k)
+        ]
+        matches = match_recognize(
+            reduce(DataFrame.unionAll, copies),
+            partition_by=["user_id"],
+            order_by=["event_id"],
+            define={
+                "S": F.col("event_type") == "signup",
+                "C": F.col("event_type") == "click",
+                "P": F.col("event_type") == "purchase",
+            },
+            pattern="S C{2,4} P",
+            measures={"n_rows": ("count", None)},
+        )
+        return matches.groupBy().agg(F.count(F.lit(1)).alias("n"))
+
     ops = {
         "doc_minhash_lsh_pairs": run_minhash,
         "doc_neardup_clusters": run_clusters,
@@ -277,15 +307,18 @@ def scale_lane(spark, sf_dir: str, scales=(1, 10)) -> dict:
         "doc_bm25_topk": run_bm25,
         "doc_bigram_logprob": run_bigram,
         "join_bloom_prefilter": run_bloom_join,
+        "cep_match_recognize": run_cep,
     }
     base_rows = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     emb_rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    ev_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     out = {}
     for name, fn in ops.items():
         rows0 = (
             emb_rows if name.startswith("emb_")
             else li_rows if name.startswith(("sql_", "join_"))
+            else ev_rows if name.startswith("cep_")
             else base_rows
         )
         times = {}
