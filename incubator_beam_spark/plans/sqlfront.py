@@ -89,6 +89,156 @@ def rewrite(query: str) -> str:
     return q
 
 
+_MR_FROM = re.compile(
+    r"FROM\s+([\w.]+)\s+MATCH_RECOGNIZE\s*\(", re.IGNORECASE
+)
+_MR_MEASURE = re.compile(
+    r"^(FIRST|LAST|COUNT)\s*\(\s*(?:(\w+)\s*\.\s*)?(\*|[\w]+)\s*\)\s+AS\s+(\w+)$",
+    re.IGNORECASE,
+)
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return [p.strip() for p in out if p.strip()]
+
+
+def _parse_match_recognize(query: str):
+    """Extract the SQL-standard MATCH_RECOGNIZE clause (Calcite's
+    ``BeamMatchRel`` surface, reference ``BeamMatchRule.java`` /
+    ``impl/cep/``): returns (table, kwargs-for-match_recognize,
+    query-with-clause-replaced-by-{MR}) or None when absent.
+
+    Supported grammar: PARTITION BY / ORDER BY column lists, MEASURES
+    of FIRST(Sym.col) | LAST(Sym.col) | COUNT(Sym.*) | COUNT(*) with
+    mandatory AS aliases, ONE|ALL ROWS PER MATCH, AFTER MATCH SKIP
+    PAST LAST ROW | TO NEXT ROW, PATTERN (...), DEFINE Sym AS
+    <Spark boolean SQL>. PREV()/NEXT() navigation inside DEFINE is
+    rejected with a pointer to the Python API's callable defines
+    (match-state-dependent predicates need the NFA bindings hook)."""
+    m = _MR_FROM.search(query)
+    if m is None:
+        return None
+    table = m.group(1)
+    # balance parens to find the clause body
+    depth, i = 1, m.end()
+    while i < len(query) and depth:
+        if query[i] == "(":
+            depth += 1
+        elif query[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ValueError("unbalanced parens in MATCH_RECOGNIZE clause")
+    body = query[m.end() : i - 1]
+    # the surrounding query keeps its shape (any trailing "AS alias"
+    # simply aliases the replacement view)
+    rest = query[:m.start()] + "FROM {MR}" + query[i:]
+    kw: dict = {"after_match": "past last row", "all_rows": False}
+
+    clauses = re.split(
+        r"\b(PARTITION\s+BY|ORDER\s+BY|MEASURES|ONE\s+ROW\s+PER\s+MATCH|"
+        r"ALL\s+ROWS\s+PER\s+MATCH|AFTER\s+MATCH\s+SKIP|PATTERN|DEFINE)\b",
+        body,
+        flags=re.IGNORECASE,
+    )
+    it = iter(clauses[1:])
+    for head, text in zip(it, it):
+        head = re.sub(r"\s+", " ", head.upper())
+        text = text.strip()
+        if head == "PARTITION BY":
+            kw["partition_by"] = [c.strip() for c in text.split(",")]
+        elif head == "ORDER BY":
+            kw["order_by"] = [c.strip() for c in text.split(",")]
+        elif head == "MEASURES":
+            measures = {}
+            for item in _split_top_level(text):
+                mm = _MR_MEASURE.match(re.sub(r"\s+", " ", item.strip()))
+                if not mm:
+                    raise ValueError(f"unsupported MEASURES item: {item!r}")
+                kind, sym, col, name = mm.groups()
+                kind = kind.lower()
+                if kind == "count":
+                    if col != "*":
+                        raise ValueError(
+                            "COUNT in MEASURES supports COUNT(*) / "
+                            "COUNT(Sym.*) (row counting); COUNT(Sym.col) "
+                            "non-null counting is not implemented"
+                        )
+                    measures[name] = ("count", sym)
+                else:
+                    if col == "*":
+                        raise ValueError(f"{kind.upper()}(*) is not valid")
+                    measures[name] = (kind, sym, col)
+            kw["measures"] = measures
+        elif head == "ALL ROWS PER MATCH":
+            kw["all_rows"] = True
+        elif head == "ONE ROW PER MATCH":
+            pass
+        elif head == "AFTER MATCH SKIP":
+            mode = re.sub(r"\s+", " ", text.upper())
+            if mode.startswith("PAST LAST ROW"):
+                kw["after_match"] = "past last row"
+            elif mode.startswith("TO NEXT ROW"):
+                kw["after_match"] = "to next row"
+            else:
+                raise ValueError(f"unsupported AFTER MATCH SKIP mode: {text!r}")
+        elif head == "PATTERN":
+            pat = text.strip()
+            if not pat.startswith("("):
+                raise ValueError("PATTERN must be parenthesized")
+            kw["pattern"] = pat[1 : pat.rindex(")")].strip()
+        elif head == "DEFINE":
+            if re.search(r"\b(PREV|NEXT)\s*\(", text, re.IGNORECASE):
+                raise ValueError(
+                    "PREV()/NEXT() in DEFINE is not supported in the SQL "
+                    "front door; use the Python API's callable defines "
+                    "(plans/cep.py match_recognize) for match-state-"
+                    "dependent predicates"
+                )
+            define = {}
+            for item in _split_top_level(text):
+                name, _, cond = re.split(r"\s+(AS)\s+", item, 1, re.IGNORECASE)
+                define[name.strip()] = cond.strip()  # raw SQL; F.expr later
+            kw["define"] = define
+    for req in ("partition_by", "order_by", "pattern", "define"):
+        if req not in kw:
+            raise ValueError(f"MATCH_RECOGNIZE clause missing {req.upper()}")
+    if kw["all_rows"]:
+        if kw.get("measures"):
+            raise ValueError("ALL ROWS PER MATCH does not take MEASURES here")
+        kw["measures"] = {}
+    elif "measures" not in kw:
+        raise ValueError("ONE ROW PER MATCH requires a MEASURES clause")
+    return table, kw, rest
+
+
 def run_sql(spark: SparkSession, query: str) -> DataFrame:
-    """Execute a Beam-SQL-dialect query against registered temp views."""
+    """Execute a Beam-SQL-dialect query against registered temp views.
+
+    Standard ``FROM t MATCH_RECOGNIZE (...)`` clauses lower to the CEP
+    kernel (plans/cep.py) and re-enter the query as a temp view, so the
+    surrounding SELECT/WHERE/ORDER BY stays ordinary Spark SQL."""
+    mr = _parse_match_recognize(query)
+    if mr is not None:
+        import uuid
+
+        from .cep import match_recognize
+
+        from pyspark.sql import functions as F
+
+        table, kw, rest = mr
+        kw["define"] = {n: F.expr(c) for n, c in kw["define"].items()}
+        view = f"__mr_{uuid.uuid4().hex[:10]}"
+        match_recognize(spark.table(table), **kw).createOrReplaceTempView(view)
+        return spark.sql(rewrite(rest.replace("{MR}", view)))
     return spark.sql(rewrite(query))

@@ -396,3 +396,63 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
         """,
     )
+
+
+@query(
+    "sql_match_recognize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events),
+    np AS (
+      SELECT user_id, event_id, event_type, rn,
+             lag(event_type) OVER w AS prev_type,
+             lag(event_id) OVER w AS prev_event,
+             lag(rn) OVER w AS prev_rn
+      FROM ordered WHERE event_type <> 'click'
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+    matches AS (
+      SELECT user_id, prev_event AS start_event, event_id AS end_event,
+             rn - prev_rn - 1 AS n_clicks,
+             row_number() OVER (PARTITION BY user_id ORDER BY prev_rn)
+               AS match_number
+      FROM np WHERE event_type = 'purchase' AND prev_type = 'signup'
+        AND rn - prev_rn - 1 BETWEEN 2 AND 4)
+    SELECT user_id, match_number, start_event, end_event, n_clicks
+    FROM matches
+    WHERE n_clicks >= 3
+    """,
+)
+def sql_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-STANDARD ``MATCH_RECOGNIZE`` clause through the front
+    door (Calcite's ``BeamMatchRel`` surface at the SQL-text level,
+    reference ``BeamMatchRule.java`` + ``impl/cep/``): the funnel
+    query written exactly as a user would write it against Beam SQL /
+    Flink SQL — PARTITION BY / ORDER BY / MEASURES with FIRST, LAST
+    and COUNT(Sym.*) / AFTER MATCH SKIP PAST LAST ROW / PATTERN /
+    DEFINE — parsed by ``plans.sqlfront._parse_match_recognize``,
+    lowered to the CEP kernel, and re-entered as a view so the
+    surrounding SELECT (here with an extra WHERE) stays ordinary
+    Spark SQL."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT user_id, match_number, start_event, end_event, n_clicks
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY event_id
+          MEASURES FIRST(S.event_id) AS start_event,
+                   LAST(P.event_id) AS end_event,
+                   COUNT(C.*) AS n_clicks
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (S C{2,4} P)
+          DEFINE S AS event_type = 'signup',
+                 C AS event_type = 'click',
+                 P AS event_type = 'purchase'
+        )
+        WHERE n_clicks >= 3
+        """,
+    )

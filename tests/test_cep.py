@@ -419,3 +419,54 @@ def test_ends_extendable_quantifier_forms():
     assert not _ends_extendable("A B+?")         # reluctant never extends
     assert not _ends_extendable("A B{2,4}?")     # reluctant bounded
     assert _ends_extendable("A B?")              # plain optional
+
+
+def test_sql_match_recognize_parser_errors():
+    """The SQL front door's MATCH_RECOGNIZE parser rejects what it
+    cannot honor, loudly and early."""
+    import pytest
+
+    from incubator_beam_spark.plans.sqlfront import _parse_match_recognize
+
+    base = """SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY k ORDER BY o
+      MEASURES FIRST(A.x) AS fx
+      PATTERN (A B) DEFINE A AS x > 0, B AS x < 0)"""
+    parsed = _parse_match_recognize(base)
+    assert parsed is not None
+    table, kw, rest = parsed
+    assert table == "t" and kw["pattern"] == "A B"
+    assert kw["measures"] == {"fx": ("first", "A", "x")}
+    assert "{MR}" in rest and "MATCH_RECOGNIZE" not in rest
+
+    with pytest.raises(ValueError, match="PREV"):
+        _parse_match_recognize(base.replace("x > 0", "x > PREV(A.x)"))
+    with pytest.raises(ValueError, match="COUNT"):
+        _parse_match_recognize(base.replace("FIRST(A.x)", "COUNT(A.x)"))
+    with pytest.raises(ValueError, match="missing PATTERN"):
+        _parse_match_recognize(
+            """SELECT * FROM t MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY o MEASURES FIRST(A.x) AS fx
+            DEFINE A AS x > 0)"""
+        )
+    with pytest.raises(ValueError, match="MEASURES"):
+        _parse_match_recognize(
+            """SELECT * FROM t MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY o PATTERN (A) DEFINE A AS x > 0)"""
+        )
+    # non-MR queries pass through untouched
+    assert _parse_match_recognize("SELECT 1 FROM q") is None
+
+
+def test_sql_match_recognize_modes_parse():
+    from incubator_beam_spark.plans.sqlfront import _parse_match_recognize
+
+    q = """SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY k ORDER BY o
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (A+ B) DEFINE A AS x > 0, B AS x < 0)"""
+    _, kw, _ = _parse_match_recognize(q)
+    assert kw["all_rows"] is True
+    assert kw["after_match"] == "to next row"
+    assert kw["measures"] == {}
