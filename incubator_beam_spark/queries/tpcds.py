@@ -2333,6 +2333,51 @@ def sql_tpcds_q4_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sql_tpcds_q11_pivot", oracle=_Q11_BODY)
+def sql_tpcds_q11_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB rewrite of q11 (same oracle as sql_tpcds_q11) — the
+    q4_pivot device generalized to the 2-channel sibling: the verbatim
+    shape self-joins the year_total CTE four ways (four fact scans
+    after Catalyst inlining); here all four (channel, year) legs pivot
+    out of ONE scan with conditional aggregation, then the growth
+    comparison applies as a plain filter. Presence-through-INNER-join
+    is equivalent to leg > 0 because every existing group's revenue is
+    strictly positive (l_extendedprice > 0, l_discount < 1 — the same
+    argument documented on q4_pivot). The customer name join stays a
+    broadcast over the few surviving rows."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        WITH base AS (
+          SELECT o.o_custkey AS ck, l.l_linestatus AS chan,
+                 year(o.o_orderdate) AS y,
+                 l.l_extendedprice * (1 - l.l_discount) AS net
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE year(o.o_orderdate) IN (1997, 1998)
+            AND l.l_linestatus IN ('F', 'O')),
+        pv AS (
+          SELECT ck,
+             CAST(round(sum(CASE WHEN chan = 'F' AND y = 1997 THEN net
+                                 ELSE 0 END) * 10000) AS BIGINT) AS s1_um,
+             CAST(round(sum(CASE WHEN chan = 'F' AND y = 1998 THEN net
+                                 ELSE 0 END) * 10000) AS BIGINT) AS s2_um,
+             CAST(round(sum(CASE WHEN chan = 'O' AND y = 1997 THEN net
+                                 ELSE 0 END) * 10000) AS BIGINT) AS w1_um,
+             CAST(round(sum(CASE WHEN chan = 'O' AND y = 1998 THEN net
+                                 ELSE 0 END) * 10000) AS BIGINT) AS w2_um
+          FROM base GROUP BY ck)
+        SELECT c.c_name
+        FROM pv JOIN customer c ON pv.ck = c.c_custkey
+        WHERE s1_um > 0 AND s2_um > 0 AND w1_um > 0 AND w2_um > 0
+          AND CAST(w2_um AS DECIMAL(19,0)) * s1_um
+              > CAST(s2_um AS DECIMAL(19,0)) * w1_um
+        ORDER BY c.c_name
+        LIMIT 100
+        """,
+    )
+
+
 # ---------------------------------------------------------------------------
 # round 5: the remaining 39 reference query shapes (VERDICT r4 item 6)
 # ---------------------------------------------------------------------------

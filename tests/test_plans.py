@@ -716,3 +716,15 @@ def test_io_jdbc_partitioned_scan(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert re.search(r"JDBCRelation\(lineitem_rt\) \[numPartitions=8\]", plan)
+
+
+def test_tpcds_q11_pivot_single_fact_scan(spark):
+    """The q4_pivot device generalized: q11's verbatim shape scans the
+    fact four times (CTE inlined per self-join probe); the pivot twin
+    must stay at <=4 parquet scans total (lineitem + orders + the
+    customer dim + AQE duplicates) with no sort-merge join."""
+    plan = plan_of(spark, "sql_tpcds_q11_pivot")
+    # the verbatim twin reads lineitem once per self-join probe; the
+    # pivot must read it exactly once (Location lines name the file)
+    assert plan.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in plan
