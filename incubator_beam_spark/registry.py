@@ -78,14 +78,16 @@ _PRIORITY: tuple[str, ...] = (
     # the round-5 hard-signal gates (count-min bounds, streaming CEP
     # quantifiers), the sketch-bounds family, never-checked CEP/event
     # gates, and 12 never-checked TPC-DS shapes. Still never-checked
-    # after this window: ~140 (mostly TPC-DS; the registry grew by 58
+    # after this window: ~150 (mostly TPC-DS; the registry grew by 65
     # this round, incl. the late-session bounds-twin family, the TWS
     # timer twin, NEXMark Q13/Q14, the wordcount/estimate_pi/juliaset
-    # example gates, and the Derby-backed JDBC round-trip — every late
-    # addition emulator-verified at all three SFs, and the WHOLE
-    # registry swept clean at sf0.01 AND sf0.1 this round; rotation
-    # continues, `python scripts/rotate_window.py` emits the next
-    # window mechanically).
+    # example gates, the Derby-backed JDBC round-trip, the event-time /
+    # split-stability / late-drop CEP family, the SQL-text
+    # MATCH_RECOGNIZE front door, and q11_pivot — every late addition
+    # emulator-verified at all three SFs, and the WHOLE registry swept
+    # clean at sf0.01 AND sf0.1 this round; rotation continues,
+    # `python scripts/rotate_window.py` emits the next window
+    # mechanically).
     "game_user_score",
     "game_hourly_team_score",
     "game_spammy_users",
