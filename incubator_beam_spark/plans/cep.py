@@ -232,9 +232,13 @@ def match_recognize(
     paths share the one-shuffle ``applyInPandas`` shape.
 
     ``after_match`` is the SQL-standard AFTER MATCH SKIP clause:
-    ``"past last row"`` (default, non-overlapping) or ``"to next row"``
+    ``"past last row"`` (default, non-overlapping), ``"to next row"``
     (the next scan starts one row after the previous MATCH START, so
-    matches may overlap — Calcite/Flink's other supported mode).
+    matches may overlap), or ``"to first <Sym>"`` / ``"to last <Sym>"``
+    (the next scan resumes AT that row of the match; raises if the
+    symbol is absent from a match or the target is the match's first
+    row, the standard's infinite-loop protections) — the full
+    Calcite/Flink skip-strategy set.
     ``all_rows=True`` switches from ONE ROW PER MATCH to ALL ROWS PER
     MATCH: one output row per MATCHED INPUT ROW carrying
     (partition cols, match_number, classifier() symbol name, order
@@ -243,7 +247,15 @@ def match_recognize(
     """
     if not define:
         raise ValueError("define must not be empty")
-    if after_match not in ("past last row", "to next row"):
+    skip_sym: str | None = None
+    skip_first = False
+    m_skip = re.match(r"to (first|last) (\w+)$", after_match)
+    if m_skip:
+        skip_first = m_skip.group(1) == "first"
+        skip_sym = m_skip.group(2)
+        if skip_sym not in define:
+            raise ValueError(f"AFTER MATCH SKIP target {skip_sym!r} not in define")
+    elif after_match not in ("past last row", "to next row"):
         raise ValueError(f"unsupported AFTER MATCH SKIP mode {after_match!r}")
     if all_rows and measures:
         raise ValueError("all_rows mode does not take measures")
@@ -369,8 +381,6 @@ def match_recognize(
             for b in bools.values():
                 stack += b
             ambiguous = bool((stack > 1).any())
-        overlap = after_match == "to next row"
-
         def _emit_all_rows(match_no, pairs):
             # ALL ROWS PER MATCH: one row per matched input row
             for idx, sym_name in pairs:
@@ -385,22 +395,45 @@ def match_recognize(
             match_no = 0
 
             def host_matches():
-                if not overlap:
+                if after_match == "past last row":
                     yield from (
                         (m.start(), m.end())
                         for m in rx.finditer(syms)
                         if m.end() > m.start()
                     )
                     return
-                # SKIP TO NEXT ROW: restart one past each match START
+                # TO NEXT ROW: restart one past each match START;
+                # TO FIRST/LAST <sym>: restart AT that row of the match
                 pos = 0
                 while pos < n:
                     m = rx.search(syms, pos)
                     if m is None:
                         return
-                    if m.end() > m.start():
-                        yield m.start(), m.end()
-                    pos = m.start() + 1
+                    lo_, hi_ = m.start(), m.end()
+                    if hi_ == lo_:
+                        pos = lo_ + 1
+                        continue
+                    yield lo_, hi_
+                    if skip_sym is None:
+                        pos = lo_ + 1
+                    else:
+                        ch = sym_chars[skip_sym]
+                        t = (
+                            syms.find(ch, lo_, hi_)
+                            if skip_first
+                            else syms.rfind(ch, lo_, hi_)
+                        )
+                        if t < 0:
+                            raise ValueError(
+                                f"AFTER MATCH SKIP {after_match}: "
+                                f"{skip_sym} absent from match"
+                            )
+                        if t == lo_:
+                            raise ValueError(
+                                f"AFTER MATCH SKIP {after_match} would "
+                                "re-match the same starting row"
+                            )
+                        pos = t
 
             for lo, hi in host_matches():
                 match_no += 1
@@ -419,7 +452,7 @@ def match_recognize(
                 return bool(fn_defines[sym](arrs, i, trail_bindings(trail)))
 
             def nfa_matches():
-                if not overlap:
+                if after_match == "past last row":
                     yield from nfa.finditer(n, can_consume)
                     return
                 i = 0
@@ -427,9 +460,26 @@ def match_recognize(
                     m = nfa.match_at(i, n, can_consume)
                     if m is not None and m[0] == i:
                         m = nfa.match_at(i, n, can_consume, require_consume=True)
-                    if m is not None:
-                        yield i, m[0], m[1]
-                    i += 1
+                    if m is None or m[0] == i:
+                        i += 1
+                        continue
+                    yield i, m[0], m[1]
+                    if skip_sym is None:
+                        i += 1
+                    else:
+                        ps = [idx for idx, s in m[1] if s == skip_sym]
+                        if not ps:
+                            raise ValueError(
+                                f"AFTER MATCH SKIP {after_match}: "
+                                f"{skip_sym} absent from match"
+                            )
+                        t = ps[0] if skip_first else ps[-1]
+                        if t == i:
+                            raise ValueError(
+                                f"AFTER MATCH SKIP {after_match} would "
+                                "re-match the same starting row"
+                            )
+                        i = t
 
             match_no = 0
             for lo, hi, assignment in nfa_matches():

@@ -186,10 +186,19 @@ def _parse_match_recognize(query: str):
             pass
         elif head == "AFTER MATCH SKIP":
             mode = re.sub(r"\s+", " ", text.upper())
+            m_sym = re.match(r"TO (FIRST|LAST) (\w+)", mode)
             if mode.startswith("PAST LAST ROW"):
                 kw["after_match"] = "past last row"
             elif mode.startswith("TO NEXT ROW"):
                 kw["after_match"] = "to next row"
+            elif m_sym:
+                # preserve the symbol's original case from the raw text
+                raw = re.match(
+                    r"\s*TO\s+(?:FIRST|LAST)\s+(\w+)", text, re.IGNORECASE
+                )
+                kw["after_match"] = (
+                    f"to {m_sym.group(1).lower()} {raw.group(1)}"
+                )
             else:
                 raise ValueError(f"unsupported AFTER MATCH SKIP mode: {text!r}")
         elif head == "PATTERN":

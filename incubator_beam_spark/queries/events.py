@@ -1883,3 +1883,54 @@ def evt_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("tc").isNotNull(), 1).otherwise(0)).cast("long").alias("n_click"),
         F.sum(F.when(F.col("tp").isNotNull(), 1).otherwise(0)).cast("long").alias("n_purchase"),
     )
+
+
+@query(
+    "cep_skip_to_last",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events),
+    np AS (
+      SELECT user_id, event_id, event_type, rn,
+             lag(event_type) OVER w AS prev_type,
+             lag(event_id) OVER w AS prev_event,
+             lag(rn) OVER w AS prev_rn
+      FROM ordered WHERE event_type <> 'click'
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn))
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY prev_rn)
+             AS match_number,
+           prev_event AS start_purchase, event_id AS end_purchase,
+           rn - prev_rn - 1 AS n_clicks
+    FROM np WHERE event_type = 'purchase' AND prev_type = 'purchase'
+    """,
+)
+def cep_skip_to_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFTER MATCH SKIP TO LAST <symbol> (the SQL standard's chaining
+    skip mode): pattern ``P C* P`` — purchase-to-purchase spans with
+    only clicks between — resuming each scan AT the closing purchase,
+    so consecutive purchases CHAIN (purchase k's end is purchase k+1's
+    start). PAST LAST ROW would only yield every other span; the
+    oracle is every adjacent (purchase, purchase) pair among the
+    non-click rows, which is exactly the chained semantics."""
+    from ..plans.cep import match_recognize
+
+    e = table(spark, sf_dir, "events")
+    return match_recognize(
+        e,
+        partition_by=["user_id"],
+        order_by=["event_id"],
+        define={
+            "P": F.col("event_type") == "purchase",
+            "C": F.col("event_type") == "click",
+        },
+        pattern="P C* P",
+        measures={
+            "start_purchase": ("first", "P", "event_id"),
+            "end_purchase": ("last", "P", "event_id"),
+            "n_clicks": ("count", "C"),
+        },
+        after_match="to last P",
+    )

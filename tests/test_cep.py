@@ -470,3 +470,39 @@ def test_sql_match_recognize_modes_parse():
     assert kw["all_rows"] is True
     assert kw["after_match"] == "to next row"
     assert kw["measures"] == {}
+
+
+def test_sql_match_recognize_skip_to_symbol_parse():
+    from incubator_beam_spark.plans.sqlfront import _parse_match_recognize
+
+    q = """SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY k ORDER BY o
+      MEASURES FIRST(A.x) AS fx
+      AFTER MATCH SKIP TO LAST B
+      PATTERN (A B) DEFINE A AS x > 0, B AS x < 0)"""
+    _, kw, _ = _parse_match_recognize(q)
+    assert kw["after_match"] == "to last B"
+
+
+def test_skip_to_symbol_loop_protection(spark):
+    """SKIP TO FIRST <sym> where the symbol is the match's first row
+    must raise (the standard's infinite-loop protection), on both
+    kernel paths."""
+    import pytest
+
+    from incubator_beam_spark.plans.cep import match_recognize
+
+    df = spark.createDataFrame(
+        [(1, i, "p" if i % 2 == 0 else "c") for i in range(6)],
+        "k int, o int, t string",
+    )
+    with pytest.raises(Exception, match="re-match the same starting row"):
+        match_recognize(
+            df,
+            partition_by=["k"],
+            order_by=["o"],
+            define={"P": F.col("t") == "p", "C": F.col("t") == "c"},
+            pattern="P C",
+            measures={"n": ("count", None)},
+            after_match="to first P",
+        ).collect()
