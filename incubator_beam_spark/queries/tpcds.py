@@ -2273,6 +2273,51 @@ def sql_tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q74_BODY)
 
 
+@query("sql_tpcds_q74_pivot", oracle=_Q74_BODY)
+def sql_tpcds_q74_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-scan rewrite of q74 (same oracle as sql_tpcds_q74) —
+    third instance of the pivot device, and the MAX variant: per-leg
+    ``max(CASE WHEN <channel,year> THEN net END)`` pivots all four
+    best-line legs out of ONE fact scan. Unlike the SUM pivots, an
+    absent leg is NULL (no ELSE 0 — max over an empty set), so
+    presence-through-INNER-join is ``IS NOT NULL``; the verbatim
+    shape's s1/w1 > 0 guards are kept verbatim (vacuously true for
+    present legs, net > 0 always)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        WITH base AS (
+          SELECT o.o_custkey AS ck, l.l_linestatus AS chan,
+                 year(o.o_orderdate) AS y,
+                 l.l_extendedprice * (1 - l.l_discount) AS net
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE year(o.o_orderdate) IN (1997, 1998)
+            AND l.l_linestatus IN ('F', 'O')),
+        pv AS (
+          SELECT ck,
+             CAST(round(max(CASE WHEN chan = 'F' AND y = 1997 THEN net END)
+                        * 10000) AS BIGINT) AS store_prev_um,
+             CAST(round(max(CASE WHEN chan = 'F' AND y = 1998 THEN net END)
+                        * 10000) AS BIGINT) AS store_curr_um,
+             CAST(round(max(CASE WHEN chan = 'O' AND y = 1997 THEN net END)
+                        * 10000) AS BIGINT) AS web_prev_um,
+             CAST(round(max(CASE WHEN chan = 'O' AND y = 1998 THEN net END)
+                        * 10000) AS BIGINT) AS web_curr_um
+          FROM base GROUP BY ck)
+        SELECT ck AS customer,
+               store_prev_um, store_curr_um, web_prev_um, web_curr_um
+        FROM pv
+        WHERE store_prev_um IS NOT NULL AND store_curr_um IS NOT NULL
+          AND web_prev_um IS NOT NULL AND web_curr_um IS NOT NULL
+          AND store_prev_um > 0 AND web_prev_um > 0
+          AND CAST(web_curr_um AS DECIMAL(38,0)) * store_prev_um
+                > CAST(store_curr_um AS DECIMAL(38,0)) * web_prev_um
+        ORDER BY customer
+        """,
+    )
+
+
 @query("sql_tpcds_q4_pivot", oracle=_Q4_BODY)
 def sql_tpcds_q4_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100-TB rewrite of q4 (same oracle as sql_tpcds_q4): instead

@@ -728,3 +728,10 @@ def test_tpcds_q11_pivot_single_fact_scan(spark):
     # pivot must read it exactly once (Location lines name the file)
     assert plan.count("lineitem.parquet") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_tpcds_q74_pivot_single_fact_scan(spark):
+    """Third pivot instance (MAX variant): one lineitem scan, no SMJ."""
+    plan = plan_of(spark, "sql_tpcds_q74_pivot")
+    assert plan.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in plan
