@@ -451,6 +451,38 @@ def stress_lane(spark, n_events: int = 10_000_000, n_files: int = 20) -> dict:
             f"{n_events / wall:,.0f} ev/s, state {pr} rows",
             file=sys.stderr,
         )
+
+        # CEP: streaming MATCH_RECOGNIZE — the Python-kernel path, priced
+        # honestly at stress scale: three consecutive high bids (p=0.1
+        # each) per auction, hold-until-decided scan, ~1000 keys. The
+        # per-row cost is the pure-Python stable scan; this lane records
+        # what that costs next to the pure-JVM Q5/Q7 paths.
+        from incubator_beam_spark.plans.cep import match_recognize_stream
+
+        cep = match_recognize_stream(
+            stream(),
+            partition_by="auction",
+            order_by="bid_id",
+            define={"H": F.col("price") >= 9000},
+            pattern="H H H",
+            measures={
+                "n_rows": ("count", None),
+                "last_bid": ("last", None, "bid_id"),
+            },
+        )
+        wall, rows_out, pr, pb = drain(cep, "append")
+        out["cep_hot_streaks"] = {
+            "wall_sec": round(wall, 2),
+            "events_per_sec": int(n_events / wall),
+            "matches_out": rows_out,
+            "state_peak_rows": pr,
+            "state_peak_bytes": pb,
+        }
+        print(
+            f"# stress cep: {n_events} events in {wall:.1f}s = "
+            f"{n_events / wall:,.0f} ev/s, {rows_out} matches",
+            file=sys.stderr,
+        )
         return out
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
