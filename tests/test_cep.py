@@ -506,3 +506,44 @@ def test_skip_to_symbol_loop_protection(spark):
             measures={"n": ("count", None)},
             after_match="to first P",
         ).collect()
+
+
+def test_sql_match_recognize_modes_execute(spark):
+    """ALL ROWS PER MATCH and SKIP TO NEXT ROW through the SQL TEXT
+    front door must produce exactly what the Python API produces."""
+    from incubator_beam_spark.plans.cep import match_recognize
+    from incubator_beam_spark.plans.sqlfront import run_sql
+
+    df = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate("ccpccccp")],
+        "k int, o int, t string",
+    )
+    df.createOrReplaceTempView("mr_t")
+    got = run_sql(
+        spark,
+        """SELECT * FROM mr_t MATCH_RECOGNIZE (
+             PARTITION BY k ORDER BY o
+             ALL ROWS PER MATCH
+             PATTERN (C C P) DEFINE C AS t = 'c', P AS t = 'p')""",
+    )
+    want = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["o"],
+        define={"C": F.col("t") == "c", "P": F.col("t") == "p"},
+        pattern="C C P",
+        measures={},
+        all_rows=True,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # overlap mode: 'C C' over cc...cc yields n-1 pairs via SQL text
+    got2 = run_sql(
+        spark,
+        """SELECT count(*) AS n FROM mr_t MATCH_RECOGNIZE (
+             PARTITION BY k ORDER BY o
+             MEASURES FIRST(o) AS fo
+             AFTER MATCH SKIP TO NEXT ROW
+             PATTERN (C C) DEFINE C AS t = 'c')""",
+    ).collect()[0].n
+    # runs: cc (1 pair), cccc (3 pairs)
+    assert got2 == 4
