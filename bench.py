@@ -405,84 +405,108 @@ def stress_lane(spark, n_events: int = 10_000_000, n_files: int = 20) -> dict:
                 "maxFilesPerTrigger", max(n_files // 10, 1)
             ).parquet(src_dir)
 
+        def run_suite(tag: str) -> dict:
+            suite: dict = {}
+            # Q7: highest bid per hour — one stateful agg, complete mode.
+            q7 = (
+                stream()
+                .groupBy(F.window("ts", "1 hour"))
+                .agg(F.max(F.struct("price", "bid_id")).alias("top"))
+            )
+            wall, rows_out, pr, pb = drain(q7, "complete")
+            suite["q7_highest_value"] = {
+                "wall_sec": round(wall, 2),
+                "events_per_sec": int(n_events / wall),
+                "windows_out": rows_out,
+                "state_peak_rows": pr,
+                "state_peak_bytes": pb,
+            }
+            print(
+                f"# stress q7{tag}: {n_events} events in {wall:.1f}s = "
+                f"{n_events / wall:,.0f} ev/s, state {pr} rows",
+                file=sys.stderr,
+            )
+
+            # Q5: hot items — chained stateful aggs (watermark + window_time).
+            counts = (
+                stream()
+                .withWatermark("ts", "1 second")
+                .groupBy(F.window("ts", "1 hour"), "auction")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            hot = (
+                counts.groupBy(F.window(F.window_time("window"), "1 hour"))
+                .agg(F.max(F.struct("n", "auction")).alias("top"))
+            )
+            wall, rows_out, pr, pb = drain(hot, "append")
+            suite["q5_hot_items"] = {
+                "wall_sec": round(wall, 2),
+                "events_per_sec": int(n_events / wall),
+                "windows_out": rows_out,
+                "state_peak_rows": pr,
+                "state_peak_bytes": pb,
+            }
+            print(
+                f"# stress q5{tag}: {n_events} events in {wall:.1f}s = "
+                f"{n_events / wall:,.0f} ev/s, state {pr} rows",
+                file=sys.stderr,
+            )
+
+            # CEP: streaming MATCH_RECOGNIZE — the Python-kernel path,
+            # priced honestly at stress scale: three consecutive high bids
+            # (p=0.1 each) per auction, hold-until-decided scan, ~1000
+            # keys. The per-row cost is the pure-Python stable scan; this
+            # lane records what that costs next to the pure-JVM Q5/Q7.
+            from incubator_beam_spark.plans.cep import match_recognize_stream
+
+            cep = match_recognize_stream(
+                stream(),
+                partition_by="auction",
+                order_by="bid_id",
+                define={"H": F.col("price") >= 9000},
+                pattern="H H H",
+                measures={
+                    "n_rows": ("count", None),
+                    "last_bid": ("last", None, "bid_id"),
+                },
+            )
+            wall, rows_out, pr, pb = drain(cep, "append")
+            suite["cep_hot_streaks"] = {
+                "wall_sec": round(wall, 2),
+                "events_per_sec": int(n_events / wall),
+                "matches_out": rows_out,
+                "state_peak_rows": pr,
+                "state_peak_bytes": pb,
+            }
+            print(
+                f"# stress cep{tag}: {n_events} events in {wall:.1f}s = "
+                f"{n_events / wall:,.0f} ev/s, {rows_out} matches",
+                file=sys.stderr,
+            )
+            return suite
+
         out = {"n_events": n_events}
+        out.update(run_suite(""))
 
-        # Q7: highest bid per hour — one stateful agg, complete mode.
-        q7 = (
-            stream()
-            .groupBy(F.window("ts", "1 hour"))
-            .agg(F.max(F.struct("price", "bid_id")).alias("top"))
+        # The same three paths on the RocksDB state store (VERDICT r5
+        # item 5): at 100 TB the store IS RocksDB, so the default-store
+        # numbers alone overstate deployable throughput if the native
+        # store priced differently. Same data, same micro-batch cadence;
+        # only the provider flips.
+        rocks = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
         )
-        wall, rows_out, pr, pb = drain(q7, "complete")
-        out["q7_highest_value"] = {
-            "wall_sec": round(wall, 2),
-            "events_per_sec": int(n_events / wall),
-            "windows_out": rows_out,
-            "state_peak_rows": pr,
-            "state_peak_bytes": pb,
-        }
-        print(
-            f"# stress q7: {n_events} events in {wall:.1f}s = "
-            f"{n_events / wall:,.0f} ev/s, state {pr} rows",
-            file=sys.stderr,
-        )
-
-        # Q5: hot items — chained stateful aggs (watermark + window_time).
-        counts = (
-            stream()
-            .withWatermark("ts", "1 second")
-            .groupBy(F.window("ts", "1 hour"), "auction")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        hot = (
-            counts.groupBy(F.window(F.window_time("window"), "1 hour"))
-            .agg(F.max(F.struct("n", "auction")).alias("top"))
-        )
-        wall, rows_out, pr, pb = drain(hot, "append")
-        out["q5_hot_items"] = {
-            "wall_sec": round(wall, 2),
-            "events_per_sec": int(n_events / wall),
-            "windows_out": rows_out,
-            "state_peak_rows": pr,
-            "state_peak_bytes": pb,
-        }
-        print(
-            f"# stress q5: {n_events} events in {wall:.1f}s = "
-            f"{n_events / wall:,.0f} ev/s, state {pr} rows",
-            file=sys.stderr,
-        )
-
-        # CEP: streaming MATCH_RECOGNIZE — the Python-kernel path, priced
-        # honestly at stress scale: three consecutive high bids (p=0.1
-        # each) per auction, hold-until-decided scan, ~1000 keys. The
-        # per-row cost is the pure-Python stable scan; this lane records
-        # what that costs next to the pure-JVM Q5/Q7 paths.
-        from incubator_beam_spark.plans.cep import match_recognize_stream
-
-        cep = match_recognize_stream(
-            stream(),
-            partition_by="auction",
-            order_by="bid_id",
-            define={"H": F.col("price") >= 9000},
-            pattern="H H H",
-            measures={
-                "n_rows": ("count", None),
-                "last_bid": ("last", None, "bid_id"),
-            },
-        )
-        wall, rows_out, pr, pb = drain(cep, "append")
-        out["cep_hot_streaks"] = {
-            "wall_sec": round(wall, 2),
-            "events_per_sec": int(n_events / wall),
-            "matches_out": rows_out,
-            "state_peak_rows": pr,
-            "state_peak_bytes": pb,
-        }
-        print(
-            f"# stress cep: {n_events} events in {wall:.1f}s = "
-            f"{n_events / wall:,.0f} ev/s, {rows_out} matches",
-            file=sys.stderr,
-        )
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, rocks)
+        try:
+            out["rocksdb"] = run_suite(" [rocksdb]")
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         return out
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)

@@ -40,6 +40,36 @@ if not _real_protobuf() and os.path.isdir(os.path.join(_VENDOR, "google", "proto
     try:
         from google.protobuf import runtime_version as _rv
 
-        _rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
+        def _lenient(domain, major, minor, patch, suffix, location,
+                     _orig=_rv.ValidateProtobufRuntimeVersion):
+            # suppress ONLY runtime-older-than-gencode within the same
+            # major line (wire-identical); everything else still raises
+            try:
+                _orig(domain, major, minor, patch, suffix, location)
+            except Exception:
+                if major == _rv.MAJOR and (minor, patch) > (_rv.MINOR, _rv.PATCH):
+                    return
+                raise
+
+        _rv.ValidateProtobufRuntimeVersion = _lenient
     except ImportError:
         pass
+
+# site imports only the FIRST sitecustomize on sys.path — since this
+# directory is prepended to PYTHONPATH, chain-import the next one so an
+# existing user sitecustomize is not shadowed (ADVICE r5).
+_here = os.path.dirname(os.path.abspath(__file__))
+for _p in sys.path:
+    if os.path.abspath(_p or ".") == _here:
+        continue
+    _f = os.path.join(_p or ".", "sitecustomize.py")
+    if os.path.isfile(_f):
+        try:
+            import importlib.util as _ilu
+
+            _spec = _ilu.spec_from_file_location("sitecustomize", _f)
+            _mod = _ilu.module_from_spec(_spec)
+            _spec.loader.exec_module(_mod)
+        except Exception:
+            pass
+        break

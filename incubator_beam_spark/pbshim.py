@@ -75,7 +75,56 @@ def activate() -> bool:
         try:
             from google.protobuf import runtime_version
 
-            runtime_version.ValidateProtobufRuntimeVersion = lambda *a, **k: None
+            _patch_validator(runtime_version)
         except ImportError:
             pass
     return _real_protobuf()
+
+
+def worker_protobuf_ok(spark) -> bool:
+    """Will Python workers spawned by THIS session's JVM be able to
+    import ``google.protobuf``?
+
+    True when a REAL (non-vendored) install exists on the interpreter's
+    site path (workers see the same site-packages), or when the shim's
+    sitecustomize directory rode PYTHONPATH into the JVM's environment
+    (i.e. ``activate()`` ran before the JVM started). False for a
+    FOREIGN pre-started session whose JVM env was frozen without the
+    shim — ``activate()`` can no longer help there, because the TWS
+    state-server worker inherits the JVM env, not this process's
+    (the round-5 driver failure mode)."""
+    try:
+        import google.protobuf as gp
+
+        f = getattr(gp, "__file__", None)
+        if f is not None and not f.startswith(VENDOR):
+            return True
+    except ImportError:
+        pass
+    try:
+        pp = spark._jvm.java.lang.System.getenv("PYTHONPATH") or ""
+    except Exception:
+        return False
+    return SHIM_DIR in pp.split(os.pathsep)
+
+
+def _patch_validator(rv) -> None:
+    """Suppress ONLY the runtime-older-than-gencode case within the same
+    major line (6.33 gencode on the vendored 6.32 runtime — wire- and
+    API-identical). Every other policy violation (cross-major, bad
+    domain) still raises, so other protobuf users in the process keep
+    their compatibility gate (ADVICE r5)."""
+    orig = rv.ValidateProtobufRuntimeVersion
+    if getattr(orig, "_pbshim_lenient", False):
+        return
+
+    def lenient(domain, major, minor, patch, suffix, location):
+        try:
+            orig(domain, major, minor, patch, suffix, location)
+        except Exception:
+            if major == rv.MAJOR and (minor, patch) > (rv.MINOR, rv.PATCH):
+                return
+            raise
+
+    lenient._pbshim_lenient = True
+    rv.ValidateProtobufRuntimeVersion = lenient

@@ -109,6 +109,23 @@ def _group_alts(group: str) -> list[str]:
     return alts
 
 
+def _top_alts(pat: str) -> list[str]:
+    """Top-level alternatives of a bare compiled pattern ('A+|B' ->
+    ['A+', 'B']). Unlike ``_group_alts`` the input has no surrounding
+    parens; returns [pat] when there is no top-level '|'."""
+    alts, d, start = [], 0, 0
+    for j, ch in enumerate(pat):
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+        elif ch == "|" and d == 0:
+            alts.append(pat[start:j])
+            start = j + 1
+    alts.append(pat[start:])
+    return alts
+
+
 def _quant_bounds(quant: str) -> tuple[int, int | None, bool]:
     """(min, max, reluctant) for a compiled quantifier string."""
     reluctant = quant.endswith("?") and len(quant) > 1
@@ -128,9 +145,14 @@ def _quant_bounds(quant: str) -> tuple[int, int | None, bool]:
 
 
 def _is_nullable(pat: str) -> bool:
-    """Can this (compiled) pattern fragment match the empty string?"""
+    """Can this (compiled) pattern fragment match the empty string?
+    Top-level alternation ('A+|B') is split first — ``_split_last_atom``
+    alone would treat 'A+|' as the prefix of atom 'B' (ADVICE r5)."""
     if not pat:
         return True
+    alts = _top_alts(pat)
+    if len(alts) > 1:
+        return any(_is_nullable(a) for a in alts)
     prefix, atom, quant = _split_last_atom(pat)
     mn, _, _ = _quant_bounds(quant)
     atom_nullable = mn == 0 or (
@@ -156,10 +178,16 @@ def _ends_extendable(pat: str) -> bool:
     matches empty, so the match really ends at the greedy 'A?', which a
     later batch can extend ('ba' -> 'baa'). The end is extendable iff
     the last atom is, OR the last atom can match empty and the prefix's
-    end is.
+    end is. Top-level alternation ('A+|B') is split first: the pattern
+    end is extendable if ANY alternative's end is (ADVICE r5 — a match
+    via the A+ branch would otherwise be held by ``_stable_scan`` until
+    a later symbol arrives, the liveness hazard this guard rejects).
     """
     if not pat:
         return False
+    alts = _top_alts(pat)
+    if len(alts) > 1:
+        return any(_ends_extendable(a) for a in alts)
     prefix, atom, quant = _split_last_atom(pat)
     mn, mx, reluctant = _quant_bounds(quant)
     if not reluctant and (mx is None or mx > mn):
@@ -242,8 +270,15 @@ def match_recognize(
     ``all_rows=True`` switches from ONE ROW PER MATCH to ALL ROWS PER
     MATCH: one output row per MATCHED INPUT ROW carrying
     (partition cols, match_number, classifier() symbol name, order
-    cols); ``measures`` must be empty in this mode (running-measure
-    semantics are not implemented).
+    cols, measures). In this mode measures are RUNNING by default —
+    prefix scans over the match span up to the current row (the SQL
+    standard's ALL-ROWS default): ``("count", SYM)`` counts SYM rows so
+    far, ``("last", SYM, col)`` is the most recent SYM row's value (NULL
+    before the first), ``("first", SYM, col)`` pins at the first SYM
+    row. A 4th spec element ``"final"`` gives the whole-match value on
+    every row instead. ``("count", SYM, col)`` counts NON-NULL values of
+    ``col`` among SYM's rows (SQL ``COUNT(Sym.col)``); ``("count", None,
+    col)`` over all match rows.
     """
     if not define:
         raise ValueError("define must not be empty")
@@ -257,8 +292,6 @@ def match_recognize(
             raise ValueError(f"AFTER MATCH SKIP target {skip_sym!r} not in define")
     elif after_match not in ("past last row", "to next row"):
         raise ValueError(f"unsupported AFTER MATCH SKIP mode {after_match!r}")
-    if all_rows and measures:
-        raise ValueError("all_rows mode does not take measures")
     import numpy as np
 
     from .nfa import NFA, trail_bindings
@@ -272,6 +305,7 @@ def match_recognize(
 
     col_defines = {n: d for n, d in define.items() if isinstance(d, Column)}
     fn_defines = {n: d for n, d in define.items() if not isinstance(d, Column)}
+    force_nfa = after_match != "past last row" and _is_nullable(rx.pattern)
 
     # classifier char: first matching COLUMN define, else '.' (used only on
     # the mutually-exclusive fast path, where first-match == unique match)
@@ -312,6 +346,7 @@ def match_recognize(
                 T.StructField("classifier", T.StringType()),
             ]
             + [proj.schema[c] for c in order_by]
+            + [_measure_field(n, s) for n, s in measures.items()]
         )
     else:
         out_schema = T.StructType(
@@ -336,7 +371,25 @@ def match_recognize(
         for spec in specs:
             kind, sym = spec[0], spec[1]
             if kind == "count":
-                if sym is None:
+                col = spec[2] if len(spec) > 2 else None
+                if col is not None:
+                    # COUNT(Sym.col): non-null col values among Sym's rows
+                    if syms is not None:
+                        ch = sym_chars[sym] if sym is not None else None
+                        idxs = (
+                            i
+                            for i in range(lo, hi)
+                            if ch is None or syms[i] == ch
+                        )
+                    else:
+                        idxs = (
+                            pos_by_sym.get(sym, ())
+                            if sym is not None
+                            else (i for i, _ in assignment)
+                        )
+                    a = arrs[col]
+                    vals.append(sum(1 for i in idxs if not pd.isna(a[i])))
+                elif sym is None:
                     vals.append(hi - lo)
                 elif syms is not None:
                     vals.append(syms.count(sym_chars[sym], lo, hi))
@@ -374,19 +427,59 @@ def match_recognize(
         rows = []
         n = len(pdf)
         # ambiguous iff any row satisfies two column defines or a callable
-        # define exists — only then pay for the Python NFA
-        ambiguous = bool(fn_defines)
+        # define exists — only then pay for the Python NFA. Nullable
+        # patterns under a non-default skip mode also take the NFA: the
+        # fast-path scanner advances past a zero-width hit without
+        # retrying non-empty at the same position (unlike finditer and
+        # the NFA's require_consume retry), so 'A*?' + TO NEXT ROW would
+        # lose matches (ADVICE r5).
+        ambiguous = bool(fn_defines) or force_nfa
         if not ambiguous and len(bools) > 1:
             stack = np.zeros(n, dtype=np.int8)
             for b in bools.values():
                 stack += b
             ambiguous = bool((stack > 1).any())
+        def _all_rows_measures(pairs):
+            """Per-spec value list, one value per matched row. RUNNING
+            (default) = prefix scan up to the current row; FINAL = the
+            whole-match value everywhere (== the running value at the
+            last row, for every supported measure kind)."""
+            per_spec = []
+            for spec in specs:
+                kind, sym = spec[0], spec[1]
+                col = spec[2] if len(spec) > 2 else None
+                mode = (spec[3] if len(spec) > 3 else None) or "running"
+                vals, cnt, cur, seen = [], 0, None, False
+                for idx, sname in pairs:
+                    hit = sym is None or sname == sym
+                    if kind == "count":
+                        if hit and (col is None or not pd.isna(arrs[col][idx])):
+                            cnt += 1
+                        vals.append(cnt)
+                    elif kind == "first":
+                        if hit and not seen:
+                            cur, seen = arrs[col][idx], True
+                        vals.append(cur)
+                    elif kind == "last":
+                        if hit:
+                            cur = arrs[col][idx]
+                        vals.append(cur)
+                    else:
+                        raise ValueError(f"unknown measure kind {kind!r}")
+                if mode == "final" and vals:
+                    vals = [vals[-1]] * len(vals)
+                per_spec.append(vals)
+            return per_spec
+
         def _emit_all_rows(match_no, pairs):
             # ALL ROWS PER MATCH: one row per matched input row
-            for idx, sym_name in pairs:
+            pairs = list(pairs)
+            mvals = _all_rows_measures(pairs) if specs else []
+            for pos, (idx, sym_name) in enumerate(pairs):
                 rows.append(
                     [*key_vals, match_no, sym_name]
                     + [arrs[c][idx] for c in order_by]
+                    + [mv[pos] for mv in mvals]
                 )
 
         if not ambiguous:

@@ -414,7 +414,11 @@ def io_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.io import ReadFromJdbc
 
-    db = tempfile.mkdtemp(prefix="ibs_derby_") + "/db"
+    tmp = tempfile.mkdtemp(prefix="ibs_derby_")
+    # Derby writes derby.log to derby.system.home (default: CWD) — point it
+    # at the gate tempdir so repeated runs leave no litter in the repo.
+    spark._jvm.java.lang.System.setProperty("derby.system.home", tmp)
+    db = tmp + "/db"
     url = f"jdbc:derby:{db};create=true"
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
     li = table(spark, sf_dir, "lineitem").select(

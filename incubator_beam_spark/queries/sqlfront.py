@@ -456,3 +456,133 @@ def sql_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE n_clicks >= 3
         """,
     )
+
+
+@query(
+    "sql_match_recognize_prev",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id,
+             row_number() OVER w AS rn,
+             CASE WHEN value < lag(value) OVER w THEN 'D'
+                  WHEN value > lag(value) OVER w THEN 'U'
+                  ELSE NULL END AS cls
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+    runs AS (
+      SELECT user_id, cls, min(rn) AS start_rn, max(rn) AS end_rn,
+             max(event_id) AS end_eid, count(*) AS n
+      FROM (SELECT *, rn - row_number()
+              OVER (PARTITION BY user_id, cls ORDER BY rn) AS grp
+            FROM ordered WHERE cls IS NOT NULL)
+      GROUP BY user_id, cls, grp),
+    pairs AS (
+      SELECT d.user_id, d.start_rn AS m_start,
+             d.end_eid AS bottom_event, u.end_eid AS top_event,
+             d.n AS n_down, u.n AS n_up
+      FROM runs d JOIN runs u
+        ON u.user_id = d.user_id AND d.cls = 'D' AND u.cls = 'U'
+       AND u.start_rn = d.end_rn + 1)
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY m_start)
+             AS match_number,
+           bottom_event, top_event, n_down, n_up
+    FROM pairs
+    """,
+)
+def sql_match_recognize_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL standard's down-up V-pattern with PREV() navigation in
+    DEFINE (reference ``impl/cep/CEPCall`` + ``impl/nfa/NFA.java``
+    compile physical-row navigation): ``DOWN AS value < PREV(value)``.
+    The front door lowers PREV to a pre-computed ``F.lag`` over
+    (PARTITION BY, ORDER BY) — physical-row navigation is exactly lag's
+    contract — so the kernel sees plain Column defines and stays on the
+    C-level fast path (DOWN/UP are mutually exclusive). Oracle: D/U
+    classification via lag, maximal-run islands, adjacent (D-run,
+    U-run) pairs == greedy non-overlapping ``DOWN+ UP+``."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT user_id, match_number, bottom_event, top_event, n_down, n_up
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY event_id
+          MEASURES LAST(DOWN.event_id) AS bottom_event,
+                   LAST(UP.event_id) AS top_event,
+                   COUNT(DOWN.*) AS n_down,
+                   COUNT(UP.*) AS n_up
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (DOWN+ UP+)
+          DEFINE DOWN AS value < PREV(value),
+                 UP AS value > PREV(value)
+        )
+        """,
+    )
+
+
+@query(
+    "cep_all_rows_running",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events),
+    np AS (
+      SELECT user_id, event_id, event_type, rn,
+             lag(event_type) OVER w AS prev_type,
+             lag(rn) OVER w AS prev_rn
+      FROM ordered WHERE event_type <> 'click'
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+    matches AS (
+      SELECT user_id, prev_rn AS start_rn, rn AS end_rn,
+             row_number() OVER (PARTITION BY user_id ORDER BY prev_rn)
+               AS match_number
+      FROM np WHERE event_type = 'purchase' AND prev_type = 'signup'
+        AND rn - prev_rn - 1 BETWEEN 2 AND 4),
+    expansion AS (
+      SELECT m.user_id, m.match_number,
+             CASE o.event_type WHEN 'signup' THEN 'S'
+                               WHEN 'click' THEN 'C'
+                               ELSE 'P' END AS classifier,
+             o.event_id
+      FROM matches m
+      JOIN ordered o ON o.user_id = m.user_id
+                    AND o.rn BETWEEN m.start_rn AND m.end_rn)
+    SELECT user_id, match_number, classifier, event_id,
+           CAST(sum(CASE WHEN classifier = 'C' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id, match_number ORDER BY event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_clicks,
+           max(CASE WHEN classifier = 'P' THEN event_id END)
+                OVER (PARTITION BY user_id, match_number) AS fin_end
+    FROM expansion
+    """,
+)
+def cep_all_rows_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING and FINAL measures under ALL ROWS PER MATCH (the SQL
+    standard's ALL-ROWS default is RUNNING — prefix scans over the
+    match span up to the current row; FINAL pins the whole-match value
+    on every row), written with the explicit keywords through the SQL
+    front door. Closes the round-5 documented raises (cep.py /
+    sqlfront.py). Oracle: expand each funnel span onto its rows, then a
+    running window sum for RUNNING COUNT(C.*) and a per-match max for
+    FINAL LAST(P.event_id)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT user_id, match_number, classifier, event_id,
+               run_clicks, fin_end
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY event_id
+          MEASURES RUNNING COUNT(C.*) AS run_clicks,
+                   FINAL LAST(P.event_id) AS fin_end
+          ALL ROWS PER MATCH
+          PATTERN (S C{2,4} P)
+          DEFINE S AS event_type = 'signup',
+                 C AS event_type = 'click',
+                 P AS event_type = 'purchase'
+        )
+        """,
+    )

@@ -1154,24 +1154,54 @@ def stream_chained_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(daily, "append", settle=True)
 
 
-@query(
-    "stream_per_key_counter_tws",
-    oracle="SELECT user_id AS key, count(*) AS total FROM events GROUP BY user_id",
-)
-def stream_per_key_counter_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same ReadModifyWriteState counter as ``stream_per_key_counter``
-    (reference ``userstate.py:73``) on the OTHER stateful backend: Spark
-    4's native ``transformWithStateInPandas`` (engine-managed typed state,
-    RocksDB store) instead of ``applyInPandasWithState`` — the two-backend
-    conversion the round-4 review asked for once the vendored-protobuf
-    shim (pbshim.py) unblocked TWS in this sandbox.
+def _tws_host_or_subproc(spark: SparkSession, sf_dir: str, impl_name: str) -> DataFrame:
+    """Run a TWS gate on the host session when its JVM's Python workers
+    can import protobuf (real install, or the pbshim rode PYTHONPATH in
+    before the JVM started); otherwise — a FOREIGN pre-started session,
+    the round-5 driver failure mode — run the REAL TWS drain in a
+    subprocess that owns its session (streaming/tws_subproc.py) and hand
+    the result back as parquet. Either way the gate exercises genuine
+    transformWithStateInPandas + RocksDB state."""
+    from .. import pbshim
 
-    The process hook runs once per Arrow chunk of the key's batch rows, so
-    each call folds its chunk into the count cell and emits the RUNNING
-    total; the final per-key total is the max over emitted rows (totals
-    are monotone), reduced in a downstream batch agg. On the single-file
-    fixture the drain is one micro-batch, so the result equals the batch
-    GROUP BY exactly."""
+    if pbshim.worker_protobuf_ok(spark):
+        return globals()[impl_name](spark, sf_dir)
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    out = os.path.join(tempfile.mkdtemp(prefix="ibs_tws_"), "out")
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # a pre-started host may export gateway coordinates; the subprocess
+    # must build its OWN JVM, not attach to the host's
+    for k in ("PYSPARK_GATEWAY_PORT", "PYSPARK_GATEWAY_SECRET"):
+        env.pop(k, None)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "incubator_beam_spark.streaming.tws_subproc",
+            impl_name,
+            sf_dir,
+            out,
+        ],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"TWS subprocess ({impl_name}) failed:\n{proc.stderr[-2000:]}"
+        )
+    return spark.read.parquet(out)
+
+
+def _tws_counter_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.userstate_tws import stateful_pardo_tws
 
     e = stream_table(spark, sf_dir, "events")
@@ -1203,6 +1233,31 @@ def stream_per_key_counter_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     return drained.groupBy("key").agg(F.max("total").alias("total"))
+
+
+@query(
+    "stream_per_key_counter_tws",
+    oracle="SELECT user_id AS key, count(*) AS total FROM events GROUP BY user_id",
+)
+def stream_per_key_counter_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same ReadModifyWriteState counter as ``stream_per_key_counter``
+    (reference ``userstate.py:73``) on the OTHER stateful backend: Spark
+    4's native ``transformWithStateInPandas`` (engine-managed typed state,
+    RocksDB store) instead of ``applyInPandasWithState`` — the two-backend
+    conversion the round-4 review asked for once the vendored-protobuf
+    shim (pbshim.py) unblocked TWS in this sandbox.
+
+    The process hook runs once per Arrow chunk of the key's batch rows, so
+    each call folds its chunk into the count cell and emits the RUNNING
+    total; the final per-key total is the max over emitted rows (totals
+    are monotone), reduced in a downstream batch agg. On the single-file
+    fixture the drain is one micro-batch, so the result equals the batch
+    GROUP BY exactly.
+
+    Under a FOREIGN pre-started session (whose JVM lacks the protobuf
+    shim) the drain runs in a subprocess-owned session — see
+    ``_tws_host_or_subproc``."""
+    return _tws_host_or_subproc(spark, sf_dir, "_tws_counter_impl")
 
 
 @query(
@@ -1267,7 +1322,15 @@ def stateful_timer_flush_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     users first seen within 30min of the stream's end never fire.
     Delivery is one deterministic micro-batch (single parquet file);
     the engine's post-watermark no-data batch expires exactly the
-    timers the final watermark passed."""
+    timers the final watermark passed.
+
+    Under a FOREIGN pre-started session (whose JVM lacks the protobuf
+    shim) the drain runs in a subprocess-owned session — see
+    ``_tws_host_or_subproc``."""
+    return _tws_host_or_subproc(spark, sf_dir, "_tws_timer_impl")
+
+
+def _tws_timer_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.userstate_tws import stateful_pardo_tws
 
     e = (

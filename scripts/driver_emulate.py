@@ -80,7 +80,33 @@ def main() -> None:
     else:
         n = int(args[0]) if args else 50
         names = list(qs)[:n]
-    spark = get_spark("driver-emulate", cpus=8)
+    if os.environ.get("EMUL_NO_PBSHIM"):
+        # replicate the driver's FOREIGN pre-started session: the JVM
+        # starts WITHOUT the protobuf shim on PYTHONPATH, so TWS gates
+        # must take their subprocess fallback (round-5 red row)
+        from pyspark.sql import SparkSession
+
+        from incubator_beam_spark.pbshim import SHIM_DIR
+
+        parts = [
+            p
+            for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+            if p and p != SHIM_DIR
+        ]
+        os.environ["PYTHONPATH"] = os.pathsep.join(parts)
+        spark = (
+            SparkSession.builder.appName("driver-emulate-foreign")
+            .master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_spark("driver-emulate", cpus=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
