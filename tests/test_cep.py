@@ -720,3 +720,65 @@ def test_quoted_keyword_does_not_split_clause(spark):
                     B AS t = 'MEASURES PATTERN (X)')""",
     ).collect()
     assert [r.fo for r in out] == [1]
+
+
+def test_all_rows_final_equals_one_row_measures(spark):
+    """Cross-path invariant: under ALL ROWS PER MATCH, a FINAL measure
+    carries the whole-match value on every row — so per match_number it
+    must equal what ONE ROW PER MATCH emits; and the RUNNING value at a
+    match's last row must equal the FINAL value."""
+    rows = []
+    seq = 0
+    # several funnels of varying click depth across two keys
+    for key, depths in ((1, [2, 3]), (2, [4, 2])):
+        for d in depths:
+            for t in ["a"] + ["b"] * d + ["c"]:
+                seq += 1
+                rows.append((key, seq, t, float(seq)))
+            seq += 1
+            rows.append((key, seq, "x", 0.0))  # breaks contiguity
+    df = _events(spark, rows)
+    common = dict(
+        partition_by=["key"],
+        order_by=["seq"],
+        define={
+            "A": F.col("etype") == "a",
+            "B": F.col("etype") == "b",
+            "C": F.col("etype") == "c",
+        },
+        pattern="A B+ C",
+    )
+    one = match_recognize(
+        df,
+        measures={
+            "nb": ("count", "B"),
+            "lastb": ("last", "B", "val"),
+            "firsta": ("first", "A", "val"),
+        },
+        **common,
+    ).collect()
+    allr = match_recognize(
+        df,
+        measures={
+            "run_nb": ("count", "B"),
+            "fin_nb": ("count", "B", None, "final"),
+            "fin_lastb": ("last", "B", "val", "final"),
+            "fin_firsta": ("first", "A", "val", "final"),
+        },
+        all_rows=True,
+        **common,
+    ).collect()
+    one_by = {(r.key, r.match_number): r for r in one}
+    assert len(one_by) == 4
+    seen = set()
+    by_match: dict = {}
+    for r in allr:
+        k = (r.key, r.match_number)
+        seen.add(k)
+        o = one_by[k]
+        assert (r.fin_nb, r.fin_lastb, r.fin_firsta) == (o.nb, o.lastb, o.firsta)
+        by_match.setdefault(k, []).append(r)
+    assert seen == set(one_by)
+    for k, rs in by_match.items():
+        last = max(rs, key=lambda r: r.seq)
+        assert last.run_nb == one_by[k].nb  # RUNNING at last row == FINAL
