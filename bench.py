@@ -98,6 +98,12 @@ HEADLINE = [
     "sql_tpcds_q72",
     "sql_tpcds_q86",
     "agg_count_min_bounds",
+    # round-6 additions: PREV-navigation MATCH_RECOGNIZE (a Window(lag)
+    # feeding the CEP kernel — prices the navigation lowering) and the
+    # ALL-ROWS running-measures mode (one output row per matched input
+    # row, the kernel's widest emit path)
+    "sql_match_recognize_prev",
+    "cep_all_rows_running",
 ]
 
 

@@ -770,9 +770,28 @@ def match_recognize_stream(
             for spec in specs:
                 kind, sym = spec[0], spec[1]
                 if kind == "count":
-                    vals.append(
-                        hi - lo if sym is None else syms.count(sym_chars[sym], lo, hi)
-                    )
+                    col = spec[2] if len(spec) > 2 else None
+                    if col is not None:
+                        # COUNT(Sym.col): non-null col values on Sym's rows
+                        ch = sym_chars[sym] if sym is not None else None
+                        ci = col_idx[col]
+                        # state rows come via itertuples: missing floats
+                        # are NaN, not None — treat both as null
+                        vals.append(
+                            sum(
+                                1
+                                for i in range(lo, hi)
+                                if (ch is None or syms[i] == ch)
+                                and rows[i][ci] is not None
+                                and rows[i][ci] == rows[i][ci]
+                            )
+                        )
+                    else:
+                        vals.append(
+                            hi - lo
+                            if sym is None
+                            else syms.count(sym_chars[sym], lo, hi)
+                        )
                     continue
                 if kind == "first":
                     i = lo if sym is None else syms.find(sym_chars[sym], lo, hi)

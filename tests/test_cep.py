@@ -782,3 +782,42 @@ def test_all_rows_final_equals_one_row_measures(spark):
     for k, rs in by_match.items():
         last = max(rs, key=lambda r: r.seq)
         assert last.run_nb == one_by[k].nb  # RUNNING at last row == FINAL
+
+
+def test_match_recognize_stream_count_sym_col(spark):
+    """Streaming kernel COUNT(Sym.col) parity: non-null values among
+    Sym's rows, with NaN (how itertuples renders missing floats in
+    state) treated as null."""
+    from pyspark.sql import types as T
+
+    from incubator_beam_spark.streaming import TestStream
+    from incubator_beam_spark.plans.cep import match_recognize_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("etype", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    with TestStream(spark, schema) as ts:
+        out = match_recognize_stream(
+            ts.stream,
+            partition_by="key",
+            order_by="seq",
+            define={
+                "A": F.col("etype") == "a",
+                "B": F.col("etype") == "b",
+                "C": F.col("etype") == "c",
+            },
+            pattern="A B* C",
+            measures={"nb_val": ("count", "B", "val")},
+        )
+        ts.start(out, output_mode="append")
+        ts.add_elements(
+            [(1, 1, "a", 1.0), (1, 2, "b", None), (1, 3, "b", 2.0),
+             (1, 4, "b", None), (1, 5, "c", 9.0)]
+        ).advance()
+        rows = [(r.match_number, r.nb_val) for r in ts.results().collect()]
+        assert rows == [(1, 1)]
