@@ -27,8 +27,12 @@ Spark-first design (not a port of the NFA):
   contract as SQL MATCH_RECOGNIZE's PARTITION BY everywhere.
 
 Measures supported: ``("first", SYM, col)``, ``("last", SYM, col)``,
-``("count", SYM)`` plus ``match_number`` implicitly; ``SYM=None`` means
-any row of the match.
+``("count", SYM)`` (rows), ``("count", SYM, col)`` (non-null values of
+``col`` on SYM's rows — SQL ``COUNT(Sym.col)``), plus ``match_number``
+implicitly; ``SYM=None`` means any row of the match. Under
+``all_rows=True`` an optional 4th element selects ``"running"``
+(default — prefix scan up to the current row) or ``"final"``
+(whole-match value on every row).
 """
 
 from __future__ import annotations
@@ -235,6 +239,7 @@ def match_recognize(
     measures: dict[str, tuple],
     after_match: str = "past last row",
     all_rows: bool = False,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Find per-key ordered event patterns; one output row per match.
 
@@ -419,10 +424,14 @@ def match_recognize(
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_by, kind="mergesort")
-        key_vals = [pdf.iloc[0][c] for c in partition_by]
+        key_vals = [pdf[c].iat[0] for c in partition_by]
         arrs = {c: pdf[c].to_numpy() for c in data_cols}
+        # Arrow hands nullable booleans over as object dtype; `== True`
+        # maps None -> False in one C pass (fillna(False) on object
+        # dtype is both slower per group and deprecated)
         bools = {
-            n: pdf[c].fillna(False).to_numpy(dtype=bool) for n, c in bool_cols.items()
+            n: (pdf[c].to_numpy() == True)  # noqa: E712
+            for n, c in bool_cols.items()
         }
         rows = []
         n = len(pdf)
@@ -588,11 +597,14 @@ def match_recognize(
     # Explicit repartition: AQE would coalesce this tiny shuffle to 1-2
     # tasks, serializing the (CPU-bound) Python stage; a user repartition
     # by the grouping keys both provides the required hash partitioning
-    # and is exempt from AQE coalescing.
-    n_part = proj.sparkSession.sparkContext.defaultParallelism
-    return proj.repartition(n_part, *partition_by).groupBy(*partition_by).applyInPandas(
-        run, out_schema
-    )
+    # and is exempt from AQE coalescing. ``pre_partitioned=True`` skips
+    # it when the caller already hash-repartitioned on the same keys
+    # (e.g. run_sql's PREV/NEXT Window) — a second user repartition is
+    # NOT removed by Catalyst and would shuffle twice.
+    if not pre_partitioned:
+        n_part = proj.sparkSession.sparkContext.defaultParallelism
+        proj = proj.repartition(n_part, *partition_by)
+    return proj.groupBy(*partition_by).applyInPandas(run, out_schema)
 
 
 def _stable_scan(nfa, n: int, can) -> tuple[list[tuple[int, int]], int]:
