@@ -228,7 +228,21 @@ def _parse_match_recognize(query: str):
         elif head == "MEASURES":
             measures = {}
             for item in _split_top_level(text):
-                mm = _MR_MEASURE.match(re.sub(r"\s+", " ", item.strip()))
+                item_n = re.sub(r"\s+", " ", item.strip())
+                mfn = re.match(
+                    r"^(MATCH_NUMBER|CLASSIFIER)\s*\(\s*\)\s+AS\s+(\w+)$",
+                    item_n,
+                    re.IGNORECASE,
+                )
+                if mfn:
+                    # the kernel emits these implicitly; record the alias
+                    # so run_sql renames the output column
+                    which = mfn.group(1).upper()
+                    kw[
+                        "rename_mn" if which == "MATCH_NUMBER" else "rename_cls"
+                    ] = mfn.group(2)
+                    continue
+                mm = _MR_MEASURE.match(item_n)
                 if not mm:
                     raise ValueError(f"unsupported MEASURES item: {item!r}")
                 mode, kind, sym, col, name = mm.groups()
@@ -394,7 +408,19 @@ def run_sql(spark: SparkSession, query: str) -> DataFrame:
         kw["define"] = {s: F.expr(c) for s, c in defines.items()}
         if aux:
             kw["pre_partitioned"] = True  # the Window repartition above
+        rename_mn = kw.pop("rename_mn", None)
+        rename_cls = kw.pop("rename_cls", None)
+        if rename_cls and not kw["all_rows"]:
+            raise ValueError(
+                "CLASSIFIER() is only defined under ALL ROWS PER MATCH "
+                "(ONE ROW PER MATCH has no per-row symbol)"
+            )
+        out = match_recognize(df, **kw)
+        if rename_mn:
+            out = out.withColumnRenamed("match_number", rename_mn)
+        if rename_cls:
+            out = out.withColumnRenamed("classifier", rename_cls)
         view = f"__mr_{uuid.uuid4().hex[:10]}"
-        match_recognize(df, **kw).createOrReplaceTempView(view)
+        out.createOrReplaceTempView(view)
         return spark.sql(rewrite(rest.replace("{MR}", view)))
     return spark.sql(rewrite(query))

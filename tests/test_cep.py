@@ -821,3 +821,42 @@ def test_match_recognize_stream_count_sym_col(spark):
         ).advance()
         rows = [(r.match_number, r.nb_val) for r in ts.results().collect()]
         assert rows == [(1, 1)]
+
+
+def test_sql_match_number_and_classifier_aliases(spark):
+    """MATCH_NUMBER() / CLASSIFIER() in MEASURES (Calcite surface): the
+    kernel's implicit columns get the user's aliases."""
+    from incubator_beam_spark.plans.sqlfront import run_sql
+
+    df = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate("ccpccp")],
+        "k int, o int, t string",
+    )
+    df.createOrReplaceTempView("mr_alias")
+    out = run_sql(
+        spark,
+        """SELECT k, mn, sym, o FROM mr_alias MATCH_RECOGNIZE (
+             PARTITION BY k ORDER BY o
+             MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS sym
+             ALL ROWS PER MATCH
+             PATTERN (C C P) DEFINE C AS t = 'c', P AS t = 'p')""",
+    ).collect()
+    assert sorted({r.mn for r in out}) == [1, 2]
+    assert {r.sym for r in out} == {"C", "P"}
+    # one-row mode: MATCH_NUMBER alias works, CLASSIFIER is rejected
+    one = run_sql(
+        spark,
+        """SELECT mn, fo FROM mr_alias MATCH_RECOGNIZE (
+             PARTITION BY k ORDER BY o
+             MEASURES MATCH_NUMBER() AS mn, FIRST(o) AS fo
+             PATTERN (C C P) DEFINE C AS t = 'c', P AS t = 'p')""",
+    ).collect()
+    assert sorted((r.mn, r.fo) for r in one) == [(1, 0), (2, 3)]
+    with pytest.raises(ValueError, match="CLASSIFIER"):
+        run_sql(
+            spark,
+            """SELECT * FROM mr_alias MATCH_RECOGNIZE (
+                 PARTITION BY k ORDER BY o
+                 MEASURES CLASSIFIER() AS sym
+                 PATTERN (C) DEFINE C AS t = 'c')""",
+        )
