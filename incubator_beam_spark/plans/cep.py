@@ -240,6 +240,7 @@ def match_recognize(
     after_match: str = "past last row",
     all_rows: bool = False,
     pre_partitioned: bool = False,
+    subsets: "dict[str, list[str]] | None" = None,
 ) -> DataFrame:
     """Find per-key ordered event patterns; one output row per match.
 
@@ -284,9 +285,41 @@ def match_recognize(
     every row instead. ``("count", SYM, col)`` counts NON-NULL values of
     ``col`` among SYM's rows (SQL ``COUNT(Sym.col)``); ``("count", None,
     col)`` over all match rows.
+
+    Aggregate measure kinds ``("sum"|"avg"|"min"|"max", SYM, col)``
+    aggregate ``col`` over SYM's rows (nulls skipped; ``avg`` emits
+    double, the others keep the column type) — the Calcite MEASURES
+    aggregate surface (reference ``BeamMatchRelTest.java:278``
+    ``AVG (U.Price)``). ``subsets`` declares SQL SUBSET union symbols
+    (``{"U": ["A", "B"]}``): a measure whose SYM is a subset name
+    ranges over rows matched to ANY member.
     """
     if not define:
         raise ValueError("define must not be empty")
+    subsets = subsets or {}
+    for uname, members in subsets.items():
+        if uname in define:
+            raise ValueError(f"SUBSET name {uname!r} collides with a DEFINE symbol")
+        bad = [m for m in members if m not in define]
+        if bad:
+            raise ValueError(f"SUBSET {uname!r} members {bad} not in define")
+    # resolve subset names in measure specs to frozensets of member symbols
+    measures = {
+        name: (
+            spec[0],
+            frozenset(subsets[spec[1]])
+            if isinstance(spec[1], str) and spec[1] in subsets
+            else spec[1],
+            *spec[2:],
+        )
+        for name, spec in measures.items()
+    }
+    for name, spec in measures.items():
+        if isinstance(spec[1], str) and spec[1] not in define:
+            raise ValueError(
+                f"measure {name!r} references symbol {spec[1]!r} — not a "
+                "DEFINE symbol or SUBSET name"
+            )
     skip_sym: str | None = None
     skip_first = False
     m_skip = re.match(r"to (first|last) (\w+)$", after_match)
@@ -341,6 +374,8 @@ def match_recognize(
     def _measure_field(name: str, spec: tuple) -> T.StructField:
         if spec[0] == "count":
             return T.StructField(name, T.LongType())
+        if spec[0] == "avg":
+            return T.StructField(name, T.DoubleType())
         return T.StructField(name, proj.schema[spec[2]].dataType)
 
     if all_rows:
@@ -365,6 +400,29 @@ def match_recognize(
     data_cols = [c for c in base_cols]
     name_by_char = {c: n for n, c in sym_chars.items()}
 
+    def _span_idxs(sym, lo, hi, syms, pos_by_sym, assignment):
+        """Ordered row indices of the match belonging to ``sym`` (a
+        symbol name, a frozenset — SUBSET union — or None = every match
+        row). Generic path for subset/aggregate measures; plain-symbol
+        first/last/count keep their C-level string scans."""
+        if syms is not None:
+            if sym is None:
+                return range(lo, hi)
+            chars = {
+                sym_chars[s] for s in ((sym,) if isinstance(sym, str) else sym)
+            }
+            return [i for i in range(lo, hi) if syms[i] in chars]
+        if sym is None:
+            return sorted(i for i, _ in assignment)
+        names = (sym,) if isinstance(sym, str) else sym
+        out: list[int] = []
+        for s in names:
+            out.extend(pos_by_sym.get(s, ()))
+        out.sort()
+        return out
+
+    _AGGS = ("sum", "avg", "min", "max")
+
     def _emit(key_vals, match_no, lo, hi, arrs, syms=None, assignment=None):
         """One output row from either kernel. ``syms`` drives the C-level
         string measures (fast path); ``assignment`` the NFA positions."""
@@ -372,9 +430,39 @@ def match_recognize(
             pos_by_sym: dict[str, list[int]] = {}
             for idx, s in assignment:
                 pos_by_sym.setdefault(s, []).append(idx)
+        else:
+            pos_by_sym = None
         vals = []
         for spec in specs:
             kind, sym = spec[0], spec[1]
+            if kind in _AGGS or isinstance(sym, frozenset):
+                idxs = _span_idxs(sym, lo, hi, syms, pos_by_sym, assignment)
+                if kind == "count":
+                    col = spec[2] if len(spec) > 2 else None
+                    if col is None:
+                        vals.append(len(idxs))
+                    else:
+                        a = arrs[col]
+                        vals.append(sum(1 for i in idxs if not pd.isna(a[i])))
+                    continue
+                if kind in ("first", "last"):
+                    idxs = list(idxs)
+                    i = (idxs[0] if kind == "first" else idxs[-1]) if idxs else -1
+                    vals.append(arrs[spec[2]][i] if i >= 0 else None)
+                    continue
+                a = arrs[spec[2]]
+                xs = [a[i] for i in idxs if not pd.isna(a[i])]
+                if not xs:
+                    vals.append(None)
+                elif kind == "sum":
+                    vals.append(sum(xs))
+                elif kind == "avg":
+                    vals.append(float(sum(xs)) / len(xs))
+                elif kind == "min":
+                    vals.append(min(xs))
+                else:
+                    vals.append(max(xs))
+                continue
             if kind == "count":
                 col = spec[2] if len(spec) > 2 else None
                 if col is not None:
@@ -458,9 +546,11 @@ def match_recognize(
                 kind, sym = spec[0], spec[1]
                 col = spec[2] if len(spec) > 2 else None
                 mode = (spec[3] if len(spec) > 3 else None) or "running"
-                vals, cnt, cur, seen = [], 0, None, False
+                vals, cnt, cur, seen, acc = [], 0, None, False, 0
                 for idx, sname in pairs:
-                    hit = sym is None or sname == sym
+                    hit = sym is None or (
+                        sname == sym if isinstance(sym, str) else sname in sym
+                    )
                     if kind == "count":
                         if hit and (col is None or not pd.isna(arrs[col][idx])):
                             cnt += 1
@@ -473,6 +563,26 @@ def match_recognize(
                         if hit:
                             cur = arrs[col][idx]
                         vals.append(cur)
+                    elif kind in _AGGS:
+                        v = arrs[col][idx]
+                        if hit and not pd.isna(v):
+                            cnt += 1
+                            if kind in ("sum", "avg"):
+                                acc += v
+                            elif cur is None:
+                                cur = v
+                            elif kind == "min":
+                                cur = min(cur, v)
+                            else:
+                                cur = max(cur, v)
+                        if not cnt:
+                            vals.append(None)
+                        elif kind == "sum":
+                            vals.append(acc)
+                        elif kind == "avg":
+                            vals.append(float(acc) / cnt)
+                        else:
+                            vals.append(cur)
                     else:
                         raise ValueError(f"unknown measure kind {kind!r}")
                 if mode == "final" and vals:

@@ -93,9 +93,12 @@ _MR_FROM = re.compile(
     r"FROM\s+([\w.]+)\s+MATCH_RECOGNIZE\s*\(", re.IGNORECASE
 )
 _MR_MEASURE = re.compile(
-    r"^(?:(RUNNING|FINAL)\s+)?(FIRST|LAST|COUNT)\s*"
+    r"^(?:(RUNNING|FINAL)\s+)?(FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*"
     r"\(\s*(?:(\w+)\s*\.\s*)?(\*|[\w]+)\s*\)\s+AS\s+(\w+)$",
     re.IGNORECASE,
+)
+_MR_BARE_MEASURE = re.compile(
+    r"^(\w+)\s*\.\s*(\w+)\s+AS\s+(\w+)$", re.IGNORECASE
 )
 _MR_NAV = re.compile(r"\b(PREV|NEXT)\s*\(", re.IGNORECASE)
 
@@ -179,9 +182,13 @@ def _parse_match_recognize(query: str):
 
     Supported grammar: PARTITION BY / ORDER BY column lists, MEASURES
     of [RUNNING|FINAL] FIRST(Sym.col) | LAST(Sym.col) | COUNT(Sym.col)
-    | COUNT(Sym.*) | COUNT(*) with mandatory AS aliases, ONE|ALL ROWS
-    PER MATCH, AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO
-    FIRST/LAST Sym, PATTERN (...), DEFINE Sym AS <Spark boolean SQL>
+    | COUNT(Sym.*) | COUNT(*) | SUM/AVG/MIN/MAX(Sym.col), bare
+    ``Sym.col`` (== FINAL LAST), MATCH_NUMBER(), CLASSIFIER() — all
+    with mandatory AS aliases; SUBSET U = (A, B) union symbols usable
+    as the Sym of any measure (reference ``BeamMatchRelTest.java:281``);
+    ONE|ALL ROWS PER MATCH, AFTER MATCH SKIP PAST LAST ROW | TO NEXT
+    ROW | TO FIRST/LAST Sym, PATTERN (...), DEFINE Sym AS
+    <Spark boolean SQL>
     where PREV(col[, n]) / NEXT(col[, n]) physical-row navigation is
     lowered to pre-computed lag/lead columns by ``run_sql`` (reference
     ``impl/cep/CEPCall`` — PREV addresses physical rows, exactly what
@@ -212,7 +219,8 @@ def _parse_match_recognize(query: str):
     heads = list(
         re.finditer(
             r"\b(PARTITION\s+BY|ORDER\s+BY|MEASURES|ONE\s+ROW\s+PER\s+MATCH|"
-            r"ALL\s+ROWS\s+PER\s+MATCH|AFTER\s+MATCH\s+SKIP|PATTERN|DEFINE)\b",
+            r"ALL\s+ROWS\s+PER\s+MATCH|AFTER\s+MATCH\s+SKIP|PATTERN|SUBSET|"
+            r"DEFINE)\b",
             masked_body,
             flags=re.IGNORECASE,
         )
@@ -244,6 +252,12 @@ def _parse_match_recognize(query: str):
                     continue
                 mm = _MR_MEASURE.match(item_n)
                 if not mm:
+                    mb = _MR_BARE_MEASURE.match(item_n)
+                    if mb:
+                        # bare Sym.col (Calcite: the symbol row's value ==
+                        # FINAL LAST of that symbol in one-row mode)
+                        measures[mb.group(3)] = ("last", mb.group(1), mb.group(2))
+                        continue
                     raise ValueError(f"unsupported MEASURES item: {item!r}")
                 mode, kind, sym, col, name = mm.groups()
                 kind = kind.lower()
@@ -260,6 +274,17 @@ def _parse_match_recognize(query: str):
                     spec = (*spec, None, mode) if len(spec) == 2 else (*spec, mode)
                 measures[name] = spec
             kw["measures"] = measures
+        elif head == "SUBSET":
+            # SUBSET U = (A, B), V = (B, C): union symbols for MEASURES
+            subsets = {}
+            for item in _split_top_level(text):
+                ms = re.match(r"^(\w+)\s*=\s*\(([^)]*)\)$", item.strip())
+                if not ms:
+                    raise ValueError(f"unsupported SUBSET item: {item!r}")
+                subsets[ms.group(1)] = [
+                    s.strip() for s in ms.group(2).split(",") if s.strip()
+                ]
+            kw["subsets"] = subsets
         elif head == "ALL ROWS PER MATCH":
             kw["all_rows"] = True
         elif head == "ONE ROW PER MATCH":

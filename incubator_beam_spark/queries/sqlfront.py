@@ -586,3 +586,70 @@ def cep_all_rows_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """,
     )
+
+
+@query(
+    "sql_match_recognize_subset",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id,
+             row_number() OVER w AS rn,
+             CASE WHEN value < lag(value) OVER w THEN 'D'
+                  WHEN value > lag(value) OVER w THEN 'U'
+                  ELSE NULL END AS cls
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+    runs AS (
+      SELECT user_id, cls, min(rn) AS start_rn, max(rn) AS end_rn
+      FROM (SELECT *, rn - row_number()
+              OVER (PARTITION BY user_id, cls ORDER BY rn) AS grp
+            FROM ordered WHERE cls IS NOT NULL)
+      GROUP BY user_id, cls, grp),
+    pairs AS (
+      SELECT d.user_id, d.start_rn AS m_start, d.start_rn, u.end_rn
+      FROM runs d JOIN runs u
+        ON u.user_id = d.user_id AND d.cls = 'D' AND u.cls = 'U'
+       AND u.start_rn = d.end_rn + 1),
+    numbered AS (
+      SELECT user_id, start_rn, end_rn,
+             row_number() OVER (PARTITION BY user_id ORDER BY m_start)
+               AS match_number
+      FROM pairs)
+    SELECT m.user_id, m.match_number,
+           CAST(sum(o.event_id) AS BIGINT) AS sum_u,
+           CAST(count(*) AS BIGINT) AS n_u,
+           min(o.event_id) AS min_u,
+           max(o.event_id) AS max_u
+    FROM numbered m
+    JOIN ordered o ON o.user_id = m.user_id
+                  AND o.rn BETWEEN m.start_rn AND m.end_rn
+    GROUP BY m.user_id, m.match_number
+    """,
+)
+def sql_match_recognize_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSET union symbols + aggregate MEASURES through the SQL front
+    door (reference ``BeamMatchRelTest.java:281`` — ``AVG (U.Price) ...
+    SUBSET U = (A, B, C)``): the V-pattern with SUM/COUNT/MIN/MAX over
+    ``U = (DOWN, UP)``, i.e. every row of the match. Integer event_id
+    aggregates keep the oracle exact (AVG's double division is covered
+    by unit tests, not a hash gate). Oracle: the run-pair expansion
+    joined back to the span's rows and aggregated."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT user_id, match_number, sum_u, n_u, min_u, max_u
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY event_id
+          MEASURES SUM(U.event_id) AS sum_u,
+                   COUNT(U.*) AS n_u,
+                   MIN(U.event_id) AS min_u,
+                   MAX(U.event_id) AS max_u
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (DOWN+ UP+)
+          SUBSET U = (DOWN, UP)
+          DEFINE DOWN AS value < PREV(value),
+                 UP AS value > PREV(value)
+        )
+        """,
+    )

@@ -74,8 +74,9 @@ _PRIORITY: tuple[str, ...] = (
     # ROUND-6 window (verdict r5 item 2, fifth rotation): the fixed
     # round-5 red row leads (stream_per_key_counter_tws — now
     # foreign-session-safe via the tws_subproc fallback) with its timer
-    # sibling; then the two NEW r6 gates (PREV()/NEXT() navigation,
-    # RUNNING/FINAL all-rows measures — verdict items 3+4), the
+    # sibling; then the three NEW r6 gates (PREV()/NEXT() navigation,
+    # RUNNING/FINAL all-rows measures — verdict items 3+4 — and SUBSET
+    # union symbols + SUM/AVG/MIN/MAX aggregate measures), the
     # judge-named priorities (the entire CEP skip/ALL-ROWS/event-time
     # family, the Derby JDBC round-trip, the examples surface, NEXMark
     # Q13/Q14, all three pivot twins, the remaining bounds twins), and
@@ -87,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "stateful_timer_flush_tws",
     "sql_match_recognize_prev",
     "cep_all_rows_running",
+    "sql_match_recognize_subset",
     "sql_match_recognize",
     "cep_skip_to_next_row",
     "cep_skip_to_last",
@@ -132,7 +134,6 @@ _PRIORITY: tuple[str, ...] = (
     "sql_tpcds_q75",
     "sql_tpcds_q76",
     "sql_tpcds_q87",
-    "sql_tpcds_q93",
 )
 
 

@@ -860,3 +860,114 @@ def test_sql_match_number_and_classifier_aliases(spark):
                  MEASURES CLASSIFIER() AS sym
                  PATTERN (C) DEFINE C AS t = 'c')""",
         )
+
+
+def test_subset_and_aggregate_measures(spark):
+    """SUBSET union symbols + SUM/AVG/MIN/MAX measures (reference
+    BeamMatchRelTest.java:281: 'AVG (U.Price) ... SUBSET U = (A, B, C)'),
+    on the Python API and through the SQL front door."""
+    from incubator_beam_spark.plans.cep import match_recognize
+    from incubator_beam_spark.plans.sqlfront import run_sql
+
+    # one V shape: 10, 8, 6, 9, 11 -> DOWN rows (8, 6), UP rows (9, 11)
+    prices = [10.0, 8.0, 6.0, 9.0, 11.0]
+    df = spark.createDataFrame(
+        [(1, i, p) for i, p in enumerate(prices)], "k int, o int, price double"
+    )
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["o"],
+        define={
+            "DOWN": F.col("price") < F.lag("price", 1).over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("k").orderBy("o")
+            ),
+            "UP": F.col("price") > F.lag("price", 1).over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("k").orderBy("o")
+            ),
+        },
+        pattern="DOWN+ UP+",
+        measures={
+            "avg_u": ("avg", "U", "price"),
+            "sum_u": ("sum", "U", "price"),
+            "min_u": ("min", "U", "price"),
+            "max_down": ("max", "DOWN", "price"),
+            "n_u": ("count", "U"),
+        },
+        subsets={"U": ["DOWN", "UP"]},
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.sum_u, r.min_u, r.max_down, r.n_u) == (34.0, 6.0, 8.0, 4)
+    assert abs(r.avg_u - 8.5) < 1e-12
+
+    # same through the SQL text, with PREV navigation + bare measure
+    df.createOrReplaceTempView("mr_subset")
+    got = run_sql(
+        spark,
+        """SELECT * FROM mr_subset MATCH_RECOGNIZE (
+             PARTITION BY k ORDER BY o
+             MEASURES AVG(U.price) AS avg_u,
+                      SUM(U.price) AS sum_u,
+                      MIN(U.price) AS min_u,
+                      LAST(DOWN.price) AS bottom
+             AFTER MATCH SKIP PAST LAST ROW
+             PATTERN (DOWN+ UP+)
+             SUBSET U = (DOWN, UP)
+             DEFINE DOWN AS price < PREV(price),
+                    UP AS price > PREV(price))""",
+    ).collect()
+    assert len(got) == 1
+    g = got[0]
+    assert (g.sum_u, g.min_u, g.bottom) == (34.0, 6.0, 6.0)
+    assert abs(g.avg_u - 8.5) < 1e-12
+
+
+def test_subset_validation_errors(spark):
+    from incubator_beam_spark.plans.cep import match_recognize
+
+    df = spark.createDataFrame([(1, 1, "a")], "k int, o int, t string")
+    with pytest.raises(ValueError, match="not in define"):
+        match_recognize(
+            df, ["k"], ["o"], {"A": F.col("t") == "a"}, "A",
+            {"n": ("count", "U")}, subsets={"U": ["A", "ZZ"]},
+        )
+    with pytest.raises(ValueError, match="collides"):
+        match_recognize(
+            df, ["k"], ["o"], {"A": F.col("t") == "a"}, "A",
+            {"n": ("count", "A")}, subsets={"A": ["A"]},
+        )
+    with pytest.raises(ValueError, match="not a"):
+        match_recognize(
+            df, ["k"], ["o"], {"A": F.col("t") == "a"}, "A",
+            {"n": ("count", "NOPE")},
+        )
+
+
+def test_all_rows_running_aggregates(spark):
+    """Running SUM/AVG/MIN under ALL ROWS PER MATCH."""
+    rows = [(1, 1, "a", 4.0), (1, 2, "b", 2.0), (1, 3, "b", 6.0), (1, 4, "c", 0.0)]
+    df = _events(spark, rows)
+    out = match_recognize(
+        df,
+        partition_by=["key"],
+        order_by=["seq"],
+        define={
+            "A": F.col("etype") == "a",
+            "B": F.col("etype") == "b",
+            "C": F.col("etype") == "c",
+        },
+        pattern="A B+ C",
+        measures={
+            "run_sum_b": ("sum", "B", "val"),
+            "run_avg_b": ("avg", "B", "val"),
+            "run_min": ("min", None, "val"),
+        },
+        all_rows=True,
+    ).collect()
+    out.sort(key=lambda r: r.seq)
+    assert [r.run_sum_b for r in out] == [None, 2.0, 8.0, 8.0]
+    assert [r.run_avg_b for r in out] == [None, 2.0, 4.0, 4.0]
+    assert [r.run_min for r in out] == [4.0, 2.0, 2.0, 0.0]
