@@ -754,6 +754,7 @@ def match_recognize_stream(
     max_buffer: int = 1000,
     event_time: bool = False,
     watermark_delay: str = "10 seconds",
+    subsets: "dict[str, list[str]] | None" = None,
 ):
     """Streaming MATCH_RECOGNIZE: the batch kernel run incrementally over
     a per-key state buffer (``applyInPandasWithState``).
@@ -798,6 +799,23 @@ def match_recognize_stream(
 
     if not define:
         raise ValueError("define must not be empty")
+    subsets = subsets or {}
+    for uname, members in subsets.items():
+        if uname in define:
+            raise ValueError(f"SUBSET name {uname!r} collides with a DEFINE symbol")
+        bad = [m for m in members if m not in define]
+        if bad:
+            raise ValueError(f"SUBSET {uname!r} members {bad} not in define")
+    measures = {
+        name: (
+            spec[0],
+            frozenset(subsets[spec[1]])
+            if isinstance(spec[1], str) and spec[1] in subsets
+            else spec[1],
+            *spec[2:],
+        )
+        for name, spec in measures.items()
+    }
     from .nfa import NFA
 
     sym_chars = _sym_chars(define)
@@ -833,6 +851,8 @@ def match_recognize_stream(
     def _measure_field(name: str, spec: tuple) -> T.StructField:
         if spec[0] == "count":
             return T.StructField(name, T.LongType())
+        if spec[0] == "avg":
+            return T.StructField(name, T.DoubleType())
         return T.StructField(name, proj.schema[spec[2]].dataType)
 
     out_schema = T.StructType(
@@ -891,6 +911,60 @@ def match_recognize_stream(
             vals = []
             for spec in specs:
                 kind, sym = spec[0], spec[1]
+                if kind in ("sum", "avg", "min", "max") or isinstance(
+                    sym, frozenset
+                ):
+                    # generic path: SUBSET union symbols / aggregates
+                    # (same contract as the batch kernel's _span_idxs)
+                    chars = (
+                        None
+                        if sym is None
+                        else {
+                            sym_chars[s]
+                            for s in ((sym,) if isinstance(sym, str) else sym)
+                        }
+                    )
+                    idxs = [
+                        i
+                        for i in range(lo, hi)
+                        if chars is None or syms[i] in chars
+                    ]
+                    if kind == "count":
+                        col = spec[2] if len(spec) > 2 else None
+                        if col is None:
+                            vals.append(len(idxs))
+                        else:
+                            ci = col_idx[col]
+                            vals.append(
+                                sum(
+                                    1
+                                    for i in idxs
+                                    if rows[i][ci] is not None
+                                    and rows[i][ci] == rows[i][ci]
+                                )
+                            )
+                        continue
+                    if kind in ("first", "last"):
+                        i = (idxs[0] if kind == "first" else idxs[-1]) if idxs else -1
+                        vals.append(rows[i][col_idx[spec[2]]] if i >= 0 else None)
+                        continue
+                    ci = col_idx[spec[2]]
+                    xs = [
+                        rows[i][ci]
+                        for i in idxs
+                        if rows[i][ci] is not None and rows[i][ci] == rows[i][ci]
+                    ]
+                    if not xs:
+                        vals.append(None)
+                    elif kind == "sum":
+                        vals.append(sum(xs))
+                    elif kind == "avg":
+                        vals.append(float(sum(xs)) / len(xs))
+                    elif kind == "min":
+                        vals.append(min(xs))
+                    else:
+                        vals.append(max(xs))
+                    continue
                 if kind == "count":
                     col = spec[2] if len(spec) > 2 else None
                     if col is not None:

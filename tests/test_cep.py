@@ -971,3 +971,44 @@ def test_all_rows_running_aggregates(spark):
     assert [r.run_sum_b for r in out] == [None, 2.0, 8.0, 8.0]
     assert [r.run_avg_b for r in out] == [None, 2.0, 4.0, 4.0]
     assert [r.run_min for r in out] == [4.0, 2.0, 2.0, 0.0]
+
+
+def test_match_recognize_stream_subset_aggregates(spark):
+    """Streaming kernel SUBSET + aggregate measures parity."""
+    from pyspark.sql import types as T
+
+    from incubator_beam_spark.streaming import TestStream
+    from incubator_beam_spark.plans.cep import match_recognize_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("etype", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    with TestStream(spark, schema) as ts:
+        out = match_recognize_stream(
+            ts.stream,
+            partition_by="key",
+            order_by="seq",
+            define={
+                "A": F.col("etype") == "a",
+                "B": F.col("etype") == "b",
+                "C": F.col("etype") == "c",
+            },
+            pattern="A B* C",
+            measures={
+                "sum_u": ("sum", "U", "val"),
+                "avg_u": ("avg", "U", "val"),
+                "max_b": ("max", "B", "val"),
+            },
+            subsets={"U": ["A", "B"]},
+        )
+        ts.start(out, output_mode="append")
+        ts.add_elements(
+            [(1, 1, "a", 1.0), (1, 2, "b", 5.0), (1, 3, "b", 3.0), (1, 4, "c", 9.0)]
+        ).advance()
+        rows = [(r.sum_u, r.avg_u, r.max_b) for r in ts.results().collect()]
+        assert rows == [(9.0, 3.0, 5.0)]
