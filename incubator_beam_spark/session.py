@@ -51,7 +51,17 @@ def get_spark(app_name: str = "incubator_beam_spark", cpus: int | None = None) -
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
-        builder = builder.master(f"local[{cpus}]").config("spark.driver.memory", "48g")
+        import tempfile
+
+        builder = (
+            builder.master(f"local[{cpus}]")
+            .config("spark.driver.memory", "48g")
+            # keep the (unused) hive warehouse dir out of the repo CWD
+            .config(
+                "spark.sql.warehouse.dir",
+                os.path.join(tempfile.gettempdir(), "ibs_warehouse"),
+            )
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
