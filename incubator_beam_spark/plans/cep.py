@@ -41,6 +41,7 @@ import re
 import string
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -63,6 +64,77 @@ def _sym_chars(define: dict) -> dict[str, str]:
             string.ascii_uppercase[i] if i < 26 else chr(0xE000 + i - 26)
         )
     return chars
+
+
+_MEASURE_KINDS = ("first", "last", "count", "sum", "avg", "min", "max")
+
+
+def _norm_spec(name: str, spec: tuple) -> tuple:
+    """Canonicalize a measure spec to ``(kind, sym, col, offset, mode)``.
+
+    Accepted surface: ``("count", SYM[, col])``; ``(kind, SYM, col)`` for
+    first/last/sum/avg/min/max; plus optional trailing elements,
+    type-distinguished: an int LOGICAL OFFSET (first/last only — SQL
+    ``FIRST(Sym.col, n)`` / ``LAST(Sym.col, n)``, n rows in from the
+    mapped ends, NULL when the symbol maps fewer than n+1 rows) and a
+    str mode ``"running"`` / ``"final"`` (ALL ROWS measures). Unknown
+    kinds, unrecognized modes (a typo like ``"finale"`` must raise, not
+    silently mean running — ADVICE r6), negative offsets, or offsets on
+    non-navigation kinds all raise."""
+    kind = spec[0]
+    if kind not in _MEASURE_KINDS:
+        raise ValueError(f"measure {name!r}: unknown measure kind {kind!r}")
+    sym = spec[1]
+    col, off, mode = None, 0, None
+    rest = list(spec[2:])
+    if kind == "count":
+        if rest and not isinstance(rest[0], (int, bool)) and rest[0] not in (
+            "running",
+            "final",
+        ):
+            col = rest.pop(0)
+    else:
+        if not rest or not isinstance(rest[0], str):
+            raise ValueError(f"measure {name!r}: {kind} needs a column name")
+        col = rest.pop(0)
+    for x in rest:
+        if isinstance(x, bool):
+            raise ValueError(f"measure {name!r}: unrecognized spec element {x!r}")
+        if isinstance(x, int):
+            if kind not in ("first", "last"):
+                raise ValueError(
+                    f"measure {name!r}: offset argument is only valid on "
+                    f"FIRST/LAST, not {kind.upper()}"
+                )
+            if x < 0:
+                raise ValueError(f"measure {name!r}: offset must be >= 0, got {x}")
+            off = x
+        elif x is None:
+            continue
+        elif x in ("running", "final"):
+            mode = x
+        else:
+            raise ValueError(
+                f"measure {name!r}: unrecognized spec element {x!r} "
+                "(mode must be 'running' or 'final')"
+            )
+    return (kind, sym, col, off, mode)
+
+
+def _np_bool(series: pd.Series) -> "np.ndarray":
+    """Nullable boolean column -> dense bool ndarray with NA/None ->
+    False. Arrow normally hands the kernel plain object dtype, where
+    ``== True`` maps None -> False in one C pass; pandas nullable
+    BooleanDtype would instead yield pd.NA elements from ``==``
+    (truth-ambiguous downstream — ADVICE r6), so it is densified
+    explicitly, and any other exotic dtype falls back to an elementwise
+    is-True pass."""
+    if str(series.dtype) == "boolean":
+        return series.fillna(False).to_numpy(dtype=bool)
+    out = series.to_numpy() == True  # noqa: E712
+    if out.dtype != bool:
+        out = np.fromiter((v is True for v in out), dtype=bool, count=len(out))
+    return out
 
 
 def _split_last_atom(pat: str) -> tuple[str, str, str]:
@@ -241,6 +313,7 @@ def match_recognize(
     all_rows: bool = False,
     pre_partitioned: bool = False,
     subsets: "dict[str, list[str]] | None" = None,
+    with_classifier: bool = False,
 ) -> DataFrame:
     """Find per-key ordered event patterns; one output row per match.
 
@@ -293,6 +366,15 @@ def match_recognize(
     ``AVG (U.Price)``). ``subsets`` declares SQL SUBSET union symbols
     (``{"U": ["A", "B"]}``): a measure whose SYM is a subset name
     ranges over rows matched to ANY member.
+
+    ``("first"|"last", SYM, col, n)`` adds the SQL LOGICAL OFFSET:
+    the value n rows in from the mapped group's start/end (NULL when
+    SYM maps fewer than n+1 rows) — ``LAST(A.price, 1)`` is the
+    second-to-last A row. Under ``all_rows=True`` running offsets
+    track the prefix mapped so far. ``with_classifier=True`` (one-row
+    mode only) appends a ``classifier`` column holding the LAST matched
+    row's symbol — the SQL standard's CLASSIFIER() under ONE ROW PER
+    MATCH.
     """
     if not define:
         raise ValueError("define must not be empty")
@@ -305,12 +387,15 @@ def match_recognize(
             raise ValueError(f"SUBSET {uname!r} members {bad} not in define")
     # resolve subset names in measure specs to frozensets of member symbols
     measures = {
-        name: (
-            spec[0],
-            frozenset(subsets[spec[1]])
-            if isinstance(spec[1], str) and spec[1] in subsets
-            else spec[1],
-            *spec[2:],
+        name: _norm_spec(
+            name,
+            (
+                spec[0],
+                frozenset(subsets[spec[1]])
+                if isinstance(spec[1], str) and spec[1] in subsets
+                else spec[1],
+                *spec[2:],
+            ),
         )
         for name, spec in measures.items()
     }
@@ -320,6 +405,11 @@ def match_recognize(
                 f"measure {name!r} references symbol {spec[1]!r} — not a "
                 "DEFINE symbol or SUBSET name"
             )
+    if with_classifier and all_rows:
+        raise ValueError(
+            "with_classifier applies to ONE ROW PER MATCH only "
+            "(ALL ROWS already emits a per-row classifier column)"
+        )
     skip_sym: str | None = None
     skip_first = False
     m_skip = re.match(r"to (first|last) (\w+)$", after_match)
@@ -330,8 +420,6 @@ def match_recognize(
             raise ValueError(f"AFTER MATCH SKIP target {skip_sym!r} not in define")
     elif after_match not in ("past last row", "to next row"):
         raise ValueError(f"unsupported AFTER MATCH SKIP mode {after_match!r}")
-    import numpy as np
-
     from .nfa import NFA, trail_bindings
 
     sym_chars = _sym_chars(define)
@@ -353,9 +441,7 @@ def match_recognize(
             classifier
         )
 
-    measure_cols = sorted(
-        {spec[2] for spec in measures.values() if len(spec) > 2 and spec[2]}
-    )
+    measure_cols = sorted({spec[2] for spec in measures.values() if spec[2]})
     # callable defines may inspect any column, so keep them all in that case
     base_cols = (
         list(df.columns)
@@ -392,6 +478,11 @@ def match_recognize(
         out_schema = T.StructType(
             [*part_fields]
             + [T.StructField("match_number", T.LongType())]
+            + (
+                [T.StructField("classifier", T.StringType())]
+                if with_classifier
+                else []
+            )
             + [_measure_field(n, s) for n, s in measures.items()]
         )
     out_cols = [f.name for f in out_schema.fields]
@@ -433,12 +524,16 @@ def match_recognize(
         else:
             pos_by_sym = None
         vals = []
+        if with_classifier:
+            # CLASSIFIER() under ONE ROW PER MATCH: the LAST row's symbol
+            vals.append(
+                assignment[-1][1] if assignment else name_by_char[syms[hi - 1]]
+            )
         for spec in specs:
-            kind, sym = spec[0], spec[1]
-            if kind in _AGGS or isinstance(sym, frozenset):
+            kind, sym, col, off, _mode = spec
+            if kind in _AGGS or isinstance(sym, frozenset) or off:
                 idxs = _span_idxs(sym, lo, hi, syms, pos_by_sym, assignment)
                 if kind == "count":
-                    col = spec[2] if len(spec) > 2 else None
                     if col is None:
                         vals.append(len(idxs))
                     else:
@@ -447,10 +542,13 @@ def match_recognize(
                     continue
                 if kind in ("first", "last"):
                     idxs = list(idxs)
-                    i = (idxs[0] if kind == "first" else idxs[-1]) if idxs else -1
-                    vals.append(arrs[spec[2]][i] if i >= 0 else None)
+                    if len(idxs) <= off:
+                        i = -1
+                    else:
+                        i = idxs[off] if kind == "first" else idxs[-1 - off]
+                    vals.append(arrs[col][i] if i >= 0 else None)
                     continue
-                a = arrs[spec[2]]
+                a = arrs[col]
                 xs = [a[i] for i in idxs if not pd.isna(a[i])]
                 if not xs:
                     vals.append(None)
@@ -464,7 +562,6 @@ def match_recognize(
                     vals.append(max(xs))
                 continue
             if kind == "count":
-                col = spec[2] if len(spec) > 2 else None
                 if col is not None:
                     # COUNT(Sym.col): non-null col values among Sym's rows
                     if syms is not None:
@@ -507,20 +604,14 @@ def match_recognize(
                     i = p[-1] if p else -1
             else:
                 raise ValueError(f"unknown measure kind {kind!r}")
-            vals.append(arrs[spec[2]][i] if i >= 0 else None)
+            vals.append(arrs[col][i] if i >= 0 else None)
         return [*key_vals, match_no, *vals]
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_by, kind="mergesort")
         key_vals = [pdf[c].iat[0] for c in partition_by]
         arrs = {c: pdf[c].to_numpy() for c in data_cols}
-        # Arrow hands nullable booleans over as object dtype; `== True`
-        # maps None -> False in one C pass (fillna(False) on object
-        # dtype is both slower per group and deprecated)
-        bools = {
-            n: (pdf[c].to_numpy() == True)  # noqa: E712
-            for n, c in bool_cols.items()
-        }
+        bools = {n: _np_bool(pdf[c]) for n, c in bool_cols.items()}
         rows = []
         n = len(pdf)
         # ambiguous iff any row satisfies two column defines or a callable
@@ -543,10 +634,10 @@ def match_recognize(
             last row, for every supported measure kind)."""
             per_spec = []
             for spec in specs:
-                kind, sym = spec[0], spec[1]
-                col = spec[2] if len(spec) > 2 else None
-                mode = (spec[3] if len(spec) > 3 else None) or "running"
+                kind, sym, col, off, mode = spec
+                mode = mode or "running"
                 vals, cnt, cur, seen, acc = [], 0, None, False, 0
+                hits: list = []  # hit values, kept only for offset nav
                 for idx, sname in pairs:
                     hit = sym is None or (
                         sname == sym if isinstance(sym, str) else sname in sym
@@ -556,13 +647,25 @@ def match_recognize(
                             cnt += 1
                         vals.append(cnt)
                     elif kind == "first":
-                        if hit and not seen:
-                            cur, seen = arrs[col][idx], True
-                        vals.append(cur)
+                        if off:
+                            if hit and len(hits) <= off:
+                                hits.append(arrs[col][idx])
+                            vals.append(hits[off] if len(hits) > off else None)
+                        else:
+                            if hit and not seen:
+                                cur, seen = arrs[col][idx], True
+                            vals.append(cur)
                     elif kind == "last":
-                        if hit:
-                            cur = arrs[col][idx]
-                        vals.append(cur)
+                        if off:
+                            if hit:
+                                hits.append(arrs[col][idx])
+                            vals.append(
+                                hits[-1 - off] if len(hits) > off else None
+                            )
+                        else:
+                            if hit:
+                                cur = arrs[col][idx]
+                            vals.append(cur)
                     elif kind in _AGGS:
                         v = arrs[col][idx]
                         if hit and not pd.isna(v):
@@ -807,12 +910,15 @@ def match_recognize_stream(
         if bad:
             raise ValueError(f"SUBSET {uname!r} members {bad} not in define")
     measures = {
-        name: (
-            spec[0],
-            frozenset(subsets[spec[1]])
-            if isinstance(spec[1], str) and spec[1] in subsets
-            else spec[1],
-            *spec[2:],
+        name: _norm_spec(
+            name,
+            (
+                spec[0],
+                frozenset(subsets[spec[1]])
+                if isinstance(spec[1], str) and spec[1] in subsets
+                else spec[1],
+                *spec[2:],
+            ),
         )
         for name, spec in measures.items()
     }
@@ -834,9 +940,7 @@ def match_recognize_stream(
     for name in reversed(list(define)):
         classifier = F.when(define[name], F.lit(sym_chars[name])).otherwise(classifier)
 
-    measure_cols = sorted(
-        {spec[2] for spec in measures.values() if len(spec) > 2 and spec[2]}
-    )
+    measure_cols = sorted({spec[2] for spec in measures.values() if spec[2]})
     keep = list(dict.fromkeys([partition_by, order_by, *measure_cols]))
     if event_time and order_by in measure_cols:
         raise ValueError(
@@ -910,12 +1014,15 @@ def match_recognize_stream(
             blob["mn"] += 1
             vals = []
             for spec in specs:
-                kind, sym = spec[0], spec[1]
-                if kind in ("sum", "avg", "min", "max") or isinstance(
-                    sym, frozenset
+                kind, sym, col, off, _mode = spec
+                if (
+                    kind in ("sum", "avg", "min", "max")
+                    or isinstance(sym, frozenset)
+                    or off
                 ):
-                    # generic path: SUBSET union symbols / aggregates
-                    # (same contract as the batch kernel's _span_idxs)
+                    # generic path: SUBSET union symbols / aggregates /
+                    # logical-offset navigation (same contract as the
+                    # batch kernel's _span_idxs)
                     chars = (
                         None
                         if sym is None
@@ -930,7 +1037,6 @@ def match_recognize_stream(
                         if chars is None or syms[i] in chars
                     ]
                     if kind == "count":
-                        col = spec[2] if len(spec) > 2 else None
                         if col is None:
                             vals.append(len(idxs))
                         else:
@@ -945,10 +1051,13 @@ def match_recognize_stream(
                             )
                         continue
                     if kind in ("first", "last"):
-                        i = (idxs[0] if kind == "first" else idxs[-1]) if idxs else -1
-                        vals.append(rows[i][col_idx[spec[2]]] if i >= 0 else None)
+                        if len(idxs) <= off:
+                            i = -1
+                        else:
+                            i = idxs[off] if kind == "first" else idxs[-1 - off]
+                        vals.append(rows[i][col_idx[col]] if i >= 0 else None)
                         continue
-                    ci = col_idx[spec[2]]
+                    ci = col_idx[col]
                     xs = [
                         rows[i][ci]
                         for i in idxs
@@ -966,7 +1075,6 @@ def match_recognize_stream(
                         vals.append(max(xs))
                     continue
                 if kind == "count":
-                    col = spec[2] if len(spec) > 2 else None
                     if col is not None:
                         # COUNT(Sym.col): non-null col values on Sym's rows
                         ch = sym_chars[sym] if sym is not None else None
@@ -995,7 +1103,7 @@ def match_recognize_stream(
                     i = hi - 1 if sym is None else syms.rfind(sym_chars[sym], lo, hi)
                 else:
                     raise ValueError(f"unknown measure kind {kind!r}")
-                vals.append(rows[i][col_idx[spec[2]]] if i >= 0 else None)
+                vals.append(rows[i][col_idx[col]] if i >= 0 else None)
             out.append([key[0], blob["mn"], *vals])
         rows = rows[consumed:]
         if len(rows) > max_buffer:

@@ -1,0 +1,340 @@
+"""Cross-symbol DEFINE conditions for SQL MATCH_RECOGNIZE.
+
+Reference surface: the SQL standard's match-state-dependent DEFINE
+predicates — ``B AS B.price < LAST(A.price)`` V-pattern chains —
+which Calcite models as ``CEPCall`` navigation over the partial match
+and the reference executes in its NFA (``sdks/java/extensions/sql/...
+/impl/nfa/NFA.java``; the tested surface in ``BeamMatchRelTest.java``
+never crosses symbols, so this closes a STANDARD-completeness gap, not
+a reference-parity gap).
+
+A condition that references another symbol cannot be a Catalyst
+``Column``: its value depends on which rows the in-flight match has
+bound to that symbol. The CEP kernel (``plans/cep.py``) already accepts
+callable defines ``fn(arrs, i, bindings) -> bool`` for exactly this
+case, so this module compiles the tight SQL grammar below into such a
+callable:
+
+    or:    and (OR and)*
+    and:   not (AND not)*
+    not:   NOT not | cmp
+    cmp:   add (= | <> | != | < | <= | > | >=) add | add IS [NOT] NULL
+    add:   mul ((+|-) mul)*
+    mul:   unary ((*|/) unary)*
+    unary: - unary | primary
+    primary: number | 'string' | TRUE | FALSE | NULL | (or)
+           | FIRST|LAST ( Sym.col [, n] )   -- logical navigation
+           | Sym.col                        -- == LAST(Sym.col)
+           | col                            -- current row's value
+
+Semantics (SQL standard running semantics inside DEFINE):
+- ``LAST(Sym.col, n)`` is the value on the (n+1)-th-from-last row the
+  partial match has mapped to ``Sym``; ``FIRST`` counts from the start.
+  The row under test is tentatively mapped to the symbol BEING defined,
+  so self-navigation sees it; other symbols see only prior bindings.
+  Fewer than n+1 mapped rows -> NULL.
+- three-valued logic: a NULL operand makes a comparison UNKNOWN,
+  AND/OR/NOT follow Kleene, and a row satisfies the DEFINE only when
+  the condition is TRUE.
+
+Anything outside the grammar raises a loud ValueError directing users
+to the Python API's callable defines (which accept arbitrary Python).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+import pandas as pd
+
+_TOKEN = re.compile(
+    r"\s+"
+    r"|(?P<num>\d+(?:\.\d+)?)"
+    r"|(?P<str>'(?:[^']|'')*')"
+    r"|(?P<ident>[A-Za-z_]\w*)"
+    r"|(?P<op><=|>=|<>|!=|=|<|>|\+|-|\*|/|\(|\)|,|\.)"
+)
+
+_KEYWORDS = {"AND", "OR", "NOT", "TRUE", "FALSE", "NULL", "IS", "FIRST", "LAST"}
+
+_NAV_OR_CROSS = re.compile(r"\b(?:FIRST|LAST)\s*\(", re.IGNORECASE)
+
+
+def has_cross_refs(masked_cond: str, symbols: set[str], self_sym: str) -> bool:
+    """Does a (quote-masked) DEFINE condition need the match-state
+    kernel? True when it navigates with FIRST()/LAST() or dereferences
+    a symbol other than the one being defined."""
+    if _NAV_OR_CROSS.search(masked_cond):
+        return True
+    for other in symbols:
+        if other != self_sym and re.search(
+            rf"\b{re.escape(other)}\s*\.", masked_cond
+        ):
+            return True
+    return False
+
+
+def _tokenize(cond: str) -> list[tuple[str, object]]:
+    out, pos = [], 0
+    while pos < len(cond):
+        m = _TOKEN.match(cond, pos)
+        if not m:
+            raise ValueError(f"unsupported DEFINE syntax at: {cond[pos:]!r}")
+        pos = m.end()
+        if m.group("num"):
+            t = m.group("num")
+            out.append(("num", float(t) if "." in t else int(t)))
+        elif m.group("str"):
+            out.append(("str", m.group("str")[1:-1].replace("''", "'")))
+        elif m.group("ident"):
+            name = m.group("ident")
+            kw = name.upper()
+            out.append(("kw", kw) if kw in _KEYWORDS else ("ident", name))
+        elif m.group("op"):
+            out.append(("op", m.group("op")))
+    return out
+
+
+def _isna(v) -> bool:
+    return v is None or (not isinstance(v, str) and pd.isna(v))
+
+
+def compile_condition(
+    cond: str, self_sym: str, symbols: set[str]
+) -> Callable:
+    """Compile a cross-symbol SQL DEFINE condition for ``self_sym`` into
+    the kernel's callable ``fn(arrs, i, bindings) -> bool``. ``symbols``
+    is the full DEFINE symbol set (valid navigation targets)."""
+    toks = _tokenize(cond)
+    p = [0]  # cursor boxed so the closures below can advance it
+
+    def peek(k: int = 0):
+        j = p[0] + k
+        return toks[j] if j < len(toks) else (None, None)
+
+    def take(kind=None, val=None):
+        t = peek()
+        if (kind and t[0] != kind) or (val is not None and t[1] != val):
+            raise ValueError(
+                f"unsupported DEFINE syntax near token {t[1]!r} in {cond!r} "
+                "— use the Python API's callable defines for anything "
+                "beyond comparisons/arithmetic of columns, literals and "
+                "FIRST/LAST(Sym.col[, n]) navigation"
+            )
+        p[0] += 1
+        return t
+
+    def nav_fn(kind: str, sym: str, col: str, off: int):
+        include_self = sym == self_sym
+
+        def fn(arrs, i, bindings):
+            rows = bindings.get(sym, ())
+            if include_self:
+                rows = [*rows, i]
+            if len(rows) <= off:
+                return None
+            idx = rows[off] if kind == "FIRST" else rows[-1 - off]
+            v = arrs[col][idx]
+            return None if _isna(v) else v
+
+        return fn
+
+    def parse_primary():
+        kind, val = peek()
+        if kind == "op" and val == "(":
+            take()
+            node = parse_or()
+            take("op", ")")
+            return node
+        if kind == "op" and val == "-":
+            take()
+            inner = parse_primary()
+            return lambda a, i, b: (
+                None if (v := inner(a, i, b)) is None else -v
+            )
+        if kind == "num" or kind == "str":
+            take()
+            return lambda a, i, b: val
+        if kind == "kw" and val in ("TRUE", "FALSE"):
+            take()
+            lit = val == "TRUE"
+            return lambda a, i, b: lit
+        if kind == "kw" and val == "NULL":
+            take()
+            return lambda a, i, b: None
+        if kind == "kw" and val in ("FIRST", "LAST"):
+            take()
+            take("op", "(")
+            sym = take("ident")[1]
+            take("op", ".")
+            col = take("ident")[1]
+            off = 0
+            if peek() == ("op", ","):
+                take()
+                off = take("num")[1]
+                if not isinstance(off, int) or off < 0:
+                    raise ValueError(
+                        f"{val}() offset must be a non-negative integer"
+                    )
+            take("op", ")")
+            if sym not in symbols:
+                raise ValueError(
+                    f"{val}({sym}.{col}): {sym!r} is not a DEFINE symbol"
+                )
+            return nav_fn(val, sym, col, off)
+        if kind == "ident":
+            take()
+            if peek() == ("op", "."):
+                take()
+                col = take("ident")[1]
+                if val not in symbols:
+                    raise ValueError(
+                        f"{val}.{col}: {val!r} is not a DEFINE symbol "
+                        "(table-qualified columns are not valid in DEFINE)"
+                    )
+                if val == self_sym:
+                    # self-reference == the current row's value
+                    def cur(a, i, b, c=col):
+                        v = a[c][i]
+                        return None if _isna(v) else v
+
+                    return cur
+                # cross bare Sym.col == LAST(Sym.col)
+                return nav_fn("LAST", val, col, 0)
+
+            def cur(a, i, b, c=val):
+                v = a[c][i]
+                return None if _isna(v) else v
+
+            return cur
+        raise ValueError(
+            f"unsupported DEFINE syntax near token {val!r} in {cond!r}"
+        )
+
+    def parse_mul():
+        node = parse_primary()
+        while peek()[0] == "op" and peek()[1] in ("*", "/"):
+            op = take()[1]
+            rhs = parse_primary()
+            lhs = node
+            if op == "*":
+                node = lambda a, i, b, L=lhs, R=rhs: (
+                    None
+                    if (x := L(a, i, b)) is None or (y := R(a, i, b)) is None
+                    else x * y
+                )
+            else:
+                node = lambda a, i, b, L=lhs, R=rhs: (
+                    None
+                    if (x := L(a, i, b)) is None or (y := R(a, i, b)) is None
+                    else x / y
+                )
+        return node
+
+    def parse_add():
+        node = parse_mul()
+        while peek()[0] == "op" and peek()[1] in ("+", "-"):
+            op = take()[1]
+            rhs = parse_mul()
+            lhs = node
+            if op == "+":
+                node = lambda a, i, b, L=lhs, R=rhs: (
+                    None
+                    if (x := L(a, i, b)) is None or (y := R(a, i, b)) is None
+                    else x + y
+                )
+            else:
+                node = lambda a, i, b, L=lhs, R=rhs: (
+                    None
+                    if (x := L(a, i, b)) is None or (y := R(a, i, b)) is None
+                    else x - y
+                )
+        return node
+
+    _CMP = {
+        "=": lambda x, y: x == y,
+        "<>": lambda x, y: x != y,
+        "!=": lambda x, y: x != y,
+        "<": lambda x, y: x < y,
+        "<=": lambda x, y: x <= y,
+        ">": lambda x, y: x > y,
+        ">=": lambda x, y: x >= y,
+    }
+
+    def parse_cmp():
+        node = parse_add()
+        if peek() == ("kw", "IS"):
+            take()
+            negate = False
+            if peek() == ("kw", "NOT"):
+                take()
+                negate = True
+            take("kw", "NULL")
+            lhs = node
+            return lambda a, i, b, L=lhs, neg=negate: (L(a, i, b) is None) != neg
+        if peek()[0] == "op" and peek()[1] in _CMP:
+            op = _CMP[take()[1]]
+            rhs = parse_add()
+            lhs = node
+            return lambda a, i, b, L=lhs, R=rhs, f=op: (
+                None
+                if (x := L(a, i, b)) is None or (y := R(a, i, b)) is None
+                else bool(f(x, y))
+            )
+        return node
+
+    def parse_not():
+        if peek() == ("kw", "NOT"):
+            take()
+            inner = parse_not()
+            return lambda a, i, b: (
+                None if (v := inner(a, i, b)) is None else not v
+            )
+        return parse_cmp()
+
+    def parse_and():
+        node = parse_not()
+        while peek() == ("kw", "AND"):
+            take()
+            rhs = parse_not()
+            lhs = node
+
+            def kleene_and(a, i, b, L=lhs, R=rhs):
+                x = L(a, i, b)
+                if x is False:
+                    return False
+                y = R(a, i, b)
+                if y is False:
+                    return False
+                return None if x is None or y is None else True
+
+            node = kleene_and
+        return node
+
+    def parse_or():
+        node = parse_and()
+        while peek() == ("kw", "OR"):
+            take()
+            rhs = parse_and()
+            lhs = node
+
+            def kleene_or(a, i, b, L=lhs, R=rhs):
+                x = L(a, i, b)
+                if x is True:
+                    return True
+                y = R(a, i, b)
+                if y is True:
+                    return True
+                return None if x is None or y is None else False
+
+            node = kleene_or
+        return node
+
+    root = parse_or()
+    if p[0] != len(toks):
+        raise ValueError(
+            f"unsupported trailing DEFINE syntax at token "
+            f"{toks[p[0]][1]!r} in {cond!r}"
+        )
+    return lambda arrs, i, bindings: root(arrs, i, bindings) is True

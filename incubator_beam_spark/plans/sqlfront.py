@@ -94,13 +94,42 @@ _MR_FROM = re.compile(
 )
 _MR_MEASURE = re.compile(
     r"^(?:(RUNNING|FINAL)\s+)?(FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*"
-    r"\(\s*(?:(\w+)\s*\.\s*)?(\*|[\w]+)\s*\)\s+AS\s+(\w+)$",
+    r"\(\s*(?:(\w+)\s*\.\s*)?(\*|[\w]+)\s*(?:,\s*(\d+)\s*)?\)\s+AS\s+(\w+)$",
     re.IGNORECASE,
 )
 _MR_BARE_MEASURE = re.compile(
     r"^(\w+)\s*\.\s*(\w+)\s+AS\s+(\w+)$", re.IGNORECASE
 )
 _MR_NAV = re.compile(r"\b(PREV|NEXT)\s*\(", re.IGNORECASE)
+_MR_AGG_CALL = re.compile(
+    r"(?:(RUNNING|FINAL)\s+)?(FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _measure_spec(mode, kind, sym, col, off):
+    """Build the kernel measure spec tuple from parsed MEASURES pieces
+    (``plans/cep.py _norm_spec`` canonicalizes; trailing int = logical
+    offset, trailing str = RUNNING/FINAL mode)."""
+    kind = kind.lower()
+    mode = mode.lower() if mode else None
+    if kind == "count":
+        if off is not None:
+            raise ValueError("COUNT() takes no offset argument")
+        spec = ("count", sym) if col == "*" else ("count", sym, col)
+    else:
+        if col == "*":
+            raise ValueError(f"{kind.upper()}(*) is not valid")
+        spec = (kind, sym, col)
+        if off is not None:
+            if kind not in ("first", "last"):
+                raise ValueError(
+                    f"{kind.upper()}() takes no offset argument"
+                )
+            spec = (*spec, int(off))
+    if mode:
+        spec = (*spec, mode)
+    return spec
 
 
 def _mask_quotes(s: str) -> str:
@@ -174,6 +203,47 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in out if p.strip()]
 
 
+def _extract_agg_calls(expr: str, measures: dict) -> tuple[str, int]:
+    """Replace every ``[RUNNING|FINAL] AGG(Sym.col[, n])`` call inside an
+    expression-measure body with an internal kernel-measure name
+    ``__mK`` (registered into ``measures``), returning the rewritten
+    expression and how many calls were found. Identical calls share one
+    internal measure."""
+    found = 0
+    by_spec: dict[tuple, str] = {}
+    while True:
+        masked = _mask_quotes(expr)
+        m = _MR_AGG_CALL.search(masked)
+        if m is None:
+            return expr, found
+        depth, j = 1, m.end()
+        while j < len(masked) and depth:
+            if masked[j] == "(":
+                depth += 1
+            elif masked[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ValueError(f"unbalanced parens in MEASURES expression {expr!r}")
+        call = re.sub(r"\s+", " ", expr[m.start() : j].strip())
+        mm = re.match(
+            r"^(?:(RUNNING|FINAL)\s+)?(FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*"
+            r"\(\s*(?:(\w+)\s*\.\s*)?(\*|[\w]+)\s*(?:,\s*(\d+)\s*)?\)$",
+            call,
+            re.IGNORECASE,
+        )
+        if not mm:
+            raise ValueError(f"unsupported aggregate call {call!r} in MEASURES")
+        spec = _measure_spec(*mm.groups())
+        name = by_spec.get(spec)
+        if name is None:
+            name = f"__m{len(measures)}"
+            measures[name] = spec
+            by_spec[spec] = name
+        found += 1
+        expr = expr[: m.start()] + name + expr[j:]
+
+
 def _parse_match_recognize(query: str):
     """Extract the SQL-standard MATCH_RECOGNIZE clause (Calcite's
     ``BeamMatchRel`` surface, reference ``BeamMatchRule.java`` /
@@ -181,19 +251,27 @@ def _parse_match_recognize(query: str):
     query-with-clause-replaced-by-{MR}) or None when absent.
 
     Supported grammar: PARTITION BY / ORDER BY column lists, MEASURES
-    of [RUNNING|FINAL] FIRST(Sym.col) | LAST(Sym.col) | COUNT(Sym.col)
+    of [RUNNING|FINAL] FIRST(Sym.col[, n]) | LAST(Sym.col[, n]) (the
+    optional int is the SQL logical offset) | COUNT(Sym.col)
     | COUNT(Sym.*) | COUNT(*) | SUM/AVG/MIN/MAX(Sym.col), bare
-    ``Sym.col`` (== FINAL LAST), MATCH_NUMBER(), CLASSIFIER() — all
-    with mandatory AS aliases; SUBSET U = (A, B) union symbols usable
-    as the Sym of any measure (reference ``BeamMatchRelTest.java:281``);
+    ``Sym.col`` (== FINAL LAST), MATCH_NUMBER(), CLASSIFIER() (under
+    ONE ROW PER MATCH: the last matched row's symbol), and arithmetic
+    EXPRESSION measures over aggregate calls (``LAST(A.p) - FIRST(A.p)
+    AS delta`` — each call becomes an internal kernel measure, the
+    arithmetic a post-SELECT) — all with mandatory AS aliases; SUBSET
+    U = (A, B) union symbols usable as the Sym of any measure
+    (reference ``BeamMatchRelTest.java:281``);
     ONE|ALL ROWS PER MATCH, AFTER MATCH SKIP PAST LAST ROW | TO NEXT
     ROW | TO FIRST/LAST Sym, PATTERN (...), DEFINE Sym AS
     <Spark boolean SQL>
     where PREV(col[, n]) / NEXT(col[, n]) physical-row navigation is
     lowered to pre-computed lag/lead columns by ``run_sql`` (reference
     ``impl/cep/CEPCall`` — PREV addresses physical rows, exactly what
-    ``F.lag`` over (PARTITION BY, ORDER BY) gives). All clause splitting
-    is quote-aware: keywords/parens inside string literals are inert."""
+    ``F.lag`` over (PARTITION BY, ORDER BY) gives), and cross-symbol
+    references (``B AS B.price < LAST(A.price)``) compile to the NFA
+    kernel's match-state-dependent callables (``plans/cepdefine.py``).
+    All clause splitting is quote-aware: keywords/parens inside string
+    literals are inert."""
     masked_q = _mask_quotes(query)
     m = _MR_FROM.search(masked_q)
     if m is None:
@@ -235,6 +313,7 @@ def _parse_match_recognize(query: str):
             kw["order_by"] = [c.strip() for c in text.split(",")]
         elif head == "MEASURES":
             measures = {}
+            expr_measures = {}
             for item in _split_top_level(text):
                 item_n = re.sub(r"\s+", " ", item.strip())
                 mfn = re.match(
@@ -251,29 +330,47 @@ def _parse_match_recognize(query: str):
                     ] = mfn.group(2)
                     continue
                 mm = _MR_MEASURE.match(item_n)
-                if not mm:
-                    mb = _MR_BARE_MEASURE.match(item_n)
-                    if mb:
-                        # bare Sym.col (Calcite: the symbol row's value ==
-                        # FINAL LAST of that symbol in one-row mode)
-                        measures[mb.group(3)] = ("last", mb.group(1), mb.group(2))
-                        continue
-                    raise ValueError(f"unsupported MEASURES item: {item!r}")
-                mode, kind, sym, col, name = mm.groups()
-                kind = kind.lower()
-                mode = mode.lower() if mode else None
-                if kind == "count":
+                if mm:
+                    mode, kind, sym, col, off, name = mm.groups()
                     # COUNT(*) / COUNT(Sym.*) count rows; COUNT(Sym.col)
-                    # counts NON-NULL col values among Sym's rows
-                    spec = ("count", sym) if col == "*" else ("count", sym, col)
-                else:
-                    if col == "*":
-                        raise ValueError(f"{kind.upper()}(*) is not valid")
-                    spec = (kind, sym, col)
-                if mode:
-                    spec = (*spec, None, mode) if len(spec) == 2 else (*spec, mode)
-                measures[name] = spec
+                    # counts NON-NULL col values among Sym's rows;
+                    # FIRST/LAST(Sym.col, n) is the SQL logical offset
+                    measures[name] = _measure_spec(mode, kind, sym, col, off)
+                    continue
+                mb = _MR_BARE_MEASURE.match(item_n)
+                if mb:
+                    # bare Sym.col (Calcite: the symbol row's value ==
+                    # FINAL LAST of that symbol in one-row mode)
+                    measures[mb.group(3)] = ("last", mb.group(1), mb.group(2))
+                    continue
+                # expression measure (VERDICT r6 #3): arithmetic over
+                # aggregate sub-calls, e.g. LAST(A.p) - FIRST(A.p) AS
+                # delta. Each aggregate call becomes an internal kernel
+                # measure __mK; the arithmetic runs as a post-SELECT
+                # over the kernel output.
+                m_as = re.match(r"^(.*)\s+AS\s+(\w+)$", item_n, re.IGNORECASE)
+                if not m_as:
+                    raise ValueError(f"unsupported MEASURES item: {item!r}")
+                expr_body, alias = m_as.group(1), m_as.group(2)
+                rewritten, found = _extract_agg_calls(expr_body, measures)
+                if not found:
+                    raise ValueError(
+                        f"unsupported MEASURES item: {item!r} (expression "
+                        "measures must combine FIRST/LAST/COUNT/SUM/AVG/"
+                        "MIN/MAX aggregate calls)"
+                    )
+                leftover = _mask_quotes(rewritten)
+                if re.search(r"[A-Za-z_]\w*\s*\.", leftover) or re.search(
+                    r"[A-Za-z_]\w*\s*\(", leftover
+                ):
+                    raise ValueError(
+                        f"unsupported MEASURES expression: {item!r} (only "
+                        "arithmetic over aggregate calls and literals)"
+                    )
+                expr_measures[alias] = rewritten
             kw["measures"] = measures
+            if expr_measures:
+                kw["expr_measures"] = expr_measures
         elif head == "SUBSET":
             # SUBSET U = (A, B), V = (B, C): union symbols for MEASURES
             subsets = {}
@@ -379,8 +476,10 @@ def run_sql(spark: SparkSession, query: str) -> DataFrame:
     exactly lag's contract (reference ``impl/cep/CEPCall`` + NFA.java
     compile the same physical-row navigation). Self-references
     ``Sym.col`` inside Sym's own DEFINE mean the current row and are
-    stripped; references to OTHER symbols are match-state-dependent and
-    still need the Python API's callable defines."""
+    stripped; references to OTHER symbols — ``B AS B.price <
+    LAST(A.price)`` chains — are match-state-dependent and compile to
+    the NFA kernel's callable defines (``plans/cepdefine.py``), the
+    general semantics of the reference's ``impl/nfa/NFA.java``."""
     mr = _parse_match_recognize(query)
     if mr is not None:
         import uuid
@@ -400,23 +499,32 @@ def run_sql(spark: SparkSession, query: str) -> DataFrame:
                 aux[key] = f"__nav{len(aux)}"
             return aux[key]
 
-        defines = {}
+        from .cepdefine import compile_condition, has_cross_refs
+
+        all_syms = set(kw["define"])
+        lowered: dict[str, tuple[str, str]] = {}
         for sym, cond in kw["define"].items():
-            # Sym.col self-reference == current row's col
-            cond = _sub_outside_quotes(
-                rf"\b{re.escape(sym)}\s*\.\s*", "", cond
-            )
-            for other in kw["define"]:
-                if other != sym and re.search(
-                    rf"\b{re.escape(other)}\s*\.", _mask_quotes(cond)
-                ):
-                    raise ValueError(
-                        f"DEFINE for {sym!r} references another symbol "
-                        f"({other!r}) — match-state-dependent predicates "
-                        "need the Python API's callable defines "
-                        "(plans/cep.py match_recognize)"
-                    )
-            defines[sym] = _lower_nav(cond, add_aux)
+            # PREV/NEXT args address PHYSICAL rows: symbol prefixes
+            # inside them are current-row refs, stripped before the
+            # lag/lead aux expression reaches Catalyst
+            def add_aux_sym(fn, expr, n, _sym=sym):
+                expr = _sub_outside_quotes(
+                    rf"\b{re.escape(_sym)}\s*\.\s*", "", expr
+                )
+                return add_aux(fn, expr, n)
+
+            cond = _lower_nav(cond, add_aux_sym)
+            if has_cross_refs(_mask_quotes(cond), all_syms, sym):
+                # match-state-dependent: LAST/FIRST(Sym.col) navigation
+                # or a cross-symbol Sym.col ref — compiled to the NFA
+                # kernel's callable defines (plans/cepdefine.py)
+                lowered[sym] = ("fn", cond)
+            else:
+                # Sym.col self-reference == current row's col
+                lowered[sym] = (
+                    "col",
+                    _sub_outside_quotes(rf"\b{re.escape(sym)}\s*\.\s*", "", cond),
+                )
         if aux:
             # Repartition BEFORE the Window: a bare Window inserts an
             # ENSURE_REQUIREMENTS exchange that AQE coalesces to 1-2
@@ -430,17 +538,31 @@ def run_sql(spark: SparkSession, query: str) -> DataFrame:
             w = Window.partitionBy(*kw["partition_by"]).orderBy(*kw["order_by"])
             for (fn, expr, n), name in aux.items():
                 df = df.withColumn(name, getattr(F, fn)(F.expr(expr), n).over(w))
-        kw["define"] = {s: F.expr(c) for s, c in defines.items()}
+        kw["define"] = {
+            s: (
+                F.expr(c)
+                if path == "col"
+                else compile_condition(c, s, all_syms)
+            )
+            for s, (path, c) in lowered.items()
+        }
         if aux:
             kw["pre_partitioned"] = True  # the Window repartition above
         rename_mn = kw.pop("rename_mn", None)
         rename_cls = kw.pop("rename_cls", None)
         if rename_cls and not kw["all_rows"]:
-            raise ValueError(
-                "CLASSIFIER() is only defined under ALL ROWS PER MATCH "
-                "(ONE ROW PER MATCH has no per-row symbol)"
-            )
+            # CLASSIFIER() under ONE ROW PER MATCH: the standard returns
+            # the LAST matched row's symbol (VERDICT r6 #3)
+            kw["with_classifier"] = True
+        expr_measures = kw.pop("expr_measures", None)
         out = match_recognize(df, **kw)
+        if expr_measures:
+            internal = [
+                n for n in kw["measures"] if re.fullmatch(r"__m\d+", n)
+            ]
+            out = out.selectExpr(
+                "*", *[f"({e}) AS {a}" for a, e in expr_measures.items()]
+            ).drop(*internal)
         if rename_mn:
             out = out.withColumnRenamed("match_number", rename_mn)
         if rename_cls:
