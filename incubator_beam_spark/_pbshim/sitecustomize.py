@@ -69,7 +69,17 @@ for _p in sys.path:
 
             _spec = _ilu.spec_from_file_location("sitecustomize", _f)
             _mod = _ilu.module_from_spec(_spec)
+            # register BEFORE exec so a later explicit `import
+            # sitecustomize` resolves to this module instead of
+            # re-executing user startup code (ADVICE r6)
+            sys.modules["sitecustomize"] = _mod
             _spec.loader.exec_module(_mod)
-        except Exception:
-            pass
+        except Exception as _e:
+            # mirror site.py's own error reporting: never break startup,
+            # but never swallow the user's failure silently (ADVICE r6)
+            sys.modules.pop("sitecustomize", None)
+            print(
+                f"Error in chained sitecustomize ({_f}): {_e!r}",
+                file=sys.stderr,
+            )
         break

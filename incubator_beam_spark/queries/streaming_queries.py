@@ -1198,7 +1198,17 @@ def _tws_host_or_subproc(spark: SparkSession, sf_dir: str, impl_name: str) -> Da
         raise RuntimeError(
             f"TWS subprocess ({impl_name}) failed:\n{proc.stderr[-2000:]}"
         )
-    return spark.read.parquet(out)
+    # materialize the (driver-artifact-sized) result and remove the temp
+    # dir eagerly — a lazy read would leak one mkdtemp per gate run
+    # (ADVICE r6)
+    import shutil
+
+    try:
+        result = spark.read.parquet(out)
+        rows, schema = result.collect(), result.schema
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def _tws_counter_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
