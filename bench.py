@@ -303,6 +303,50 @@ def scale_lane(spark, sf_dir: str, scales=(1, 10)) -> dict:
         )
         return matches.groupBy().agg(F.count(F.lit(1)).alias("n"))
 
+    def run_cep_nav(k):
+        """The PREV-navigation pipeline END TO END (verdict r6 item 5):
+        run_sql lowers PREV() to a lag Window BEFORE the kernel behind
+        one REPARTITION_BY_NUM exchange. This lane structurally catches
+        any regression of the r6 AQE-collapse fix (the Window's
+        ENSURE_REQUIREMENTS exchange coalescing to 1-2 tasks and
+        serializing the Python stage — a ~4x wall hit that shows up
+        here as a jump in t_1x AND the exponent)."""
+        from functools import reduce
+
+        from pyspark.sql import DataFrame
+
+        from incubator_beam_spark.plans.sqlfront import run_sql
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        copies = [
+            ev.withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
+            .withColumn("event_id", F.col("event_id") + F.lit(i * 100_000_000))
+            for i in range(k)
+        ]
+        reduce(DataFrame.unionAll, copies).createOrReplaceTempView(
+            "__scale_events"
+        )
+        out = run_sql(
+            spark,
+            """
+            SELECT user_id, match_number, bottom_event, top_event, n_down, n_up
+            FROM __scale_events MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY event_id
+              MEASURES LAST(DOWN.event_id) AS bottom_event,
+                       LAST(UP.event_id) AS top_event,
+                       COUNT(DOWN.*) AS n_down,
+                       COUNT(UP.*) AS n_up
+              ONE ROW PER MATCH
+              AFTER MATCH SKIP PAST LAST ROW
+              PATTERN (DOWN+ UP+)
+              DEFINE DOWN AS value < PREV(value),
+                     UP AS value > PREV(value)
+            )
+            """,
+        )
+        return out.groupBy().agg(F.count(F.lit(1)).alias("n"))
+
     ops = {
         "doc_minhash_lsh_pairs": run_minhash,
         "doc_neardup_clusters": run_clusters,
@@ -314,6 +358,7 @@ def scale_lane(spark, sf_dir: str, scales=(1, 10)) -> dict:
         "doc_bigram_logprob": run_bigram,
         "join_bloom_prefilter": run_bloom_join,
         "cep_match_recognize": run_cep,
+        "cep_prev_navigation": run_cep_nav,
     }
     base_rows = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     emb_rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
