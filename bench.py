@@ -104,6 +104,13 @@ HEADLINE = [
     # row, the kernel's widest emit path)
     "sql_match_recognize_prev",
     "cep_all_rows_running",
+    # round-7 additions: cross-symbol DEFINE (the NFA's per-transition
+    # compiled predicates — prices the match-state-dependent path), the
+    # MEASURES-completeness trio, and the planned Python data source
+    # (Arrow-batched partition-parallel generation)
+    "sql_match_recognize_cross",
+    "cep_measures_complete",
+    "io_python_datasource",
 ]
 
 

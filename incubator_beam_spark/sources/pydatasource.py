@@ -29,7 +29,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 def _md5_int(text: str) -> int:
@@ -125,9 +130,60 @@ class SyntheticPyReader(DataSourceReader):
             yield batch(ids, parts, key_ids, keys, values)
 
 
+class SyntheticPyStreamReader(DataSourceStreamReader):
+    """The UnboundedSource analog (reference
+    ``SyntheticUnboundedSource.java`` + ``iobase.py:1239`` SDF
+    machinery), expressed in Spark's offset contract: ``latestOffset``
+    advances the id high-watermark by ``rowsPerBatch`` per micro-batch
+    (capped at ``numRecords`` so a drain TERMINATES deterministically),
+    ``partitions(start, end)`` splits each batch's id range into
+    ``numPartitions`` parallel planned splits, and a replayed
+    ``(start, end)`` regenerates bit-identical rows — exactly the
+    exactly-once replay guarantee Structured Streaming requires of a
+    source (and the reason classic Pub/Sub stays dropped, README ADR).
+    Rows carry the micro-batch index and partition index, so the offset
+    LOG and the split plan are both oracle-checkable."""
+
+    def __init__(self, options):
+        self.inner = SyntheticPyReader(options)
+        self.rows_per_batch = int(options.get("rowsperbatch", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"id": 0}
+
+    def latestOffset(self) -> dict:
+        # one state mutation per micro-batch, capped: the drain ends
+        self._last = getattr(self, "_last", 0)
+        self._last = min(self._last + self.rows_per_batch, self.inner.n)
+        return {"id": self._last}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["id"], end["id"]
+        n = hi - lo
+        if n <= 0:
+            return [SyntheticRange(0, lo, lo)]
+        parts = self.inner.parts
+        chunk = -(-n // parts)
+        batch_index = lo // self.rows_per_batch
+        return [
+            SyntheticRange(
+                batch_index * 1000 + i, lo + i * chunk, min(lo + (i + 1) * chunk, hi)
+            )
+            for i in range(parts)
+            if lo + i * chunk < hi
+        ]
+
+    def read(self, partition: SyntheticRange):
+        yield from self.inner.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class SyntheticPyDataSource(DataSource):
-    """``spark.read.format("synthetic_py")`` after
-    ``spark.dataSource.register(SyntheticPyDataSource)``."""
+    """``spark.read.format("synthetic_py")`` (bounded, planned splits) or
+    ``spark.readStream.format("synthetic_py")`` (offset-tracked
+    micro-batches) after ``spark.dataSource.register``."""
 
     @classmethod
     def name(cls) -> str:
@@ -138,3 +194,6 @@ class SyntheticPyDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticPyReader:
         return SyntheticPyReader(self.options)
+
+    def streamReader(self, schema) -> SyntheticPyStreamReader:
+        return SyntheticPyStreamReader(self.options)

@@ -1174,3 +1174,47 @@ def test_expression_measures_sql(spark):
              DEFINE D AS v < PREV(v), U AS v > PREV(v))""",
     ).columns
     assert not [c for c in cols if c.startswith("__m")]
+
+
+def test_cepdefine_differential_vs_catalyst(spark):
+    """Differential check of the DEFINE compiler's scalar semantics
+    against Catalyst: for cross-reference-FREE conditions, the compiled
+    callable evaluated row-by-row (empty bindings) must keep exactly
+    the rows a Spark filter on the same SQL text keeps — including
+    three-valued NULL behavior under NOT/AND/OR, arithmetic null
+    propagation, and string equality."""
+    import pandas as pd
+
+    from incubator_beam_spark.plans.cepdefine import compile_condition
+
+    rows = [
+        (i, v, t)
+        for i, (v, t) in enumerate(
+            [
+                (10.0, "a"), (None, "b"), (3.5, None), (0.0, "a"),
+                (-2.0, "c"), (7.0, "b"), (None, None), (100.0, "a"),
+            ]
+        )
+    ]
+    df = spark.createDataFrame(rows, "i int, v double, t string")
+    pdf = df.toPandas()
+    arrs = {c: pdf[c].to_numpy() for c in pdf.columns}
+    conds = [
+        "v > 3",
+        "NOT v > 3",
+        "v > 3 AND t = 'a'",
+        "v > 3 OR t = 'b'",
+        "NOT (v > 3 OR t = 'b')",
+        "v + 1 > 4 AND NOT t = 'c'",
+        "v * 2 - 1 >= 13",
+        "v IS NULL",
+        "t IS NOT NULL AND v / 2 < 4",
+        "v > 3 AND (t = 'a' OR t = 'b') AND NOT v >= 100",
+        "-v < -5",
+        "t <> 'a'",
+    ]
+    for cond in conds:
+        fn = compile_condition(cond, "X", {"X"})
+        mine = {int(arrs["i"][k]) for k in range(len(pdf)) if fn(arrs, k, {})}
+        catalyst = {r.i for r in df.filter(cond).collect()}
+        assert mine == catalyst, f"{cond!r}: {mine} != {catalyst}"
