@@ -820,15 +820,17 @@ def match_recognize(
     return proj.groupBy(*partition_by).applyInPandas(run, out_schema)
 
 
-def _stable_scan(nfa, n: int, can) -> tuple[list[tuple[int, int]], int]:
+def _stable_scan(nfa, n: int, can) -> tuple[list[tuple[int, int, list]], int]:
     """Non-overlapping leftmost-greedy matches over a PARTIAL stream
     prefix: scan like ``NFA.finditer`` but stop at the first position
     whose outcome could still change with more input (some branch at or
     above the winning priority probed past the buffer end). Returns
-    (decided matches, boundary): everything before ``boundary`` is
-    final — emit the matches, drop the prefix; rows from ``boundary``
-    on must stay buffered."""
-    matches: list[tuple[int, int]] = []
+    (decided matches as ``(lo, hi, assignment)``, boundary): everything
+    before ``boundary`` is final — emit the matches, drop the prefix;
+    rows from ``boundary`` on must stay buffered. The assignment (the
+    NFA's ``[(row, sym), ...]``) carries symbol attribution for rows
+    classified by CALLABLE defines, which have no classifier char."""
+    matches: list[tuple[int, int, list]] = []
     i = 0
     while i < n:
         probe = [False]
@@ -842,7 +844,7 @@ def _stable_scan(nfa, n: int, can) -> tuple[list[tuple[int, int]], int]:
         if m is None or m[0] == i:
             i += 1
             continue
-        matches.append((i, m[0]))
+        matches.append((i, m[0], m[1]))
         i = m[0]
     return matches, n
 
@@ -851,13 +853,14 @@ def match_recognize_stream(
     df: DataFrame,
     partition_by: str,
     order_by: str,
-    define: dict[str, Column],
+    define: dict[str, "Column | callable"],
     pattern: str,
     measures: dict[str, tuple],
     max_buffer: int = 1000,
     event_time: bool = False,
     watermark_delay: str = "10 seconds",
     subsets: "dict[str, list[str]] | None" = None,
+    predicate_cols: "list[str] | None" = None,
 ):
     """Streaming MATCH_RECOGNIZE: the batch kernel run incrementally over
     a per-key state buffer (``applyInPandasWithState``).
@@ -897,6 +900,18 @@ def match_recognize_stream(
 
     Single order/partition columns keep the state row narrow; measures
     reference the same C-level str scan as the batch kernel.
+
+    Like the batch kernel, ``define`` values may be CALLABLES
+    ``fn(arrs, i, bindings) -> bool`` for match-state-dependent
+    predicates (``B AS B.price < LAST(A.price)`` chains — Flink CEP's
+    IterativeCondition analog): ``arrs`` maps column name -> list of
+    the key's buffered values (``predicate_cols`` declares any columns
+    the callables need beyond the measure columns), ``i`` is the row
+    under test, ``bindings`` the partial match. Column defines still
+    classify JVM-side; only callable symbols pay a per-transition
+    Python call, and the stability probe / decided-prefix drop are
+    unchanged. In event-time mode callables see ``order_by`` as integer
+    microseconds (the state encoding).
     """
     import json
 
@@ -922,7 +937,7 @@ def match_recognize_stream(
         )
         for name, spec in measures.items()
     }
-    from .nfa import NFA
+    from .nfa import NFA, trail_bindings
 
     sym_chars = _sym_chars(define)
     rx = _compile_pattern(pattern, sym_chars)
@@ -936,12 +951,21 @@ def match_recognize_stream(
         )
     nfa = NFA(pattern)
 
+    col_defines = {n: d for n, d in define.items() if isinstance(d, Column)}
+    fn_defines = {n: d for n, d in define.items() if not isinstance(d, Column)}
+
     classifier: Column = F.lit(".")
-    for name in reversed(list(define)):
-        classifier = F.when(define[name], F.lit(sym_chars[name])).otherwise(classifier)
+    for name in reversed(list(col_defines)):
+        classifier = F.when(col_defines[name], F.lit(sym_chars[name])).otherwise(
+            classifier
+        )
 
     measure_cols = sorted({spec[2] for spec in measures.values() if spec[2]})
-    keep = list(dict.fromkeys([partition_by, order_by, *measure_cols]))
+    keep = list(
+        dict.fromkeys(
+            [partition_by, order_by, *measure_cols, *(predicate_cols or [])]
+        )
+    )
     if event_time and order_by in measure_cols:
         raise ValueError(
             "event_time mode holds the order column as integer "
@@ -1005,13 +1029,27 @@ def match_recognize_stream(
         for i, c in enumerate(extra):
             col_idx[c] = 2 + i
         out = []
+        if fn_defines:
+            # buffered column views for match-state-dependent callables
+            arrs = {c: [r[ci] for r in rows] for c, ci in col_idx.items()}
 
         def can(sym, i, trail, s=syms):
+            if sym in fn_defines:
+                return bool(fn_defines[sym](arrs, i, trail_bindings(trail)))
             return s[i] == sym_chars[sym]
 
         decided, consumed = _stable_scan(nfa, n_scan, can)
-        for lo, hi in decided:
+        for lo, hi, assignment in decided:
             blob["mn"] += 1
+            if fn_defines:
+                # rows taken by callable symbols carry no classifier
+                # char — symbol attribution must come from the NFA's
+                # assignment (same contract as the batch NFA path)
+                pos_by_sym: dict[str, list[int]] = {}
+                for idx, s in assignment:
+                    pos_by_sym.setdefault(s, []).append(idx)
+            else:
+                pos_by_sym = None
             vals = []
             for spec in specs:
                 kind, sym, col, off, _mode = spec
@@ -1019,23 +1057,33 @@ def match_recognize_stream(
                     kind in ("sum", "avg", "min", "max")
                     or isinstance(sym, frozenset)
                     or off
+                    or pos_by_sym is not None
                 ):
                     # generic path: SUBSET union symbols / aggregates /
-                    # logical-offset navigation (same contract as the
-                    # batch kernel's _span_idxs)
-                    chars = (
-                        None
-                        if sym is None
-                        else {
-                            sym_chars[s]
-                            for s in ((sym,) if isinstance(sym, str) else sym)
-                        }
-                    )
-                    idxs = [
-                        i
-                        for i in range(lo, hi)
-                        if chars is None or syms[i] in chars
-                    ]
+                    # logical-offset navigation / callable-define
+                    # attribution (same contract as the batch kernel's
+                    # _span_idxs)
+                    if pos_by_sym is not None and sym is not None:
+                        names = (sym,) if isinstance(sym, str) else sym
+                        idxs = sorted(
+                            i
+                            for s2 in names
+                            for i in pos_by_sym.get(s2, ())
+                        )
+                    else:
+                        chars = (
+                            None
+                            if sym is None
+                            else {
+                                sym_chars[s]
+                                for s in ((sym,) if isinstance(sym, str) else sym)
+                            }
+                        )
+                        idxs = [
+                            i
+                            for i in range(lo, hi)
+                            if chars is None or syms[i] in chars
+                        ]
                     if kind == "count":
                         if col is None:
                             vals.append(len(idxs))

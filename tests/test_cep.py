@@ -1218,3 +1218,86 @@ def test_cepdefine_differential_vs_catalyst(spark):
         mine = {int(arrs["i"][k]) for k in range(len(pdf)) if fn(arrs, k, {})}
         catalyst = {r.i for r in df.filter(cond).collect()}
         assert mine == catalyst, f"{cond!r}: {mine} != {catalyst}"
+
+
+def test_match_recognize_stream_callable_define(spark):
+    """Streaming cross-symbol DEFINE (Flink CEP IterativeCondition
+    analog): a price-chain pattern whose D/R predicates reference
+    LAST(S.val) via callables, delivered ACROSS micro-batches — the
+    stream result must equal the batch kernel's over the whole
+    sequence, with symbol attribution coming from the NFA assignment
+    (callable rows carry no classifier char)."""
+    from pyspark.sql import types as T
+
+    from incubator_beam_spark.plans.cep import match_recognize, match_recognize_stream
+    from incubator_beam_spark.streaming import TestStream
+
+    def d_below_s(arrs, i, bindings):
+        s = bindings.get("S")
+        return bool(s) and arrs["val"][i] < arrs["val"][s[-1]]
+
+    def r_above_s(arrs, i, bindings):
+        s = bindings.get("S")
+        return bool(s) and arrs["val"][i] > arrs["val"][s[-1]]
+
+    define = {
+        "S": F.col("etype") == "s",
+        "D": d_below_s,
+        "R": r_above_s,
+    }
+    measures = {
+        "s_seq": ("first", "S", "seq"),
+        "n_d": ("count", "D"),
+        "r_val": ("last", "R", "val"),
+    }
+    # seq, etype, val: match1 = s(10) d(8) d(6) r(12); noise; match2
+    # split across batches: s(5) | d(3) r(7)
+    data = [
+        (1, 1, "s", 10.0), (1, 2, "d", 8.0), (1, 3, "d", 6.0),
+        (1, 4, "r", 12.0), (1, 5, "x", 0.0), (1, 6, "s", 5.0),
+    ]
+    data2 = [(1, 7, "d", 3.0), (1, 8, "r", 7.0)]
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("etype", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    batch_df = spark.createDataFrame(data + data2, schema)
+    expected = sorted(
+        (r.match_number, r.s_seq, r.n_d, r.r_val)
+        for r in match_recognize(
+            batch_df,
+            partition_by=["key"],
+            order_by=["seq"],
+            define=dict(define),
+            pattern="S D+ R",
+            measures=dict(measures),
+        ).collect()
+    )
+    assert expected == [(1, 1, 2, 12.0), (2, 6, 1, 7.0)]
+    with TestStream(spark, schema) as ts:
+        out = match_recognize_stream(
+            ts.stream,
+            partition_by="key",
+            order_by="seq",
+            define=dict(define),
+            pattern="S D+ R",
+            measures=dict(measures),
+            predicate_cols=["val"],
+        )
+        ts.start(out, output_mode="append")
+        ts.add_elements(data).advance()
+        first = sorted(
+            (r.match_number, r.s_seq, r.n_d, r.r_val)
+            for r in ts.results().collect()
+        )
+        assert first == [(1, 1, 2, 12.0)]  # match2 still buffered
+        ts.add_elements(data2).advance()
+        rows = sorted(
+            (r.match_number, r.s_seq, r.n_d, r.r_val)
+            for r in ts.results().collect()
+        )
+        assert rows == expected

@@ -85,7 +85,7 @@ def incremental_run(pattern: str, s: str, sizes) -> list[tuple[int, int, int]]:
             return b[i] == CHARS[sym]
 
         decided, boundary = _stable_scan(nfa, len(buf), can)
-        for lo, hi in decided:
+        for lo, hi, _assignment in decided:
             mn += 1
             out.append((mn, base + lo, base + hi))
         buf = buf[boundary:]
