@@ -442,12 +442,26 @@ def match_recognize(
         )
 
     measure_cols = sorted({spec[2] for spec in measures.values() if spec[2]})
-    # callable defines may inspect any column, so keep them all in that case
-    base_cols = (
-        list(df.columns)
-        if fn_defines
-        else list(dict.fromkeys([*partition_by, *order_by, *measure_cols]))
-    )
+    # shuffle width: keep only the columns the kernel can prove it needs.
+    # Compiled DEFINE conditions (plans/cepdefine.py) declare their
+    # column set as fn.columns; an OPAQUE user callable may inspect any
+    # column, so only then does the whole row survive the shuffle.
+    if fn_defines and all(hasattr(d, "columns") for d in fn_defines.values()):
+        pred_cols = sorted(
+            set().union(*(d.columns for d in fn_defines.values()))
+        )
+        missing = [c for c in pred_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"DEFINE conditions reference unknown columns {missing}"
+            )
+        base_cols = list(
+            dict.fromkeys([*partition_by, *order_by, *measure_cols, *pred_cols])
+        )
+    elif fn_defines:
+        base_cols = list(df.columns)
+    else:
+        base_cols = list(dict.fromkeys([*partition_by, *order_by, *measure_cols]))
     bool_cols = {n: f"__d_{i}" for i, n in enumerate(col_defines)}
     proj = df.select(
         *base_cols,

@@ -108,6 +108,9 @@ def compile_condition(
     is the full DEFINE symbol set (valid navigation targets)."""
     toks = _tokenize(cond)
     p = [0]  # cursor boxed so the closures below can advance it
+    used_cols: set[str] = set()  # every column the condition touches —
+    # exposed as fn.columns so the kernel can project/shuffle ONLY these
+    # instead of the whole row (the 100-TB shuffle-width win)
 
     def peek(k: int = 0):
         j = p[0] + k
@@ -126,6 +129,7 @@ def compile_condition(
         return t
 
     def nav_fn(kind: str, sym: str, col: str, off: int):
+        used_cols.add(col)
         include_self = sym == self_sym
 
         def fn(arrs, i, bindings):
@@ -195,6 +199,8 @@ def compile_condition(
                     )
                 if val == self_sym:
                     # self-reference == the current row's value
+                    used_cols.add(col)
+
                     def cur(a, i, b, c=col):
                         v = a[c][i]
                         return None if _isna(v) else v
@@ -202,6 +208,8 @@ def compile_condition(
                     return cur
                 # cross bare Sym.col == LAST(Sym.col)
                 return nav_fn("LAST", val, col, 0)
+
+            used_cols.add(val)
 
             def cur(a, i, b, c=val):
                 v = a[c][i]
@@ -337,4 +345,9 @@ def compile_condition(
             f"unsupported trailing DEFINE syntax at token "
             f"{toks[p[0]][1]!r} in {cond!r}"
         )
-    return lambda arrs, i, bindings: root(arrs, i, bindings) is True
+
+    def fn(arrs, i, bindings):
+        return root(arrs, i, bindings) is True
+
+    fn.columns = frozenset(used_cols)
+    return fn

@@ -571,3 +571,104 @@ def run_sql(spark: SparkSession, query: str) -> DataFrame:
         out.createOrReplaceTempView(view)
         return spark.sql(rewrite(rest.replace("{MR}", view)))
     return spark.sql(rewrite(query))
+
+
+def run_sql_stream(
+    spark: SparkSession,
+    query: str,
+    max_buffer: int = 1000,
+    event_time: bool = False,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """The MATCH_RECOGNIZE front door for UNBOUNDED inputs (the
+    reference's BeamMatchRel runs on unbounded PCollections too): the
+    same SQL text as ``run_sql``, lowered to the streaming CEP kernel
+    (``plans/cep.py match_recognize_stream``) — the table must be a
+    registered STREAMING temp view, and the result is a streaming
+    DataFrame ready for ``writeStream``.
+
+    Streaming contract (violations raise up front): single PARTITION
+    BY / ORDER BY columns, ONE ROW PER MATCH, AFTER MATCH SKIP PAST
+    LAST ROW, no PREV()/NEXT() (physical navigation needs a lag Window,
+    which is not incrementally computable per micro-batch), no
+    CLASSIFIER(), and a pattern whose end is not extendable (the
+    kernel's liveness guard). Everything else carries over: cross-symbol
+    DEFINE references compile to match-state callables (their column
+    sets become the state's ``predicate_cols``), SUBSET union symbols,
+    aggregate + offset + expression measures, MATCH_NUMBER() aliases,
+    and a stateless outer SELECT/WHERE."""
+    mr = _parse_match_recognize(query)
+    if mr is None:
+        return spark.sql(rewrite(query))
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from .cep import match_recognize_stream
+    from .cepdefine import compile_condition, has_cross_refs
+
+    table, kw, rest = mr
+    df = spark.table(table)
+    if not df.isStreaming:
+        raise ValueError(
+            f"run_sql_stream: table {table!r} is not a streaming view — "
+            "use run_sql for batch inputs"
+        )
+    if len(kw["partition_by"]) != 1 or len(kw["order_by"]) != 1:
+        raise ValueError(
+            "streaming MATCH_RECOGNIZE needs single PARTITION BY and "
+            "ORDER BY columns (narrow per-key state rows)"
+        )
+    if kw["all_rows"]:
+        raise ValueError("streaming MATCH_RECOGNIZE supports ONE ROW PER MATCH only")
+    if kw["after_match"] != "past last row":
+        raise ValueError(
+            "streaming MATCH_RECOGNIZE supports AFTER MATCH SKIP PAST "
+            "LAST ROW only (overlapping rescans would re-emit from state)"
+        )
+    if kw.pop("rename_cls", None):
+        raise ValueError("CLASSIFIER() is not available in streaming mode")
+    all_syms = set(kw["define"])
+    defines: dict = {}
+    predicate_cols: set[str] = set()
+    for sym, cond in kw["define"].items():
+        if _MR_NAV.search(_mask_quotes(cond)):
+            raise ValueError(
+                f"DEFINE for {sym!r} uses PREV()/NEXT() — physical "
+                "navigation is not incrementally computable per "
+                "micro-batch; use LAST/FIRST(Sym.col) match navigation "
+                "or the batch front door"
+            )
+        if has_cross_refs(_mask_quotes(cond), all_syms, sym):
+            fn = compile_condition(cond, sym, all_syms)
+            predicate_cols.update(fn.columns)
+            defines[sym] = fn
+        else:
+            defines[sym] = F.expr(
+                _sub_outside_quotes(rf"\b{re.escape(sym)}\s*\.\s*", "", cond)
+            )
+    expr_measures = kw.pop("expr_measures", None)
+    rename_mn = kw.pop("rename_mn", None)
+    out = match_recognize_stream(
+        df,
+        partition_by=kw["partition_by"][0],
+        order_by=kw["order_by"][0],
+        define=defines,
+        pattern=kw["pattern"],
+        measures=kw["measures"],
+        subsets=kw.get("subsets"),
+        predicate_cols=sorted(predicate_cols),
+        max_buffer=max_buffer,
+        event_time=event_time,
+        watermark_delay=watermark_delay,
+    )
+    if expr_measures:
+        internal = [n for n in kw["measures"] if re.fullmatch(r"__m\d+", n)]
+        out = out.selectExpr(
+            "*", *[f"({e}) AS {a}" for a, e in expr_measures.items()]
+        ).drop(*internal)
+    if rename_mn:
+        out = out.withColumnRenamed("match_number", rename_mn)
+    view = f"__mrs_{uuid.uuid4().hex[:10]}"
+    out.createOrReplaceTempView(view)
+    return spark.sql(rewrite(rest.replace("{MR}", view)))

@@ -1301,3 +1301,85 @@ def test_match_recognize_stream_callable_define(spark):
             for r in ts.results().collect()
         )
         assert rows == expected
+
+
+def test_run_sql_stream_front_door(spark):
+    """The streaming SQL front door (run_sql_stream): the SAME
+    MATCH_RECOGNIZE text as batch, lowered to the streaming kernel over
+    a streaming temp view — with a cross-symbol DEFINE and an
+    expression measure, across micro-batches; plus the contract
+    raises."""
+    from pyspark.sql import types as T
+
+    from incubator_beam_spark.plans.sqlfront import run_sql, run_sql_stream
+    from incubator_beam_spark.streaming import TestStream
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("etype", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    q = """
+      SELECT key, match_number, s_seq, n_d, spread
+      FROM {T} MATCH_RECOGNIZE (
+        PARTITION BY key
+        ORDER BY seq
+        MEASURES FIRST(S.seq) AS s_seq,
+                 COUNT(D.*) AS n_d,
+                 LAST(R.val) - FIRST(S.val) AS spread
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (S D+ R)
+        DEFINE S AS etype = 's',
+               D AS etype = 'd' AND D.val < LAST(S.val),
+               R AS etype = 'r' AND R.val > LAST(S.val)
+      )
+    """
+    data = [
+        (1, 1, "s", 10.0), (1, 2, "d", 8.0), (1, 3, "d", 6.0),
+        (1, 4, "r", 12.0), (1, 5, "x", 0.0), (1, 6, "s", 5.0),
+    ]
+    data2 = [(1, 7, "d", 3.0), (1, 8, "r", 7.0)]
+    # batch reference over the full sequence
+    spark.createDataFrame(data + data2, schema).createOrReplaceTempView(
+        "mrs_batch"
+    )
+    expected = sorted(
+        (r.match_number, r.s_seq, r.n_d, r.spread)
+        for r in run_sql(spark, q.replace("{T}", "mrs_batch")).collect()
+    )
+    assert expected == [(1, 1, 2, 2.0), (2, 6, 1, 2.0)]
+    with TestStream(spark, schema) as ts:
+        ts.stream.createOrReplaceTempView("mrs_stream")
+        out = run_sql_stream(spark, q.replace("{T}", "mrs_stream"))
+        ts.start(out, output_mode="append")
+        ts.add_elements(data).advance()
+        ts.add_elements(data2).advance()
+        rows = sorted(
+            (r.match_number, r.s_seq, r.n_d, r.spread)
+            for r in ts.results().collect()
+        )
+        assert rows == expected
+    # contract raises
+    with TestStream(spark, schema) as ts:
+        ts.stream.createOrReplaceTempView("mrs_stream2")
+        base = q.replace("{T}", "mrs_stream2")
+        with pytest.raises(ValueError, match="PREV"):
+            run_sql_stream(
+                spark, base.replace("D.val < LAST(S.val)", "D.val < PREV(val)")
+            )
+        with pytest.raises(ValueError, match="ONE ROW PER MATCH only"):
+            run_sql_stream(
+                spark, base.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+            )
+        with pytest.raises(ValueError, match="PAST LAST ROW only"):
+            run_sql_stream(
+                spark,
+                base.replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW"),
+            )
+    # batch table through the streaming door raises
+    with pytest.raises(ValueError, match="not a streaming view"):
+        run_sql_stream(spark, q.replace("{T}", "mrs_batch"))
