@@ -233,3 +233,62 @@ def test_slack_merge_matches_python_reference(spark, rows, slack):
                     expected.append((k, ms, me))
                     break
     assert got == sorted(expected)
+
+
+def test_cepdefine_random_expressions_vs_catalyst(spark):
+    """Seeded-random differential fuzz of the cross-symbol DEFINE
+    compiler's scalar semantics against Catalyst: 80 generated
+    conditions over numeric/string columns WITH nulls — the compiled
+    callable (empty bindings) must keep exactly the rows Spark's
+    filter keeps, including Kleene NULL behavior under NOT/AND/OR and
+    null propagation through arithmetic. Division is excluded (ANSI
+    div-by-zero) and tokens are space-joined (a bare '--' would lex as
+    a SQL comment in BOTH engines, but avoiding it keeps conditions
+    readable in failure output)."""
+    import random
+
+    from incubator_beam_spark.plans.cepdefine import compile_condition
+
+    rng = random.Random(20260815)
+    rows = []
+    for i in range(24):
+        v = rng.choice([None, -5.0, 0.0, 1.5, 3.0, 7.25, 100.0])
+        w = rng.choice([None, -3, 0, 2, 9])
+        t = rng.choice([None, "a", "b", "c"])
+        rows.append((i, v, w, t))
+    df = spark.createDataFrame(rows, "i int, v double, w bigint, t string")
+    pdf = df.toPandas()
+    arrs = {c: pdf[c].to_numpy() for c in pdf.columns}
+
+    def num(depth=0):
+        r = rng.random()
+        if depth >= 2 or r < 0.4:
+            return rng.choice(["v", "w", "1", "2", "3.5", "(0 - 2)"])
+        op = rng.choice(["+", "-", "*"])
+        return f"( {num(depth + 1)} {op} {num(depth + 1)} )"
+
+    def cmp():
+        if rng.random() < 0.2:
+            col = rng.choice(["v", "w", "t"])
+            return f"{col} IS {'NOT ' if rng.random() < 0.5 else ''}NULL"
+        if rng.random() < 0.3:
+            sop = rng.choice(["=", "<>", "<", ">"])
+            return f"t {sop} '{rng.choice(['a', 'b', 'z'])}'"
+        op = rng.choice(["=", "<>", "<", "<=", ">", ">="])
+        return f"{num()} {op} {num()}"
+
+    def boolean(depth=0):
+        r = rng.random()
+        if depth >= 2 or r < 0.45:
+            return cmp()
+        if r < 0.55:
+            return f"NOT ( {boolean(depth + 1)} )"
+        op = rng.choice(["AND", "OR"])
+        return f"( {boolean(depth + 1)} {op} {boolean(depth + 1)} )"
+
+    for _ in range(80):
+        cond = boolean()
+        fn = compile_condition(cond, "X", {"X"})
+        mine = {int(arrs["i"][k]) for k in range(len(pdf)) if fn(arrs, k, {})}
+        catalyst = {r.i for r in df.filter(cond).collect()}
+        assert mine == catalyst, f"{cond!r}: {mine ^ catalyst}"
