@@ -284,10 +284,30 @@ class NFA:
                     probe[0] = True  # wanted a row beyond the buffer
         return None
 
+    def first_symbols(self) -> tuple[set[str], bool]:
+        """(symbols that can consume a match's FIRST row, pattern
+        nullable?) — the eps-closure of the start state. Used by the
+        kernel to pre-skip scan positions with a vectorized anchor mask
+        when every first-set symbol has a COLUMN define (a match_at
+        call at a masked-out position would only allocate and fail)."""
+        seen, stack, first, nullable = {self.start}, [self.start], set(), False
+        while stack:
+            s = stack.pop()
+            if s == self.accept:
+                nullable = True
+            for kind, sym, tgt in self.states[s]:
+                if kind == "sym":
+                    first.add(sym)
+                elif tgt not in seen:
+                    seen.add(tgt)
+                    stack.append(tgt)
+        return first, nullable
+
     def finditer(
         self,
         n: int,
         can_consume: Callable[[str, int, tuple | None], bool],
+        start_mask=None,
     ):
         """Non-overlapping greedy matches over rows 0..n-1 — AFTER MATCH
         SKIP PAST LAST ROW. Yields (lo, hi, [(row_idx, sym), ...]).
@@ -297,9 +317,14 @@ class NFA:
         zero-width match at ``i`` is retried at the SAME position with
         the empty match disallowed — ``A*?`` over ``A`` still yields the
         one-row match — and only a non-empty failure advances the
-        scan."""
+        scan. ``start_mask`` (bool per row), when given, skips positions
+        where no first-set symbol matches — pure pruning, only valid
+        for non-nullable patterns (see ``first_symbols``)."""
         i = 0
         while i < n:
+            if start_mask is not None and not start_mask[i]:
+                i += 1
+                continue
             m = self.match_at(i, n, can_consume)
             if m is not None and m[0] == i:  # zero-width: retry non-empty
                 m = self.match_at(i, n, can_consume, require_consume=True)

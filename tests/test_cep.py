@@ -1383,3 +1383,15 @@ def test_run_sql_stream_front_door(spark):
     # batch table through the streaming door raises
     with pytest.raises(ValueError, match="not a streaming view"):
         run_sql_stream(spark, q.replace("{T}", "mrs_batch"))
+
+
+def test_nfa_first_symbols():
+    """first_symbols: the eps-closure anchor set driving the kernel's
+    vectorized scan-position pruning."""
+    from incubator_beam_spark.plans.nfa import NFA
+
+    assert NFA("S D+ R").first_symbols() == ({"S"}, False)
+    assert NFA("(A|B) C").first_symbols() == ({"A", "B"}, False)
+    assert NFA("A? B").first_symbols() == ({"A", "B"}, False)
+    assert NFA("A* B*").first_symbols() == ({"A", "B"}, True)
+    assert NFA("A{0,2} B").first_symbols() == ({"A", "B"}, False)
