@@ -434,6 +434,17 @@ def stress_lane(spark, n_events: int = 10_000_000, n_files: int = 20) -> dict:
             )
         )
         bids.repartition(n_files).write.mode("overwrite").parquet(src_dir)
+        # pin ascending mtimes on the part files: FileStreamSource orders
+        # batches by modification time, and a fresh write's mtime ties
+        # break arbitrarily — which changes micro-batch composition and
+        # (through the CEP buffer cap) matches_out run-to-run. Measured:
+        # two writes of IDENTICAL data differed 124656 vs 124733 matches.
+        # Deterministic order makes the lane comparable across rounds.
+        import glob as _glob
+
+        parts = sorted(_glob.glob(os.path.join(src_dir, "part-*")))
+        for k, p in enumerate(parts):
+            os.utime(p, (1704067200 + k, 1704067200 + k))
         schema = spark.read.parquet(src_dir).schema
 
         def drain(df, mode):

@@ -1395,3 +1395,61 @@ def test_nfa_first_symbols():
     assert NFA("A? B").first_symbols() == ({"A", "B"}, False)
     assert NFA("A* B*").first_symbols() == ({"A", "B"}, True)
     assert NFA("A{0,2} B").first_symbols() == ({"A", "B"}, False)
+
+
+def test_all_rows_final_offset_equals_one_row_offset(spark):
+    """Cross-path invariant extended to LOGICAL OFFSETS: FINAL
+    LAST/FIRST(col, n) under ALL ROWS must equal the ONE ROW value per
+    match, and the RUNNING offset value at a match's last row must
+    equal the FINAL one."""
+    rows = []
+    seq = 0
+    for key, depths in ((1, [2, 3, 1]), (2, [4, 2])):
+        for d in depths:
+            for t in ["a"] + ["b"] * d + ["c"]:
+                seq += 1
+                rows.append((key, seq, t, float(seq)))
+            seq += 1
+            rows.append((key, seq, "x", 0.0))
+    df = _events(spark, rows)
+    common = dict(
+        partition_by=["key"],
+        order_by=["seq"],
+        define={
+            "A": F.col("etype") == "a",
+            "B": F.col("etype") == "b",
+            "C": F.col("etype") == "c",
+        },
+        pattern="A B+ C",
+    )
+    one = {
+        (r.key, r.match_number): (r.l1, r.f1)
+        for r in match_recognize(
+            df,
+            measures={
+                "l1": ("last", "B", "val", 1),
+                "f1": ("first", "B", "val", 1),
+            },
+            **common,
+        ).collect()
+    }
+    allr = match_recognize(
+        df,
+        measures={
+            "run_l1": ("last", "B", "val", 1, "running"),
+            "fin_l1": ("last", "B", "val", 1, "final"),
+            "fin_f1": ("first", "B", "val", 1, "final"),
+        },
+        all_rows=True,
+        **common,
+    ).collect()
+    assert one  # non-vacuous
+    by_match: dict = {}
+    for r in allr:
+        by_match.setdefault((r.key, r.match_number), []).append(r)
+    assert set(by_match) == set(one)
+    for k, rs in by_match.items():
+        rs.sort(key=lambda r: r.seq)
+        l1, f1 = one[k]
+        assert all(r.fin_l1 == l1 and r.fin_f1 == f1 for r in rs)
+        assert rs[-1].run_l1 == l1  # running at last row == final
