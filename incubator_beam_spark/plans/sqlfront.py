@@ -210,7 +210,11 @@ def _extract_agg_calls(expr: str, measures: dict) -> tuple[str, int]:
     expression and how many calls were found. Identical calls share one
     internal measure."""
     found = 0
-    by_spec: dict[tuple, str] = {}
+    # identical calls share one internal measure ACROSS items too —
+    # existing __mK entries seed the dedup map
+    by_spec: dict[tuple, str] = {
+        spec: n for n, spec in measures.items() if re.fullmatch(r"__m\d+", n)
+    }
     while True:
         masked = _mask_quotes(expr)
         m = _MR_AGG_CALL.search(masked)

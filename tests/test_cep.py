@@ -1453,3 +1453,69 @@ def test_all_rows_final_offset_equals_one_row_offset(spark):
         l1, f1 = one[k]
         assert all(r.fin_l1 == l1 and r.fin_f1 == f1 for r in rs)
         assert rs[-1].run_l1 == l1  # running at last row == final
+
+
+def test_measures_parser_edge_cases():
+    """Parser-level coverage for the round-7 MEASURES surface: offset
+    args, expression measures (incl. shared sub-calls and RUNNING
+    prefixes), and the loud rejections."""
+    from incubator_beam_spark.plans.sqlfront import _parse_match_recognize
+
+    base = """SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY k ORDER BY o
+      MEASURES {M}
+      PATTERN (A B) DEFINE A AS x > 0, B AS x < 0)"""
+
+    def parse(m):
+        return _parse_match_recognize(base.replace("{M}", m))[1]
+
+    # offsets land as trailing ints
+    kw = parse("LAST(A.x, 2) AS l2, FIRST(A.x, 1) AS f1")
+    assert kw["measures"] == {
+        "l2": ("last", "A", "x", 2),
+        "f1": ("first", "A", "x", 1),
+    }
+    # expression measures: identical sub-calls share ONE internal measure
+    kw = parse("LAST(A.x) - FIRST(A.x) AS d, LAST(A.x) * 2 AS dbl")
+    internal = {n: s for n, s in kw["measures"].items() if n.startswith("__m")}
+    assert len(internal) == 2  # LAST(A.x) dedup'd, FIRST(A.x)
+    assert set(kw["expr_measures"]) == {"d", "dbl"}
+    # RUNNING prefix inside an expression keeps its mode
+    kw = parse("RUNNING COUNT(B.*) + 1 AS rc")
+    (spec,) = [s for n, s in kw["measures"].items() if n.startswith("__m")]
+    assert spec == ("count", "B", "running")
+    import pytest
+
+    with pytest.raises(ValueError, match="offset"):
+        parse("SUM(A.x, 1) AS bad")
+    with pytest.raises(ValueError, match="COUNT"):
+        parse("COUNT(A.x, 1) AS bad")
+    with pytest.raises(ValueError, match="unsupported MEASURES"):
+        parse("ABS(LAST(A.x)) AS bad")  # unknown fn around the aggregate
+    with pytest.raises(ValueError, match="unsupported MEASURES"):
+        parse("x + 1 AS bad")  # no aggregate call at all
+
+
+def test_expression_measure_with_subset(spark):
+    """Expression measures whose aggregate calls target a SUBSET union
+    symbol resolve through the same subset machinery."""
+    from incubator_beam_spark.plans.sqlfront import run_sql
+
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate([10, 8, 6, 9, 12])],
+        "k int, o int, v int",
+    )
+    df.createOrReplaceTempView("mr_sub_expr")
+    out = run_sql(
+        spark,
+        """SELECT k, match_number, spread
+           FROM mr_sub_expr MATCH_RECOGNIZE (
+             PARTITION BY k ORDER BY o
+             MEASURES MAX(U.v) - MIN(U.v) AS spread
+             ONE ROW PER MATCH
+             PATTERN (D+ R+)
+             SUBSET U = (D, R)
+             DEFINE D AS v < PREV(v), R AS v > PREV(v))""",
+    ).collect()
+    # one V: D@1,2 (8,6) R@3,4 (9,12): max 12 min 6 -> 6
+    assert [(r.match_number, r.spread) for r in out] == [(1, 6)]
