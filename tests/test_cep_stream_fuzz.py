@@ -152,3 +152,161 @@ def test_nfa_matches_host_regex_grammar_wide(pattern, stream):
     got = [(lo, hi) for lo, hi, _ in nfa.finditer(len(s), can)]
     want = [(m.start(), m.end()) for m in rx.finditer(s) if m.end() > m.start()]
     assert got == want, (pattern, s)
+
+
+# ---------------------------------------------------------------------------
+# Independent-reference differential for the NFA + match-state-dependent
+# predicates (the round-7 cross-symbol DEFINE path): a ~35-line
+# continuation-passing backtracking matcher implements leftmost-greedy
+# semantics directly over the pattern AST; the Pike-VM NFA must produce
+# identical non-overlapping matches on random value sequences.
+# ---------------------------------------------------------------------------
+
+
+def _ref_match_at(ast, n, can, lo):
+    """Leftmost-greedy anchored match via direct CPS backtracking —
+    independent of the NFA's thread-priority machinery."""
+
+    def node_matcher(node):
+        kind = node[0]
+        if kind == "sym":
+            sym = node[1]
+
+            def m(pos, trail, k):
+                if pos < n and can(sym, pos, trail):
+                    return k(pos + 1, (sym, pos, trail))
+                return None
+
+            return m
+        if kind == "seq":
+            ms = [node_matcher(c) for c in node[1]]
+
+            def m(pos, trail, k, ms=ms):
+                def chain(i):
+                    if i == len(ms):
+                        return k
+
+                    def kk(p, t, i=i):
+                        return ms[i](p, t, chain(i + 1))
+
+                    return kk
+
+                return chain(0)(pos, trail)
+
+            return m
+        if kind == "alt":
+            ms = [node_matcher(c) for c in node[1]]
+
+            def m(pos, trail, k, ms=ms):
+                for mm in ms:  # declaration order == priority
+                    r = mm(pos, trail, k)
+                    if r is not None:
+                        return r
+                return None
+
+            return m
+        if kind == "quant":
+            inner = node_matcher(node[1])
+            mn, mx, greedy = node[2]
+
+            def m(pos, trail, k):
+                def rep(cnt):
+                    # kk runs AFTER the cnt-th repetition completed
+                    def kk(p, t):
+                        more = (
+                            (lambda: inner(p, t, rep(cnt + 1)))
+                            if (mx is None or cnt + 1 <= mx)
+                            else (lambda: None)
+                        )
+                        done = (lambda: k(p, t)) if cnt >= mn else (lambda: None)
+                        first, second = (more, done) if greedy else (done, more)
+                        r = first()
+                        return r if r is not None else second()
+
+                    return kk
+
+                # zero repetitions
+                if mn == 0:
+                    if greedy:
+                        r = inner(pos, trail, rep(1)) if (mx is None or mx >= 1) else None
+                        return r if r is not None else k(pos, trail)
+                    r = k(pos, trail)
+                    return r if r is not None else (
+                        inner(pos, trail, rep(1)) if (mx is None or mx >= 1) else None
+                    )
+                return inner(pos, trail, rep(1))
+
+            return m
+        raise AssertionError(node)
+
+    matcher = node_matcher(ast)
+    return matcher(lo, None, lambda p, t: (p, t))
+
+
+def _ref_finditer(ast, n, can):
+    out, i = [], 0
+    while i < n:
+        m = _ref_match_at(ast, n, can, i)
+        if m is not None and m[0] == i:
+            m = None  # zero-width: the kernels retry non-empty; for the
+            # patterns generated below a zero-width hit never precedes a
+            # non-empty one at the same position (anchor consumes), so skip
+        if m is None:
+            i += 1
+            continue
+        trail, pairs = m[1], []
+        while trail is not None:
+            pairs.append((trail[1], trail[0]))
+            trail = trail[2]
+        pairs.reverse()
+        out.append((i, m[0], pairs))
+        i = m[0]
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    vals=st.lists(st.integers(0, 9), min_size=1, max_size=24),
+    tags=st.lists(st.sampled_from("axx"), min_size=1, max_size=24),
+    pat=st.sampled_from(
+        ["A D+ R", "A D{1,3} R", "A D* R", "A (D|R)+", "A D+ R?", "A D{2} R+"]
+    ),
+)
+def test_nfa_cross_symbol_matches_reference(vals, tags, pat):
+    """The Pike-VM NFA with match-state-dependent predicates must equal
+    the independent CPS reference matcher on random sequences: same
+    spans AND same symbol assignments (leftmost-greedy, non-overlapping,
+    skip past last row)."""
+    from incubator_beam_spark.plans.nfa import NFA, parse_pattern, trail_bindings
+
+    n = min(len(vals), len(tags))
+    vals, tags = vals[:n], tags[:n]
+
+    # reference can() receives raw trail nodes (sym,pos,parent) — adapt
+    def can_ref(sym, i, trail):
+        b: dict = {}
+        t = trail
+        while t is not None:
+            b.setdefault(t[0], []).append(t[1])
+            t = t[2]
+        for v in b.values():
+            v.reverse()
+        return _can_dict(sym, i, b)
+
+    def _can_dict(sym, i, b):
+        if sym == "A":
+            return tags[i] == "a"
+        a = b.get("A")
+        if not a:
+            return False
+        if sym == "D":
+            return vals[i] < vals[a[-1]]
+        return vals[i] > vals[a[-1]]
+
+    def can_nfa(sym, i, trail):
+        return _can_dict(sym, i, trail_bindings(trail))
+
+    nfa = NFA(pat)
+    got = list(nfa.finditer(n, can_nfa))
+    want = _ref_finditer(parse_pattern(pat), n, can_ref)
+    assert got == want, (pat, vals, tags)
