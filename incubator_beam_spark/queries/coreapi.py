@@ -575,6 +575,78 @@ def io_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "io_python_datasource_stream",
+    oracle="""
+    WITH ids AS (SELECT unnest(generate_series(0, 11999))::BIGINT AS id),
+    keyed AS (
+      SELECT id,
+             (id // 3000) * 1000 + (id % 3000) // 750 AS part,
+             ('0x' || substr(md5('pyds_s|k|' || CAST(id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000000 AS b
+      FROM ids),
+    recs AS (
+      SELECT id, part,
+             CASE WHEN b < 200000 THEN b % 2 ELSE 2 + (b % 98) END AS key_id
+      FROM keyed)
+    SELECT CAST(part AS INT) AS part, key_id, count(*) AS n,
+           min(id) AS min_id, max(id) AS max_id
+    FROM recs GROUP BY part, key_id
+    """,
+)
+def io_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING Python data source — the UnboundedSource/SDF analog
+    (reference ``io/iobase.py:1239`` UnboundedSource semantics +
+    ``SyntheticUnboundedSource.java``), completing the SDF demonstration
+    for BOTH boundedness modes (VERDICT r7 item #2; the bounded twin
+    ``io_python_datasource`` is D-r7 green): ``latestOffset`` advances
+    the id high-watermark by rowsPerBatch per micro-batch (capped at
+    numRecords so the drain terminates deterministically),
+    ``partitions(start, end)`` splits each batch's id range 4 ways, and
+    every row carries ``batch*1000 + split`` — so the OFFSET LOG and the
+    SPLIT PLAN are both part of the oracle-checked result: the oracle
+    recomputes ``part = (id // 3000) * 1000 + (id % 3000) // 750`` and
+    the md5-derived records from generate_series. Exactly-once replay
+    (a replayed (start, end) regenerates bit-identical rows) is what
+    makes the hash deterministic across the drain."""
+    import uuid
+
+    from ..sources.pydatasource import SyntheticPyDataSource
+
+    spark.dataSource.register(SyntheticPyDataSource)
+    df = (
+        spark.readStream.format("synthetic_py")
+        .option("numRecords", 12_000)
+        .option("numPartitions", 4)
+        .option("rowsPerBatch", 3_000)
+        .option("numKeys", 100)
+        .option("hotKeyFraction", 0.2)
+        .option("numHotKeys", 2)
+        .option("seed", "pyds_s")
+        .load()
+    )
+    name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("part", "key_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+    )
+
+
+@query(
     "df_pandas_groupby",
     oracle="""
     SELECT o_orderpriority,

@@ -71,68 +71,73 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # gates. Everything else (TPC-H, joins, sets — all driver-green in round 1)
 # registers after the window and stays covered by the local oracle tests.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-7 window (verdict r6 item 1, sixth rotation): the three NEW
-    # r7 gates lead (cross-symbol DEFINE references — verdict item 2 —
-    # the MEASURES-completeness trio — item 3 — and the Python
-    # DataSource V2 demo — item 7); then the judge-named priorities in
-    # order: the 9 never-checked streaming gates, the LLM-data/bounds
-    # cluster, the core_* trio + schema-surgery + lookup-join + TFRecord,
-    # doc_fingerprint, and 20 never-checked TPC-DS shapes. Registry
-    # growth is +3 (all three new gates in-window), so the backlog keeps
-    # shrinking: 105 -> ~58 after this round. The committed r8 window
-    # list (the REMAINING never-checked gates, in order) lives in
-    # COVERAGE.md §window-plan; `python scripts/rotate_window.py` emits
-    # it mechanically once CORRECTNESS_r07.json lands.
-    "sql_match_recognize_cross",
-    "cep_measures_complete",
-    "io_python_datasource",
-    "stream_nexmark_q7",
-    "stream_stream_left_join",
-    "stream_session_window_append",
-    "stream_incremental_dedup",
-    "stream_synthetic_gbk",
-    "stream_per_key_counter",
-    "trigger_aftercount_panes",
-    "trigger_accumulating_panes",
-    "stream_union_flatten",
-    "mm_png_pixel_roundtrip",
-    "doc_pack_bounds",
-    "doc_stratified_bounds",
-    "doc_compression_roundtrip",
-    "emb_semdedup",
-    "doc_bpe_merges",
-    "doc_bpe_encode",
-    "doc_curation_pipeline",
-    "doc_bigram_logprob",
-    "mm_audio_rms",
-    "emb_ivf_recall",
-    "core_elementwise_chain",
-    "core_partition_fanout",
-    "core_reshuffle_stability",
-    "schema_surgery_roundtrip",
-    "join_lookup_broadcast",
-    "io_tfrecord_roundtrip",
-    "doc_fingerprint",
-    "sql_tpcds_q93",
-    "sql_tpcds_q4",
-    "sql_tpcds_q5",
-    "sql_tpcds_q14",
-    "sql_tpcds_q21",
-    "sql_tpcds_q25",
-    "sql_tpcds_q32",
-    "sql_tpcds_q40",
-    "sql_tpcds_q45",
-    "sql_tpcds_q53",
-    "sql_tpcds_q58",
-    "sql_tpcds_q64",
-    "sql_tpcds_q67",
-    "sql_tpcds_q69",
-    "sql_tpcds_q78",
-    "sql_tpcds_q8",
-    "sql_tpcds_q66",
-    "sql_tpcds_q79",
-    "sql_tpcds_q83",
-    "sql_tpcds_q85",
+    # ROUND-8 window (verdict r7 item 1, seventh rotation): the
+    # COMMITTED r8 set from COVERAGE.md §window-plan — every remaining
+    # never-checked TPC-DS shape (41), the five exact dataops gates,
+    # and three of the four committed rows-only gates. One deviation,
+    # directed by verdict r7 items 2+4: the NEW io_python_datasource_stream
+    # gate (UnboundedSource offset/split contract, completing the SDF
+    # demonstration for both boundedness modes; growth +1) takes the slot
+    # of agg_approx_count_distinct, and — applying item 4's principle
+    # ("register the exact variant as the window-facing gate so the
+    # driver file converges to all-green", also pinned by
+    # test_window_gates_all_have_oracles) — the three committed rows-only
+    # gates face the driver through their exact twins: agg_sample_per_key
+    # -> agg_sample_per_key_deterministic, agg_approx_unique_per_key ->
+    # agg_approx_unique_per_key_bounds, agg_approx_quantiles_per_key ->
+    # agg_approx_quantiles_per_key_bounds. Every row in CORRECTNESS_r08
+    # carries a hash verdict; COVERAGE.md §window-plan documents the
+    # rows-only accounting.
+    "sql_tpcds_q10",
+    "sql_tpcds_q74",
+    "sql_tpcds_q14_pair",
+    "sql_tpcds_q15",
+    "sql_tpcds_q18",
+    "sql_tpcds_q19",
+    "sql_tpcds_q20",
+    "sql_tpcds_q23_pair",
+    "sql_tpcds_q24",
+    "sql_tpcds_q26",
+    "sql_tpcds_q28",
+    "sql_tpcds_q29",
+    "sql_tpcds_q30",
+    "sql_tpcds_q37",
+    "sql_tpcds_q39_pair",
+    "sql_tpcds_q42",
+    "sql_tpcds_q46",
+    "sql_tpcds_q48",
+    "sql_tpcds_q52",
+    "sql_tpcds_q55",
+    "sql_tpcds_q56",
+    "sql_tpcds_q57",
+    "sql_tpcds_q60",
+    "sql_tpcds_q61",
+    "sql_tpcds_q62",
+    "sql_tpcds_q63",
+    "sql_tpcds_q68",
+    "sql_tpcds_q71",
+    "sql_tpcds_q72",
+    "sql_tpcds_q73",
+    "sql_tpcds_q80",
+    "sql_tpcds_q81",
+    "sql_tpcds_q82",
+    "sql_tpcds_q84",
+    "sql_tpcds_q86",
+    "sql_tpcds_q91",
+    "sql_tpcds_q92",
+    "sql_tpcds_q94",
+    "sql_tpcds_q95",
+    "sql_tpcds_q96",
+    "sql_tpcds_q99",
+    "emb_kmeans_step",
+    "doc_shuffle",
+    "doc_gopher_rules",
+    "doc_substring_dup",
+    "doc_epoch_repeats",
+    "io_python_datasource_stream",
+    "agg_sample_per_key_deterministic",
+    "agg_approx_unique_per_key_bounds",
+    "agg_approx_quantiles_per_key_bounds",
 )
 
 

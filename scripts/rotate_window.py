@@ -36,17 +36,25 @@ def main() -> None:
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
-            # a row with err != None never produced a hash verdict —
-            # keep the name eligible for re-checking
-            if row.get("err") is None:
+            # a hash verdict (err None) is a full check; a clean
+            # `no_oracle` row is the MAXIMUM depth an oracle-less gate
+            # can ever be checked to (verdict r7 item 4: these gates
+            # face the driver through their exact twins; re-windowing
+            # them only re-emits no_oracle forever) — count both.
+            if row.get("err") is None or row.get("err") == "no_oracle":
                 checked.add(name)
     qs = registry.load_all()
     never = [n for n in qs if n not in checked]
     exact = [n for n in never if qs[n].oracle]
     rows_only = [n for n in never if not qs[n].oracle]
-    suggestion = (exact + rows_only)[:WINDOW]
+    # the DRAINABLE backlog is the exact-oracle gates; rows-only gates
+    # awaiting their one rows-only row are listed but the next window
+    # should face their families with exact twins (verdict r7 item 4)
+    suggestion = exact[:WINDOW]
     print(f"# registered: {len(qs)}  driver-checked(any round): {len(checked)}")
     print(f"# never-checked: {len(never)} ({len(exact)} exact, {len(rows_only)} rows-only)")
+    if rows_only:
+        print(f"# rows-only awaiting first row (face via exact twins): {rows_only}")
     print(f"# suggested next window ({len(suggestion)}):")
     print("_PRIORITY: tuple[str, ...] = (")
     for n in suggestion:

@@ -292,3 +292,177 @@ def test_cepdefine_random_expressions_vs_catalyst(spark):
         mine = {int(arrs["i"][k]) for k in range(len(pdf)) if fn(arrs, k, {})}
         catalyst = {r.i for r in df.filter(cond).collect()}
         assert mine == catalyst, f"{cond!r}: {mine ^ catalyst}"
+
+
+def test_measures_expression_fuzz_vs_materialized(spark):
+    """Seeded-random differential fuzz of EXPRESSION MEASURES (verdict
+    r7 item 6, extending the r7 cepdefine-vs-Catalyst pattern to the
+    measures compiler): random arithmetic over random aggregate calls
+    (FIRST/LAST with logical offsets, COUNT(Sym.col|Sym.*|*),
+    SUM/AVG/MIN/MAX, SUBSET union symbols, optional FINAL mode) goes
+    through the full SQL front door — ``_extract_agg_calls`` lowers
+    each call to an internal ``__mK`` kernel measure and the arithmetic
+    to a post-SELECT. The oracle is a WHOLE-MATCH MATERIALIZATION of
+    the same pattern (ALL ROWS PER MATCH + per-row CLASSIFIER — a
+    disjoint output path), with every aggregate recomputed in pandas
+    per (k, match_number) from the matched rows and the arithmetic
+    evaluated in Python with SQL null propagation. Any disagreement in
+    call extraction, dedup, offset navigation, null handling, subset
+    resolution, or the post-SELECT rewrite surfaces as a value diff."""
+    import math
+    import random
+
+    from incubator_beam_spark.plans.sqlfront import run_sql
+
+    rng = random.Random(20260816)
+    rows = []
+    for k in range(3):
+        for o in range(60):
+            qty = rng.randrange(10)
+            price = (
+                None
+                if rng.random() < 0.15
+                else rng.choice([0.25, 1.5, 2.0, 3.75, 5.0, 8.25])
+            )
+            rows.append((k, o, price, qty))
+    df = spark.createDataFrame(rows, "k int, o int, price double, qty int")
+    df.createOrReplaceTempView("mx_fuzz")
+
+    tail = """ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B{1,3} C)
+          SUBSET U = (A, B)
+          DEFINE A AS qty >= 7, B AS qty <= 4, C AS qty >= 0"""
+
+    # whole-match materialization: ALL ROWS emits every matched row with
+    # its classifier — the independent view the oracle recomputes from
+    mat = run_sql(
+        spark,
+        """SELECT k, match_number, classifier, o
+           FROM mx_fuzz MATCH_RECOGNIZE (
+             PARTITION BY k ORDER BY o
+             ALL ROWS PER MATCH
+             AFTER MATCH SKIP PAST LAST ROW
+             PATTERN (A B{1,3} C)
+             DEFINE A AS qty >= 7, B AS qty <= 4, C AS qty >= 0)""",
+    ).toPandas()
+    # the all-rows kernel emits (partition, order, match_number,
+    # classifier); rejoin the payload columns by (k, o)
+    src = df.toPandas()
+    mat = mat.merge(src, on=["k", "o"], how="left")
+    assert len(mat) > 30  # anti-vacuity: the fixture must produce matches
+    groups = {
+        key: g.sort_values("o") for key, g in mat.groupby(["k", "match_number"])
+    }
+
+    def _is_null(v):
+        return v is None or (isinstance(v, float) and math.isnan(v))
+
+    def call_value(g, kind, sym, col, off):
+        if sym is None:
+            sub = g
+        elif sym == "U":
+            sub = g[g.classifier.isin(["A", "B"])]
+        else:
+            sub = g[g.classifier == sym]
+        if kind == "count":
+            if col == "*":
+                return float(len(sub))
+            return float(sub[col].notna().sum())
+        vals = list(sub[col])
+        if kind in ("first", "last"):
+            i = off or 0
+            if i >= len(vals):
+                return None
+            v = vals[i] if kind == "first" else vals[len(vals) - 1 - i]
+            return None if _is_null(v) else float(v)
+        nn = [float(v) for v in vals if not _is_null(v)]
+        if not nn:
+            return None
+        if kind == "sum":
+            return float(sum(nn))
+        if kind == "avg":
+            return float(sum(nn) / len(nn))
+        return float(min(nn)) if kind == "min" else float(max(nn))
+
+    def gen_call():
+        kind = rng.choice(["first", "last", "count", "sum", "avg", "min", "max"])
+        mode = "FINAL " if rng.random() < 0.2 else ""
+        if kind == "count" and rng.random() < 0.3:
+            star_sym = rng.choice([None, "A", "B", "C", "U"])
+            sql = (
+                f"{mode}COUNT(*)"
+                if star_sym is None
+                else f"{mode}COUNT({star_sym}.*)"
+            )
+            return sql, ("count", star_sym, "*", None)
+        sym = rng.choice(["A", "B", "C", "U"])
+        col = rng.choice(["price", "qty"])
+        off = rng.choice([None, None, 1, 2]) if kind in ("first", "last") else None
+        inner = f"{sym}.{col}" + (f", {off}" if off is not None else "")
+        return f"{mode}{kind.upper()}({inner})", (kind, sym, col, off)
+
+    def gen_expr(depth=0):
+        r = rng.random()
+        if depth >= 2 or r < 0.45:
+            if rng.random() < 0.75:
+                sql, spec = gen_call()
+                return sql, ("call", spec)
+            lit = rng.choice([1, 2, 3, 10])
+            return str(lit), ("lit", float(lit))
+        op = rng.choice(["+", "-", "*"])
+        ls, ln = gen_expr(depth + 1)
+        rs, rn = gen_expr(depth + 1)
+        return f"( {ls} {op} {rs} )", (op, ln, rn)
+
+    def has_call(node):
+        if node[0] == "call":
+            return True
+        if node[0] == "lit":
+            return False
+        return has_call(node[1]) or has_call(node[2])
+
+    def eval_node(node, g):
+        tag = node[0]
+        if tag == "lit":
+            return node[1]
+        if tag == "call":
+            return call_value(g, *node[1])
+        a, b = eval_node(node[1], g), eval_node(node[2], g)
+        if a is None or b is None:
+            return None  # SQL null propagation
+        return a + b if tag == "+" else a - b if tag == "-" else a * b
+
+    checked = 0
+    for _round in range(10):
+        exprs = []
+        while len(exprs) < 5:
+            sql, node = gen_expr()
+            if has_call(node):
+                exprs.append((sql, node))
+        items = ",\n                   ".join(
+            f"{sql} AS e{i}" for i, (sql, _) in enumerate(exprs)
+        )
+        got = run_sql(
+            spark,
+            f"""SELECT * FROM mx_fuzz MATCH_RECOGNIZE (
+                  PARTITION BY k
+                  ORDER BY o
+                  MEASURES {items},
+                   MATCH_NUMBER() AS mn
+                  {tail})""",
+        ).toPandas()
+        assert len(got) == len(groups)
+        for _, row in got.iterrows():
+            g = groups[(row.k, row.mn)]
+            for i, (sql, node) in enumerate(exprs):
+                want = eval_node(node, g)
+                have = row[f"e{i}"]
+                if _is_null(have):
+                    assert want is None, f"{sql!r}: engine NULL, oracle {want}"
+                else:
+                    assert want is not None and math.isclose(
+                        float(have), want, rel_tol=1e-9, abs_tol=1e-9
+                    ), f"{sql!r}: engine {have}, oracle {want}"
+                checked += 1
+    assert checked == 50 * len(groups)
