@@ -354,3 +354,48 @@ def test_python_datasource_stream_offsets_and_splits(spark):
     """
     con = duckdb.connect()
     assert_matches_oracle(out, con, oracle, "io_python_datasource_stream")
+
+
+def test_python_datasource_stream_replay_is_bit_identical():
+    """The exactly-once contract Structured Streaming demands of a
+    source (and the reason the reference's UnboundedSource carries
+    checkpoint marks, ``io/iobase.py:1239``): re-reading a committed
+    (start, end) offset range after a restart must regenerate the SAME
+    rows. Drive the reader object directly — no Spark session needed:
+    plan partitions for a batch twice and read each split twice; both
+    the split plans and the concatenated Arrow batches must be
+    bit-identical. Also pins that latestOffset is capped at numRecords
+    (the drain-terminates guarantee the gate relies on)."""
+    from incubator_beam_spark.sources.pydatasource import (
+        SyntheticPyStreamReader,
+    )
+
+    opts = {
+        "numrecords": "7000",
+        "numpartitions": "4",
+        "rowsperbatch": "3000",
+        "numkeys": "100",
+        "hotkeyfraction": "0.2",
+        "numhotkeys": "2",
+        "seed": "replay_s",
+    }
+    r1 = SyntheticPyStreamReader(opts)
+    offs = [r1.initialOffset()]
+    for _ in range(4):
+        offs.append(r1.latestOffset())
+    # capped: 3000 -> 6000 -> 7000 -> 7000 (the drain terminates)
+    assert [o["id"] for o in offs] == [0, 3000, 6000, 7000, 7000]
+
+    r2 = SyntheticPyStreamReader(opts)  # a fresh reader, as after restart
+    for start, end in zip(offs, offs[1:]):
+        p1 = r1.partitions(start, end)
+        p2 = r2.partitions(start, end)
+        assert [(p.index, p.start, p.end) for p in p1] == [
+            (p.index, p.start, p.end) for p in p2
+        ]
+        for a, b in zip(p1, p2):
+            ba = [rb.to_pydict() for rb in r1.read(a)]
+            bb = [rb.to_pydict() for rb in r2.read(b)]
+            assert ba == bb
+            # replaying the SAME reader must also be stable
+            assert ba == [rb.to_pydict() for rb in r1.read(a)]

@@ -466,3 +466,128 @@ def test_measures_expression_fuzz_vs_materialized(spark):
                     ), f"{sql!r}: engine {have}, oracle {want}"
                 checked += 1
     assert checked == 50 * len(groups)
+
+
+def test_measures_running_all_rows_fuzz_vs_prefix_oracle(spark):
+    """Companion fuzz for the ALL ROWS PER MATCH measure path: RUNNING
+    aggregate measures are PREFIX scans (the value at row i aggregates
+    only the match rows mapped so far) while FINAL pins the whole-match
+    value on every row. The oracle rebuilds both from the materialized
+    per-row output itself: for each output row, recompute every RUNNING
+    call over the classifier-tagged prefix and every FINAL call over
+    the whole match in pandas. Catches off-by-one prefix windows,
+    running-offset navigation (LAST(A.col, 1) over the prefix), and
+    mode mix-ups that the one-row fuzz cannot see (there RUNNING ==
+    FINAL by construction)."""
+    import math
+    import random
+
+    from incubator_beam_spark.plans.sqlfront import run_sql
+
+    rng = random.Random(20260817)
+    rows = []
+    for k in range(3):
+        for o in range(50):
+            qty = rng.randrange(10)
+            price = (
+                None
+                if rng.random() < 0.15
+                else rng.choice([0.25, 1.5, 2.0, 3.75, 5.0, 8.25])
+            )
+            rows.append((k, o, price, qty))
+    df = spark.createDataFrame(rows, "k int, o int, price double, qty int")
+    df.createOrReplaceTempView("mx_fuzz_ar")
+    src = df.toPandas().set_index(["k", "o"])
+
+    def _is_null(v):
+        return v is None or (isinstance(v, float) and math.isnan(v))
+
+    def prefix_value(prefix_rows, kind, sym, col, off):
+        """prefix_rows: list of (classifier, price, qty) seen so far."""
+        if sym is None:
+            sub = prefix_rows
+        elif sym == "U":
+            sub = [r for r in prefix_rows if r[0] in ("A", "B")]
+        else:
+            sub = [r for r in prefix_rows if r[0] == sym]
+        ci = 1 if col == "price" else 2
+        if kind == "count":
+            if col == "*":
+                return float(len(sub))
+            return float(sum(1 for r in sub if not _is_null(r[ci])))
+        vals = [r[ci] for r in sub]
+        if kind in ("first", "last"):
+            i = off or 0
+            if i >= len(vals):
+                return None
+            v = vals[i] if kind == "first" else vals[len(vals) - 1 - i]
+            return None if _is_null(v) else float(v)
+        nn = [float(v) for v in vals if not _is_null(v)]
+        if not nn:
+            return None
+        if kind == "sum":
+            return float(sum(nn))
+        if kind == "avg":
+            return float(sum(nn) / len(nn))
+        return float(min(nn)) if kind == "min" else float(max(nn))
+
+    def gen_call():
+        kind = rng.choice(["first", "last", "count", "sum", "avg", "min", "max"])
+        mode = rng.choice(["RUNNING", "FINAL", "", ""])  # bare == RUNNING here
+        prefix = f"{mode} " if mode else ""
+        if kind == "count" and rng.random() < 0.3:
+            star_sym = rng.choice([None, "A", "B", "C", "U"])
+            sql = (
+                f"{prefix}COUNT(*)"
+                if star_sym is None
+                else f"{prefix}COUNT({star_sym}.*)"
+            )
+            return sql, ("count", star_sym, "*", None, mode or "RUNNING")
+        sym = rng.choice(["A", "B", "C", "U"])
+        col = rng.choice(["price", "qty"])
+        off = rng.choice([None, None, 1]) if kind in ("first", "last") else None
+        inner = f"{sym}.{col}" + (f", {off}" if off is not None else "")
+        return (
+            f"{prefix}{kind.upper()}({inner})",
+            (kind, sym, col, off, mode or "RUNNING"),
+        )
+
+    for _round in range(6):
+        calls = [gen_call() for _ in range(5)]
+        items = ",\n                   ".join(
+            f"{sql} AS m{i}" for i, (sql, _) in enumerate(calls)
+        )
+        got = run_sql(
+            spark,
+            f"""SELECT * FROM mx_fuzz_ar MATCH_RECOGNIZE (
+                  PARTITION BY k
+                  ORDER BY o
+                  MEASURES {items}
+                  ALL ROWS PER MATCH
+                  AFTER MATCH SKIP PAST LAST ROW
+                  PATTERN (A B{{1,3}} C)
+                  SUBSET U = (A, B)
+                  DEFINE A AS qty >= 7, B AS qty <= 4, C AS qty >= 0)""",
+        ).toPandas()
+        assert len(got) > 30
+        for (k, mn), g in got.groupby(["k", "match_number"]):
+            g = g.sort_values("o")
+            trail = []
+            whole = [
+                (r.classifier, *src.loc[(k, r.o)][["price", "qty"]])
+                for r in g.itertuples()
+            ]
+            for pos, r in enumerate(g.itertuples()):
+                trail.append(whole[pos])
+                for i, (sql, (kind, sym, col, off, mode)) in enumerate(calls):
+                    scope = whole if mode == "FINAL" else trail
+                    want = prefix_value(scope, kind, sym, col, off)
+                    have = getattr(r, f"m{i}")
+                    if _is_null(have):
+                        assert want is None, (
+                            f"{sql!r} row {r.o}: engine NULL, oracle {want}"
+                        )
+                    else:
+                        assert want is not None and math.isclose(
+                            float(have), want, rel_tol=1e-9, abs_tol=1e-9
+                        ), f"{sql!r} row {r.o}: engine {have}, oracle {want}"
