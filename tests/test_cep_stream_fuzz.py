@@ -310,3 +310,72 @@ def test_nfa_cross_symbol_matches_reference(vals, tags, pat):
     got = list(nfa.finditer(n, can_nfa))
     want = _ref_finditer(parse_pattern(pat), n, can_ref)
     assert got == want, (pat, vals, tags)
+
+
+def incremental_run_with_assignment(pattern: str, s: str, sizes):
+    """Like ``incremental_run`` but keeps each decided match's symbol
+    ASSIGNMENT (globally re-based): every streaming MEASURE — counts,
+    FIRST/LAST navigation, aggregates — is computed FROM the
+    assignment, so split-invariance of spans alone is not enough; a
+    batch boundary that shifted attribution by one row would corrupt
+    measures while leaving spans intact."""
+    from incubator_beam_spark.plans.cep import _stable_scan
+    from incubator_beam_spark.plans.nfa import NFA
+
+    nfa = NFA(pattern)
+    out = []
+    buf = ""
+    base = 0
+    pos = 0
+    it = iter(sizes)
+    while pos < len(s):
+        try:
+            k = next(it)
+        except StopIteration:
+            k = len(s) - pos
+        buf += s[pos : pos + k]
+        pos += k
+
+        def can(sym, i, trail, b=buf):
+            return b[i] == CHARS[sym]
+
+        decided, boundary = _stable_scan(nfa, len(buf), can)
+        for lo, hi, assignment in decided:
+            out.append(
+                (base + lo, base + hi, tuple((base + r, y) for r, y in assignment))
+            )
+        buf = buf[boundary:]
+        base += boundary
+    return out
+
+
+@settings(max_examples=400, deadline=None)
+@given(pattern=patterns, stream=streams, sizes=chunkings)
+def test_stream_assignment_equals_batch_assignment(pattern, stream, sizes):
+    """Split invariance of the full (span, per-row symbol attribution)
+    result: the incremental hold-until-decided scan under ANY chunking
+    must attribute every matched row to the same symbol as one
+    whole-buffer scan. Guards the streaming measure path end to end —
+    prefix drops re-base the buffer, and a re-basing bug would show up
+    here as a shifted (row, symbol) pair."""
+    from incubator_beam_spark.plans.cep import _stable_scan
+    from incubator_beam_spark.plans.nfa import NFA
+
+    try:
+        NFA(pattern)
+    except ValueError:
+        assume(False)
+    nfa = NFA(pattern)
+    s = stream.upper() + "."  # trailing no-match row decides every tail
+
+    def can(sym, i, trail, b=s):
+        return b[i] == CHARS[sym]
+
+    whole, boundary = _stable_scan(nfa, len(s), can)
+    assert boundary == len(s)  # terminated buffer fully decides
+    want = [
+        (lo, hi, tuple((r, y) for r, y in assignment))
+        for lo, hi, assignment in whole
+    ]
+    got = incremental_run_with_assignment(pattern, s, sizes)
+    assert got == want
