@@ -892,6 +892,7 @@ def match_recognize_stream(
     watermark_delay: str = "10 seconds",
     subsets: "dict[str, list[str]] | None" = None,
     predicate_cols: "list[str] | None" = None,
+    with_classifier: bool = False,
 ):
     """Streaming MATCH_RECOGNIZE: the batch kernel run incrementally over
     a per-key state buffer (``applyInPandasWithState``).
@@ -931,6 +932,11 @@ def match_recognize_stream(
 
     Single order/partition columns keep the state row narrow; measures
     reference the same C-level str scan as the batch kernel.
+    ``with_classifier=True`` appends a ``classifier`` column holding
+    the LAST matched row's symbol name (the SQL standard's
+    CLASSIFIER() under ONE ROW PER MATCH — same contract as the batch
+    kernel), derived from the decided match's NFA assignment, so it is
+    exact for callable-define symbols too.
 
     Like the batch kernel, ``define`` values may be CALLABLES
     ``fn(arrs, i, bindings) -> bool`` for match-state-dependent
@@ -1016,9 +1022,15 @@ def match_recognize_stream(
 
     out_schema = T.StructType(
         [part_field, T.StructField("match_number", T.LongType())]
+        + ([T.StructField("classifier", T.StringType())] if with_classifier else [])
         + [_measure_field(n, s) for n, s in measures.items()]
     )
     out_cols = [f.name for f in out_schema.fields]
+    # CLASSIFIER() under ONE ROW PER MATCH = the LAST matched row's
+    # symbol NAME (same contract as the batch kernel): invert the
+    # classifier-char table for column-define rows; callable-define
+    # rows get their name from the NFA assignment instead.
+    name_by_char = {c: n for n, c in sym_chars.items()}
     state_schema = T.StructType([T.StructField("blob", T.StringType())])
     specs = list(measures.values())
     data_cols = [c for c in keep if c != partition_by]
@@ -1183,6 +1195,12 @@ def match_recognize_stream(
                 else:
                     raise ValueError(f"unknown measure kind {kind!r}")
                 vals.append(rows[i][col_idx[col]] if i >= 0 else None)
+            if with_classifier:
+                if pos_by_sym is not None:
+                    last_sym = max(assignment, key=lambda p: p[0])[1]
+                else:
+                    last_sym = name_by_char[syms[hi - 1]]
+                vals.insert(0, last_sym)
             out.append([key[0], blob["mn"], *vals])
         rows = rows[consumed:]
         if len(rows) > max_buffer:

@@ -594,13 +594,15 @@ def run_sql_stream(
     Streaming contract (violations raise up front): single PARTITION
     BY / ORDER BY columns, ONE ROW PER MATCH, AFTER MATCH SKIP PAST
     LAST ROW, no PREV()/NEXT() (physical navigation needs a lag Window,
-    which is not incrementally computable per micro-batch), no
-    CLASSIFIER(), and a pattern whose end is not extendable (the
-    kernel's liveness guard). Everything else carries over: cross-symbol
-    DEFINE references compile to match-state callables (their column
-    sets become the state's ``predicate_cols``), SUBSET union symbols,
-    aggregate + offset + expression measures, MATCH_NUMBER() aliases,
-    and a stateless outer SELECT/WHERE."""
+    which is not incrementally computable per micro-batch), and a
+    pattern whose end is not extendable (the kernel's liveness guard).
+    Everything else carries over: cross-symbol DEFINE references
+    compile to match-state callables (their column sets become the
+    state's ``predicate_cols``), SUBSET union symbols, aggregate +
+    offset + expression measures, MATCH_NUMBER() and CLASSIFIER()
+    aliases (the last matched row's symbol, exact for callable-define
+    symbols via the NFA assignment), and a stateless outer
+    SELECT/WHERE."""
     mr = _parse_match_recognize(query)
     if mr is None:
         return spark.sql(rewrite(query))
@@ -630,8 +632,7 @@ def run_sql_stream(
             "streaming MATCH_RECOGNIZE supports AFTER MATCH SKIP PAST "
             "LAST ROW only (overlapping rescans would re-emit from state)"
         )
-    if kw.pop("rename_cls", None):
-        raise ValueError("CLASSIFIER() is not available in streaming mode")
+    rename_cls = kw.pop("rename_cls", None)
     all_syms = set(kw["define"])
     defines: dict = {}
     predicate_cols: set[str] = set()
@@ -665,6 +666,7 @@ def run_sql_stream(
         max_buffer=max_buffer,
         event_time=event_time,
         watermark_delay=watermark_delay,
+        with_classifier=bool(rename_cls),
     )
     if expr_measures:
         internal = [n for n in kw["measures"] if re.fullmatch(r"__m\d+", n)]
@@ -673,6 +675,8 @@ def run_sql_stream(
         ).drop(*internal)
     if rename_mn:
         out = out.withColumnRenamed("match_number", rename_mn)
+    if rename_cls:
+        out = out.withColumnRenamed("classifier", rename_cls)
     view = f"__mrs_{uuid.uuid4().hex[:10]}"
     out.createOrReplaceTempView(view)
     return spark.sql(rewrite(rest.replace("{MR}", view)))

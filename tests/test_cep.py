@@ -1519,3 +1519,64 @@ def test_expression_measure_with_subset(spark):
     ).collect()
     # one V: D@1,2 (8,6) R@3,4 (9,12): max 12 min 6 -> 6
     assert [(r.match_number, r.spread) for r in out] == [(1, 6)]
+
+
+def test_run_sql_stream_classifier(spark):
+    """CLASSIFIER() through the STREAMING SQL front door (lifts the r7
+    restriction): under ONE ROW PER MATCH it names the LAST matched
+    row's symbol, exactly as the batch front door computes it — checked
+    on a pattern whose last position alternates between symbols, so the
+    classifier genuinely varies per match, AND with a cross-symbol
+    callable define, so attribution comes from the NFA assignment (the
+    classifier-char path cannot see callable rows)."""
+    from pyspark.sql import types as T
+
+    from incubator_beam_spark.plans.sqlfront import run_sql, run_sql_stream
+    from incubator_beam_spark.streaming import TestStream
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("etype", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    q = """
+      SELECT key, match_number, sym, s_seq
+      FROM {T} MATCH_RECOGNIZE (
+        PARTITION BY key
+        ORDER BY seq
+        MEASURES CLASSIFIER() AS sym,
+                 FIRST(S.seq) AS s_seq
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (S (R | D))
+        DEFINE S AS etype = 's',
+               D AS etype = 'd' AND D.val < LAST(S.val),
+               R AS etype = 'r'
+      )
+    """
+    data = [
+        (1, 1, "s", 10.0), (1, 2, "r", 1.0),
+        (1, 3, "s", 10.0), (1, 4, "d", 8.0),
+    ]
+    data2 = [(1, 5, "s", 4.0), (1, 6, "d", 2.0), (1, 7, "x", 0.0)]
+    spark.createDataFrame(data + data2, schema).createOrReplaceTempView(
+        "mrs_cls_batch"
+    )
+    expected = sorted(
+        (r.match_number, r.sym, r.s_seq)
+        for r in run_sql(spark, q.replace("{T}", "mrs_cls_batch")).collect()
+    )
+    assert expected == [(1, "R", 1), (2, "D", 3), (3, "D", 5)]
+    with TestStream(spark, schema) as ts:
+        ts.stream.createOrReplaceTempView("mrs_cls_stream")
+        out = run_sql_stream(spark, q.replace("{T}", "mrs_cls_stream"))
+        ts.start(out, output_mode="append")
+        ts.add_elements(data).advance()
+        ts.add_elements(data2).advance()
+        rows = sorted(
+            (r.match_number, r.sym, r.s_seq) for r in ts.results().collect()
+        )
+        assert rows == expected
