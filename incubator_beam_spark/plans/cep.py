@@ -882,7 +882,7 @@ def _stable_scan(nfa, n: int, can) -> tuple[list[tuple[int, int, list]], int]:
 
 def match_recognize_stream(
     df: DataFrame,
-    partition_by: str,
+    partition_by: "str | list[str]",
     order_by: str,
     define: dict[str, "Column | callable"],
     pattern: str,
@@ -952,6 +952,11 @@ def match_recognize_stream(
     """
     import json
 
+    # multi-column PARTITION BY: the key lives in the groupBy, not the
+    # state blob, so compound keys do not widen state rows (r8 lift;
+    # ORDER BY stays single — the per-key sequence column)
+    part_cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+
     if not define:
         raise ValueError("define must not be empty")
     subsets = subsets or {}
@@ -1000,7 +1005,7 @@ def match_recognize_stream(
     measure_cols = sorted({spec[2] for spec in measures.values() if spec[2]})
     keep = list(
         dict.fromkeys(
-            [partition_by, order_by, *measure_cols, *(predicate_cols or [])]
+            [*part_cols, order_by, *measure_cols, *(predicate_cols or [])]
         )
     )
     if event_time and order_by in measure_cols:
@@ -1011,7 +1016,7 @@ def match_recognize_stream(
     proj = df.select(*keep, classifier.alias("__sym"))
     if event_time:
         proj = proj.withWatermark(order_by, watermark_delay)
-    part_field = proj.schema[partition_by]
+    part_fields = [proj.schema[c] for c in part_cols]
 
     def _measure_field(name: str, spec: tuple) -> T.StructField:
         if spec[0] == "count":
@@ -1021,7 +1026,7 @@ def match_recognize_stream(
         return T.StructField(name, proj.schema[spec[2]].dataType)
 
     out_schema = T.StructType(
-        [part_field, T.StructField("match_number", T.LongType())]
+        [*part_fields, T.StructField("match_number", T.LongType())]
         + ([T.StructField("classifier", T.StringType())] if with_classifier else [])
         + [_measure_field(n, s) for n, s in measures.items()]
     )
@@ -1033,7 +1038,7 @@ def match_recognize_stream(
     name_by_char = {c: n for n, c in sym_chars.items()}
     state_schema = T.StructType([T.StructField("blob", T.StringType())])
     specs = list(measures.values())
-    data_cols = [c for c in keep if c != partition_by]
+    data_cols = [c for c in keep if c not in part_cols]
 
     def fn(key, pdfs, state):
         blob = json.loads(state.get[0]) if state.exists else {"rows": [], "mn": 0}
@@ -1201,7 +1206,7 @@ def match_recognize_stream(
                 else:
                     last_sym = name_by_char[syms[hi - 1]]
                 vals.insert(0, last_sym)
-            out.append([key[0], blob["mn"], *vals])
+            out.append([*key, blob["mn"], *vals])
         rows = rows[consumed:]
         if len(rows) > max_buffer:
             rows = rows[-max_buffer:]
@@ -1210,6 +1215,6 @@ def match_recognize_stream(
         if out:
             yield pd.DataFrame(out, columns=out_cols)
 
-    return proj.groupBy(F.col(partition_by)).applyInPandasWithState(
+    return proj.groupBy(*[F.col(c) for c in part_cols]).applyInPandasWithState(
         fn, out_schema, state_schema, "Append", "NoTimeout"
     )

@@ -591,8 +591,9 @@ def run_sql_stream(
     registered STREAMING temp view, and the result is a streaming
     DataFrame ready for ``writeStream``.
 
-    Streaming contract (violations raise up front): single PARTITION
-    BY / ORDER BY columns, ONE ROW PER MATCH, AFTER MATCH SKIP PAST
+    Streaming contract (violations raise up front): a single ORDER BY
+    column (PARTITION BY may be compound — the key lives in the
+    grouping, not in state rows), ONE ROW PER MATCH, AFTER MATCH SKIP PAST
     LAST ROW, no PREV()/NEXT() (physical navigation needs a lag Window,
     which is not incrementally computable per micro-batch), and a
     pattern whose end is not extendable (the kernel's liveness guard).
@@ -620,10 +621,10 @@ def run_sql_stream(
             f"run_sql_stream: table {table!r} is not a streaming view — "
             "use run_sql for batch inputs"
         )
-    if len(kw["partition_by"]) != 1 or len(kw["order_by"]) != 1:
+    if len(kw["order_by"]) != 1:
         raise ValueError(
-            "streaming MATCH_RECOGNIZE needs single PARTITION BY and "
-            "ORDER BY columns (narrow per-key state rows)"
+            "streaming MATCH_RECOGNIZE needs a single ORDER BY column "
+            "(the per-key sequence; state holds one order scalar per row)"
         )
     if kw["all_rows"]:
         raise ValueError("streaming MATCH_RECOGNIZE supports ONE ROW PER MATCH only")
@@ -656,7 +657,7 @@ def run_sql_stream(
     rename_mn = kw.pop("rename_mn", None)
     out = match_recognize_stream(
         df,
-        partition_by=kw["partition_by"][0],
+        partition_by=kw["partition_by"],
         order_by=kw["order_by"][0],
         define=defines,
         pattern=kw["pattern"],

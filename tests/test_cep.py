@@ -1580,3 +1580,65 @@ def test_run_sql_stream_classifier(spark):
             (r.match_number, r.sym, r.s_seq) for r in ts.results().collect()
         )
         assert rows == expected
+
+
+def test_run_sql_stream_compound_partition_by(spark):
+    """Compound PARTITION BY through the streaming front door (r8 lift —
+    the key lives in the groupBy, not in state rows, so multi-column
+    keys cost nothing in state): two key columns whose crossing would
+    alias under either single key alone; batch/stream parity across
+    micro-batches."""
+    from pyspark.sql import types as T
+
+    from incubator_beam_spark.plans.sqlfront import run_sql, run_sql_stream
+    from incubator_beam_spark.streaming import TestStream
+
+    schema = T.StructType(
+        [
+            T.StructField("region", T.StringType()),
+            T.StructField("dev", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    q = """
+      SELECT region, dev, match_number, lo_seq, n_h
+      FROM {T} MATCH_RECOGNIZE (
+        PARTITION BY region, dev
+        ORDER BY seq
+        MEASURES FIRST(H.seq) AS lo_seq, COUNT(H.*) AS n_h
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (H H L)
+        DEFINE H AS val >= 5, L AS val < 5
+      )
+    """
+    # (region, dev) interleaved so that grouping by EITHER column alone
+    # would merge sequences and change the matches
+    data = [
+        ("e", 1, 1, 9.0), ("w", 1, 1, 9.0), ("e", 2, 1, 1.0),
+        ("e", 1, 2, 8.0), ("w", 1, 2, 1.0), ("e", 2, 2, 9.0),
+    ]
+    data2 = [
+        ("e", 1, 3, 2.0), ("w", 1, 3, 8.0), ("e", 2, 3, 7.0),
+        ("e", 2, 4, 0.0), ("w", 1, 4, 7.0), ("w", 1, 5, 1.0),
+    ]
+    spark.createDataFrame(data + data2, schema).createOrReplaceTempView(
+        "mrs_pk_batch"
+    )
+    expected = sorted(
+        (r.region, r.dev, r.match_number, r.lo_seq, r.n_h)
+        for r in run_sql(spark, q.replace("{T}", "mrs_pk_batch")).collect()
+    )
+    assert expected == [("e", 1, 1, 1, 2), ("e", 2, 1, 2, 2), ("w", 1, 1, 3, 2)]
+    with TestStream(spark, schema) as ts:
+        ts.stream.createOrReplaceTempView("mrs_pk_stream")
+        out = run_sql_stream(spark, q.replace("{T}", "mrs_pk_stream"))
+        ts.start(out, output_mode="append")
+        ts.add_elements(data).advance()
+        ts.add_elements(data2).advance()
+        rows = sorted(
+            (r.region, r.dev, r.match_number, r.lo_seq, r.n_h)
+            for r in ts.results().collect()
+        )
+        assert rows == expected
