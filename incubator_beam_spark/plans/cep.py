@@ -137,6 +137,78 @@ def _np_bool(series: pd.Series) -> "np.ndarray":
     return out
 
 
+_AGG_KINDS = ("sum", "avg", "min", "max")
+
+
+def _running_measure_values(specs, arrs, pairs):
+    """Per-spec value list for ALL ROWS PER MATCH, one value per matched
+    row. RUNNING (default) = prefix scan up to the current row; FINAL =
+    the whole-match value everywhere (== the running value at the last
+    row, for every supported measure kind). ``pairs`` is the match's
+    ordered ``(row_index, symbol_name)`` attribution; ``arrs`` maps
+    column name -> indexable values. Shared by the batch kernel and the
+    streaming kernel (r8 — decided streaming matches are final, so
+    per-row emission is sound)."""
+    per_spec = []
+    for spec in specs:
+        kind, sym, col, off, mode = spec
+        mode = mode or "running"
+        vals, cnt, cur, seen, acc = [], 0, None, False, 0
+        hits: list = []  # hit values, kept only for offset nav
+        for idx, sname in pairs:
+            hit = sym is None or (
+                sname == sym if isinstance(sym, str) else sname in sym
+            )
+            if kind == "count":
+                if hit and (col is None or not pd.isna(arrs[col][idx])):
+                    cnt += 1
+                vals.append(cnt)
+            elif kind == "first":
+                if off:
+                    if hit and len(hits) <= off:
+                        hits.append(arrs[col][idx])
+                    vals.append(hits[off] if len(hits) > off else None)
+                else:
+                    if hit and not seen:
+                        cur, seen = arrs[col][idx], True
+                    vals.append(cur)
+            elif kind == "last":
+                if off:
+                    if hit:
+                        hits.append(arrs[col][idx])
+                    vals.append(hits[-1 - off] if len(hits) > off else None)
+                else:
+                    if hit:
+                        cur = arrs[col][idx]
+                    vals.append(cur)
+            elif kind in _AGG_KINDS:
+                v = arrs[col][idx]
+                if hit and not pd.isna(v):
+                    cnt += 1
+                    if kind in ("sum", "avg"):
+                        acc += v
+                    elif cur is None:
+                        cur = v
+                    elif kind == "min":
+                        cur = min(cur, v)
+                    else:
+                        cur = max(cur, v)
+                if not cnt:
+                    vals.append(None)
+                elif kind == "sum":
+                    vals.append(acc)
+                elif kind == "avg":
+                    vals.append(float(acc) / cnt)
+                else:
+                    vals.append(cur)
+            else:
+                raise ValueError(f"unknown measure kind {kind!r}")
+        if mode == "final" and vals:
+            vals = [vals[-1]] * len(vals)
+        per_spec.append(vals)
+    return per_spec
+
+
 def _split_last_atom(pat: str) -> tuple[str, str, str]:
     """Split a compiled char-regex into (prefix, last_atom, quantifier).
     last_atom is a single symbol char or a '(...)' group; quantifier is
@@ -643,70 +715,7 @@ def match_recognize(
                 stack += b
             ambiguous = bool((stack > 1).any())
         def _all_rows_measures(pairs):
-            """Per-spec value list, one value per matched row. RUNNING
-            (default) = prefix scan up to the current row; FINAL = the
-            whole-match value everywhere (== the running value at the
-            last row, for every supported measure kind)."""
-            per_spec = []
-            for spec in specs:
-                kind, sym, col, off, mode = spec
-                mode = mode or "running"
-                vals, cnt, cur, seen, acc = [], 0, None, False, 0
-                hits: list = []  # hit values, kept only for offset nav
-                for idx, sname in pairs:
-                    hit = sym is None or (
-                        sname == sym if isinstance(sym, str) else sname in sym
-                    )
-                    if kind == "count":
-                        if hit and (col is None or not pd.isna(arrs[col][idx])):
-                            cnt += 1
-                        vals.append(cnt)
-                    elif kind == "first":
-                        if off:
-                            if hit and len(hits) <= off:
-                                hits.append(arrs[col][idx])
-                            vals.append(hits[off] if len(hits) > off else None)
-                        else:
-                            if hit and not seen:
-                                cur, seen = arrs[col][idx], True
-                            vals.append(cur)
-                    elif kind == "last":
-                        if off:
-                            if hit:
-                                hits.append(arrs[col][idx])
-                            vals.append(
-                                hits[-1 - off] if len(hits) > off else None
-                            )
-                        else:
-                            if hit:
-                                cur = arrs[col][idx]
-                            vals.append(cur)
-                    elif kind in _AGGS:
-                        v = arrs[col][idx]
-                        if hit and not pd.isna(v):
-                            cnt += 1
-                            if kind in ("sum", "avg"):
-                                acc += v
-                            elif cur is None:
-                                cur = v
-                            elif kind == "min":
-                                cur = min(cur, v)
-                            else:
-                                cur = max(cur, v)
-                        if not cnt:
-                            vals.append(None)
-                        elif kind == "sum":
-                            vals.append(acc)
-                        elif kind == "avg":
-                            vals.append(float(acc) / cnt)
-                        else:
-                            vals.append(cur)
-                    else:
-                        raise ValueError(f"unknown measure kind {kind!r}")
-                if mode == "final" and vals:
-                    vals = [vals[-1]] * len(vals)
-                per_spec.append(vals)
-            return per_spec
+            return _running_measure_values(specs, arrs, pairs)
 
         def _emit_all_rows(match_no, pairs):
             # ALL ROWS PER MATCH: one row per matched input row
@@ -893,6 +902,7 @@ def match_recognize_stream(
     subsets: "dict[str, list[str]] | None" = None,
     predicate_cols: "list[str] | None" = None,
     with_classifier: bool = False,
+    all_rows: bool = False,
 ):
     """Streaming MATCH_RECOGNIZE: the batch kernel run incrementally over
     a per-key state buffer (``applyInPandasWithState``).
@@ -1025,11 +1035,35 @@ def match_recognize_stream(
             return T.StructField(name, T.DoubleType())
         return T.StructField(name, proj.schema[spec[2]].dataType)
 
-    out_schema = T.StructType(
-        [*part_fields, T.StructField("match_number", T.LongType())]
-        + ([T.StructField("classifier", T.StringType())] if with_classifier else [])
-        + [_measure_field(n, s) for n, s in measures.items()]
-    )
+    if all_rows and with_classifier:
+        raise ValueError(
+            "with_classifier applies to ONE ROW PER MATCH only "
+            "(ALL ROWS already emits a per-row classifier column)"
+        )
+    if all_rows:
+        # decided streaming matches are FINAL (the stability probe), so
+        # per-row emission is sound: one output row per matched input
+        # row, with RUNNING/FINAL measures from the shared scanner —
+        # the same contract as the batch kernel's ALL ROWS mode
+        out_schema = T.StructType(
+            [*part_fields]
+            + [
+                T.StructField("match_number", T.LongType()),
+                T.StructField("classifier", T.StringType()),
+            ]
+            + [proj.schema[order_by]]
+            + [_measure_field(n, s) for n, s in measures.items()]
+        )
+    else:
+        out_schema = T.StructType(
+            [*part_fields, T.StructField("match_number", T.LongType())]
+            + (
+                [T.StructField("classifier", T.StringType())]
+                if with_classifier
+                else []
+            )
+            + [_measure_field(n, s) for n, s in measures.items()]
+        )
     out_cols = [f.name for f in out_schema.fields]
     # CLASSIFIER() under ONE ROW PER MATCH = the LAST matched row's
     # symbol NAME (same contract as the batch kernel): invert the
@@ -1077,8 +1111,9 @@ def match_recognize_stream(
         for i, c in enumerate(extra):
             col_idx[c] = 2 + i
         out = []
-        if fn_defines:
+        if fn_defines or all_rows:
             # buffered column views for match-state-dependent callables
+            # (and for the all-rows running-measure scanner)
             arrs = {c: [r[ci] for r in rows] for c, ci in col_idx.items()}
 
         def can(sym, i, trail, s=syms):
@@ -1089,6 +1124,20 @@ def match_recognize_stream(
         decided, consumed = _stable_scan(nfa, n_scan, can)
         for lo, hi, assignment in decided:
             blob["mn"] += 1
+            if all_rows:
+                if fn_defines:
+                    pairs = sorted(assignment)
+                else:
+                    pairs = [
+                        (i, name_by_char[syms[i]]) for i in range(lo, hi)
+                    ]
+                mvals = _running_measure_values(specs, arrs, pairs)
+                for pos, (idx, sname) in enumerate(pairs):
+                    out.append(
+                        [*key, blob["mn"], sname, rows[idx][0]]
+                        + [mv[pos] for mv in mvals]
+                    )
+                continue
             if fn_defines:
                 # rows taken by callable symbols carry no classifier
                 # char — symbol attribution must come from the NFA's
@@ -1213,7 +1262,12 @@ def match_recognize_stream(
         blob["rows"] = rows
         state.update((json.dumps(blob),))
         if out:
-            yield pd.DataFrame(out, columns=out_cols)
+            res = pd.DataFrame(out, columns=out_cols)
+            if all_rows and event_time:
+                # state holds the order column as integer microseconds;
+                # the output schema declares the original timestamp type
+                res[order_by] = pd.to_datetime(res[order_by], unit="us")
+            yield res
 
     return proj.groupBy(*[F.col(c) for c in part_cols]).applyInPandasWithState(
         fn, out_schema, state_schema, "Append", "NoTimeout"

@@ -593,7 +593,9 @@ def run_sql_stream(
 
     Streaming contract (violations raise up front): a single ORDER BY
     column (PARTITION BY may be compound — the key lives in the
-    grouping, not in state rows), ONE ROW PER MATCH, AFTER MATCH SKIP PAST
+    grouping, not in state rows), ONE or ALL ROWS PER MATCH (decided
+    matches are final, so per-row emission with RUNNING/FINAL measures
+    is sound), AFTER MATCH SKIP PAST
     LAST ROW, no PREV()/NEXT() (physical navigation needs a lag Window,
     which is not incrementally computable per micro-batch), and a
     pattern whose end is not extendable (the kernel's liveness guard).
@@ -626,8 +628,6 @@ def run_sql_stream(
             "streaming MATCH_RECOGNIZE needs a single ORDER BY column "
             "(the per-key sequence; state holds one order scalar per row)"
         )
-    if kw["all_rows"]:
-        raise ValueError("streaming MATCH_RECOGNIZE supports ONE ROW PER MATCH only")
     if kw["after_match"] != "past last row":
         raise ValueError(
             "streaming MATCH_RECOGNIZE supports AFTER MATCH SKIP PAST "
@@ -667,7 +667,8 @@ def run_sql_stream(
         max_buffer=max_buffer,
         event_time=event_time,
         watermark_delay=watermark_delay,
-        with_classifier=bool(rename_cls),
+        with_classifier=bool(rename_cls) and not kw["all_rows"],
+        all_rows=kw["all_rows"],
     )
     if expr_measures:
         internal = [n for n in kw["measures"] if re.fullmatch(r"__m\d+", n)]

@@ -1371,10 +1371,6 @@ def test_run_sql_stream_front_door(spark):
             run_sql_stream(
                 spark, base.replace("D.val < LAST(S.val)", "D.val < PREV(val)")
             )
-        with pytest.raises(ValueError, match="ONE ROW PER MATCH only"):
-            run_sql_stream(
-                spark, base.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
-            )
         with pytest.raises(ValueError, match="PAST LAST ROW only"):
             run_sql_stream(
                 spark,
@@ -1642,3 +1638,166 @@ def test_run_sql_stream_compound_partition_by(spark):
             for r in ts.results().collect()
         )
         assert rows == expected
+
+
+def test_run_sql_stream_all_rows_per_match(spark):
+    """ALL ROWS PER MATCH through the STREAMING front door (r8 lift —
+    decided matches are final under the stability probe, so per-row
+    emission is sound): every matched input row comes back with its
+    CLASSIFIER and RUNNING/FINAL measures, identical to the batch front
+    door on the full sequence — including a cross-symbol callable
+    define (attribution via the NFA assignment) and a match that
+    straddles a micro-batch boundary."""
+    from pyspark.sql import types as T
+
+    from incubator_beam_spark.plans.sqlfront import run_sql, run_sql_stream
+    from incubator_beam_spark.streaming import TestStream
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("etype", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    q = """
+      SELECT key, match_number, classifier, seq, n_d, run_min, final_spread
+      FROM {T} MATCH_RECOGNIZE (
+        PARTITION BY key
+        ORDER BY seq
+        MEASURES COUNT(D.*) AS n_d,
+                 RUNNING MIN(D.val) AS run_min,
+                 FINAL LAST(R.val) - FINAL FIRST(S.val) AS final_spread
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (S D+ R)
+        DEFINE S AS etype = 's',
+               D AS etype = 'd' AND D.val < LAST(S.val),
+               R AS etype = 'r' AND R.val > LAST(S.val)
+      )
+    """.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+    data = [
+        (1, 1, "s", 10.0), (1, 2, "d", 8.0), (1, 3, "d", 6.0),
+        (1, 4, "r", 12.0), (1, 5, "x", 0.0), (1, 6, "s", 5.0),
+    ]
+    data2 = [(1, 7, "d", 3.0), (1, 8, "r", 7.0), (1, 9, "x", 0.0)]
+    spark.createDataFrame(data + data2, schema).createOrReplaceTempView(
+        "mrs_ar_batch"
+    )
+    expected = sorted(
+        (r.match_number, r.classifier, r.seq, r.n_d, r.run_min, r.final_spread)
+        for r in run_sql(spark, q.replace("{T}", "mrs_ar_batch")).collect()
+    )
+    # match 1: rows 1-4 (S d d R), match 2: rows 6-8 straddling the
+    # micro-batch boundary in the streaming twin
+    assert [e[:3] for e in expected] == [
+        (1, "D", 2), (1, "D", 3), (1, "R", 4), (1, "S", 1),
+        (2, "D", 7), (2, "R", 8), (2, "S", 6),
+    ]
+    with TestStream(spark, schema) as ts:
+        ts.stream.createOrReplaceTempView("mrs_ar_stream")
+        out = run_sql_stream(spark, q.replace("{T}", "mrs_ar_stream"))
+        ts.start(out, output_mode="append")
+        ts.add_elements(data).advance()
+        ts.add_elements(data2).advance()
+        rows = sorted(
+            (r.match_number, r.classifier, r.seq, r.n_d, r.run_min, r.final_spread)
+            for r in ts.results().collect()
+        )
+        assert rows == expected
+
+
+def test_match_recognize_stream_all_rows_event_time(spark):
+    """ALL ROWS + event-time watermark mode together: the state buffer
+    holds the order column as integer microseconds, so the per-row
+    emission path must convert it back to the declared timestamp type.
+    Scripted file stream (deterministic micro-batch order): real data,
+    a terminator row, a watermark-push wave, a flush wave; the per-row
+    output must equal the batch all-rows kernel on the real rows —
+    same classifiers, same RUNNING count, and REAL timestamps."""
+    import os
+    import tempfile
+    import uuid
+
+    from incubator_beam_spark.plans.cep import (
+        match_recognize,
+        match_recognize_stream,
+    )
+    from incubator_beam_spark.queries.events import _stage_scripted_file
+
+    schema = "user bigint, ts timestamp, etype string"
+    base = "2024-01-01 00:00:"
+    real = [
+        (1, f"{base}01", "s"), (1, f"{base}02", "d"),
+        (1, f"{base}03", "r"), (1, f"{base}04", "s"),
+        (1, f"{base}05", "d"), (1, f"{base}06", "r"),
+    ]
+    def mk(rows):
+        return spark.createDataFrame(
+            [(u, t, e) for u, t, e in rows], "user bigint, ts string, etype string"
+        ).selectExpr("user", "CAST(ts AS TIMESTAMP) AS ts", "etype")
+
+    stage = tempfile.mkdtemp(prefix="cep_ar_et_")
+    t0 = 1700000000
+    _stage_scripted_file(stage, mk(real[:4]), "a_first", t0)
+    _stage_scripted_file(stage, mk(real[4:]), "b_second", t0 + 10)
+    _stage_scripted_file(
+        stage, mk([(1, f"{base}07", "x")]), "c_term", t0 + 20
+    )
+    _stage_scripted_file(
+        stage, mk([(1, "2024-01-01 01:00:00", "x")]), "d_wm_push", t0 + 30
+    )
+    _stage_scripted_file(
+        stage, mk([(1, "2024-01-01 01:00:01", "x")]), "e_flush", t0 + 40
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    define = {
+        "S": F.col("etype") == "s",
+        "D": F.col("etype") == "d",
+        "R": F.col("etype") == "r",
+    }
+    out = match_recognize_stream(
+        stream,
+        partition_by="user",
+        order_by="ts",
+        define=define,
+        pattern="S D R",
+        measures={"n_rows": ("count", None)},
+        event_time=True,
+        watermark_delay="10 seconds",
+        all_rows=True,
+    )
+    name = f"cep_ar_et_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.match_number, r.classifier, str(r.ts), r.n_rows)
+        for r in spark.table(name).collect()
+    )
+    want_df = match_recognize(
+        mk(real),
+        partition_by=["user"],
+        order_by=["ts"],
+        define=define,
+        pattern="S D R",
+        measures={"n_rows": ("count", None)},
+        all_rows=True,
+    )
+    want = sorted(
+        (r.match_number, r.classifier, str(r.ts), r.n_rows)
+        for r in want_df.collect()
+    )
+    assert got == want and len(got) == 6
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
