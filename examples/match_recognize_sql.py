@@ -82,6 +82,25 @@ def main() -> None:
     # replay — every emitted match is final and also present in batch
     assert n_stream <= n_batch
 
+    # --- streaming ALL ROWS + CLASSIFIER (r8 surface) --------------------
+    # the same clause in per-row mode: every matched input row comes back
+    # with the symbol that matched it and RUNNING measures
+    all_rows_q = QUERY.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH").replace(
+        "SELECT user_id, match_number,",
+        "SELECT user_id, match_number, classifier,",
+    )
+    out2 = run_sql_stream(spark, all_rows_q.format(table="events_stream"))
+    q2 = (
+        out2.writeStream.format("memory")
+        .queryName("mr_stream_rows_demo")
+        .outputMode("append")
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    print("streaming ALL ROWS sample (per matched row, with classifier):")
+    spark.table("mr_stream_rows_demo").show(6, truncate=False)
+
 
 if __name__ == "__main__":
     main()
