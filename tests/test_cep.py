@@ -1801,3 +1801,77 @@ def test_match_recognize_stream_all_rows_event_time(spark):
     import shutil
 
     shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_stream_match_recognize_all_rows_oracle(spark):
+    """Exact-DuckDB-oracle check for STREAMING ALL ROWS PER MATCH — the
+    r9 driver-gate device (same promote-next-round pattern as r7's
+    io_python_datasource_stream: the gate registers with the r9 window;
+    registry growth stays frozen this round). Pattern ``S D R`` over
+    per-user event sequences: candidates are provably disjoint (any two
+    starts closer than 3 rows need conflicting types on one row), so
+    greedy SKIP PAST LAST ROW == ALL candidates and the oracle can
+    enumerate consecutive (signup, click, purchase) rn-triples. Each
+    match emits THREE rows through the streaming kernel's per-row path:
+    classifier, the order column, a RUNNING COUNT(*) (1,2,3) and a
+    RUNNING LAST(D.value) (NULL until the D row — raw-column doubles,
+    no arithmetic, so the hash is engine-exact)."""
+    import duckdb
+
+    from incubator_beam_spark.plans.cep import match_recognize_stream
+    from incubator_beam_spark.queries.streaming_queries import (
+        _drain,
+        stream_table,
+    )
+
+    from .conftest import SF_DIR, assert_matches_oracle
+
+    e = stream_table(spark, SF_DIR, "events")
+    out = match_recognize_stream(
+        e,
+        partition_by="user_id",
+        order_by="event_id",
+        define={
+            "S": F.col("event_type") == "signup",
+            "D": F.col("event_type") == "click",
+            "R": F.col("event_type") == "purchase",
+        },
+        pattern="S D R",
+        measures={
+            "n_run": ("count", None),
+            "d_val": ("last", "D", "value"),
+        },
+        all_rows=True,
+    )
+    got = _drain(out, "append")
+    oracle = """
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events),
+    tri AS (
+      SELECT o1.user_id, o1.rn,
+             o1.event_id AS e1, o2.event_id AS e2, o3.event_id AS e3,
+             o2.value AS dval
+      FROM ordered o1
+      JOIN ordered o2 ON o2.user_id = o1.user_id AND o2.rn = o1.rn + 1
+      JOIN ordered o3 ON o3.user_id = o1.user_id AND o3.rn = o1.rn + 2
+      WHERE o1.event_type = 'signup' AND o2.event_type = 'click'
+        AND o3.event_type = 'purchase'),
+    num AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY rn) AS mn
+      FROM tri)
+    SELECT user_id, mn AS match_number, 'S' AS classifier,
+           e1 AS event_id, 1::BIGINT AS n_run, NULL::DOUBLE AS d_val
+    FROM num
+    UNION ALL
+    SELECT user_id, mn, 'D', e2, 2::BIGINT, dval FROM num
+    UNION ALL
+    SELECT user_id, mn, 'R', e3, 3::BIGINT, dval FROM num
+    """
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    assert_matches_oracle(got, con, oracle, "stream_match_recognize_all_rows")
