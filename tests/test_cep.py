@@ -1875,3 +1875,136 @@ def test_stream_match_recognize_all_rows_oracle(spark):
         f"read_parquet('{SF_DIR}/events.parquet')"
     )
     assert_matches_oracle(got, con, oracle, "stream_match_recognize_all_rows")
+
+
+def test_stream_match_recognize_classifier_oracle(spark):
+    """Exact-DuckDB-oracle check for streaming CLASSIFIER() under ONE
+    ROW PER MATCH — the second r9 driver-gate device. Pattern
+    ``S (R | D)``: a signup followed by either a purchase or a click,
+    so the classifier genuinely varies per match (R vs D — about half
+    each on the fixture); consecutive candidates are provably disjoint
+    (a start inside a match would need the pair's second row to also
+    be a signup). The oracle enumerates adjacent rn-pairs and derives
+    the classifier from the second row's type."""
+    import duckdb
+
+    from incubator_beam_spark.plans.cep import match_recognize_stream
+    from incubator_beam_spark.queries.streaming_queries import (
+        _drain,
+        stream_table,
+    )
+
+    from .conftest import SF_DIR, assert_matches_oracle
+
+    e = stream_table(spark, SF_DIR, "events")
+    out = match_recognize_stream(
+        e,
+        partition_by="user_id",
+        order_by="event_id",
+        define={
+            "S": F.col("event_type") == "signup",
+            "D": F.col("event_type") == "click",
+            "R": F.col("event_type") == "purchase",
+        },
+        pattern="S (R | D)",
+        measures={
+            "start_event": ("first", "S", "event_id"),
+            "end_event": ("last", None, "event_id"),
+        },
+        with_classifier=True,
+    )
+    got = _drain(out, "append")
+    oracle = """
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events),
+    pair AS (
+      SELECT o1.user_id, o1.rn, o1.event_id AS e1, o2.event_id AS e2,
+             CASE WHEN o2.event_type = 'purchase' THEN 'R' ELSE 'D' END
+               AS classifier
+      FROM ordered o1
+      JOIN ordered o2 ON o2.user_id = o1.user_id AND o2.rn = o1.rn + 1
+      WHERE o1.event_type = 'signup'
+        AND o2.event_type IN ('click', 'purchase'))
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY rn)
+             AS match_number,
+           classifier, e1 AS start_event, e2 AS end_event
+    FROM pair
+    """
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    assert_matches_oracle(got, con, oracle, "stream_match_recognize_classifier")
+
+
+def test_stream_match_recognize_compound_key_oracle(spark):
+    """Exact-DuckDB-oracle check for COMPOUND PARTITION BY in the
+    streaming kernel — the third r9 driver-gate device. Partitioned by
+    (user_id, event_type), pattern ``H H`` over high-value rows: greedy
+    SKIP PAST LAST ROW pairs up each island of consecutive high rows
+    left to right (positions 1-2, 3-4, ...), which the oracle
+    reproduces with island detection (rn minus rank-within-high) and
+    odd-position pairing. 2/19/213 matches across the three fixture
+    SFs (anti-vacuity checked)."""
+    import duckdb
+
+    from incubator_beam_spark.plans.cep import match_recognize_stream
+    from incubator_beam_spark.queries.streaming_queries import (
+        _drain,
+        stream_table,
+    )
+
+    from .conftest import SF_DIR, assert_matches_oracle
+
+    e = stream_table(spark, SF_DIR, "events")
+    out = match_recognize_stream(
+        e,
+        partition_by=["user_id", "event_type"],
+        order_by="event_id",
+        define={"H": F.col("value") >= 150},
+        pattern="H H",
+        measures={
+            "first_event": ("first", "H", "event_id"),
+            "last_event": ("last", "H", "event_id"),
+        },
+    )
+    got = _drain(out, "append")
+    oracle = """
+    WITH ordered AS (
+      SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id) AS rn
+      FROM events),
+    high AS (
+      SELECT *, rn - row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY rn) AS isl
+      FROM ordered WHERE value >= 150),
+    pos AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type, isl
+                                   ORDER BY rn) AS p
+      FROM high),
+    pairs AS (
+      SELECT a.user_id, a.event_type, a.rn AS srn,
+             a.event_id AS e1, b.event_id AS e2
+      FROM pos a JOIN pos b
+        ON b.user_id = a.user_id AND b.event_type = a.event_type
+       AND b.isl = a.isl AND b.p = a.p + 1
+      WHERE a.p % 2 = 1)
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY srn) AS match_number,
+           e1 AS first_event, e2 AS last_event
+    FROM pairs
+    """
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    assert_matches_oracle(
+        got, con, oracle, "stream_match_recognize_compound_key"
+    )
