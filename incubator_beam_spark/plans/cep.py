@@ -860,16 +860,35 @@ def match_recognize(
     return proj.groupBy(*partition_by).applyInPandas(run, out_schema)
 
 
-def _stable_scan(nfa, n: int, can) -> tuple[list[tuple[int, int, list]], int]:
-    """Non-overlapping leftmost-greedy matches over a PARTIAL stream
-    prefix: scan like ``NFA.finditer`` but stop at the first position
-    whose outcome could still change with more input (some branch at or
-    above the winning priority probed past the buffer end). Returns
-    (decided matches as ``(lo, hi, assignment)``, boundary): everything
-    before ``boundary`` is final — emit the matches, drop the prefix;
-    rows from ``boundary`` on must stay buffered. The assignment (the
-    NFA's ``[(row, sym), ...]``) carries symbol attribution for rows
-    classified by CALLABLE defines, which have no classifier char."""
+def _stable_scan(
+    nfa,
+    n: int,
+    can,
+    after_match: str = "past last row",
+    skip_sym: "str | None" = None,
+    skip_first: bool = False,
+) -> tuple[list[tuple[int, int, list]], int]:
+    """Leftmost-greedy matches over a PARTIAL stream prefix: scan like
+    ``NFA.finditer`` but stop at the first position whose outcome could
+    still change with more input (some branch at or above the winning
+    priority probed past the buffer end). Returns (decided matches as
+    ``(lo, hi, assignment)``, boundary): everything before ``boundary``
+    is final — emit the matches, drop the prefix; rows from ``boundary``
+    on must stay buffered. The assignment (the NFA's ``[(row, sym),
+    ...]``) carries symbol attribution for rows classified by CALLABLE
+    defines, which have no classifier char.
+
+    ``after_match`` picks the restart policy (the SQL AFTER MATCH SKIP
+    clause, same semantics as the batch kernel's ``nfa_matches``):
+    ``past last row`` restarts at the match end (non-overlapping);
+    ``to next row`` one past the match START (overlapping); ``to
+    first/last <sym>`` at that row of the match (``skip_sym`` +
+    ``skip_first``). The stability argument is unchanged under every
+    mode: the restart position is a deterministic function of a DECIDED
+    match, the scan stops at the first probing position, and every
+    emitted match starts strictly before the returned boundary — so
+    dropping ``rows[:boundary]`` can never re-emit a match, whatever the
+    overlap."""
     matches: list[tuple[int, int, list]] = []
     i = 0
     while i < n:
@@ -885,7 +904,24 @@ def _stable_scan(nfa, n: int, can) -> tuple[list[tuple[int, int, list]], int]:
             i += 1
             continue
         matches.append((i, m[0], m[1]))
-        i = m[0]
+        if after_match == "past last row":
+            i = m[0]
+        elif skip_sym is None:  # to next row
+            i += 1
+        else:
+            ps = [idx for idx, s in m[1] if s == skip_sym]
+            if not ps:
+                raise ValueError(
+                    f"AFTER MATCH SKIP {after_match}: "
+                    f"{skip_sym} absent from match"
+                )
+            t = ps[0] if skip_first else ps[-1]
+            if t == i:
+                raise ValueError(
+                    f"AFTER MATCH SKIP {after_match} would "
+                    "re-match the same starting row"
+                )
+            i = t
     return matches, n
 
 
@@ -903,6 +939,7 @@ def match_recognize_stream(
     predicate_cols: "list[str] | None" = None,
     with_classifier: bool = False,
     all_rows: bool = False,
+    after_match: str = "past last row",
 ):
     """Streaming MATCH_RECOGNIZE: the batch kernel run incrementally over
     a per-key state buffer (``applyInPandasWithState``).
@@ -926,6 +963,15 @@ def match_recognize_stream(
     at ``max_buffer`` unconsumed rows per key (oldest dropped) so state
     stays bounded — the streaming analog of Beam's NFA state in
     ``BeamMatchRel``.
+
+    ``after_match`` is the SQL AFTER MATCH SKIP clause, with the SAME
+    surface as the batch kernel: ``"past last row"`` (default,
+    non-overlapping), ``"to next row"`` (overlapping matches — restart
+    one past each match start), ``"to first <sym>"`` / ``"to last
+    <sym>"``. Overlap is sound incrementally because the restart
+    position depends only on a DECIDED (stability-probed) match and
+    every emitted match starts strictly before the consumed boundary,
+    so dropped state can never re-emit — see ``_stable_scan``.
 
     ``event_time=True`` makes the kernel watermark-correct for
     OUT-OF-ORDER arrival (Beam's BeamMatchRel / Flink CEP event-time
@@ -969,6 +1015,19 @@ def match_recognize_stream(
 
     if not define:
         raise ValueError("define must not be empty")
+    # AFTER MATCH SKIP modes (same surface as the batch kernel): the
+    # restart position is a deterministic function of a DECIDED match,
+    # so the stability probe carries over unchanged — see _stable_scan.
+    skip_sym: "str | None" = None
+    skip_first = False
+    m_skip = re.match(r"to (first|last) (\w+)$", after_match)
+    if m_skip:
+        skip_first = m_skip.group(1) == "first"
+        skip_sym = m_skip.group(2)
+        if skip_sym not in define:
+            raise ValueError(f"AFTER MATCH SKIP target {skip_sym!r} not in define")
+    elif after_match not in ("past last row", "to next row"):
+        raise ValueError(f"unsupported AFTER MATCH SKIP mode {after_match!r}")
     subsets = subsets or {}
     for uname, members in subsets.items():
         if uname in define:
@@ -1121,7 +1180,9 @@ def match_recognize_stream(
                 return bool(fn_defines[sym](arrs, i, trail_bindings(trail)))
             return s[i] == sym_chars[sym]
 
-        decided, consumed = _stable_scan(nfa, n_scan, can)
+        decided, consumed = _stable_scan(
+            nfa, n_scan, can, after_match, skip_sym, skip_first
+        )
         for lo, hi, assignment in decided:
             blob["mn"] += 1
             if all_rows:

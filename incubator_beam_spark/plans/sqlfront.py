@@ -595,10 +595,13 @@ def run_sql_stream(
     column (PARTITION BY may be compound — the key lives in the
     grouping, not in state rows), ONE or ALL ROWS PER MATCH (decided
     matches are final, so per-row emission with RUNNING/FINAL measures
-    is sound), AFTER MATCH SKIP PAST
-    LAST ROW, no PREV()/NEXT() (physical navigation needs a lag Window,
-    which is not incrementally computable per micro-batch), and a
-    pattern whose end is not extendable (the kernel's liveness guard).
+    is sound), every AFTER MATCH SKIP mode (PAST LAST ROW / TO NEXT
+    ROW / TO FIRST|LAST <sym> — overlap is sound incrementally because
+    the restart position depends only on a decided match; see
+    ``_stable_scan``), no PREV()/NEXT() (physical navigation needs a
+    lag Window, which is not incrementally computable per micro-batch),
+    and a pattern whose end is not extendable (the kernel's liveness
+    guard).
     Everything else carries over: cross-symbol DEFINE references
     compile to match-state callables (their column sets become the
     state's ``predicate_cols``), SUBSET union symbols, aggregate +
@@ -627,11 +630,6 @@ def run_sql_stream(
         raise ValueError(
             "streaming MATCH_RECOGNIZE needs a single ORDER BY column "
             "(the per-key sequence; state holds one order scalar per row)"
-        )
-    if kw["after_match"] != "past last row":
-        raise ValueError(
-            "streaming MATCH_RECOGNIZE supports AFTER MATCH SKIP PAST "
-            "LAST ROW only (overlapping rescans would re-emit from state)"
         )
     rename_cls = kw.pop("rename_cls", None)
     all_syms = set(kw["define"])
@@ -669,6 +667,7 @@ def run_sql_stream(
         watermark_delay=watermark_delay,
         with_classifier=bool(rename_cls) and not kw["all_rows"],
         all_rows=kw["all_rows"],
+        after_match=kw["after_match"],
     )
     if expr_measures:
         internal = [n for n in kw["measures"] if re.fullmatch(r"__m\d+", n)]

@@ -1371,10 +1371,13 @@ def test_run_sql_stream_front_door(spark):
             run_sql_stream(
                 spark, base.replace("D.val < LAST(S.val)", "D.val < PREV(val)")
             )
-        with pytest.raises(ValueError, match="PAST LAST ROW only"):
+        # SKIP TO NEXT ROW no longer raises (r8 lift — see
+        # test_run_sql_stream_skip_modes); an unknown skip target
+        # still does
+        with pytest.raises(ValueError, match="not in define"):
             run_sql_stream(
                 spark,
-                base.replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW"),
+                base.replace("SKIP PAST LAST ROW", "SKIP TO FIRST Z"),
             )
     # batch table through the streaming door raises
     with pytest.raises(ValueError, match="not a streaming view"):
@@ -2008,3 +2011,234 @@ def test_stream_match_recognize_compound_key_oracle(spark):
     assert_matches_oracle(
         got, con, oracle, "stream_match_recognize_compound_key"
     )
+
+
+def test_stream_match_recognize_skip_next_oracle(spark):
+    """Exact-DuckDB-oracle check for AFTER MATCH SKIP TO NEXT ROW in the
+    STREAMING kernel (r8 lift; reference BeamMatchRel / Calcite
+    MATCH_RECOGNIZE skip clause) — a driver-gate device for a future
+    window, the overlapping twin of the compound-key gate: same ``H H``
+    pattern, but restarting one past each match START makes EVERY
+    consecutive high-value pair a match (islands of k high rows yield
+    k-1 overlapping matches, not floor(k/2)). The oracle enumerates
+    consecutive rn-pairs directly; 12/169/1775 matches across the three
+    fixture SFs, with high-triples (a row participating in TWO matches)
+    present at every SF — the overlap is genuinely exercised."""
+    import duckdb
+
+    from incubator_beam_spark.plans.cep import match_recognize_stream
+    from incubator_beam_spark.queries.streaming_queries import (
+        _drain,
+        stream_table,
+    )
+
+    from .conftest import SF_DIR, assert_matches_oracle
+
+    e = stream_table(spark, SF_DIR, "events")
+    out = match_recognize_stream(
+        e,
+        partition_by="user_id",
+        order_by="event_id",
+        define={"H": F.col("value") >= 100},
+        pattern="H H",
+        measures={
+            "first_event": ("first", "H", "event_id"),
+            "last_event": ("last", "H", "event_id"),
+            "last_val": ("last", "H", "value"),
+        },
+        after_match="to next row",
+    )
+    got = _drain(out, "append")
+    oracle = """
+    WITH ordered AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events),
+    pairs AS (
+      SELECT o1.user_id, o1.rn,
+             o1.event_id AS e1, o2.event_id AS e2, o2.value AS v2
+      FROM ordered o1
+      JOIN ordered o2 ON o2.user_id = o1.user_id AND o2.rn = o1.rn + 1
+      WHERE o1.value >= 100 AND o2.value >= 100)
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY rn)
+             AS match_number,
+           e1 AS first_event, e2 AS last_event, v2 AS last_val
+    FROM pairs
+    """
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    assert_matches_oracle(
+        got, con, oracle, "stream_match_recognize_skip_next"
+    )
+    # anti-vacuity: at least one row participates in TWO matches
+    from collections import Counter
+
+    cnt = Counter()
+    for r in got.collect():
+        cnt[(r.user_id, r.first_event)] += 1
+        cnt[(r.user_id, r.last_event)] += 1
+    assert max(cnt.values()) >= 2
+
+
+def test_run_sql_stream_skip_modes(spark):
+    """AFTER MATCH SKIP TO NEXT ROW / TO LAST <sym> through the
+    STREAMING SQL front door (r8 lift): identical SQL text through
+    run_sql (batch) and run_sql_stream (TestStream micro-batches, with
+    a match straddling the batch boundary) must agree, and the
+    TO NEXT ROW results must contain genuinely overlapping matches."""
+    from pyspark.sql import types as T
+
+    from incubator_beam_spark.plans.sqlfront import run_sql, run_sql_stream
+    from incubator_beam_spark.streaming import TestStream
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    q = """
+      SELECT key, match_number, e1, e2
+      FROM {T} MATCH_RECOGNIZE (
+        PARTITION BY key
+        ORDER BY seq
+        MEASURES FIRST(H.seq) AS e1, LAST(H.seq) AS e2
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (H H)
+        DEFINE H AS H.val >= 10
+      )
+    """
+    # key 1: run of FOUR highs (3 overlapping matches), a low, then a
+    # run of two straddling the micro-batch boundary
+    data = [
+        (1, 1, 11.0), (1, 2, 12.0), (1, 3, 13.0), (1, 4, 14.0),
+        (1, 5, 1.0), (1, 6, 15.0),
+    ]
+    data2 = [(1, 7, 16.0), (1, 8, 2.0), (2, 1, 20.0), (2, 2, 21.0), (2, 3, 0.5)]
+    spark.createDataFrame(data + data2, schema).createOrReplaceTempView(
+        "mrs_skip_batch"
+    )
+    expected = sorted(
+        (r.key, r.match_number, r.e1, r.e2)
+        for r in run_sql(spark, q.replace("{T}", "mrs_skip_batch")).collect()
+    )
+    assert expected == [
+        (1, 1, 1, 2), (1, 2, 2, 3), (1, 3, 3, 4), (1, 4, 6, 7),
+        (2, 1, 1, 2),
+    ]
+    with TestStream(spark, schema) as ts:
+        ts.stream.createOrReplaceTempView("mrs_skip_stream")
+        out = run_sql_stream(spark, q.replace("{T}", "mrs_skip_stream"))
+        ts.start(out, output_mode="append")
+        ts.add_elements(data).advance()
+        ts.add_elements(data2).advance()
+        rows = sorted(
+            (r.key, r.match_number, r.e1, r.e2) for r in ts.results().collect()
+        )
+        assert rows == expected
+
+    # TO LAST <sym>: batch/stream agreement on a restart-at-symbol mode
+    q2 = """
+      SELECT key, match_number, s1, d2
+      FROM {T} MATCH_RECOGNIZE (
+        PARTITION BY key
+        ORDER BY seq
+        MEASURES FIRST(S.seq) AS s1, LAST(D.seq) AS d2
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO LAST D
+        PATTERN (S D D)
+        DEFINE S AS S.val >= 10, D AS D.val < 10
+      )
+    """
+    # S D D where the last D is an S-row for the NEXT match? no — D and
+    # S are disjoint here; TO LAST D restarts the scan AT the last D
+    # row (seq 3), which then fails to start a match until seq 4's S:
+    # the restart position (not PAST LAST ROW) is what's under test
+    data3 = [
+        (3, 1, 11.0), (3, 2, 1.0), (3, 3, 2.0),
+        (3, 4, 12.0), (3, 5, 3.0), (3, 6, 4.0), (3, 7, 5.0),
+    ]
+    spark.createDataFrame(data3, schema).createOrReplaceTempView(
+        "mrs_skip2_batch"
+    )
+    expected2 = sorted(
+        (r.key, r.match_number, r.s1, r.d2)
+        for r in run_sql(spark, q2.replace("{T}", "mrs_skip2_batch")).collect()
+    )
+    assert expected2 == [(3, 1, 1, 3), (3, 2, 4, 6)]
+    with TestStream(spark, schema) as ts:
+        ts.stream.createOrReplaceTempView("mrs_skip2_stream")
+        out2 = run_sql_stream(spark, q2.replace("{T}", "mrs_skip2_stream"))
+        ts.start(out2, output_mode="append")
+        ts.add_elements(data3[:4]).advance()
+        ts.add_elements(data3[4:]).advance()
+        rows2 = sorted(
+            (r.key, r.match_number, r.s1, r.d2)
+            for r in ts.results().collect()
+        )
+        assert rows2 == expected2
+
+
+def test_stream_all_rows_skip_next_equals_batch(spark):
+    """ALL ROWS PER MATCH x AFTER MATCH SKIP TO NEXT ROW, streaming
+    kernel vs batch kernel: overlapping matches drive the per-row
+    emission path — a row inside a run of highs is emitted once per
+    match it participates in, with per-match RUNNING counts. Both
+    kernels must agree row-for-row (classifier, order value, measures),
+    including a run straddling the micro-batch boundary."""
+    from pyspark.sql import types as T
+
+    from incubator_beam_spark.plans.cep import (
+        match_recognize,
+        match_recognize_stream,
+    )
+    from incubator_beam_spark.streaming import TestStream
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    define = {"H": F.col("val") >= 10}
+    kw = dict(
+        partition_by="key",
+        order_by="seq",
+        define=define,
+        pattern="H H",
+        measures={"n_run": ("count", None), "v_last": ("last", "H", "val")},
+        all_rows=True,
+        after_match="to next row",
+    )
+    data = [(1, i, float(v)) for i, v in enumerate([11, 12, 13, 2, 14], 1)]
+    data2 = [(1, 6, 15.0), (1, 7, 1.0), (2, 1, 20.0), (2, 2, 21.0), (2, 3, 22.0)]
+    batch_kw = dict(kw)
+    batch_kw["partition_by"] = ["key"]
+    batch_kw["order_by"] = ["seq"]
+    want_df = match_recognize(
+        spark.createDataFrame(data + data2, schema), **batch_kw
+    )
+    want = sorted(
+        (r.key, r.match_number, r.classifier, r.seq, r.n_run, r.v_last)
+        for r in want_df.collect()
+    )
+    # key 1: highs at 1,2,3 (2 overlapping matches) + 5,6 straddling
+    # the boundary; key 2: 1,2,3 -> 2 overlapping matches
+    assert len(want) == 2 * (2 + 1 + 2)
+    with TestStream(spark, schema) as ts:
+        out = match_recognize_stream(ts.stream, **kw)
+        ts.start(out, output_mode="append")
+        ts.add_elements(data).advance()
+        ts.add_elements(data2).advance()
+        got = sorted(
+            (r.key, r.match_number, r.classifier, r.seq, r.n_run, r.v_last)
+            for r in ts.results().collect()
+        )
+    assert got == want

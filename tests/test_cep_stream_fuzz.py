@@ -379,3 +379,201 @@ def test_stream_assignment_equals_batch_assignment(pattern, stream, sizes):
     ]
     got = incremental_run_with_assignment(pattern, s, sizes)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# AFTER MATCH SKIP modes (round-8 streaming lift): the incremental
+# _stable_scan restart policy must equal an INDEPENDENT host-regex
+# implementation of the same SQL clause (the batch fast path's
+# char-scan restarts — C regex engine + str.find, no NFA machinery),
+# under every chunking. Errors (skip target absent / would re-match the
+# same starting row) must coincide: both raise on the same match, and
+# everything the incremental loop flushed before its dying micro-batch
+# must be a prefix of the whole-run output.
+# ---------------------------------------------------------------------------
+
+
+def whole_run_skip(rx, s, skip_ch, skip_first):
+    """Host-regex reference for TO NEXT ROW / TO FIRST|LAST <sym>:
+    restart one past the match start, or at the first/last row of the
+    skip symbol (char scan — symbol chars are bijective here). Returns
+    (matches, err) where err is set when the SQL clause's error cases
+    fire (target absent / same starting row)."""
+    out = []
+    mn = 0
+    pos = 0
+    while pos < len(s):
+        m = rx.search(s, pos)
+        if m is None:
+            return out, None
+        lo, hi = m.start(), m.end()
+        if hi == lo:
+            pos = lo + 1
+            continue
+        mn += 1
+        out.append((mn, lo, hi))
+        if skip_ch is None:
+            pos = lo + 1
+        else:
+            t = s.find(skip_ch, lo, hi) if skip_first else s.rfind(skip_ch, lo, hi)
+            if t < 0:
+                return out, "absent"
+            if t == lo:
+                return out, "same-start"
+            pos = t
+    return out, None
+
+
+def incremental_run_skip(pattern, s, sizes, after_match, skip_sym, skip_first):
+    """The REAL streaming consumption loop under a skip mode: per chunk,
+    _stable_scan with the restart policy, flush decided matches, drop
+    the decided prefix. A ValueError mid-scan kills that micro-batch —
+    its decided-so-far matches are lost, exactly like the live kernel —
+    so the return is (flushed-before-error, err_flag)."""
+    from incubator_beam_spark.plans.cep import _stable_scan
+    from incubator_beam_spark.plans.nfa import NFA
+
+    nfa = NFA(pattern)
+    out = []
+    mn = 0
+    buf = ""
+    base = 0
+    pos = 0
+    it = iter(sizes)
+    while pos < len(s):
+        try:
+            k = next(it)
+        except StopIteration:
+            k = len(s) - pos
+        buf += s[pos : pos + k]
+        pos += k
+
+        def can(sym, i, trail, b=buf):
+            return b[i] == CHARS[sym]
+
+        try:
+            decided, boundary = _stable_scan(
+                nfa, len(buf), can, after_match, skip_sym, skip_first
+            )
+        except ValueError:
+            return out, True
+        for lo, hi, _assignment in decided:
+            mn += 1
+            out.append((mn, base + lo, base + hi))
+        buf = buf[boundary:]
+        base += boundary
+    return out, False
+
+
+skip_modes = st.sampled_from(
+    [
+        ("to next row", None, False),
+        ("to first A", "A", True),
+        ("to last A", "A", False),
+        ("to first B", "B", True),
+        ("to last B", "B", False),
+        ("to last C", "C", False),
+    ]
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(pattern=patterns, stream=streams, sizes=chunkings, mode=skip_modes)
+def test_stream_skip_modes_equal_host_reference(pattern, stream, sizes, mode):
+    """Non-nullable patterns only — exactly the set the batch kernel's
+    host-regex fast path handles under skip modes (``force_nfa`` routes
+    nullable+skip to the NFA: a nullable pattern's zero-width hit takes
+    a require-consume retry the C engine's plain search-from-pos loop
+    does not). Nullable patterns get the chunking-invariance check
+    below instead."""
+    from incubator_beam_spark.plans.cep import _is_nullable
+
+    after_match, skip_sym, skip_first = mode
+    try:
+        rx = _compile_pattern(pattern, CHARS)
+    except ValueError:
+        assume(False)
+    assume(not _is_nullable(rx.pattern))
+    s = stream.upper() + "."  # trailing no-match row decides every tail
+    skip_ch = CHARS[skip_sym] if skip_sym else None
+    want, werr = whole_run_skip(rx, s, skip_ch, skip_first)
+    got, gerr = incremental_run_skip(
+        pattern, s, sizes, after_match, skip_sym, skip_first
+    )
+    if werr:
+        # the error fires on a DECIDED match (the terminator decides
+        # everything), so the incremental loop must die too; whatever it
+        # flushed first is a prefix of the reference sequence
+        assert gerr and got == want[: len(got)], (pattern, s, mode)
+    else:
+        assert not gerr and got == want, (pattern, s, mode)
+
+
+def ref_run_skip(pattern, s, after_match, skip_sym, skip_first):
+    """Whole-sequence reference for the skip-mode scan over ANY pattern
+    (nullable included): the batch kernel's ``nfa_matches`` policy with
+    the error cases returned as a flag INSTEAD of raising, so matches
+    decided before the error survive for the prefix comparison (a
+    raising scan discards its own decided-so-far list — real kernel
+    behavior, useless as an oracle)."""
+    from incubator_beam_spark.plans.nfa import NFA
+
+    nfa = NFA(pattern)
+    n = len(s)
+
+    def can(sym, i, trail, b=s):
+        return b[i] == CHARS[sym]
+
+    out, mn, i = [], 0, 0
+    while i < n:
+        m = nfa.match_at(i, n, can)
+        if m is not None and m[0] == i:
+            m = nfa.match_at(i, n, can, require_consume=True)
+        if m is None or m[0] == i:
+            i += 1
+            continue
+        mn += 1
+        out.append((mn, i, m[0]))
+        if after_match == "past last row":
+            i = m[0]
+        elif skip_sym is None:
+            i += 1
+        else:
+            ps = [idx for idx, sy in m[1] if sy == skip_sym]
+            if not ps:
+                return out, True  # skip target absent from match
+            t = ps[0] if skip_first else ps[-1]
+            if t == i:
+                return out, True  # would re-match the same starting row
+            i = t
+    return out, False
+
+
+@settings(max_examples=400, deadline=None)
+@given(pattern=patterns, stream=streams, sizes=chunkings, mode=skip_modes)
+def test_stream_skip_modes_chunking_invariant(pattern, stream, sizes, mode):
+    """EVERY grammar pattern (nullable included): under a skip mode the
+    incremental emissions must equal the whole-sequence reference scan
+    — the property streaming adds over batch. Error outcomes must
+    coincide (the terminator decides everything, so an error-producing
+    match is always eventually decided); the incremental loop's dying
+    micro-batch loses its own decided matches, so its flushed output is
+    a PREFIX of the reference sequence, with how much survives
+    legitimately chunking-dependent."""
+    from incubator_beam_spark.plans.nfa import NFA
+
+    after_match, skip_sym, skip_first = mode
+    try:
+        _compile_pattern(pattern, CHARS)
+        NFA(pattern)
+    except ValueError:
+        assume(False)
+    s = stream.upper() + "."
+    want, werr = ref_run_skip(pattern, s, after_match, skip_sym, skip_first)
+    got, gerr = incremental_run_skip(
+        pattern, s, sizes, after_match, skip_sym, skip_first
+    )
+    if werr:
+        assert gerr and got == want[: len(got)], (pattern, s, mode)
+    else:
+        assert not gerr and got == want, (pattern, s, mode)
