@@ -2380,3 +2380,77 @@ def doc_epoch_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dataops.curation import epoch_repeats
 
     return epoch_repeats(table(spark, sf_dir, "documents"))
+
+
+# --- PageRank link-graph quality signal (device for r9/r10 promotion:
+# NOT @query-registered — registry growth is frozen mid-round; the
+# oracle below ships with the device so promotion is a 3-line diff) ---
+
+PAGERANK_ORACLE = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id + 1) % nn.n AS dst
+  FROM documents d CROSS JOIN nn
+  UNION ALL
+  SELECT d.doc_id, (d.doc_id + 7) % nn.n
+  FROM documents d CROSS JOIN nn WHERE d.n_chars % 2 = 0
+  UNION ALL
+  SELECT d.doc_id, (d.doc_id + 42) % nn.n
+  FROM documents d CROSS JOIN nn WHERE d.n_chars % 3 = 0),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+ew AS (SELECT e.src, e.dst, o.deg FROM edges e JOIN outdeg o USING (src)),
+params AS (SELECT (1000000000000 // n) AS base,
+                  ((15 * (1000000000000 // n)) // 100) AS tp
+           FROM nn),
+r0 AS (SELECT doc_id AS id, (SELECT base FROM params) AS rank
+       FROM documents),
+s1 AS (SELECT ew.dst AS id, SUM(r.rank // ew.deg) AS s
+       FROM ew JOIN r0 r ON r.id = ew.src GROUP BY ew.dst),
+r1 AS (SELECT d.doc_id AS id,
+              (SELECT tp FROM params) + (85 * COALESCE(s1.s, 0)) // 100 AS rank
+       FROM documents d LEFT JOIN s1 ON s1.id = d.doc_id),
+s2 AS (SELECT ew.dst AS id, SUM(r.rank // ew.deg) AS s
+       FROM ew JOIN r1 r ON r.id = ew.src GROUP BY ew.dst),
+r2 AS (SELECT d.doc_id AS id,
+              (SELECT tp FROM params) + (85 * COALESCE(s2.s, 0)) // 100 AS rank
+       FROM documents d LEFT JOIN s2 ON s2.id = d.doc_id),
+s3 AS (SELECT ew.dst AS id, SUM(r.rank // ew.deg) AS s
+       FROM ew JOIN r2 r ON r.id = ew.src GROUP BY ew.dst),
+r3 AS (SELECT d.doc_id AS id,
+              (SELECT tp FROM params) + (85 * COALESCE(s3.s, 0)) // 100 AS rank
+       FROM documents d LEFT JOIN s3 ON s3.id = d.doc_id)
+SELECT id AS doc_id, rank AS rank_micro FROM r3
+"""
+
+
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank document-importance score over a deterministic link
+    graph (the CC-PageRank curation signal; dataops/graph.py): each doc
+    links forward by stride 1 always, stride 7 when n_chars is even,
+    stride 42 when n_chars % 3 = 0 (mod N wraparound) — out-degrees
+    1-3, irregular in-degrees, so ranks are genuinely non-uniform.
+    Three integer-exact damped rounds in BIGINT micro-units; the
+    oracle (PAGERANK_ORACLE) unrolls the identical trajectory, so the
+    full N-row rank table hash-matches. The only driver-side values
+    are two integer scalars (N, the teleport floor)."""
+    from ..dataops.graph import pagerank
+
+    d = table(spark, sf_dir, "documents")
+    n = d.count()
+    docs = d.select("doc_id", "n_chars")
+    edges = (
+        docs.selectExpr("doc_id AS src", f"(doc_id + 1) % {n} AS dst")
+        .unionAll(
+            docs.filter("n_chars % 2 = 0").selectExpr(
+                "doc_id AS src", f"(doc_id + 7) % {n} AS dst"
+            )
+        )
+        .unionAll(
+            docs.filter("n_chars % 3 = 0").selectExpr(
+                "doc_id AS src", f"(doc_id + 42) % {n} AS dst"
+            )
+        )
+    )
+    nodes = d.select(F.col("doc_id").alias("id"))
+    out = pagerank(edges, nodes, n_iters=3)
+    return out.select(F.col("id").alias("doc_id"), F.col("rank").alias("rank_micro"))
