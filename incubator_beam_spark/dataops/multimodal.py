@@ -617,3 +617,128 @@ def video_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
             )
 
     return df.select("doc_id", binary_col).mapInPandas(run, out_schema)
+
+
+# -- image #2: REAL JPEG/JFIF marker-segment parser (pure bytes) -------------
+#
+# The fourth pure-byte codec (PNG/WAV/MP4/JPEG): JPEG is the dominant
+# web image format, and its metadata lives in marker segments (ITU
+# T.81 B.1): 0xFF <marker>, then for non-standalone markers a 2-byte
+# big-endian length INCLUDING the length field. Frame geometry is in
+# the SOFn segment (precision, height, width, component count);
+# SOF2 means progressive. Same contract as the reference's multimodal
+# decode surface (sdks/python/apache_beam/ml/ MLTransform-style byte
+# plumbing): payloads never shuffle, ~a few dozen bytes read per row.
+
+
+def encode_jpeg_header(
+    width: int,
+    height: int,
+    n_components: int = 3,
+    progressive: bool = False,
+    comment: bytes = b"",
+) -> bytes:
+    """Minimal structurally-valid JPEG prefix (SOI + JFIF APP0 +
+    optional COM + SOFn + EOI) — synthesizes metadata-parse fixtures;
+    no entropy-coded data (parsers stop at SOF/SOS)."""
+    import struct
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    app0 = b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 72, 72) + b"\x00\x00"
+    sof_marker = 0xC2 if progressive else 0xC0
+    comps = b"".join(
+        bytes([i + 1, 0x22 if i == 0 else 0x11, 0 if i == 0 else 1])
+        for i in range(n_components)
+    )
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([n_components]) + comps
+    out = b"\xff\xd8" + seg(0xE0, app0)
+    if comment:
+        out += seg(0xFE, comment)
+    return out + seg(sof_marker, sof) + b"\xff\xd9"
+
+
+def parse_jpeg_meta(payload: bytes) -> dict | None:
+    """REAL JPEG metadata decode: SOI check, marker-segment walk
+    (standalone markers, fill bytes, APPn/COM/DQT skipped by declared
+    length) to the first SOFn frame header. Returns width/height/
+    precision/n_components/progressive or None for anything that is
+    not a well-formed JPEG prefix (truncated segment, missing SOI,
+    SOS/EOI before any SOF)."""
+    import struct
+
+    n = len(payload)
+    if n < 4 or payload[0] != 0xFF or payload[1] != 0xD8:
+        return None
+    pos = 2
+    while pos + 1 < n:
+        if payload[pos] != 0xFF:
+            return None  # desynchronized marker stream
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1  # fill bytes
+        if pos + 1 >= n:
+            return None
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS before SOF
+            return None
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone
+            continue
+        if pos + 2 > n:
+            return None
+        (length,) = struct.unpack_from(">H", payload, pos)
+        if length < 2 or pos + length > n:
+            return None
+        is_sof = 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC)
+        if is_sof:
+            if length < 8:
+                return None
+            precision = payload[pos + 2]
+            height, width = struct.unpack_from(">HH", payload, pos + 3)
+            n_components = payload[pos + 7]
+            if length != 8 + 3 * n_components:
+                return None
+            return {
+                "width": width,
+                "height": height,
+                "precision": precision,
+                "n_components": n_components,
+                "progressive": marker == 0xC2,
+            }
+        pos += length
+    return None
+
+
+def jpeg_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """JPEG metadata extraction (mapInPandas; marker walk reads a few
+    dozen bytes per row, payloads never shuffle — same plumbing
+    contract as image_meta/audio_meta/video_meta)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("precision", T.IntegerType(), True),
+            T.StructField("n_components", T.IntegerType(), True),
+            T.StructField("progressive", T.BooleanType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_jpeg_meta(bytes(p)) or {} for p in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    **{
+                        f: pd.array([m.get(f) for m in metas], dtype="Int32")
+                        for f in ("width", "height", "precision", "n_components")
+                    },
+                    "progressive": pd.array(
+                        [m.get("progressive") for m in metas], dtype="boolean"
+                    ),
+                }
+            )
+
+    return df.select("doc_id", binary_col).mapInPandas(run, out_schema)

@@ -2454,3 +2454,56 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = d.select(F.col("doc_id").alias("id"))
     out = pagerank(edges, nodes, n_iters=3)
     return out.select(F.col("id").alias("doc_id"), F.col("rank").alias("rank_micro"))
+
+
+# --- JPEG metadata device (unregistered; r9/r10 promotion — same
+# synthesized-fixture pattern as mm_image_meta: the oracle predicts the
+# parse output arithmetically, so a wrong marker walk / length / field
+# offset in the REAL parser fails the hash) ---
+
+JPEG_META_ORACLE = """
+SELECT doc_id,
+       (80 + (doc_id % 9) * 24)::INTEGER AS width,
+       (60 + (doc_id % 7) * 36)::INTEGER AS height,
+       8::INTEGER AS precision,
+       (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END)::INTEGER AS n_components,
+       (doc_id % 2 = 1) AS progressive
+FROM documents
+"""
+
+
+def mm_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG metadata with a REAL codec (the fourth pure-byte format:
+    PNG/WAV/MP4/JPEG): JFIF marker streams synthesized per document
+    (dimensions/components/progressive derived from doc_id, plus a COM
+    segment on every third doc so the walk must SKIP a variable-length
+    segment), parsed back by the marker-segment reader. Payloads stay
+    inside mapInPandas stages; ~60 bytes read per row."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..dataops.multimodal import encode_jpeg_header, jpeg_meta
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                encode_jpeg_header(
+                    width=80 + (int(i) % 9) * 24,
+                    height=60 + (int(i) % 7) * 36,
+                    n_components=1 if int(i) % 3 == 0 else 3,
+                    progressive=int(i) % 2 == 1,
+                    comment=b"synthetic fixture" if int(i) % 3 == 0 else b"",
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return jpeg_meta(d.mapInPandas(synth, synth_schema))

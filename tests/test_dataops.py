@@ -1614,3 +1614,49 @@ def test_doc_pagerank_oracle(spark, duck):
     assert_matches_oracle(out, duck, PAGERANK_ORACLE, "doc_pagerank")
     distinct_ranks = out.select("rank_micro").distinct().count()
     assert distinct_ranks > 10
+
+
+def test_jpeg_codec_roundtrip_and_rejects():
+    """The pure-byte JPEG marker parser: encode->parse roundtrip across
+    the fixture space (baseline/progressive, 1/3 components, COM
+    segments, fill bytes), and loud None on malformed streams."""
+    from incubator_beam_spark.dataops.multimodal import (
+        encode_jpeg_header,
+        parse_jpeg_meta,
+    )
+
+    for w, h, nc, prog, com in [
+        (80, 60, 3, False, b""),
+        (640, 480, 1, True, b"hello"),
+        (1, 1, 3, True, b""),
+        (65535, 65535, 4, False, b"x" * 200),
+    ]:
+        m = parse_jpeg_meta(encode_jpeg_header(w, h, nc, prog, com))
+        assert m == {
+            "width": w, "height": h, "precision": 8,
+            "n_components": nc, "progressive": prog,
+        }
+    # fill bytes before a marker are legal padding
+    good = encode_jpeg_header(10, 20)
+    padded = good[:2] + b"\xff" + good[2:]
+    assert parse_jpeg_meta(padded)["width"] == 10
+    # malformed: no SOI / truncated segment / SOS before SOF /
+    # desynchronized stream / length too short
+    assert parse_jpeg_meta(b"\x00\x00") is None
+    assert parse_jpeg_meta(good[:-6]) is None  # SOF truncated mid-segment
+    assert parse_jpeg_meta(b"\xff\xd8\xff\xda\x00\x04ab") is None
+    assert parse_jpeg_meta(b"\xff\xd8ab") is None
+    assert parse_jpeg_meta(b"\xff\xd8\xff\xe0\x00\x01") is None
+
+
+def test_mm_jpeg_meta_oracle(spark, duck):
+    """Exact-oracle check for the JPEG metadata device: the oracle
+    predicts every parsed field arithmetically from doc_id, so any
+    wrong offset/endianness/length rule in the real marker walk fails
+    the hash."""
+    from incubator_beam_spark.queries.dataops import JPEG_META_ORACLE, mm_jpeg_meta
+
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(mm_jpeg_meta(spark, SF_DIR), duck, JPEG_META_ORACLE,
+                          "mm_jpeg_meta")
