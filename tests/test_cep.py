@@ -2242,3 +2242,96 @@ def test_stream_all_rows_skip_next_equals_batch(spark):
             for r in ts.results().collect()
         )
     assert got == want
+
+
+def test_match_recognize_stream_skip_next_event_time(spark):
+    """EVENT-TIME watermark mode x AFTER MATCH SKIP TO NEXT ROW: the
+    stability scan runs only over the pre-watermark prefix, and under
+    the overlapping restart policy the decided/held split must still
+    reproduce the batch kernel exactly — including out-of-order arrival
+    WITHIN the watermark. Scripted file stream: a high-run delivered
+    out of order, a watermark-push wave, a flush wave."""
+    import tempfile
+    import uuid
+
+    from incubator_beam_spark.plans.cep import (
+        match_recognize,
+        match_recognize_stream,
+    )
+    from incubator_beam_spark.queries.events import _stage_scripted_file
+
+    schema = "user bigint, ts timestamp, val double"
+    base = "2024-01-01 00:00:"
+    # highs at :01-:04 (three overlapping matches), low :05, highs :06-:07
+    real = [
+        (1, f"{base}01", 11.0), (1, f"{base}02", 12.0),
+        (1, f"{base}03", 13.0), (1, f"{base}04", 14.0),
+        (1, f"{base}05", 1.0), (1, f"{base}06", 15.0),
+        (1, f"{base}07", 16.0),
+    ]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user bigint, ts string, val double"
+        ).selectExpr("user", "CAST(ts AS TIMESTAMP) AS ts", "val")
+
+    stage = tempfile.mkdtemp(prefix="cep_skip_et_")
+    t0 = 1700000000
+    # out-of-order delivery inside the watermark: :03,:01,:04,:02 first
+    _stage_scripted_file(
+        stage, mk([real[2], real[0], real[3], real[1]]), "a_first", t0
+    )
+    _stage_scripted_file(stage, mk(real[4:]), "b_second", t0 + 10)
+    _stage_scripted_file(
+        stage, mk([(1, "2024-01-01 01:00:00", 0.0)]), "c_wm_push", t0 + 20
+    )
+    _stage_scripted_file(
+        stage, mk([(1, "2024-01-01 01:00:01", 0.0)]), "d_flush", t0 + 30
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    define = {"H": F.col("val") >= 10}
+    measures = {"n_h": ("count", "H"), "v_last": ("last", "H", "val")}
+    out = match_recognize_stream(
+        stream,
+        partition_by="user",
+        order_by="ts",
+        define=define,
+        pattern="H H",
+        measures=measures,
+        event_time=True,
+        watermark_delay="10 seconds",
+        after_match="to next row",
+    )
+    name = f"cep_skip_et_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.match_number, r.n_h, r.v_last)
+        for r in spark.table(name).collect()
+    )
+    want_df = match_recognize(
+        mk(real + [(1, "2024-01-01 01:00:00", 0.0), (1, "2024-01-01 01:00:01", 0.0)]),
+        partition_by=["user"],
+        order_by=["ts"],
+        define=define,
+        pattern="H H",
+        measures=measures,
+        after_match="to next row",
+    )
+    want = sorted(
+        (r.match_number, r.n_h, r.v_last) for r in want_df.collect()
+    )
+    # 3 overlapping matches in the first run + 1 straddling-delivery pair
+    assert got == want and len(got) == 4
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
