@@ -101,6 +101,36 @@ def main() -> None:
     print("streaming ALL ROWS sample (per matched row, with classifier):")
     spark.table("mr_stream_rows_demo").show(6, truncate=False)
 
+    # --- streaming OVERLAPPING matches (late-r8 surface) -----------------
+    # AFTER MATCH SKIP TO NEXT ROW restarts one past each match start, so
+    # a run of k consecutive high-value events yields k-1 matches — the
+    # sliding-pair alert shape (every emitted match is still final under
+    # the stability probe; overlap never re-emits from dropped state)
+    overlap_q = """
+    SELECT user_id, match_number, e1, e2
+    FROM {table} MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY event_id
+      MEASURES FIRST(H.event_id) AS e1, LAST(H.event_id) AS e2
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (H H)
+      DEFINE H AS H.value >= 100
+    )
+    """
+    out3 = run_sql_stream(spark, overlap_q.format(table="events_stream"))
+    q3 = (
+        out3.writeStream.format("memory")
+        .queryName("mr_stream_overlap_demo")
+        .outputMode("append")
+        .start()
+    )
+    q3.processAllAvailable()
+    q3.stop()
+    print("streaming overlapping high-pair alerts (SKIP TO NEXT ROW):")
+    spark.table("mr_stream_overlap_demo").show(6, truncate=False)
+    shutil.rmtree(stage, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
