@@ -376,3 +376,67 @@ def epoch_repeats(
             ).alias("n_copies"),
         )
     )
+
+
+def bigram_kn_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the smoothing the real
+    KenLM models behind CCNet-style perplexity filters use (add-1 in
+    ``bigram_logprob`` is the teaching baseline; KN replaces the raw
+    unigram back-off with the CONTINUATION probability, fixing the
+    "San Francisco" pathology where a frequent-but-unpromiscuous word
+    gets an outsized back-off weight):
+
+        p(w2|w1) = [max(c(w1,w2) - d, 0) + d * N1+(w1.) * N1+(.w2)/B]
+                   / c(w1.)
+
+    with d = ``discount``, N1+(w1.) = distinct continuations of w1,
+    N1+(.w2) = distinct contexts preceding w2, B = distinct bigram
+    types. Returns (doc_id, mean_kn_logprob) over each document's
+    bigrams, rounded 4dp (masks libm ULP differences — the family
+    precedent; the arithmetic uses ONE shared expression order so both
+    engines evaluate the identical float chain).
+
+    Scale shape matches bigram_logprob: the |bigrams| c2 table joins
+    back CO-PARTITIONED on (w1,w2) (never broadcast); the per-w1
+    context/continuation-fan tables and per-w2 continuation table are
+    |vocab| rows and broadcast; B is one scalar."""
+    from .text import tokens
+
+    base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("ts"))
+    big = (
+        base.filter(F.size("ts") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts)-1), "
+                    "i -> struct(element_at(ts, i) as w1, element_at(ts, i+1) as w2))"
+                )
+            ).alias("bz"),
+        )
+        .select(id_col, F.col("bz.w1").alias("w1"), F.col("bz.w2").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = big.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1"), F.countDistinct("w2").alias("fwd")
+    )
+    cont = big.groupBy("w2").agg(F.countDistinct("w1").alias("bwd"))
+    b = c2.agg(F.count(F.lit(1)).alias("b"))
+    d = float(discount)
+    p = (
+        F.greatest(F.col("c2") - d, F.lit(0.0))
+        + F.lit(d) * F.col("fwd") * F.col("bwd") / F.col("b")
+    ) / F.col("c1")
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(b))
+        .groupBy(id_col)
+        .agg(F.round(F.avg(F.log(p)), 4).alias("mean_kn_logprob"))
+    )

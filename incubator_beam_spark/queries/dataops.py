@@ -2507,3 +2507,41 @@ def mm_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return jpeg_meta(d.mapInPandas(synth, synth_schema))
+
+
+# --- Kneser-Ney bigram LM device (unregistered; r9/r10 promotion —
+# the smoothing real KenLM/CCNet perplexity filters use; the add-1
+# gate doc_bigram_logprob is its driver-green baseline sibling) ---
+
+BIGRAM_KN_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS bz
+  FROM tok WHERE len(ts) >= 2),
+pairs AS (SELECT doc_id, bz[1] AS w1, bz[2] AS w2 FROM big),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+ctx AS (SELECT w1, count(*) AS c1, count(DISTINCT w2) AS fwd
+        FROM pairs GROUP BY w1),
+cont AS (SELECT w2, count(DISTINCT w1) AS bwd FROM pairs GROUP BY w2),
+b AS (SELECT count(*) AS b FROM c2)
+SELECT p.doc_id,
+       round(avg(ln(
+         (greatest(c2.c2 - 0.75, 0.0) + 0.75 * ctx.fwd * cont.bwd / b.b)
+         / ctx.c1)), 4) AS mean_kn_logprob
+FROM pairs p JOIN c2 USING (w1, w2) JOIN ctx USING (w1)
+     JOIN cont USING (w2), b
+GROUP BY p.doc_id
+"""
+
+
+def doc_bigram_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring (dataops/curation.py
+    bigram_kn_logprob): discounted bigram mass plus continuation-
+    probability back-off — the real KenLM smoothing behind CCNet
+    perplexity filtering. Same distributed shape as the add-1 gate
+    (c2 co-partitioned, vocab-sized tables broadcast, one scalar);
+    both engines evaluate one shared float expression order, 4dp."""
+    from ..dataops.curation import bigram_kn_logprob
+
+    return bigram_kn_logprob(table(spark, sf_dir, "documents"))

@@ -1660,3 +1660,65 @@ def test_mm_jpeg_meta_oracle(spark, duck):
 
     assert_matches_oracle(mm_jpeg_meta(spark, SF_DIR), duck, JPEG_META_ORACLE,
                           "mm_jpeg_meta")
+
+
+def test_bigram_kn_textbook_reference(spark):
+    """Kneser-Ney scoring vs a from-the-formula pure-Python reference
+    on a tiny corpus with a repeated collocation (the 'San Francisco'
+    shape KN exists for)."""
+    import math
+
+    from incubator_beam_spark.dataops.curation import bigram_kn_logprob
+
+    texts = [
+        (0, "san francisco is foggy"),
+        (1, "san francisco is big"),
+        (2, "new york is big"),
+        (3, "francisco said hello"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: r.mean_kn_logprob for r in bigram_kn_logprob(docs).collect()}
+
+    toks = {i: t.split() for i, t in texts}
+    pairs = [(w1, w2) for ts in toks.values() for w1, w2 in zip(ts, ts[1:])]
+    from collections import Counter
+
+    c2 = Counter(pairs)
+    c1 = Counter(w1 for w1, _ in pairs)
+    fwd = {w1: len({b for a, b in c2 if a == w1}) for w1, _ in pairs}
+    bwd = {w2: len({a for a, b in c2 if b == w2}) for _, w2 in pairs}
+    B = len(c2)
+    d = 0.75
+
+    def p(w1, w2):
+        return (max(c2[(w1, w2)] - d, 0.0) + d * fwd[w1] * bwd[w2] / B) / c1[w1]
+
+    want = {
+        i: round(
+            sum(math.log(p(w1, w2)) for w1, w2 in zip(ts, ts[1:]))
+            / (len(ts) - 1),
+            4,
+        )
+        for i, ts in toks.items()
+    }
+    assert got == want
+    # the collocation effect: 'francisco' follows only 'san', so its
+    # continuation mass is small despite its frequency — p(francisco|san)
+    # is dominated by the discounted bigram, and a novel continuation
+    # like p(said|francisco) leans on the back-off
+    assert p("san", "francisco") > 0.6
+
+
+def test_doc_bigram_kn_oracle(spark, duck):
+    """Exact-oracle check for the KN bigram device at the fixture SF."""
+    from incubator_beam_spark.queries.dataops import (
+        BIGRAM_KN_ORACLE,
+        doc_bigram_kn_logprob,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        doc_bigram_kn_logprob(spark, SF_DIR), duck, BIGRAM_KN_ORACLE,
+        "doc_bigram_kn_logprob",
+    )
