@@ -2335,3 +2335,77 @@ def test_match_recognize_stream_skip_next_event_time(spark):
     import shutil
 
     shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_stream_skip_to_last_with_callable_define(spark):
+    """AFTER MATCH SKIP TO LAST <sym> where the skip-target rows are
+    classified by a CALLABLE (cross-symbol) define — the restart
+    position must come from the NFA assignment (callable rows carry no
+    classifier char). Streaming result must equal the batch kernel on
+    the same data."""
+    from pyspark.sql import types as T
+
+    from incubator_beam_spark.plans.cep import (
+        match_recognize,
+        match_recognize_stream,
+    )
+    from incubator_beam_spark.streaming import TestStream
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("etype", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+
+    def d_below_last_s(arrs, i, bindings):
+        # D AS etype='d' AND D.val < LAST(S.val) — match-state-dependent
+        if arrs["etype"][i] != "d":
+            return False
+        s_rows = bindings.get("S", [])
+        return bool(s_rows) and arrs["val"][i] < arrs["val"][s_rows[-1]]
+
+    d_below_last_s.columns = ["etype", "val"]
+    define = {
+        "S": F.col("etype") == "s",
+        "D": d_below_last_s,
+    }
+    kw = dict(
+        partition_by="key",
+        order_by="seq",
+        define=define,
+        pattern="S D D",
+        measures={"s1": ("first", "S", "seq"), "d2": ("last", "D", "seq")},
+        after_match="to last D",
+    )
+    # S(10) d(8) d(6) -> match 1 rows 1-3; restart AT seq 3 (last D);
+    # S(9) at seq 4 with d(7) d(5) -> match 2 rows 4-6
+    data = [
+        (1, 1, "s", 10.0), (1, 2, "d", 8.0), (1, 3, "d", 6.0),
+        (1, 4, "s", 9.0),
+    ]
+    data2 = [(1, 5, "d", 7.0), (1, 6, "d", 5.0), (1, 7, "x", 0.0)]
+    batch_kw = dict(kw)
+    batch_kw["partition_by"] = ["key"]
+    batch_kw["order_by"] = ["seq"]
+    want = sorted(
+        (r.key, r.match_number, r.s1, r.d2)
+        for r in match_recognize(
+            spark.createDataFrame(data + data2, schema), **batch_kw
+        ).collect()
+    )
+    assert want == [(1, 1, 1, 3), (1, 2, 4, 6)]
+    with TestStream(spark, schema) as ts:
+        out = match_recognize_stream(
+            ts.stream, predicate_cols=["etype", "val"], **kw
+        )
+        ts.start(out, output_mode="append")
+        ts.add_elements(data).advance()
+        ts.add_elements(data2).advance()
+        got = sorted(
+            (r.key, r.match_number, r.s1, r.d2)
+            for r in ts.results().collect()
+        )
+    assert got == want
