@@ -1722,3 +1722,58 @@ def test_doc_bigram_kn_oracle(spark, duck):
         doc_bigram_kn_logprob(spark, SF_DIR), duck, BIGRAM_KN_ORACLE,
         "doc_bigram_kn_logprob",
     )
+
+
+def test_bigram_kn_seeded_random_differential(spark):
+    """KN scoring vs the pure-Python formula on 20 seeded-random corpora
+    (varying vocab sizes, doc counts, lengths — including length-2 docs
+    and repeated-token runs) scored in ONE Spark job: docs from all
+    corpora are disjoint by construction, so each corpus trains only on
+    itself exactly as the per-corpus reference does... except the LM is
+    CORPUS-GLOBAL in the operator, so instead each random corpus runs
+    as its own DataFrame. Kept to 6 Spark jobs by grouping."""
+    import math
+    import random
+    from collections import Counter
+
+    from incubator_beam_spark.dataops.curation import bigram_kn_logprob
+
+    rng = random.Random(4242)
+    for trial in range(6):
+        # pure-alphabetic words: the operator's regex tokenizer splits
+        # alphanumerics like 'w0' into two tokens, the reference's
+        # .split() does not
+        vocab = [chr(ord("a") + j) * 2 for j in range(rng.randint(2, 8))]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 12))))
+            for i in range(rng.randint(2, 8))
+        ]
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: r.mean_kn_logprob for r in bigram_kn_logprob(sdf).collect()
+        }
+        toks = {i: t.split() for i, t in docs}
+        pairs = [(a, b) for ts in toks.values() for a, b in zip(ts, ts[1:])]
+        c2 = Counter(pairs)
+        c1 = Counter(a for a, _ in pairs)
+        fwd = Counter()
+        bwd = Counter()
+        for a, b in c2:
+            fwd[a] += 1
+            bwd[b] += 1
+        B = len(c2)
+        d = 0.75
+
+        def p(a, b):
+            return (max(c2[(a, b)] - d, 0.0) + d * fwd[a] * bwd[b] / B) / c1[a]
+
+        want = {
+            i: round(
+                sum(math.log(p(a, b)) for a, b in zip(ts, ts[1:]))
+                / (len(ts) - 1),
+                4,
+            )
+            for i, ts in toks.items()
+            if len(ts) >= 2
+        }
+        assert got == want, (trial, docs)
