@@ -1725,13 +1725,10 @@ def test_doc_bigram_kn_oracle(spark, duck):
 
 
 def test_bigram_kn_seeded_random_differential(spark):
-    """KN scoring vs the pure-Python formula on 20 seeded-random corpora
-    (varying vocab sizes, doc counts, lengths — including length-2 docs
-    and repeated-token runs) scored in ONE Spark job: docs from all
-    corpora are disjoint by construction, so each corpus trains only on
-    itself exactly as the per-corpus reference does... except the LM is
-    CORPUS-GLOBAL in the operator, so instead each random corpus runs
-    as its own DataFrame. Kept to 6 Spark jobs by grouping."""
+    """KN scoring vs the pure-Python formula on seeded-random corpora
+    (varying vocab sizes, doc counts, lengths — length-2 docs and
+    repeated-token runs included). The LM is corpus-global, so each
+    random corpus runs as its own DataFrame."""
     import math
     import random
     from collections import Counter
