@@ -42,3 +42,21 @@ def test_every_oracle_is_nonempty_sql():
     qs = registry.load_all()
     bad = [n for n, q in qs.items() if q.oracle is not None and "SELECT" not in q.oracle.upper()]
     assert not bad, f"oracles without a SELECT: {bad}"
+
+
+def test_banked_devices_manifest_green(spark, duck):
+    """Every banked promotion device (queries/devices.py) runs against
+    its manifest oracle — this is EXACTLY the (fn, oracle) pair the
+    next round registers, so promotion cannot ship an unchecked pair.
+    Also asserts the manifest stays unregistered (growth freeze)."""
+    from incubator_beam_spark import registry
+    from incubator_beam_spark.queries.devices import devices
+
+    from .conftest import SF_DIR, assert_matches_oracle
+
+    dev = devices()
+    assert len(dev) >= 7
+    registered = set(registry.load_all())
+    assert not (set(dev) & registered), "devices must stay unregistered"
+    for name, (fn, oracle) in sorted(dev.items()):
+        assert_matches_oracle(fn(spark, SF_DIR), duck, oracle, name)
