@@ -133,3 +133,78 @@ def bpe_encode(
         toks.alias("tokens"),
         F.size(toks).alias("n_tokens"),
     )
+
+
+# --- unigram-LM (SentencePiece-style) Viterbi segmentation ------------------
+
+# (piece, integer cost) — the inference-time analog of a trained unigram
+# vocab: cost ~ -log p(piece) in micro-units. Any single character always
+# segments at UNIGRAM_CHAR_COST, so every string has a finite parse.
+UNIGRAM_VOCAB: tuple[tuple[str, int], ...] = (
+    (" ", 4), ("e", 7), ("t", 8), ("a", 8),
+    ("th", 4), ("he", 4), ("in", 4), ("er", 4), ("an", 5), ("re", 5),
+    ("on", 5), ("at", 5), ("en", 5), ("es", 5),
+    ("the", 3), ("ing", 4), ("and", 4), ("ion", 5), ("ent", 5),
+    ("tion", 5),
+)
+UNIGRAM_CHAR_COST = 10
+
+
+def unigram_viterbi(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_chars: int = 24,
+    vocab: tuple[tuple[str, int], ...] = UNIGRAM_VOCAB,
+    char_cost: int = UNIGRAM_CHAR_COST,
+) -> DataFrame:
+    """Unigram-LM tokenizer INFERENCE (the SentencePiece/Kudo-2018 model
+    family, next to BPE learn+encode): optimal-cost segmentation of each
+    document prefix by Viterbi DP over character positions —
+    best[i] = min over vocab pieces p ending at i of best[i-|p|] + cost(p),
+    single characters always available at ``char_cost``.
+
+    The WHOLE DP runs inside one Catalyst ``aggregate`` fold building the
+    best-cost array position by position — per-row work is O(L·|vocab|)
+    with zero shuffle, zero Python, and nothing broadcast (the vocab is a
+    literal in the plan). Ties need no break rule: cost and piece-count
+    are packed into one integer (combined = cost*256 + n_pieces), so the
+    min is total over candidate parses and identical in any engine.
+
+    Returns (id, vit_cost, vit_pieces) for the normalized prefix: the
+    first ``max_chars`` chars of the space-joined lowercase ``[a-z0-9]+``
+    token stream (the repo-wide ASCII normalization, so DuckDB and Spark
+    agree on every character the DP sees).
+    """
+    big = F.lit(1 << 40).cast("long")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)
+    s = F.substring(F.array_join(words, " "), 1, max_chars)
+    base = docs.select(F.col(id_col), s.alias("s"), F.length(s).alias("l"))
+
+    def step(acc, i):
+        cands = [F.element_at(acc, i) + (char_cost * 256 + 1)]
+        for p, c in vocab:
+            k = len(p)
+            hit = F.when(
+                (i >= k) & (F.col("s").substr(i - F.lit(k) + 1, F.lit(k)) == p),
+                F.element_at(acc, i - F.lit(k) + 1) + (c * 256 + 1),
+            )
+            cands.append(F.coalesce(hit, big))
+        return F.concat(acc, F.array(F.least(*cands)))
+
+    combined = F.when(F.col("l") == 0, F.lit(0).cast("long")).otherwise(
+        F.element_at(
+            F.aggregate(
+                F.sequence(F.lit(1), F.col("l")),
+                F.array(F.lit(0).cast("long")),
+                step,
+            ),
+            F.col("l") + 1,
+        )
+    )
+    return base.select(
+        F.col(id_col),
+        F.floor(combined / 256).cast("long").alias("vit_cost"),
+        (combined % 256).cast("long").alias("vit_pieces"),
+    )

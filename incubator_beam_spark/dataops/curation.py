@@ -440,3 +440,50 @@ def bigram_kn_logprob(
         .groupBy(id_col)
         .agg(F.round(F.avg(F.log(p)), 4).alias("mean_kn_logprob"))
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    bigram LM (``bigram_logprob``), then split EACH language into
+    equal-count tiers by score — head (best mean log-prob = lowest
+    perplexity), middle, tail. CCNet keeps head+middle and drops or
+    down-weights tail; downstream mixing samples per (lang, tier).
+
+    Determinism: the LM score is the shared 4dp-rounded float both
+    engines already hash-match on (gate doc_bigram_logprob); the tier
+    is ``ntile(n_buckets)`` over (score DESC, id) so ties are resolved
+    identically everywhere. Documents with <2 tokens have no bigram
+    score and are excluded, exactly as in the scoring gate.
+
+    Scale: one extra hash-partitioned window over (lang) on top of the
+    scorer's shuffles — the window carries only (id, lang, score),
+    never text. Per-language partitions are corpus-language-count
+    sized; for a 100-TB corpus with a skewed language mix the window
+    key is (lang) and AQE skew-split applies (the score join back to
+    the doc row is key-partitioned, not broadcast).
+    """
+    from pyspark.sql.window import Window
+
+    scored = bigram_logprob(docs, id_col=id_col, text_col=text_col)
+    langs = docs.select(F.col(id_col), F.col(group_col))
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("mean_logprob"), F.asc(id_col)
+    )
+    tiered = (
+        scored.join(langs, id_col)
+        .withColumn("bucket", F.ntile(n_buckets).over(w))
+    )
+    tier = (
+        F.when(F.col("bucket") == 1, F.lit("head"))
+        .when(F.col("bucket") == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return tiered.select(
+        id_col, group_col, "mean_logprob", F.col("bucket"), tier.alias("tier")
+    )

@@ -153,3 +153,69 @@ class KeyedLinearScoreHandler(ModelHandler):
 
     def output_schema(self) -> T.StructType:
         return T.StructType([T.StructField(self.out_col, T.DoubleType(), True)])
+
+
+def hash_ngram_classify(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    n_classes: int = 3,
+    salt: str = "ftx",
+) -> DataFrame:
+    """fastText-shaped quality classifier inference entirely JVM-side:
+    hashed bag of word uni+bigrams -> linear logits -> argmax. The
+    hashing trick means the "model" is a formula, not a table — at
+    100 TB there is NOTHING to broadcast and NOTHING to shuffle; the
+    whole classifier is one whole-stage-codegen projection (the
+    fast-path counterpart of the Pandas ``ModelHandler``s above, for
+    the CCNet/fastText-style quality filters real curation runs apply
+    to every document).
+
+    Determinism contract (shared with the DuckDB oracle): features are
+    lowercase ``[a-z0-9]+`` word tokens plus space-joined bigrams WITH
+    multiplicity; bucket(f) = first-8-hex-chars of md5("{salt}|f") mod
+    ``n_buckets``; W[b, c] = ((b*31 + c*57) % 101) - 50 micro-units;
+    bias_c = 3c - 2; argmax ties break to the lowest class id.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def _bucket(feat):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", F.lit(salt), feat)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % n_buckets
+        )
+
+    base = docs.select(
+        F.col(id_col),
+        F.transform(F.concat(words, bigrams), _bucket).alias("bks"),
+    )
+    def _logit(c: int):
+        return F.aggregate(
+            F.col("bks"),
+            F.lit(3 * c - 2).cast("long"),
+            lambda acc, b: acc + ((b * 31 + F.lit(c) * 57) % 101 - 50),
+        ).alias(f"logit_{c}")
+
+    logits = [_logit(c) for c in range(n_classes)]
+    scored = base.select(id_col, *logits)
+    pred = F.lit(n_classes - 1)
+    for c in range(n_classes - 2, -1, -1):
+        cond = None
+        for d in range(c + 1, n_classes):
+            ge = F.col(f"logit_{c}") >= F.col(f"logit_{d}")
+            cond = ge if cond is None else (cond & ge)
+        pred = F.when(cond, F.lit(c)).otherwise(pred)
+    return scored.withColumn("pred_class", pred.cast("int"))

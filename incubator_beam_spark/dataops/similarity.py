@@ -677,3 +677,46 @@ def kmeans_lloyd(
             for j in range(k)
         ]
     return assigned.select(id_col, "cell"), cents
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-nearest-neighbor label transfer: majority label among the
+    cosine top-k (the auto-labeling / label-propagation step curation
+    pipelines run to extend a small labeled seed set across a corpus).
+
+    Votes tie-break to the SMALLER label id; neighbor rank ties break
+    on match_id (the shared ``brute_force_topk`` contract), so the
+    prediction is deterministic and oracle-able end to end.
+
+    Scale: reuses brute_force_topk (broadcast query side, corpus
+    streams once); the vote aggregate shuffles only (query_id, label)
+    pairs — k rows per query — never vectors. Swap in ivf_topk /
+    ivfpq_topk for the neighbor stage when the query side outgrows a
+    broadcast.
+    """
+    topk = brute_force_topk(queries, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    labels = corpus.select(
+        F.col(id_col).alias("match_id"), F.col(label_col).alias("nbr_label")
+    )
+    votes = (
+        topk.join(labels, "match_id")
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("nbr_label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("nbr_label").alias("pred_label"),
+            "votes",
+        )
+    )

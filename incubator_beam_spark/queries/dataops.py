@@ -2545,3 +2545,205 @@ def doc_bigram_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dataops.curation import bigram_kn_logprob
 
     return bigram_kn_logprob(table(spark, sf_dir, "documents"))
+
+
+# --- hashed-ngram classifier device (unregistered; r9/r10 promotion —
+# the zero-shuffle fastText-style quality-classifier inference path;
+# reference analog: the model-inference surface of
+# sdks/python/apache_beam/ml/inference, specialized to the hashing-trick
+# linear classifier CCNet-style filters run per document) ---
+
+HASHNGRAM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ws
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         list_concat(
+           ws,
+           CASE WHEN len(ws) >= 2
+                THEN list_transform(
+                       list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+                       z -> z[1] || ' ' || z[2])
+                ELSE []::VARCHAR[] END) AS feats
+  FROM tok),
+b AS (
+  SELECT doc_id,
+         list_transform(
+           feats,
+           x -> ('0x' || substr(md5('ftx|' || x), 1, 8))::BIGINT % 64) AS bks
+  FROM f),
+l AS (
+  SELECT doc_id,
+         (-2 + coalesce(list_sum(list_transform(
+             bks, v -> ((v*31 + 0*57) % 101) - 50)), 0))::BIGINT AS logit_0,
+         ( 1 + coalesce(list_sum(list_transform(
+             bks, v -> ((v*31 + 1*57) % 101) - 50)), 0))::BIGINT AS logit_1,
+         ( 4 + coalesce(list_sum(list_transform(
+             bks, v -> ((v*31 + 2*57) % 101) - 50)), 0))::BIGINT AS logit_2
+  FROM b)
+SELECT doc_id, logit_0, logit_1, logit_2,
+       (CASE WHEN logit_0 >= logit_1 AND logit_0 >= logit_2 THEN 0
+             WHEN logit_1 >= logit_2 THEN 1 ELSE 2 END)::INTEGER AS pred_class
+FROM l
+"""
+
+
+def doc_hashngram_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-ngram linear classifier inference
+    (dataops/inference.py hash_ngram_classify): word uni+bigrams with
+    multiplicity -> md5 hash buckets (64) -> integer-micro-unit linear
+    logits -> argmax, all inside ONE scan-side projection —
+    zero shuffle, zero broadcast (the hashing trick makes the model a
+    formula). The oracle recomputes the identical feature stream,
+    buckets, and weight formula, so logits AND predictions hash-match
+    row for row."""
+    from ..dataops.inference import hash_ngram_classify
+
+    return hash_ngram_classify(table(spark, sf_dir, "documents"))
+
+
+# --- CCNet perplexity-bucket device (unregistered; r9/r10 promotion —
+# the head/middle/tail tiering step of CCNet-style corpus curation,
+# layered on the driver-green doc_bigram_logprob scorer) ---
+
+CCNET_BUCKETS_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS bz
+  FROM tok WHERE len(ts) >= 2),
+pairs AS (SELECT doc_id, bz[1] AS w1, bz[2] AS w2 FROM big),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+v AS (SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(ts) AS t FROM tok)),
+scored AS (
+  SELECT p.doc_id,
+         round(avg(ln((c2.c2 + 1.0) / (c1.c1 + v.v))), 4) AS mean_logprob
+  FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+  GROUP BY p.doc_id),
+tiered AS (
+  SELECT s.doc_id, d.lang, s.mean_logprob,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.mean_logprob DESC, s.doc_id)::INTEGER
+           AS bucket
+  FROM scored s JOIN documents d USING (doc_id))
+SELECT doc_id, lang, mean_logprob, bucket,
+       CASE WHEN bucket = 1 THEN 'head'
+            WHEN bucket = 3 THEN 'tail'
+            ELSE 'middle' END AS tier
+FROM tiered
+"""
+
+
+def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity tiers (dataops/curation.py
+    perplexity_buckets): bigram-LM score (the driver-green
+    doc_bigram_logprob surface) -> ntile(3) within each language over
+    (score DESC, doc_id) -> head/middle/tail labels. The oracle
+    recomputes the identical scorer and tiering, so the full
+    (doc, lang, score, bucket, tier) table hash-matches."""
+    from ..dataops.curation import perplexity_buckets
+
+    return perplexity_buckets(table(spark, sf_dir, "documents"))
+
+
+# --- kNN label-transfer device (unregistered; r9/r10 promotion — the
+# auto-labeling step that extends a labeled seed set across a corpus;
+# neighbor stage = the emb_cosine_topk contract, vote stage exact) ---
+
+KNN_CLASSIFY_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv, label
+      FROM embeddings),
+s AS (SELECT query_id, match_id, label,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv))), 6) AS cos
+      FROM q, c WHERE query_id != match_id),
+topk AS (
+  SELECT query_id, match_id, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, match_id) AS rank
+    FROM s) WHERE rank <= 10),
+votes AS (
+  SELECT query_id, label AS nbr_label, count(*) AS votes
+  FROM topk GROUP BY query_id, label)
+SELECT query_id, nbr_label AS pred_label, votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, nbr_label) AS rn
+  FROM votes) WHERE rn = 1
+"""
+
+
+def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-label classification (dataops/similarity.py
+    knn_classify): cosine top-10 per query (the emb_cosine_topk
+    determinism contract: 6dp rounding, rank ties on match_id) ->
+    vote count per label -> argmax with ties to the smaller label.
+    The oracle replays the identical neighbor set and vote, so
+    (query, pred_label, votes) hash-match."""
+    from ..dataops.similarity import knn_classify
+
+    e = table(spark, sf_dir, "embeddings")
+    return knn_classify(e.filter(F.col("vec_id") < 10), e, k=10)
+
+
+# --- unigram-LM Viterbi device (unregistered; r9/r10 promotion — the
+# SentencePiece-family tokenizer inference next to doc_bpe_encode; the
+# oracle is a recursive-CTE replay of the identical DP, generated from
+# the same vocab literal so the two engines cannot drift) ---
+
+
+def _unigram_viterbi_oracle(max_chars: int = 24) -> str:
+    from ..dataops.bpe import UNIGRAM_CHAR_COST, UNIGRAM_VOCAB
+
+    cands = [f"acc[i+1] + {UNIGRAM_CHAR_COST * 256 + 1}"]
+    for p, c in UNIGRAM_VOCAB:
+        k, esc = len(p), p.replace("'", "''")
+        cands.append(
+            f"coalesce(CASE WHEN i+1 >= {k} AND substr(s, i+2-{k}, {k}) = '{esc}' "
+            f"THEN acc[i+2-{k}] + {c * 256 + 1} END, {1 << 40})"
+        )
+    step = ",\n             ".join(cands)
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         substr(array_to_string(
+                  regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'),
+                  ' '), 1, {max_chars}) AS s
+  FROM documents),
+b2 AS (SELECT doc_id, s, length(s) AS l FROM base),
+dp AS (
+  SELECT doc_id, s, l, 0 AS i, [0::BIGINT] AS acc FROM b2
+  UNION ALL
+  SELECT doc_id, s, l, i + 1,
+         list_append(acc, least(
+             {step}))
+  FROM dp WHERE i < l)
+SELECT doc_id,
+       (acc[l+1] // 256)::BIGINT AS vit_cost,
+       (acc[l+1] % 256)::BIGINT AS vit_pieces
+FROM dp WHERE i = l
+"""
+
+
+UNIGRAM_VITERBI_ORACLE = None  # filled below so the literal is importable
+
+
+def doc_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) Viterbi segmentation
+    (dataops/bpe.py unigram_viterbi): optimal integer-cost DP parse of
+    each document's normalized 24-char prefix, run entirely inside one
+    Catalyst aggregate fold — zero shuffle, zero Python, vocab as plan
+    literals. cost and piece-count pack into one integer so the min is
+    total and the recursive-CTE oracle replays it exactly."""
+    from ..dataops.bpe import unigram_viterbi
+
+    return unigram_viterbi(table(spark, sf_dir, "documents"))
+
+
+UNIGRAM_VITERBI_ORACLE = _unigram_viterbi_oracle()

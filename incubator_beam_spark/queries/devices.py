@@ -239,6 +239,10 @@ def _dataops_devices():
         "doc_pagerank": (_d.doc_pagerank, _d.PAGERANK_ORACLE),
         "mm_jpeg_meta": (_d.mm_jpeg_meta, _d.JPEG_META_ORACLE),
         "doc_bigram_kn_logprob": (_d.doc_bigram_kn_logprob, _d.BIGRAM_KN_ORACLE),
+        "doc_hashngram_classify": (_d.doc_hashngram_classify, _d.HASHNGRAM_ORACLE),
+        "doc_ccnet_buckets": (_d.doc_ccnet_buckets, _d.CCNET_BUCKETS_ORACLE),
+        "emb_knn_classify": (_d.emb_knn_classify, _d.KNN_CLASSIFY_ORACLE),
+        "doc_unigram_viterbi": (_d.doc_unigram_viterbi, _d.UNIGRAM_VITERBI_ORACLE),
     }
 
 

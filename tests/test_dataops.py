@@ -1774,3 +1774,252 @@ def test_bigram_kn_seeded_random_differential(spark):
             if len(ts) >= 2
         }
         assert got == want, (trial, docs)
+
+
+def test_doc_hashngram_classify_oracle(spark, duck):
+    """Exact-oracle check for the hashed-ngram classifier device
+    (future-window gate): integer logits for all 3 classes AND the
+    argmax prediction hash-match row for row, and the fixture yields a
+    genuinely mixed class distribution (the argmax is exercised, not
+    constant)."""
+    from incubator_beam_spark.queries.dataops import (
+        HASHNGRAM_ORACLE,
+        doc_hashngram_classify,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    out = doc_hashngram_classify(spark, SF_DIR)
+    assert_matches_oracle(out, duck, HASHNGRAM_ORACLE, "doc_hashngram_classify")
+    n_classes = out.select("pred_class").distinct().count()
+    assert n_classes >= 2
+
+
+def test_hash_ngram_classify_matches_pure_python(spark):
+    """From-the-definition differential for the fastText-style
+    classifier: hashlib md5 buckets + explicit weight formula on a tiny
+    hand corpus (incl. empty text, single token, repeated bigrams —
+    multiplicity must count) vs the Catalyst fold."""
+    import hashlib
+    import re
+
+    from incubator_beam_spark.dataops.inference import hash_ngram_classify
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat the cat the cat"),  # repeated bigrams
+        (2, "solo"),
+        (3, ""),
+        (4, "Numbers 42 and 7 mix CASE"),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.logit_0, r.logit_1, r.logit_2, r.pred_class)
+        for r in hash_ngram_classify(sdf).collect()
+    }
+
+    def bucket(f):
+        return int(hashlib.md5(f"ftx|{f}".encode()).hexdigest()[:8], 16) % 64
+
+    want = {}
+    for i, t in docs:
+        ws = re.findall("[a-z0-9]+", t.lower())
+        feats = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        logits = [
+            3 * c - 2 + sum(((bucket(f) * 31 + c * 57) % 101) - 50 for f in feats)
+            for c in range(3)
+        ]
+        pred = max(range(3), key=lambda c: (logits[c], -c))
+        want[i] = (*logits, pred)
+    assert got == want
+
+
+def test_hash_ngram_classify_plan_no_exchange(spark):
+    """The hashing trick keeps classifier inference a pure scan-side
+    projection: no Exchange (shuffle) and no broadcast anywhere in the
+    physical plan."""
+    from incubator_beam_spark.queries.dataops import doc_hashngram_classify
+
+    plan = (
+        doc_hashngram_classify(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Broadcast" not in plan
+
+
+def test_doc_ccnet_buckets_oracle(spark, duck):
+    """Exact-oracle check for the CCNet perplexity-tier device
+    (future-window gate): per-language ntile(3) tiers over the
+    4dp-shared bigram-LM score hash-match, and every language in the
+    fixture gets all three tiers."""
+    from incubator_beam_spark.queries.dataops import (
+        CCNET_BUCKETS_ORACLE,
+        doc_ccnet_buckets,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    out = doc_ccnet_buckets(spark, SF_DIR)
+    assert_matches_oracle(out, duck, CCNET_BUCKETS_ORACLE, "doc_ccnet_buckets")
+    tiers = {
+        (r.lang, r.tier): r.c
+        for r in out.groupBy("lang", "tier").agg(F.count("*").alias("c")).collect()
+    }
+    langs = {l for l, _ in tiers}
+    assert all((l, t) in tiers for l in langs for t in ("head", "middle", "tail"))
+
+
+def test_perplexity_buckets_tier_semantics(spark):
+    """head really is the best-scoring third within each language: on a
+    hand corpus where doc 0 repeats one collocation (high bigram prob)
+    and doc 2 is all-distinct word salad, head/tail land correctly and
+    equal-count splitting holds."""
+    from incubator_beam_spark.dataops.curation import perplexity_buckets
+
+    docs = [
+        (0, "alpha beta alpha beta alpha beta alpha beta", "en"),
+        (1, "alpha beta gamma delta alpha beta epsilon zeta", "en"),
+        (2, "one two three four five six seven eight nine", "en"),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {r.doc_id: r.tier for r in perplexity_buckets(sdf).collect()}
+    assert got == {0: "head", 1: "middle", 2: "tail"}
+
+
+def test_emb_knn_classify_oracle(spark, duck):
+    """Exact-oracle check for the kNN label-transfer device
+    (future-window gate): top-10 cosine neighbors -> majority vote ->
+    deterministic argmax, (query, pred_label, votes) hash-match."""
+    from incubator_beam_spark.queries.dataops import (
+        KNN_CLASSIFY_ORACLE,
+        emb_knn_classify,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    out = emb_knn_classify(spark, SF_DIR)
+    assert_matches_oracle(out, duck, KNN_CLASSIFY_ORACLE, "emb_knn_classify")
+    assert out.select("pred_label").distinct().count() >= 2
+
+
+def test_knn_classify_semantics(spark):
+    """On two clean synthetic clusters the transferred label is the
+    cluster's, votes are unanimous, and the vote tie-break picks the
+    smaller label (query equidistant between clusters with k=2)."""
+    from incubator_beam_spark.dataops.similarity import knn_classify
+
+    rows = []
+    # cluster A: label 7, vectors near (1, 0); cluster B: label 3, near (0, 1)
+    for i in range(5):
+        rows.append((i, [1.0, 0.001 * i], 7))
+        rows.append((10 + i, [0.001 * i, 1.0], 3))
+    # queries: 100 inside A, 101 inside B
+    rows.append((100, [0.99, 0.01], 7))
+    rows.append((101, [0.01, 0.99], 3))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    q = df.filter("vec_id >= 100")
+    corpus = df.filter("vec_id < 100")
+    got = {
+        r.query_id: (r.pred_label, r.votes)
+        for r in knn_classify(q, corpus, k=5).collect()
+    }
+    assert got == {100: (7, 5), 101: (3, 5)}
+    # equidistant query, k=2: one vote each -> tie -> smaller label wins
+    q2 = spark.createDataFrame(
+        [(200, [1.0, 1.0], 0)], "vec_id long, embedding array<double>, label int"
+    )
+    two = spark.createDataFrame(
+        [(0, [1.0, 0.0], 7), (1, [0.0, 1.0], 3)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got2 = {r.query_id: r.pred_label for r in knn_classify(q2, two, k=2).collect()}
+    assert got2 == {200: 3}
+
+
+def test_doc_unigram_viterbi_oracle(spark, duck):
+    """Exact-oracle check for the unigram-LM Viterbi device
+    (future-window gate): the Catalyst-fold DP and the recursive-CTE
+    replay agree on (cost, piece-count) for every document, and the
+    corpus yields many distinct costs (the DP is exercised, not
+    degenerate)."""
+    from incubator_beam_spark.queries.dataops import (
+        UNIGRAM_VITERBI_ORACLE,
+        doc_unigram_viterbi,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    out = doc_unigram_viterbi(spark, SF_DIR)
+    assert_matches_oracle(out, duck, UNIGRAM_VITERBI_ORACLE, "doc_unigram_viterbi")
+    assert out.select("vit_cost").distinct().count() > 10
+
+
+def test_unigram_viterbi_matches_pure_python_dp(spark):
+    """From-the-definition differential: a plain-Python Viterbi over the
+    identical vocab on hand-picked strings (empty, single char, exact
+    vocab words, overlapping pieces where greedy longest-match is
+    SUBOPTIMAL — 'the' at cost 3 must beat 'th'+'e' at 4+7) vs the
+    Catalyst fold."""
+    from incubator_beam_spark.dataops.bpe import (
+        UNIGRAM_CHAR_COST,
+        UNIGRAM_VOCAB,
+        unigram_viterbi,
+    )
+
+    import re
+
+    def norm(t):
+        return " ".join(re.findall("[a-z0-9]+", t.lower()))[:24]
+
+    def dp(t):
+        s = norm(t)
+        best = [0] + [None] * len(s)
+        for i in range(1, len(s) + 1):
+            cands = [best[i - 1] + UNIGRAM_CHAR_COST * 256 + 1]
+            for p, c in UNIGRAM_VOCAB:
+                k = len(p)
+                if i >= k and s[i - k : i] == p:
+                    cands.append(best[i - k] + c * 256 + 1)
+            best[i] = min(cands)
+        comb = best[len(s)]
+        return (comb // 256, comb % 256)
+
+    docs = [
+        (0, ""),
+        (1, "x"),
+        (2, "the"),           # one piece, cost 3, beats th+e / t+h+e
+        (3, "theE THE the"),  # normalization + repeats
+        (4, "nation"),        # n + atio? vs na + tion: DP must pick n(10)+a?(8)... optimal
+        (5, "zzzz qqqq"),     # all fallback chars + space piece
+        (6, "the quick brown fox jumps over the lazy dog"),  # truncated at 24
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.vit_cost, r.vit_pieces)
+        for r in unigram_viterbi(sdf).collect()
+    }
+    want = {i: dp(t) for i, t in docs}
+    assert got == want
+    # the collocation piece really wins: 'the' parses as ONE piece
+    assert got[2] == (3, 1)
+
+
+def test_unigram_viterbi_plan_no_exchange(spark):
+    """The whole DP is scan-side: no Exchange, no Broadcast, no Python
+    in the physical plan."""
+    from incubator_beam_spark.queries.dataops import doc_unigram_viterbi
+
+    plan = (
+        doc_unigram_viterbi(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Broadcast" not in plan
+    assert "Python" not in plan
