@@ -2023,3 +2023,88 @@ def test_unigram_viterbi_plan_no_exchange(spark):
     assert "Exchange" not in plan
     assert "Broadcast" not in plan
     assert "Python" not in plan
+
+
+def test_hash_ngram_classify_seeded_random_differential(spark):
+    """Classifier inference vs the pure-Python definition on
+    seeded-random corpora (random vocab sizes, doc counts, lengths,
+    mixed-case and numeric tokens, empty docs) — one batched Spark run
+    per corpus, every logit and prediction must match."""
+    import hashlib
+    import random
+    import re
+
+    from incubator_beam_spark.dataops.inference import hash_ngram_classify
+
+    def bucket(f):
+        return int(hashlib.md5(f"ftx|{f}".encode()).hexdigest()[:8], 16) % 64
+
+    rng = random.Random(777)
+    for trial in range(5):
+        vocab = [
+            rng.choice(["tok", "TOK", "Word", "42", "x9"]) + str(j % 10)
+            for j in range(rng.randint(2, 12))
+        ]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20))))
+            for i in range(rng.randint(2, 10))
+        ]
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.logit_0, r.logit_1, r.logit_2, r.pred_class)
+            for r in hash_ngram_classify(sdf).collect()
+        }
+        want = {}
+        for i, t in docs:
+            ws = re.findall("[a-z0-9]+", t.lower())
+            feats = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+            logits = [
+                3 * c - 2
+                + sum(((bucket(f) * 31 + c * 57) % 101) - 50 for f in feats)
+                for c in range(3)
+            ]
+            pred = max(range(3), key=lambda c: (logits[c], -c))
+            want[i] = (*logits, pred)
+        assert got == want, (trial, docs)
+
+
+def test_unigram_viterbi_seeded_random_differential(spark):
+    """Viterbi DP vs a pure-Python DP on seeded-random strings built
+    FROM the vocab pieces plus noise chars (so multi-piece overlaps are
+    dense and the optimal parse is nontrivial), including strings that
+    hit the 24-char truncation."""
+    import random
+    import re
+
+    from incubator_beam_spark.dataops.bpe import (
+        UNIGRAM_CHAR_COST,
+        UNIGRAM_VOCAB,
+        unigram_viterbi,
+    )
+
+    def dp(t):
+        s = " ".join(re.findall("[a-z0-9]+", t.lower()))[:24]
+        best = [0] + [None] * len(s)
+        for i in range(1, len(s) + 1):
+            cands = [best[i - 1] + UNIGRAM_CHAR_COST * 256 + 1]
+            for p, c in UNIGRAM_VOCAB:
+                k = len(p)
+                if i >= k and s[i - k : i] == p:
+                    cands.append(best[i - k] + c * 256 + 1)
+            best[i] = min(cands)
+        return (best[len(s)] // 256, best[len(s)] % 256)
+
+    pieces = [p for p, _ in UNIGRAM_VOCAB] + ["z", "q", "7"]
+    rng = random.Random(31337)
+    for trial in range(5):
+        docs = [
+            (i, "".join(rng.choice(pieces) for _ in range(rng.randint(0, 18))))
+            for i in range(rng.randint(3, 10))
+        ]
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.vit_cost, r.vit_pieces)
+            for r in unigram_viterbi(sdf).collect()
+        }
+        want = {i: dp(t) for i, t in docs}
+        assert got == want, (trial, docs)
