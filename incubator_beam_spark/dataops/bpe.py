@@ -208,3 +208,103 @@ def unigram_viterbi(
         F.floor(combined / 256).cast("long").alias("vit_cost"),
         (combined % 256).cast("long").alias("vit_pieces"),
     )
+
+
+# --- WordPiece greedy longest-match-first segmentation ----------------------
+
+# start-position pieces and continuation pieces (BERT's ##-pieces, stored
+# bare — matching is positional). Coverage is deliberately partial: words
+# hitting a position no piece matches become [UNK], as in real WordPiece.
+WORDPIECE_START: tuple[str, ...] = (
+    "the", "and", "ing", "th", "an", "in", "re", "un", "er", "on", "at",
+    "a", "b", "c", "d", "e", "f", "g", "h", "i", "l", "m", "n", "o", "p",
+    "r", "s", "t", "u", "w",
+)
+WORDPIECE_CONT: tuple[str, ...] = (
+    "ing", "ed", "er", "es", "e", "s", "t", "a", "o", "i", "n", "r", "h",
+    "l", "u", "m", "c", "d", "g", "p", "b", "f", "w", "y", "v", "k",
+)
+
+
+def wordpiece_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_words: int = 8,
+    start_vocab: tuple[str, ...] = WORDPIECE_START,
+    cont_vocab: tuple[str, ...] = WORDPIECE_CONT,
+) -> DataFrame:
+    """WordPiece tokenizer INFERENCE (BERT's greedy
+    longest-match-first rule — the greedy counterpart of
+    ``unigram_viterbi``'s optimal DP): each word segments by repeatedly
+    taking the LONGEST vocab piece at the current position (start
+    pieces at offset 0, continuation pieces after); a position no piece
+    matches makes the whole word one ``[UNK]``.
+
+    Pure Catalyst: per word, a fold over character steps carrying a
+    (pos, n_pieces, unk) struct — the iterator only fires when it
+    catches up with ``pos``, so L steps cover any piece lengths. Zero
+    shuffle, zero Python, vocab as plan literals. Returns
+    (id, wp_pieces, wp_unk) over the first ``max_words`` words of the
+    normalized token stream.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.slice(
+        F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0), 1, max_words
+    )
+
+    def match_len(w, pos, vocab):
+        cands = [F.lit(0).cast("long")]
+        for p in vocab:
+            k = len(p)
+            cands.append(
+                F.coalesce(
+                    F.when(w.substr(pos + 1, F.lit(k)) == p, F.lit(k).cast("long")),
+                    F.lit(0).cast("long"),
+                )
+            )
+        return F.greatest(*cands)
+
+    def word_state(w):
+        L = F.length(w).cast("long")
+        init = F.struct(
+            F.lit(0).cast("long").alias("pos"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit(False).alias("unk"),
+        )
+
+        def step(acc, i):
+            ml = F.when(acc["pos"] == 0, match_len(w, acc["pos"], start_vocab)).otherwise(
+                match_len(w, acc["pos"], cont_vocab)
+            )
+            advanced = F.when(
+                ml > 0,
+                F.struct(
+                    (acc["pos"] + ml).alias("pos"),
+                    (acc["n"] + 1).alias("n"),
+                    F.lit(False).alias("unk"),
+                ),
+            ).otherwise(
+                F.struct(
+                    L.alias("pos"),
+                    F.lit(1).cast("long").alias("n"),
+                    F.lit(True).alias("unk"),
+                )
+            )
+            fire = (i == acc["pos"] + 1) & ~acc["unk"] & (acc["pos"] < L)
+            return F.when(fire, advanced).otherwise(acc)
+
+        return F.aggregate(F.sequence(F.lit(1), L), init, step)
+
+    states = F.transform(words, word_state)
+    return docs.select(
+        F.col(id_col),
+        F.aggregate(
+            states, F.lit(0).cast("long"), lambda acc, x: acc + x["n"]
+        ).alias("wp_pieces"),
+        F.aggregate(
+            states,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x["unk"].cast("long"),
+        ).alias("wp_unk"),
+    )

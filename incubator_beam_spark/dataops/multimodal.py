@@ -742,3 +742,152 @@ def jpeg_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
             )
 
     return df.select("doc_id", binary_col).mapInPandas(run, out_schema)
+
+
+# --- GIF (the fifth pure-byte format: PNG/WAV/MP4/JPEG/GIF) -----------------
+
+
+def encode_gif_header(
+    width: int,
+    height: int,
+    img_width: int | None = None,
+    img_height: int | None = None,
+    gct_exp: int | None = 1,
+    interlaced: bool = False,
+    version: str = "89a",
+    comment: bytes = b"",
+    gce: bool = False,
+) -> bytes:
+    """Minimal structurally-valid GIF (header + logical screen
+    descriptor + optional global color table + optional GCE/comment
+    extensions + first image descriptor + 1-byte LZW stub + trailer) —
+    synthesizes metadata-parse fixtures. ``gct_exp=None`` omits the
+    global color table; a comment longer than 255 bytes exercises
+    multi-sub-block skipping."""
+    import struct
+
+    iw = width if img_width is None else img_width
+    ih = height if img_height is None else img_height
+    packed = 0
+    if gct_exp is not None:
+        packed = 0x80 | (gct_exp & 0x07)
+    out = b"GIF" + version.encode("ascii")
+    out += struct.pack("<HH", width, height) + bytes([packed, 0, 0])
+    if gct_exp is not None:
+        out += bytes(3 * (1 << (gct_exp + 1)))  # zeroed palette
+    if gce:
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    if comment:
+        out += b"\x21\xfe"
+        for i in range(0, len(comment), 255):
+            chunk = comment[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    ipacked = 0x40 if interlaced else 0
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, iw, ih) + bytes([ipacked])
+    out += b"\x02\x01\x00\x00"  # LZW min code size + 1 data sub-block + term
+    return out + b"\x3b"
+
+
+def parse_gif_meta(payload: bytes) -> dict | None:
+    """REAL GIF metadata decode: signature/version check, logical
+    screen descriptor, global-color-table skip by declared size,
+    extension-block walk (sub-block chains skipped by length bytes) to
+    the FIRST image descriptor. Returns version/width/height/
+    gct_entries/img_width/img_height/interlaced, or None for anything
+    not a well-formed GIF prefix (bad signature, truncation anywhere,
+    unknown block introducer, trailer before any image)."""
+    import struct
+
+    n = len(payload)
+    if n < 13 or payload[:3] != b"GIF":
+        return None
+    version = payload[3:6].decode("ascii", "replace")
+    if version not in ("87a", "89a"):
+        return None
+    width, height = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    gct_entries = (1 << ((packed & 0x07) + 1)) if packed & 0x80 else 0
+    pos = 13 + 3 * gct_entries
+    if pos > n:
+        return None  # truncated palette
+    while pos < n:
+        introducer = payload[pos]
+        pos += 1
+        if introducer == 0x3B:  # trailer before any image descriptor
+            return None
+        if introducer == 0x21:  # extension: label + sub-block chain
+            if pos >= n:
+                return None
+            pos += 1  # label
+            while True:
+                if pos >= n:
+                    return None
+                size = payload[pos]
+                pos += 1 + size
+                if pos > n:
+                    return None
+                if size == 0:
+                    break
+            continue
+        if introducer == 0x2C:  # image descriptor
+            if pos + 9 > n:
+                return None
+            left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos)
+            ipacked = payload[pos + 8]
+            return {
+                "version": version,
+                "width": width,
+                "height": height,
+                "gct_entries": gct_entries,
+                "img_width": iw,
+                "img_height": ih,
+                "interlaced": bool(ipacked & 0x40),
+            }
+        return None  # unknown introducer: desynchronized
+    return None
+
+
+def gif_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """GIF metadata extraction (mapInPandas; the walk reads tens of
+    bytes plus the declared palette skip per row, payloads never
+    shuffle — the shared multimodal plumbing contract)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("version", T.StringType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("gct_entries", T.IntegerType(), True),
+            T.StructField("img_width", T.IntegerType(), True),
+            T.StructField("img_height", T.IntegerType(), True),
+            T.StructField("interlaced", T.BooleanType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_gif_meta(bytes(p)) or {} for p in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "version": pd.array(
+                        [m.get("version") for m in metas], dtype="string"
+                    ),
+                    **{
+                        f: pd.array([m.get(f) for m in metas], dtype="Int32")
+                        for f in (
+                            "width",
+                            "height",
+                            "gct_entries",
+                            "img_width",
+                            "img_height",
+                        )
+                    },
+                    "interlaced": pd.array(
+                        [m.get("interlaced") for m in metas], dtype="boolean"
+                    ),
+                }
+            )
+
+    return df.select("doc_id", binary_col).mapInPandas(run, out_schema)

@@ -2747,3 +2747,131 @@ def doc_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 UNIGRAM_VITERBI_ORACLE = _unigram_viterbi_oracle()
+
+
+# --- GIF metadata device (unregistered; r9/r10 promotion — the FIFTH
+# pure-byte codec; arithmetic-prediction oracle, same pattern as
+# mm_jpeg_meta: a wrong palette skip / sub-block walk / endianness in
+# the REAL parser fails the hash) ---
+
+GIF_META_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN '89a' ELSE '87a' END AS version,
+       (16 + (doc_id % 11) * 10)::INTEGER AS width,
+       (12 + (doc_id % 5) * 14)::INTEGER AS height,
+       (CASE WHEN doc_id % 3 = 1 THEN 0
+             ELSE 2 * power(2, doc_id % 4)::INTEGER END)::INTEGER
+         AS gct_entries,
+       (16 + (doc_id % 11) * 10 - (doc_id % 7))::INTEGER AS img_width,
+       (12 + (doc_id % 5) * 14)::INTEGER AS img_height,
+       (doc_id % 5 = 0) AS interlaced
+FROM documents
+"""
+
+
+def mm_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF metadata with a REAL codec (the fifth pure-byte format):
+    headers synthesized per document — version/dimensions/palette size/
+    interlace derived from doc_id, a multi-sub-block comment extension
+    on every third doc and a graphic-control extension on 89a docs so
+    the walk must skip variable-length sub-block chains — parsed back
+    by the block walker. Payloads stay inside mapInPandas stages."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..dataops.multimodal import encode_gif_header, gif_meta
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                payloads.append(
+                    encode_gif_header(
+                        width=16 + (i % 11) * 10,
+                        height=12 + (i % 5) * 14,
+                        img_width=16 + (i % 11) * 10 - (i % 7),
+                        gct_exp=None if i % 3 == 1 else i % 4,
+                        interlaced=i % 5 == 0,
+                        version="89a" if i % 2 == 0 else "87a",
+                        comment=b"fixture comment " * 40 if i % 3 == 0 else b"",
+                        gce=i % 2 == 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return gif_meta(d.mapInPandas(synth, synth_schema))
+
+
+# --- WordPiece device (unregistered; r9/r10 promotion — BERT's greedy
+# longest-match-first rule, the greedy counterpart of the Viterbi
+# device; oracle GENERATED from the same vocab literals) ---
+
+
+def _wordpiece_oracle(max_words: int = 8) -> str:
+    from ..dataops.bpe import WORDPIECE_CONT, WORDPIECE_START
+
+    def mlen(vocab):
+        cands = ["0"]
+        for p in vocab:
+            k = len(p)
+            cands.append(
+                f"coalesce(CASE WHEN substr(w, pos+1, {k}) = '{p}' "
+                f"THEN {k} END, 0)"
+            )
+        return "greatest(" + ", ".join(cands) + ")"
+
+    return f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')),
+                            '[a-z0-9]+')[1:{max_words}] AS ws
+  FROM documents),
+words AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS widx
+  FROM tok),
+walk AS (
+  SELECT doc_id, widx, w, 0::BIGINT AS pos, 0::BIGINT AS n, FALSE AS unk
+  FROM words
+  UNION ALL
+  SELECT doc_id, widx, w,
+         CASE WHEN ml > 0 THEN pos + ml ELSE length(w) END,
+         CASE WHEN ml > 0 THEN n + 1 ELSE 1 END,
+         ml = 0
+  FROM (SELECT *,
+               CASE WHEN pos = 0 THEN {mlen(WORDPIECE_START)}
+                    ELSE {mlen(WORDPIECE_CONT)} END AS ml
+        FROM walk WHERE pos < length(w) AND NOT unk) t),
+fin AS (SELECT doc_id, n, unk FROM walk WHERE pos >= length(w))
+SELECT d.doc_id,
+       coalesce(sum(fin.n), 0)::BIGINT AS wp_pieces,
+       coalesce(sum(CASE WHEN fin.unk THEN 1 ELSE 0 END), 0)::BIGINT AS wp_unk
+FROM documents d LEFT JOIN fin USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
+WORDPIECE_ORACLE = None  # assigned below so the literal is importable
+
+
+def doc_wordpiece_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece (BERT) greedy longest-match-first segmentation
+    (dataops/bpe.py wordpiece_stats): per-word piece counts + [UNK]
+    words over each document's first 8 normalized words, run as a pure
+    Catalyst fold (zero shuffle, zero Python). The recursive-CTE
+    oracle replays the identical greedy walk from the same vocab
+    literals."""
+    from ..dataops.bpe import wordpiece_stats
+
+    return wordpiece_stats(table(spark, sf_dir, "documents"))
+
+
+WORDPIECE_ORACLE = _wordpiece_oracle()

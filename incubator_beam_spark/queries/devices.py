@@ -229,6 +229,22 @@ def stream_match_recognize_skip_next(spark: SparkSession, sf_dir: str) -> DataFr
     return _drain(out, "append")
 
 
+def stream_hashngram_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fastText-style hashed-ngram classifier running as a
+    Structured Streaming query: documents arrive as micro-batches
+    (file source) and the classifier — a stateless scan-side
+    projection — scores each batch as it lands; the drained sink must
+    equal the batch gate's output exactly (oracle: the same
+    HASHNGRAM_ORACLE). This is the deploy shape of a quality filter on
+    an ingest stream: zero state, zero shuffle, per-batch latency =
+    scan + projection."""
+    from ..dataops.inference import hash_ngram_classify
+    from .streaming_queries import _drain, stream_table
+
+    d = stream_table(spark, sf_dir, "documents")
+    return _drain(hash_ngram_classify(d), "append")
+
+
 # -- the device manifest ------------------------------------------------------
 
 
@@ -243,6 +259,8 @@ def _dataops_devices():
         "doc_ccnet_buckets": (_d.doc_ccnet_buckets, _d.CCNET_BUCKETS_ORACLE),
         "emb_knn_classify": (_d.emb_knn_classify, _d.KNN_CLASSIFY_ORACLE),
         "doc_unigram_viterbi": (_d.doc_unigram_viterbi, _d.UNIGRAM_VITERBI_ORACLE),
+        "mm_gif_meta": (_d.mm_gif_meta, _d.GIF_META_ORACLE),
+        "doc_wordpiece_stats": (_d.doc_wordpiece_stats, _d.WORDPIECE_ORACLE),
     }
 
 
@@ -266,6 +284,12 @@ def devices() -> dict:
             STREAM_MR_SKIP_NEXT_ORACLE,
         ),
     }
+    from . import dataops as _d
+
+    out["stream_hashngram_classify"] = (
+        stream_hashngram_classify,
+        _d.HASHNGRAM_ORACLE,
+    )
     out.update(_dataops_devices())
     return out
 

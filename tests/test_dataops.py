@@ -2108,3 +2108,164 @@ def test_unigram_viterbi_seeded_random_differential(spark):
         }
         want = {i: dp(t) for i, t in docs}
         assert got == want, (trial, docs)
+
+
+def test_gif_codec_roundtrip_and_rejects():
+    """The pure-byte GIF block walker: encode->parse roundtrip across
+    the fixture space (87a/89a, palette sizes incl. none, interlace,
+    multi-sub-block comments, GCE), and loud None on malformed
+    streams."""
+    from incubator_beam_spark.dataops.multimodal import (
+        encode_gif_header,
+        parse_gif_meta,
+    )
+
+    for w, h, iw, exp, inter, ver, com, gce in [
+        (16, 12, 16, 1, False, "89a", b"", False),
+        (640, 480, 633, None, True, "87a", b"", False),
+        (1, 1, 1, 0, False, "89a", b"c" * 600, True),  # 3 comment sub-blocks
+        (65535, 65535, 1, 7, True, "87a", b"x", False),
+    ]:
+        m = parse_gif_meta(
+            encode_gif_header(w, h, img_width=iw, gct_exp=exp,
+                              interlaced=inter, version=ver,
+                              comment=com, gce=gce)
+        )
+        assert m == {
+            "version": ver, "width": w, "height": h,
+            "gct_entries": 0 if exp is None else 1 << (exp + 1),
+            "img_width": iw, "img_height": h, "interlaced": inter,
+        }
+    good = encode_gif_header(10, 20, gct_exp=2, comment=b"abc")
+    assert parse_gif_meta(b"NOTGIF" + good[6:]) is None
+    assert parse_gif_meta(b"GIF88a" + good[6:]) is None  # bad version
+    assert parse_gif_meta(good[:12]) is None             # truncated LSD
+    assert parse_gif_meta(good[:20]) is None             # truncated palette
+    assert parse_gif_meta(good[:-12]) is None            # truncated sub-blocks
+    assert parse_gif_meta(b"GIF89a" + bytes(7) + b"\x3b") is None  # no image
+    desync = bytearray(encode_gif_header(5, 5, gct_exp=None))
+    desync[13] = 0x7F  # unknown introducer where 0x2c/0x21/0x3b must be
+    assert parse_gif_meta(bytes(desync)) is None
+
+
+def test_mm_gif_meta_oracle(spark, duck):
+    """Exact-oracle check for the GIF metadata device: the oracle
+    predicts every parsed field arithmetically from doc_id, so a wrong
+    palette skip / sub-block walk / little-endian read in the real
+    parser fails the hash."""
+    from incubator_beam_spark.queries.dataops import GIF_META_ORACLE, mm_gif_meta
+
+    from .conftest import assert_matches_oracle
+
+    out = mm_gif_meta(spark, SF_DIR)
+    assert_matches_oracle(out, duck, GIF_META_ORACLE, "mm_gif_meta")
+
+
+def test_doc_wordpiece_stats_oracle(spark, duck):
+    """Exact-oracle check for the WordPiece device (future-window
+    gate): greedy longest-match piece counts + [UNK] words hash-match
+    the recursive-CTE replay, and the fixture produces a real mix of
+    UNK counts."""
+    from incubator_beam_spark.queries.dataops import (
+        WORDPIECE_ORACLE,
+        doc_wordpiece_stats,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    out = doc_wordpiece_stats(spark, SF_DIR)
+    assert_matches_oracle(out, duck, WORDPIECE_ORACLE, "doc_wordpiece_stats")
+    assert out.select("wp_unk").distinct().count() >= 3
+
+
+def test_wordpiece_seeded_random_differential(spark):
+    """WordPiece greedy walk vs the pure-Python definition on
+    seeded-random words built from vocab pieces plus out-of-vocab
+    chars (so mid-word UNKs, long-piece-beats-short choices, and the
+    8-word cap are all exercised)."""
+    import random
+    import re
+
+    from incubator_beam_spark.dataops.bpe import (
+        WORDPIECE_CONT,
+        WORDPIECE_START,
+        wordpiece_stats,
+    )
+
+    def ref(t, max_words=8):
+        ws = re.findall("[a-z0-9]+", t.lower())[:max_words]
+        tot = unk = 0
+        for w in ws:
+            pos = n = 0
+            bad = False
+            while pos < len(w):
+                vocab = WORDPIECE_START if pos == 0 else WORDPIECE_CONT
+                ml = max(
+                    (len(p) for p in vocab if w[pos : pos + len(p)] == p),
+                    default=0,
+                )
+                if ml == 0:
+                    n, bad = 1, True
+                    break
+                pos += ml
+                n += 1
+            tot += n
+            unk += bad
+        return (tot, unk)
+
+    alphabet = list("abcdefghijklmnopqrstuvwxyz0123456789")
+    rng = random.Random(90210)
+    for trial in range(5):
+        docs = []
+        for i in range(rng.randint(3, 10)):
+            words = []
+            for _ in range(rng.randint(0, 12)):
+                if rng.random() < 0.6:
+                    words.append(
+                        "".join(
+                            rng.choice(WORDPIECE_START + WORDPIECE_CONT)
+                            for _ in range(rng.randint(1, 4))
+                        )
+                    )
+                else:
+                    words.append(
+                        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+                    )
+            docs.append((i, " ".join(words)))
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.wp_pieces, r.wp_unk)
+            for r in wordpiece_stats(sdf).collect()
+        }
+        want = {i: ref(t) for i, t in docs}
+        assert got == want, (trial, docs)
+
+
+def test_wordpiece_plan_no_exchange(spark):
+    """The greedy walk is scan-side: no Exchange, no Broadcast, no
+    Python in the physical plan."""
+    from incubator_beam_spark.queries.dataops import doc_wordpiece_stats
+
+    plan = (
+        doc_wordpiece_stats(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Broadcast" not in plan
+    assert "Python" not in plan
+
+
+def test_stream_hashngram_classify_oracle(spark, duck):
+    """The classifier as a Structured Streaming query (future-window
+    gate): the drained micro-batch output equals the batch gate's
+    oracle exactly — stateless projection, so streaming adds no
+    semantics to lose."""
+    from incubator_beam_spark.queries.dataops import HASHNGRAM_ORACLE
+    from incubator_beam_spark.queries.devices import stream_hashngram_classify
+
+    from .conftest import assert_matches_oracle
+
+    out = stream_hashngram_classify(spark, SF_DIR)
+    assert_matches_oracle(out, duck, HASHNGRAM_ORACLE, "stream_hashngram_classify")
