@@ -10,7 +10,7 @@ PROMOTION (the next round's first task) is mechanical:
 3. insert the promoted names into ``registry._PRIORITY`` (window
    placement per COVERAGE.md §window-plan).
 
-The four streaming devices return DRAINED batch DataFrames (bounded
+The streaming devices return DRAINED batch DataFrames (bounded
 file-backed stream through a memory sink — the same contract every
 registered stream_* gate uses), so the driver's (spark, sf_dir) ->
 DataFrame comparator applies unchanged.

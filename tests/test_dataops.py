@@ -2269,3 +2269,62 @@ def test_stream_hashngram_classify_oracle(spark, duck):
 
     out = stream_hashngram_classify(spark, SF_DIR)
     assert_matches_oracle(out, duck, HASHNGRAM_ORACLE, "stream_hashngram_classify")
+
+
+def test_codec_parsers_never_crash_fuzz():
+    """All five pure-byte parsers (WAV/PNG/MP4/JPEG/GIF) are total
+    functions over bytes: hypothesis feeds arbitrary blobs, random
+    truncations/corruptions of VALID encodings (the nastiest inputs —
+    mostly-well-formed prefixes), and each parser must return a dict or
+    None, never raise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from incubator_beam_spark.dataops.multimodal import (
+        encode_gif_header,
+        encode_jpeg_header,
+        encode_mp4_header,
+        encode_png_header,
+        encode_wav_header,
+        parse_gif_meta,
+        parse_jpeg_meta,
+        parse_mp4_meta,
+        parse_png_meta,
+        parse_wav_meta,
+    )
+
+    parsers = (
+        parse_wav_meta,
+        parse_png_meta,
+        parse_mp4_meta,
+        parse_jpeg_meta,
+        parse_gif_meta,
+    )
+    seeds = (
+        encode_wav_header(100, 8000),
+        encode_png_header(32, 16),
+        encode_mp4_header(1500),
+        encode_jpeg_header(64, 48, comment=b"c" * 40),
+        encode_gif_header(20, 10, gct_exp=2, comment=b"c" * 300, gce=True),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        blob=st.binary(max_size=120),
+        seed_idx=st.integers(0, len(seeds) - 1),
+        cut=st.integers(0, 200),
+        flip_at=st.integers(0, 200),
+        flip_to=st.integers(0, 255),
+    )
+    def attack(blob, seed_idx, cut, flip_at, flip_to):
+        for parser in parsers:
+            r = parser(blob)
+            assert r is None or isinstance(r, dict)
+        mutated = bytearray(seeds[seed_idx][: max(1, cut)])
+        if flip_at < len(mutated):
+            mutated[flip_at] = flip_to
+        for parser in parsers:
+            r = parser(bytes(mutated))
+            assert r is None or isinstance(r, dict)
+
+    attack()
