@@ -162,6 +162,7 @@ def hash_ngram_classify(
     n_buckets: int = 64,
     n_classes: int = 3,
     salt: str = "ftx",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """fastText-shaped quality classifier inference entirely JVM-side:
     hashed bag of word uni+bigrams -> linear logits -> argmax. The
@@ -177,6 +178,9 @@ def hash_ngram_classify(
     multiplicity; bucket(f) = first-8-hex-chars of md5("{salt}|f") mod
     ``n_buckets``; W[b, c] = ((b*31 + c*57) % 101) - 50 micro-units;
     bias_c = 3c - 2; argmax ties break to the lowest class id.
+    ``passthrough`` names extra input columns carried to the output
+    (single-scan composition with other scan-side signals — no
+    self-join needed).
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
     words = F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)
@@ -200,6 +204,7 @@ def hash_ngram_classify(
 
     base = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         F.transform(F.concat(words, bigrams), _bucket).alias("bks"),
     )
     def _logit(c: int):
@@ -210,7 +215,7 @@ def hash_ngram_classify(
         ).alias(f"logit_{c}")
 
     logits = [_logit(c) for c in range(n_classes)]
-    scored = base.select(id_col, *logits)
+    scored = base.select(id_col, *passthrough, *logits)
     pred = F.lit(n_classes - 1)
     for c in range(n_classes - 2, -1, -1):
         cond = None

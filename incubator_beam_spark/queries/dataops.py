@@ -2875,3 +2875,78 @@ def doc_wordpiece_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WORDPIECE_ORACLE = _wordpiece_oracle()
+
+
+# --- quality-ensemble device (unregistered; r9/r10 promotion — the
+# modern curation verdict: Gopher rule battery x learned classifier x
+# perplexity tier, composed the scale-correct way: rules + classifier
+# share ONE scan, only the corpus-global tier stage shuffles) ---
+
+QUALITY_ENSEMBLE_ORACLE = f"""
+WITH gop AS (
+  SELECT doc_id,
+         ((len(words) BETWEEN 50 AND 100000)
+          AND (list_sum(list_transform(words, x -> len(x))) / len(words))
+              BETWEEN 3 AND 10
+          AND (len(regexp_extract_all(text, '#|\\.\\.\\.')) / len(words)) <= 0.1
+          AND (CASE WHEN len(lines) = 0 THEN 0.0
+                    ELSE len(list_filter(lines, l -> regexp_matches(trim(l),
+                           '^([*•▪‣-]|[0-9]+[.)])'))) / len(lines) END) <= 0.9
+          AND (CASE WHEN len(lines) = 0 THEN 0.0
+                    ELSE len(list_filter(lines, l -> regexp_matches(trim(l),
+                           '(\\.\\.\\.|…)$'))) / len(lines) END) <= 0.3
+          AND (len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+               / len(words)) >= 0.8
+          AND len(regexp_extract_all(lower(text),
+                  '\\b(the|and|of|to|is|in)\\b')) >= 2) AS gopher_ok
+  FROM (SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\\s+') AS words,
+               list_filter(string_split(text, chr(10)),
+                           l -> len(trim(l)) > 0) AS lines
+        FROM documents) w),
+cls AS ({{HASHNGRAM}}),
+tier AS ({{CCNET}})
+SELECT d.doc_id, gop.gopher_ok, cls.pred_class,
+       coalesce(tier.tier, 'none') AS tier,
+       (gop.gopher_ok AND cls.pred_class != 2
+        AND coalesce(tier.tier != 'tail', FALSE)) AS keep
+FROM documents d
+JOIN gop USING (doc_id)
+JOIN cls USING (doc_id)
+LEFT JOIN tier USING (doc_id)
+""".replace("{HASHNGRAM}", HASHNGRAM_ORACLE).replace("{CCNET}", CCNET_BUCKETS_ORACLE)
+
+
+def doc_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern curation verdict, composed scale-correctly: Gopher
+    rules (Rae et al. 2021) and the hashed-ngram classifier evaluate in
+    ONE shared scan (the rules ride the classifier's ``passthrough`` —
+    no self-join), then one key-partitioned left join brings in the
+    CCNet perplexity tier (the only corpus-global signal). keep =
+    rules pass AND predicted class != 2 AND tier not tail (docs too
+    short to score tier as 'none' and drop). The oracle composes the
+    three gate oracles, so every signal column AND the verdict
+    hash-match."""
+    from ..dataops.curation import perplexity_buckets
+    from ..dataops.inference import hash_ngram_classify
+    from ..dataops.text import gopher_rules
+
+    docs = table(spark, sf_dir, "documents")
+    with_rules = docs.withColumn("gopher_ok", gopher_rules(F.col("text"))["keep"])
+    scan = hash_ngram_classify(with_rules, passthrough=("gopher_ok",)).select(
+        "doc_id", "gopher_ok", "pred_class"
+    )
+    tiers = perplexity_buckets(docs).select("doc_id", "tier")
+    out = scan.join(tiers, "doc_id", "left")
+    keep = (
+        F.col("gopher_ok")
+        & (F.col("pred_class") != 2)
+        & F.coalesce(F.col("tier") != "tail", F.lit(False))
+    )
+    return out.select(
+        "doc_id",
+        "gopher_ok",
+        "pred_class",
+        F.coalesce(F.col("tier"), F.lit("none")).alias("tier"),
+        keep.alias("keep"),
+    )

@@ -261,6 +261,7 @@ def _dataops_devices():
         "doc_unigram_viterbi": (_d.doc_unigram_viterbi, _d.UNIGRAM_VITERBI_ORACLE),
         "mm_gif_meta": (_d.mm_gif_meta, _d.GIF_META_ORACLE),
         "doc_wordpiece_stats": (_d.doc_wordpiece_stats, _d.WORDPIECE_ORACLE),
+        "doc_quality_ensemble": (_d.doc_quality_ensemble, _d.QUALITY_ENSEMBLE_ORACLE),
     }
 
 

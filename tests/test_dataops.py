@@ -2328,3 +2328,91 @@ def test_codec_parsers_never_crash_fuzz():
             assert r is None or isinstance(r, dict)
 
     attack()
+
+
+def test_doc_quality_ensemble_oracle(spark, duck):
+    """Exact-oracle check for the quality-ensemble device
+    (future-window gate): Gopher rules x classifier x perplexity tier
+    compose into one verdict table that hash-matches the composed
+    oracles, and both verdicts occur."""
+    from incubator_beam_spark.queries.dataops import (
+        QUALITY_ENSEMBLE_ORACLE,
+        doc_quality_ensemble,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    out = doc_quality_ensemble(spark, SF_DIR)
+    assert_matches_oracle(out, duck, QUALITY_ENSEMBLE_ORACLE, "doc_quality_ensemble")
+    verdicts = {r.keep for r in out.select("keep").distinct().collect()}
+    assert verdicts == {True, False}
+
+
+def test_quality_ensemble_single_scan(spark):
+    """The rules+classifier stage really is ONE scan: the ensemble's
+    physical plan has exactly one parquet scan more than the tier
+    stage alone — rules and classifier share a scan instead of
+    self-joining two."""
+    from incubator_beam_spark.dataops.curation import perplexity_buckets
+    from incubator_beam_spark.queries.dataops import doc_quality_ensemble
+
+    from incubator_beam_spark.catalog import table
+
+    def scans(df):
+        return (
+            df._jdf.queryExecution().executedPlan().toString().count("Scan parquet")
+        )
+
+    tier_only = perplexity_buckets(table(spark, SF_DIR, "documents"))
+    full = doc_quality_ensemble(spark, SF_DIR)
+    assert scans(full) == scans(tier_only) + 1
+
+
+def test_knn_classify_seeded_random_differential(spark):
+    """kNN label transfer vs a pure-numpy reference on seeded-random
+    embeddings (random dims, corpus sizes, label counts, k) — identical
+    neighbor sets under the 6dp-rounding contract, identical votes and
+    tie-breaks."""
+    import numpy as np
+
+    from incubator_beam_spark.dataops.similarity import knn_classify
+
+    rng = np.random.RandomState(2024)
+    for trial in range(4):
+        dim = int(rng.randint(3, 8))
+        n = int(rng.randint(12, 30))
+        k = int(rng.randint(2, 6))
+        n_labels = int(rng.randint(2, 5))
+        vecs = rng.randn(n, dim).round(3)
+        labels = rng.randint(0, n_labels, n)
+        rows = [
+            (i, [float(x) for x in vecs[i]], int(labels[i])) for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        q = df.filter("vec_id < 3")
+        got = {
+            r.query_id: (r.pred_label, r.votes)
+            for r in knn_classify(q, df, k=k).collect()
+        }
+        want = {}
+        for qi in range(3):
+            sims = []
+            for j in range(n):
+                if j == qi:
+                    continue
+                cos = round(
+                    float(vecs[qi] @ vecs[j])
+                    / (np.linalg.norm(vecs[qi]) * np.linalg.norm(vecs[j])),
+                    6,
+                )
+                sims.append((-cos, j))
+            sims.sort()
+            top = [j for _, j in sims[:k]]
+            votes = {}
+            for j in top:
+                votes[int(labels[j])] = votes.get(int(labels[j]), 0) + 1
+            best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            want[qi] = (best[0], best[1])
+        assert got == want, (trial, dim, n, k)
