@@ -129,3 +129,49 @@ def chunk_tokens(
             F.array_join(F.slice("toks", F.col("start") + 1, F.lit(size)), " ").alias("chunk_text"),
         )
     )
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    sem: DataFrame,
+    id_col: str = "doc_id",
+    k_const: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, public) — the
+    standard hybrid-retrieval merge RAG stacks run over a lexical
+    (BM25) and a semantic (embedding) ranking:
+    rrf(d) = sum over rankings of 1/(k + rank_d), absent side
+    contributes 0. Inputs are (id, rank) tables; ties in the fused
+    score break on id.
+
+    Scale: both inputs are already top-k-sized candidate lists (the
+    expensive corpus work happened inside each retriever), so the
+    full-outer merge and the final global sort run over O(k) rows —
+    a driver-trivial TakeOrderedAndProject, never a corpus shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    j = lex.select(F.col(id_col), F.col("rank").alias("lex_rank")).join(
+        sem.select(F.col(id_col), F.col("rank").alias("sem_rank")),
+        id_col,
+        "full",
+    )
+    score = F.round(
+        F.coalesce(F.lit(1.0) / (F.col("lex_rank") + F.lit(k_const)), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.col("sem_rank") + F.lit(k_const)), F.lit(0.0)),
+        6,
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        j.withColumn("rrf_score", score)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select(
+            id_col,
+            F.col("lex_rank").cast("long"),
+            F.col("sem_rank").cast("long"),
+            "rrf_score",
+            "rank",
+        )
+    )

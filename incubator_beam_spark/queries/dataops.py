@@ -2950,3 +2950,82 @@ def doc_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("tier"), F.lit("none")).alias("tier"),
         keep.alias("keep"),
     )
+
+
+# --- hybrid-retrieval fusion device (unregistered; r9/r10 promotion —
+# reciprocal-rank fusion of the BM25 gate's lexical ranking with the
+# cosine gate's semantic ranking: the standard RAG hybrid-search merge) ---
+
+RRF_HYBRID_ORACLE = f"""
+WITH dl AS (SELECT doc_id, len({_TOKENS})::BIGINT AS dl FROM documents),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, len({_TOKENS})::BIGINT AS dl, unnest({_TOKENS}) AS term
+        FROM documents)
+  WHERE term IN ('spark', 'window', 'merge')
+  GROUP BY doc_id, dl, term),
+dfreq AS (SELECT term, count(*)::BIGINT AS df_t FROM tf GROUP BY term),
+bm AS (
+  SELECT doc_id,
+         round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                   * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4)
+           AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 25),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS lex_rank
+  FROM bm),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT match_id AS doc_id, rank::BIGINT AS sem_rank FROM (
+    SELECT c.vec_id AS match_id,
+           row_number() OVER (
+             ORDER BY round(list_dot_product(q.qv, c.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                            c.embedding::DOUBLE[]))), 6) DESC,
+               c.vec_id) AS rank
+    FROM embeddings c, q WHERE c.vec_id != 0)
+  WHERE rank <= 25),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         lex.lex_rank, sem.sem_rank,
+         round(coalesce(1.0 / (lex.lex_rank + 60), 0.0)
+               + coalesce(1.0 / (sem.sem_rank + 60), 0.0), 6) AS rrf_score
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+SELECT doc_id, lex_rank, sem_rank, rrf_score,
+       row_number() OVER (ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank
+FROM fused
+QUALIFY rank <= 10
+"""
+
+
+def doc_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (dataops/retrieval.py rrf_fuse): BM25 top-25
+    (the doc_bm25_topk contract: 4dp score, doc_id tie-break) fused
+    with cosine top-25 around query vector 0 (the emb_cosine_topk
+    contract: 6dp, match_id tie-break) by reciprocal-rank fusion
+    (1/(60+rank)), top-10 by fused score. Each retriever does its own
+    corpus-scale work; the merge itself is O(k). The oracle composes
+    the two gate oracles and replays the fusion."""
+    from pyspark.sql.window import Window
+
+    from ..dataops.retrieval import bm25_topk, rrf_fuse
+    from ..dataops.similarity import brute_force_topk
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, list(_BM25_TERMS), k=25).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("long")
+        .alias("rank"),
+    )
+    sem = brute_force_topk(emb.filter(F.col("vec_id") == 0), emb, k=25).select(
+        F.col("match_id").alias("doc_id"), F.col("rank")
+    )
+    return rrf_fuse(lex, sem, topk=10)

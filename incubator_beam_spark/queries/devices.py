@@ -262,6 +262,7 @@ def _dataops_devices():
         "mm_gif_meta": (_d.mm_gif_meta, _d.GIF_META_ORACLE),
         "doc_wordpiece_stats": (_d.doc_wordpiece_stats, _d.WORDPIECE_ORACLE),
         "doc_quality_ensemble": (_d.doc_quality_ensemble, _d.QUALITY_ENSEMBLE_ORACLE),
+        "doc_rrf_hybrid_topk": (_d.doc_rrf_hybrid_topk, _d.RRF_HYBRID_ORACLE),
     }
 
 

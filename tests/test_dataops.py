@@ -2416,3 +2416,44 @@ def test_knn_classify_seeded_random_differential(spark):
             best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
             want[qi] = (best[0], best[1])
         assert got == want, (trial, dim, n, k)
+
+
+def test_doc_rrf_hybrid_topk_oracle(spark, duck):
+    """Exact-oracle check for the hybrid-retrieval fusion device
+    (future-window gate): BM25 and cosine rankings fused by
+    reciprocal rank hash-match the composed oracle, and the fused
+    top-10 really mixes both sides (some docs carry only a lexical
+    rank, some only a semantic one)."""
+    from incubator_beam_spark.queries.dataops import (
+        RRF_HYBRID_ORACLE,
+        doc_rrf_hybrid_topk,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    out = doc_rrf_hybrid_topk(spark, SF_DIR)
+    assert_matches_oracle(out, duck, RRF_HYBRID_ORACLE, "doc_rrf_hybrid_topk")
+    rows = out.collect()
+    assert any(r.lex_rank is None for r in rows)
+    assert any(r.sem_rank is None for r in rows)
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF on hand rankings: a doc ranked well in BOTH lists beats a
+    doc ranked best in only one; absent sides contribute zero; the
+    fused tie breaks on id."""
+    from incubator_beam_spark.dataops.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank long"
+    )
+    sem = spark.createDataFrame(
+        [(2, 1), (4, 2), (3, 3)], "doc_id long, rank long"
+    )
+    got = {r.doc_id: (r.rrf_score, r.rank) for r in rrf_fuse(lex, sem).collect()}
+    # doc 2: 1/62 + 1/61 wins over doc 1's single 1/61
+    assert got[2][1] == 1
+    assert round(1 / 62 + 1 / 61, 6) == got[2][0]
+    assert got[1][0] == round(1 / 61, 6)
+    # doc 3 appears in both at rank 3 -> 2/63 beats doc 1's 1/61
+    assert got[3][1] == 2 and got[1][1] == 3 and got[4][1] == 4
