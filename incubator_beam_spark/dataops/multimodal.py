@@ -891,3 +891,35 @@ def gif_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
             )
 
     return df.select("doc_id", binary_col).mapInPandas(run, out_schema)
+
+
+def average_hash(
+    pixels: bytes, width: int, height: int, grid: int = 8
+) -> tuple[int, int]:
+    """Perceptual average-hash (aHash) of a gray-8 image: average-pool
+    to a ``grid x grid`` thumbnail (integer block means), threshold each
+    cell against the integer mean of the thumbnail, pack the 64 bits
+    row-major into two unsigned 32-bit halves (hi = bits 32-63). The
+    standard cheap image near-dup fingerprint: small pixel noise that
+    cancels inside a block leaves the hash bit-identical."""
+    bw, bh = width // grid, height // grid
+    if bw == 0 or bh == 0 or width % grid or height % grid:
+        raise ValueError(f"image {width}x{height} not poolable to {grid}x{grid}")
+    pooled = []
+    for gr in range(grid):
+        for gc in range(grid):
+            s = 0
+            for r in range(gr * bh, (gr + 1) * bh):
+                row = r * width
+                for c in range(gc * bw, (gc + 1) * bw):
+                    s += pixels[row + c]
+            pooled.append(s // (bw * bh))
+    mean = sum(pooled) // (grid * grid)
+    lo = hi = 0
+    for i, v in enumerate(pooled):
+        if v >= mean:
+            if i < 32:
+                lo |= 1 << i
+            else:
+                hi |= 1 << (i - 32)
+    return hi, lo

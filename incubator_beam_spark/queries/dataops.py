@@ -3029,3 +3029,105 @@ def doc_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("match_id").alias("doc_id"), F.col("rank")
     )
     return rrf_fuse(lex, sem, topk=10)
+
+
+# --- image near-dup fingerprint device (unregistered; r9/r10 promotion
+# — perceptual average-hash dedup over REAL decoded PNG bytes: the raw-
+# image counterpart of the embedding/minhash near-dup family) ---
+
+IMAGE_AHASH_ORACLE = """
+WITH g AS (SELECT doc_id, doc_id % 7 AS b FROM documents),
+cells AS (
+  SELECT t1.b, t2.i,
+         ((t1.b*37 + (t2.i//8)*13 + (t2.i%8)*5) % 200)::BIGINT AS v
+  FROM (SELECT DISTINCT b FROM g) t1, range(64) t2(i)),
+m AS (SELECT b, sum(v)//64 AS mean FROM cells GROUP BY b),
+bits AS (
+  SELECT c.b, c.i,
+         CASE WHEN c.v >= m.mean THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+  FROM cells c JOIN m USING (b)),
+h AS (
+  SELECT b,
+         sum(CASE WHEN i >= 32 THEN bit << (i-32) ELSE 0 END)::BIGINT
+           AS ahash_hi,
+         sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS ahash_lo
+  FROM bits GROUP BY b),
+d AS (SELECT g.doc_id, h.ahash_hi, h.ahash_lo FROM g JOIN h USING (b)),
+cnt AS (SELECT ahash_hi, ahash_lo, count(*)::BIGINT AS n_same
+        FROM d GROUP BY ahash_hi, ahash_lo)
+SELECT d.doc_id, d.ahash_hi, d.ahash_lo, cnt.n_same
+FROM d JOIN cnt USING (ahash_hi, ahash_lo)
+"""
+
+
+def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection over REAL bytes: a gray-8 16x16 PNG is
+    synthesized per doc (pattern group b = doc_id % 7 plus per-doc
+    checkerboard noise that CANCELS inside every 2x2 pooling block —
+    same-group images differ pixel-wise but share a perceptual hash),
+    decoded back by the full PNG decoder, average-hashed
+    (multimodal.average_hash: 8x8 integer pooling, mean threshold,
+    64 bits as two u32 halves), then counted per hash — the image
+    analog of the exact-dedup hash-groupBy. The oracle recomputes
+    pooled values, threshold bits, both halves, and the per-hash
+    counts in closed form, so a wrong decode, pooling, threshold, or
+    bit order fails the hash. Scale: payloads stay inside mapInPandas
+    stages; only 24-byte (id, hash) rows reach the count shuffle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    from ..dataops.multimodal import average_hash, decode_png_gray, encode_png_gray
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                b = did % 7
+                px = bytes(
+                    (b * 37 + (r // 2) * 13 + (c // 2) * 5) % 200
+                    + (did + r * 16 + c) % 2
+                    for r in range(16)
+                    for c in range(16)
+                )
+                payloads.append(encode_png_gray(px, 16, 16))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    hash_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("ahash_hi", T.LongType(), False),
+            T.StructField("ahash_lo", T.LongType(), False),
+        ]
+    )
+
+    def hash_stage(batches):
+        for pdf in batches:
+            his, los = [], []
+            for p in pdf["payload"]:
+                w, h, px = decode_png_gray(bytes(p))
+                hi, lo = average_hash(px, w, h)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "ahash_hi": pd.array(his, dtype="int64"),
+                    "ahash_lo": pd.array(los, dtype="int64"),
+                }
+            )
+
+    hashed = d.mapInPandas(synth, synth_schema).mapInPandas(hash_stage, hash_schema)
+    w = Window.partitionBy("ahash_hi", "ahash_lo")
+    return hashed.withColumn("n_same", F.count(F.lit(1)).over(w))

@@ -263,6 +263,7 @@ def _dataops_devices():
         "doc_wordpiece_stats": (_d.doc_wordpiece_stats, _d.WORDPIECE_ORACLE),
         "doc_quality_ensemble": (_d.doc_quality_ensemble, _d.QUALITY_ENSEMBLE_ORACLE),
         "doc_rrf_hybrid_topk": (_d.doc_rrf_hybrid_topk, _d.RRF_HYBRID_ORACLE),
+        "mm_image_ahash_dedup": (_d.mm_image_ahash_dedup, _d.IMAGE_AHASH_ORACLE),
     }
 
 

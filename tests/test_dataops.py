@@ -2457,3 +2457,50 @@ def test_rrf_fuse_semantics(spark):
     assert got[1][0] == round(1 / 61, 6)
     # doc 3 appears in both at rank 3 -> 2/63 beats doc 1's 1/61
     assert got[3][1] == 2 and got[1][1] == 3 and got[4][1] == 4
+
+
+def test_mm_image_ahash_dedup_oracle(spark, duck):
+    """Exact-oracle check for the image average-hash dedup device
+    (future-window gate): hashes over REAL decoded PNG bytes match the
+    closed-form pooled/threshold/bit-order recomputation, and pattern
+    groups genuinely merge (fewer distinct hashes than groups would
+    suggest — the mod-200 wrap collides some thresholds, which the
+    oracle must reproduce too)."""
+    from incubator_beam_spark.queries.dataops import (
+        IMAGE_AHASH_ORACLE,
+        mm_image_ahash_dedup,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    out = mm_image_ahash_dedup(spark, SF_DIR)
+    assert_matches_oracle(out, duck, IMAGE_AHASH_ORACLE, "mm_image_ahash_dedup")
+    n_hashes = out.select("ahash_hi", "ahash_lo").distinct().count()
+    assert 2 <= n_hashes <= 7
+
+
+def test_average_hash_properties():
+    """aHash unit semantics: block-cancelling noise leaves the hash
+    bit-identical (the near-dup property the device is built on), a
+    structural change flips it, non-poolable shapes raise, and the
+    bit packing is exact on a hand image."""
+    import pytest as _pytest
+
+    from incubator_beam_spark.dataops.multimodal import average_hash
+
+    base = bytes(
+        ((r // 2) * 13 + (c // 2) * 5) % 200 for r in range(16) for c in range(16)
+    )
+    noisy = bytes(min(255, v + (i % 2)) for i, v in enumerate(base))
+    assert average_hash(base, 16, 16) == average_hash(noisy, 16, 16)
+    transposed = bytes(
+        ((c // 2) * 13 + (r // 2) * 5) % 200 for r in range(16) for c in range(16)
+    )
+    # 13 vs 5 gradients swap -> different threshold pattern
+    assert average_hash(transposed, 16, 16) != average_hash(base, 16, 16)
+    with _pytest.raises(ValueError):
+        average_hash(bytes(100), 10, 10)
+    # hand image: 8x8 identity grid, top-left 32 cells bright
+    hand = bytes(255 if (r * 8 + c) < 32 else 0 for r in range(8) for c in range(8))
+    hi, lo = average_hash(hand, 8, 8)
+    assert (hi, lo) == (0, 0xFFFFFFFF)
