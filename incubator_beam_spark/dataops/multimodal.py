@@ -923,3 +923,26 @@ def average_hash(
             else:
                 hi |= 1 << (i - 32)
     return hi, lo
+
+
+def resize_gray_box(
+    pixels: bytes, width: int, height: int, factor: int
+) -> tuple[bytes, int, int]:
+    """Box-filter downscale of a gray-8 image by an integer factor:
+    each output pixel is the integer mean of a ``factor x factor``
+    input block (the resize primitive batch image pipelines apply
+    before feature extraction). Returns (pixels, new_w, new_h)."""
+    if factor <= 0 or width % factor or height % factor:
+        raise ValueError(f"{width}x{height} not divisible by factor {factor}")
+    nw, nh = width // factor, height // factor
+    out = bytearray(nw * nh)
+    area = factor * factor
+    for gr in range(nh):
+        for gc in range(nw):
+            s = 0
+            for r in range(gr * factor, (gr + 1) * factor):
+                base = r * width
+                for c in range(gc * factor, (gc + 1) * factor):
+                    s += pixels[base + c]
+            out[gr * nw + gc] = s // area
+    return bytes(out), nw, nh

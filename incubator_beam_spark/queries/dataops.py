@@ -3131,3 +3131,100 @@ def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = d.mapInPandas(synth, synth_schema).mapInPandas(hash_stage, hash_schema)
     w = Window.partitionBy("ahash_hi", "ahash_lo")
     return hashed.withColumn("n_same", F.count(F.lit(1)).over(w))
+
+
+# --- image resize device (unregistered; r9/r10 promotion — the resize
+# primitive of the multimodal family, verified through a full
+# encode -> resize -> re-encode -> decode byte roundtrip) ---
+
+IMAGE_RESIZE_ORACLE = """
+WITH px AS (
+  SELECT d.doc_id, t.i, ((d.doc_id*31 + t.i*7) % 251)::BIGINT AS v
+  FROM documents d, range(256) t(i)),
+blocks AS (
+  SELECT doc_id, (i//16)//2 AS gr, (i%16)//2 AS gc, sum(v)//4 AS pv
+  FROM px GROUP BY doc_id, (i//16)//2, (i%16)//2)
+SELECT doc_id, 8::INTEGER AS width, 8::INTEGER AS height,
+       sum(pv)::BIGINT AS pixel_sum
+FROM blocks GROUP BY doc_id
+"""
+
+
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE through real bytes (dataops/multimodal.py
+    resize_gray_box): a 16x16 gray PNG per doc (pixel(i) =
+    (doc_id*31 + i*7) % 251, the roundtrip gate's formula) is decoded,
+    box-downscaled 2x (integer block means), RE-ENCODED as a valid
+    8x8 PNG, decoded AGAIN, and summarized as (width, height,
+    pixel_sum) — so encoder, decoder, and resizer all sit in the
+    verified path twice. The oracle recomputes every pooled pixel in
+    closed form. Payloads never leave mapInPandas stages."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..dataops.multimodal import (
+        decode_png_gray,
+        encode_png_gray,
+        resize_gray_box,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                encode_png_gray(
+                    bytes((int(did) * 31 + i * 7) % 251 for i in range(256)), 16, 16
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    def resize_stage(batches):
+        for pdf in batches:
+            outs = []
+            for p in pdf["payload"]:
+                w, h, px = decode_png_gray(bytes(p))
+                small, nw, nh = resize_gray_box(px, w, h, 2)
+                outs.append(encode_png_gray(small, nw, nh))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": outs})
+
+    stats_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("pixel_sum", T.LongType(), False),
+        ]
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            ws, hs, sums = [], [], []
+            for p in pdf["payload"]:
+                w, h, px = decode_png_gray(bytes(p))
+                ws.append(w)
+                hs.append(h)
+                sums.append(sum(px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "pixel_sum": pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return (
+        d.mapInPandas(synth, synth_schema)
+        .mapInPandas(resize_stage, synth_schema)
+        .mapInPandas(stats, stats_schema)
+    )

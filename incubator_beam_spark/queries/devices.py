@@ -264,6 +264,7 @@ def _dataops_devices():
         "doc_quality_ensemble": (_d.doc_quality_ensemble, _d.QUALITY_ENSEMBLE_ORACLE),
         "doc_rrf_hybrid_topk": (_d.doc_rrf_hybrid_topk, _d.RRF_HYBRID_ORACLE),
         "mm_image_ahash_dedup": (_d.mm_image_ahash_dedup, _d.IMAGE_AHASH_ORACLE),
+        "mm_image_resize": (_d.mm_image_resize, _d.IMAGE_RESIZE_ORACLE),
     }
 
 

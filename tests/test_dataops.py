@@ -2504,3 +2504,39 @@ def test_average_hash_properties():
     hand = bytes(255 if (r * 8 + c) < 32 else 0 for r in range(8) for c in range(8))
     hi, lo = average_hash(hand, 8, 8)
     assert (hi, lo) == (0, 0xFFFFFFFF)
+
+
+def test_mm_image_resize_oracle(spark, duck):
+    """Exact-oracle check for the image resize device (future-window
+    gate): encode -> box-downscale -> re-encode -> decode, with every
+    pooled pixel recomputed in closed form by the oracle."""
+    from incubator_beam_spark.queries.dataops import (
+        IMAGE_RESIZE_ORACLE,
+        mm_image_resize,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    out = mm_image_resize(spark, SF_DIR)
+    assert_matches_oracle(out, duck, IMAGE_RESIZE_ORACLE, "mm_image_resize")
+
+
+def test_resize_gray_box_properties():
+    """Resize unit semantics: constant images stay constant at any
+    divisible factor, factor 1 is identity, block means are exact
+    (hand image), and non-divisible shapes raise."""
+    import pytest as _pytest
+
+    from incubator_beam_spark.dataops.multimodal import resize_gray_box
+
+    flat = bytes([77]) * 144  # 12x12
+    for f in (1, 2, 3, 4, 6):
+        out, w, h = resize_gray_box(flat, 12, 12, f)
+        assert (w, h) == (12 // f, 12 // f)
+        assert set(out) == {77}
+    px = bytes([0, 10, 20, 30])  # 2x2
+    out, w, h = resize_gray_box(px, 2, 2, 2)
+    assert (out, w, h) == (bytes([15]), 1, 1)
+    assert resize_gray_box(px, 2, 2, 1)[0] == px
+    with _pytest.raises(ValueError):
+        resize_gray_box(px, 2, 2, 3)
