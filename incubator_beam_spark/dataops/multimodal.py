@@ -946,3 +946,36 @@ def resize_gray_box(
                     s += pixels[base + c]
             out[gr * nw + gc] = s // area
     return bytes(out), nw, nh
+
+
+def decimate_wav(payload: bytes, factor: int) -> bytes | None:
+    """Integer-factor audio downsample (resample-by-decimation) of a
+    16-bit mono PCM WAV: keep every ``factor``-th sample (offset 0) and
+    re-encode a valid WAV at ``sample_rate // factor`` — the cheap
+    anti-aliasing-free resample batch audio pipelines use for feature
+    extraction. Returns the new WAV bytes, or None if the input is not
+    a mono 16-bit PCM WAV."""
+    import struct
+
+    if factor <= 0:
+        raise ValueError(f"bad factor {factor}")
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        chunk_id = payload[pos : pos + 4]
+        (chunk_size,) = struct.unpack_from("<I", payload, pos + 4)
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif chunk_id == b"data":
+            data = payload[pos + 8 : pos + 8 + chunk_size]
+        pos += 8 + chunk_size + (chunk_size & 1)
+    if fmt is None or data is None or fmt[1] != 1 or fmt[5] != 16:
+        return None
+    sample_rate = fmt[2]
+    n = len(data) // 2
+    samples = struct.unpack_from(f"<{n}h", data)
+    kept = samples[::factor]
+    return encode_wav_header(
+        n_samples=len(kept), sample_rate=sample_rate // factor
+    ) + struct.pack(f"<{len(kept)}h", *kept)

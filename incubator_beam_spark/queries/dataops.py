@@ -3228,3 +3228,74 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(resize_stage, synth_schema)
         .mapInPandas(stats, stats_schema)
     )
+
+
+# --- audio resample device (unregistered; r9/r10 promotion — the
+# resample primitive of the audio family, verified through a full
+# decode -> decimate -> RE-ENCODE -> decode byte roundtrip, the audio
+# twin of mm_image_resize) ---
+
+AUDIO_RESAMPLE_ORACLE = """
+WITH base AS (SELECT doc_id, least(n_chars, 256)::BIGINT AS n FROM documents),
+agg AS (
+  SELECT b.doc_id, count(*)::BIGINT AS n_samples,
+         sum((((b.doc_id*31 + t.i*7) % 65536) - 32768)
+             * (((b.doc_id*31 + t.i*7) % 65536) - 32768))::BIGINT AS sum_sq
+  FROM base b, range(256) t(i)
+  WHERE t.i < b.n AND t.i % 2 = 0
+  GROUP BY b.doc_id)
+SELECT base.doc_id, coalesce(agg.n_samples, 0)::BIGINT AS n_samples,
+       coalesce(agg.sum_sq, 0)::BIGINT AS sum_sq
+FROM base LEFT JOIN agg USING (doc_id)
+"""
+
+
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio RESAMPLE through real bytes (dataops/multimodal.py
+    decimate_wav): the mm_audio_rms fixture WAVs (16-bit mono PCM,
+    sample j = ((doc_id*31 + j*7) % 65536) - 32768) are decimated 2x —
+    every other sample kept, RE-ENCODED as valid WAVs at half the
+    sample rate — then sample-decoded again for exact integer
+    (n_samples, sum_sq). Decoder, decimator, and encoder all sit in
+    the verified path; the oracle recomputes the kept samples' sum of
+    squares in closed form. Payloads never leave mapInPandas stages."""
+    import struct
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..dataops.multimodal import (
+        audio_pcm_stats,
+        decimate_wav,
+        encode_wav_header,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for i, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = min(int(nc), 256)
+                samples = [((int(i) * 31 + j * 7) % 65536) - 32768 for j in range(n)]
+                payloads.append(
+                    encode_wav_header(n_samples=n, sample_rate=16000)
+                    + struct.pack(f"<{n}h", *samples)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def resample_stage(batches):
+        for pdf in batches:
+            outs = [decimate_wav(bytes(p), 2) for p in pdf["payload"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": outs})
+
+    wav = d.mapInPandas(synth, synth_schema).mapInPandas(
+        resample_stage, synth_schema
+    )
+    return audio_pcm_stats(wav)

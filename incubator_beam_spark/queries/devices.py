@@ -265,6 +265,7 @@ def _dataops_devices():
         "doc_rrf_hybrid_topk": (_d.doc_rrf_hybrid_topk, _d.RRF_HYBRID_ORACLE),
         "mm_image_ahash_dedup": (_d.mm_image_ahash_dedup, _d.IMAGE_AHASH_ORACLE),
         "mm_image_resize": (_d.mm_image_resize, _d.IMAGE_RESIZE_ORACLE),
+        "mm_audio_resample": (_d.mm_audio_resample, _d.AUDIO_RESAMPLE_ORACLE),
     }
 
 

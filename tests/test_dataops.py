@@ -2540,3 +2540,52 @@ def test_resize_gray_box_properties():
     assert resize_gray_box(px, 2, 2, 1)[0] == px
     with _pytest.raises(ValueError):
         resize_gray_box(px, 2, 2, 3)
+
+
+def test_mm_audio_resample_oracle(spark, duck):
+    """Exact-oracle check for the audio resample device (future-window
+    gate): decode -> 2x decimate -> re-encode -> decode, kept-sample
+    sum of squares recomputed in closed form by the oracle."""
+    from incubator_beam_spark.queries.dataops import (
+        AUDIO_RESAMPLE_ORACLE,
+        mm_audio_resample,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    out = mm_audio_resample(spark, SF_DIR)
+    assert_matches_oracle(out, duck, AUDIO_RESAMPLE_ORACLE, "mm_audio_resample")
+
+
+def test_decimate_wav_properties():
+    """Decimation unit semantics: output is a VALID WAV at
+    rate//factor with every factor-th sample (offset 0), factor 1 is
+    lossless, odd lengths round up, non-PCM/malformed inputs return
+    None, and bad factors raise."""
+    import struct
+
+    import pytest as _pytest
+
+    from incubator_beam_spark.dataops.multimodal import (
+        decimate_wav,
+        encode_wav_header,
+        parse_wav_meta,
+        wav_pcm_sumsq,
+    )
+
+    samples = [(j * 1000 - 16000) for j in range(33)]
+    wav = encode_wav_header(33, 48000) + struct.pack("<33h", *samples)
+    for f, want_n in ((1, 33), (2, 17), (3, 11), (4, 9)):
+        out = decimate_wav(wav, f)
+        m = parse_wav_meta(out)
+        assert m["sample_rate"] == 48000 // f and m["n_frames"] == want_n
+        n, ss = wav_pcm_sumsq(out)
+        assert n == want_n
+        assert ss == sum(s * s for s in samples[::f])
+    assert decimate_wav(b"RIFFxxxxWAVE", 2) is None
+    assert decimate_wav(b"nope", 2) is None
+    # stereo (n_channels=2) is rejected: mono-only contract
+    stereo = encode_wav_header(4, 8000, n_channels=2) + bytes(16)
+    assert decimate_wav(stereo, 2) is None
+    with _pytest.raises(ValueError):
+        decimate_wav(wav, 0)

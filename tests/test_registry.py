@@ -55,7 +55,7 @@ def test_banked_devices_manifest_green(spark, duck):
     from .conftest import SF_DIR, assert_matches_oracle
 
     dev = devices()
-    assert len(dev) >= 18
+    assert len(dev) >= 19
     registered = set(registry.load_all())
     assert not (set(dev) & registered), "devices must stay unregistered"
     for name, (fn, oracle) in sorted(dev.items()):
