@@ -175,7 +175,17 @@ def unigram_viterbi(
     first ``max_chars`` chars of the space-joined lowercase ``[a-z0-9]+``
     token stream (the repo-wide ASCII normalization, so DuckDB and Spark
     agree on every character the DP sees).
+
+    ``max_chars`` is capped at 255: the piece count occupies the low 8
+    bits of the packed cost, and a parse of an L-char prefix has at most
+    L pieces — beyond 255 the count would overflow into the cost bits
+    and corrupt both outputs (same bound in ``_unigram_viterbi_oracle``).
     """
+    if max_chars > 255:
+        raise ValueError(
+            f"max_chars={max_chars} exceeds the 255-char packing bound "
+            "(piece count is packed into the low 8 bits of the cost)"
+        )
     big = F.lit(1 << 40).cast("long")
     text = F.coalesce(F.col(text_col), F.lit(""))
     words = F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)

@@ -770,7 +770,9 @@ def encode_gif_header(
     ih = height if img_height is None else img_height
     packed = 0
     if gct_exp is not None:
-        packed = 0x80 | (gct_exp & 0x07)
+        if not 0 <= gct_exp <= 7:
+            raise ValueError(f"gct_exp={gct_exp} outside the 3-bit GIF range 0..7")
+        packed = 0x80 | gct_exp
     out = b"GIF" + version.encode("ascii")
     out += struct.pack("<HH", width, height) + bytes([packed, 0, 0])
     if gct_exp is not None:
@@ -970,8 +972,8 @@ def decimate_wav(payload: bytes, factor: int) -> bytes | None:
         elif chunk_id == b"data":
             data = payload[pos + 8 : pos + 8 + chunk_size]
         pos += 8 + chunk_size + (chunk_size & 1)
-    if fmt is None or data is None or fmt[1] != 1 or fmt[5] != 16:
-        return None
+    if fmt is None or data is None or fmt[0] != 1 or fmt[1] != 1 or fmt[5] != 16:
+        return None  # requires PCM (wFormatTag 1), mono, 16-bit
     sample_rate = fmt[2]
     n = len(data) // 2
     samples = struct.unpack_from(f"<{n}h", data)

@@ -686,22 +686,31 @@ def knn_classify(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    topk: DataFrame | None = None,
 ) -> DataFrame:
     """k-nearest-neighbor label transfer: majority label among the
     cosine top-k (the auto-labeling / label-propagation step curation
     pipelines run to extend a small labeled seed set across a corpus).
 
     Votes tie-break to the SMALLER label id; neighbor rank ties break
-    on match_id (the shared ``brute_force_topk`` contract), so the
-    prediction is deterministic and oracle-able end to end.
+    on match_id (the shared top-k contract: cos rounded 6dp DESC,
+    match_id ASC), so the prediction is deterministic and oracle-able
+    end to end.
 
-    Scale: reuses brute_force_topk (broadcast query side, corpus
-    streams once); the vote aggregate shuffles only (query_id, label)
-    pairs — k rows per query — never vectors. Swap in ivf_topk /
-    ivfpq_topk for the neighbor stage when the query side outgrows a
-    broadcast.
+    The neighbor stage is PLUGGABLE: pass ``topk`` — any precomputed
+    (query_id, match_id, ...) neighbor table from ``ivf_topk`` /
+    ``ivfpq_topk`` / ``lsh_topk`` — and only the vote stage runs here.
+    Without it, falls back to ``brute_force_topk`` (broadcast query
+    side, corpus streams once) — the small-corpus baseline ONLY: at
+    scale the corpus side must never broadcast, so use the IVF path
+    (cell equi-join; corpus shuffled once by cell). Either way the
+    vote aggregate shuffles only (query_id, label) pairs — k rows per
+    query — never vectors.
     """
-    topk = brute_force_topk(queries, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    if topk is None:
+        topk = brute_force_topk(
+            queries, corpus, k=k, id_col=id_col, vec_col=vec_col
+        )
     labels = corpus.select(
         F.col(id_col).alias("match_id"), F.col(label_col).alias("nbr_label")
     )

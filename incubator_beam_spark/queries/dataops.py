@@ -2652,23 +2652,34 @@ def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- kNN label-transfer device (unregistered; r9/r10 promotion — the
 # auto-labeling step that extends a labeled seed set across a corpus;
-# neighbor stage = the emb_cosine_topk contract, vote stage exact) ---
+# neighbor stage = IVF multi-probe (the scale path — the corpus side is
+# never broadcast), vote stage exact) ---
 
-KNN_CLASSIFY_ORACLE = """
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-           FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv, label
-      FROM embeddings),
-s AS (SELECT query_id, match_id, label,
-             round(list_dot_product(qv, cv)
-                   / (sqrt(list_dot_product(qv, qv))
-                      * sqrt(list_dot_product(cv, cv))), 6) AS cos
-      FROM q, c WHERE query_id != match_id),
+KNN_CLASSIFY_ORACLE = f"""
+WITH vv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label
+            FROM embeddings),
+cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+         FROM embeddings WHERE vec_id < 8),
+sc AS (SELECT vv.id, vv.v, vv.label, cent.cid, {_IVF_COS} AS cos_c
+       FROM vv CROSS JOIN cent),
+assigned AS (
+  SELECT id, v, label, cid AS cell, sqrt(list_dot_product(v, v)) AS vn
+  FROM sc
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cos_c DESC, cid) = 1),
+qa AS (
+  SELECT id AS query_id, cid AS cell, v AS qv,
+         sqrt(list_dot_product(v, v)) AS qn
+  FROM sc WHERE id < 10
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cos_c DESC, cid) <= 2),
 topk AS (
   SELECT query_id, match_id, label FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY cos DESC, match_id) AS rank
-    FROM s) WHERE rank <= 10),
+    SELECT query_id, a.id AS match_id, a.label,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(list_dot_product(qv, a.v) / (qn * a.vn), 6) DESC,
+                      a.id) AS rank
+    FROM qa JOIN assigned a USING (cell) WHERE a.id != query_id)
+  WHERE rank <= 10),
 votes AS (
   SELECT query_id, label AS nbr_label, count(*) AS votes
   FROM topk GROUP BY query_id, label)
@@ -2680,16 +2691,25 @@ SELECT query_id, nbr_label AS pred_label, votes FROM (
 
 
 def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN majority-label classification (dataops/similarity.py
-    knn_classify): cosine top-10 per query (the emb_cosine_topk
-    determinism contract: 6dp rounding, rank ties on match_id) ->
-    vote count per label -> argmax with ties to the smaller label.
-    The oracle replays the identical neighbor set and vote, so
-    (query, pred_label, votes) hash-match."""
-    from ..dataops.similarity import knn_classify
+    """kNN majority-label classification over the IVF neighbor stage
+    (dataops/similarity.py knn_classify + ivf_topk, nprobe=2): queries
+    probe their 2 nearest coarse cells, exact cosine top-10 within the
+    probed cells (6dp rounding, rank ties on match_id) -> vote count
+    per label -> argmax with ties to the smaller label. The corpus is
+    NEVER broadcast (cell equi-join; only the 10-query probe side
+    broadcasts) — the shape that survives a corpus too large for the
+    brute-force baseline. Recall of the nprobe=2 stage vs brute force
+    on this fixture: the emb_ivf_recall gate prices the same quantizer
+    (~0.6-0.9 recall@5 at nprobe=1; nprobe=2 strictly higher). The
+    oracle replays the identical probe assignment, neighbor set and
+    vote, so (query, pred_label, votes) hash-match."""
+    from ..dataops.similarity import ivf_topk, knn_classify
 
     e = table(spark, sf_dir, "embeddings")
-    return knn_classify(e.filter(F.col("vec_id") < 10), e, k=10)
+    q = e.filter(F.col("vec_id") < 10)
+    centroids = e.filter(F.col("vec_id") < 8)
+    nbrs = ivf_topk(q, e, centroids, k=10, nprobe=2)
+    return knn_classify(q, e, k=10, topk=nbrs)
 
 
 # --- unigram-LM Viterbi device (unregistered; r9/r10 promotion — the
@@ -2701,6 +2721,8 @@ def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _unigram_viterbi_oracle(max_chars: int = 24) -> str:
     from ..dataops.bpe import UNIGRAM_CHAR_COST, UNIGRAM_VOCAB
 
+    if max_chars > 255:  # same 8-bit piece-count packing bound as the Spark side
+        raise ValueError(f"max_chars={max_chars} exceeds the 255-char packing bound")
     cands = [f"acc[i+1] + {UNIGRAM_CHAR_COST * 256 + 1}"]
     for p, c in UNIGRAM_VOCAB:
         k, esc = len(p), p.replace("'", "''")

@@ -3382,7 +3382,16 @@ def sql_tpcds_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a LEFT OUTER promotion lookup, with two date-dim roles related
     by an inequality (shipped more than 5 days after ordering — the
     d3.d_date > d1.d_date + 5 shape). The promo/no-promo split counts a
-    nullable join key; the left join stays broadcast (dim-sized)."""
+    nullable join key; the left join stays broadcast (dim-sized).
+
+    Honest adaptation note: the reference q72's defining stressor — the
+    catalog_sales x inventory FACT-TO-FACT join (inventory has ~w*item
+    rows per week, so neither side broadcasts) — is dropped here: the
+    TPC-H-ish fixture has no inventory table, so this port exercises
+    only the 4-dim broadcast + date-role-inequality shape. The
+    fact-to-fact analog (lineitem joined to a derived per-part
+    availability table on a non-broadcastable key) is the separate
+    ``sql_tpcds_q72_factfact`` device."""
     return _sql(spark, sf_dir, _Q72_BODY)
 
 

@@ -1891,7 +1891,8 @@ def test_perplexity_buckets_tier_semantics(spark):
 
 def test_emb_knn_classify_oracle(spark, duck):
     """Exact-oracle check for the kNN label-transfer device
-    (future-window gate): top-10 cosine neighbors -> majority vote ->
+    (future-window gate), now on the IVF scale path: nprobe=2 probe
+    cells -> top-10 within probed cells -> majority vote ->
     deterministic argmax, (query, pred_label, votes) hash-match."""
     from incubator_beam_spark.queries.dataops import (
         KNN_CLASSIFY_ORACLE,
@@ -1903,6 +1904,63 @@ def test_emb_knn_classify_oracle(spark, duck):
     out = emb_knn_classify(spark, SF_DIR)
     assert_matches_oracle(out, duck, KNN_CLASSIFY_ORACLE, "emb_knn_classify")
     assert out.select("pred_label").distinct().count() >= 2
+
+
+def test_emb_knn_classify_plan_no_corpus_broadcast(spark):
+    """The promoted kNN device must run the IVF neighbor stage, not the
+    brute-force baseline: the corpus VECTORS are never under a
+    BroadcastExchange (every broadcast subtree that reads the embedding
+    column carries a vec_id range pushdown — the 8-row centroid set or
+    the 10-row probe side), the only BNLJs are the two centroid
+    crosses, and the search join is a cell equi-join (hash join with
+    the corpus streaming)."""
+    import contextlib
+    import io
+    import re
+
+    from incubator_beam_spark.queries.dataops import emb_knn_classify
+
+    df = emb_knn_classify(spark, SF_DIR)
+    df.count()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # detail-section headers only (each node also appears in the sketch)
+    n_bnlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M))
+    assert n_bnlj == 2, f"centroid crosses only, got {n_bnlj} BNLJs"
+    assert "BroadcastHashJoin" in plan  # the cell equi-join
+    # scan id -> (reads embedding column, has a vec_id range pushed)
+    scans = {}
+    for m in re.finditer(
+        r"\((\d+)\) Scan parquet.*?PushedFilters: \[([^\]]*)\].*?"
+        r"ReadSchema: (\S+)",
+        plan,
+        re.S,
+    ):
+        scans[m.group(1)] = (
+            "embedding" in m.group(3),
+            "LessThan(vec_id" in m.group(2),
+        )
+    # walk the tree sketch: scans inside each BroadcastExchange subtree
+    tree = plan.split("\n\n")[0].splitlines()
+    for i, line in enumerate(tree):
+        bm = re.search(r"BroadcastExchange \((\d+)\)", line)
+        if not bm:
+            continue
+        depth = len(line) - len(line.lstrip(" :+-"))
+        for sub in tree[i + 1 :]:
+            sdepth = len(sub) - len(sub.lstrip(" :+-"))
+            if sdepth <= depth:
+                break
+            sm = re.search(r"Scan parquet\s+\((\d+)\)", sub)
+            if sm:
+                has_vec, filtered = scans[sm.group(1)]
+                assert not has_vec or filtered, (
+                    f"corpus vectors broadcast: scan ({sm.group(1)}) under "
+                    f"BroadcastExchange ({bm.group(1)}) reads embedding "
+                    "without a vec_id pushdown"
+                )
 
 
 def test_knn_classify_semantics(spark):
@@ -2007,6 +2065,16 @@ def test_unigram_viterbi_matches_pure_python_dp(spark):
     assert got == want
     # the collocation piece really wins: 'the' parses as ONE piece
     assert got[2] == (3, 1)
+    # max_chars > 255 would overflow the 8-bit packed piece count: rejected
+    import pytest as _pytest
+
+    from incubator_beam_spark.queries.dataops import _unigram_viterbi_oracle
+
+    with _pytest.raises(ValueError):
+        unigram_viterbi(sdf, max_chars=256)
+    with _pytest.raises(ValueError):
+        _unigram_viterbi_oracle(max_chars=256)
+    assert unigram_viterbi(sdf, max_chars=255) is not None  # boundary ok
 
 
 def test_unigram_viterbi_plan_no_exchange(spark):
@@ -2146,6 +2214,13 @@ def test_gif_codec_roundtrip_and_rejects():
     desync = bytearray(encode_gif_header(5, 5, gct_exp=None))
     desync[13] = 0x7F  # unknown introducer where 0x2c/0x21/0x3b must be
     assert parse_gif_meta(bytes(desync)) is None
+    # gct_exp outside the 3-bit LSD field would desync palette size: rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_gif_header(5, 5, gct_exp=8)
+    with _pytest.raises(ValueError):
+        encode_gif_header(5, 5, gct_exp=-1)
 
 
 def test_mm_gif_meta_oracle(spark, duck):
@@ -2587,5 +2662,9 @@ def test_decimate_wav_properties():
     # stereo (n_channels=2) is rejected: mono-only contract
     stereo = encode_wav_header(4, 8000, n_channels=2) + bytes(16)
     assert decimate_wav(stereo, 2) is None
+    # non-PCM wFormatTag (3 = IEEE float) is rejected even if mono 16-bit
+    ieee = bytearray(encode_wav_header(4, 8000) + bytes(8))
+    struct.pack_into("<H", ieee, 20, 3)
+    assert decimate_wav(bytes(ieee), 2) is None
     with _pytest.raises(ValueError):
         decimate_wav(wav, 0)
