@@ -696,6 +696,36 @@ def control_lane(sf_dir: str, repeat: int, current: dict) -> dict | None:
     return ctl
 
 
+def isolated_scale_lane(sf_dir: str) -> dict | None:
+    """Run scale_lane in a SUBPROCESS — a genuinely fresh JVM (VERDICT
+    r8 'What's wrong' 1: ``spark.stop()`` + new session reuses the
+    resident py4j JVM, whose accumulated code-cache/heap state inflates
+    the 10x runs ~2x 'by construction'; the citable exponents were
+    fresh-session-only prose in SCALE.md until now). Same isolation the
+    control lane already gets. Returns the ops dict, or None on
+    failure (caller falls back to the embedded lane, labeled)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    r = subprocess.run(
+        [sys.executable, "bench.py", "--scale-lane-only", "--sf-dir", sf_dir],
+        cwd=repo, capture_output=True, text=True, timeout=1800,
+    )
+    line = next(
+        (ln for ln in reversed(r.stdout.strip().splitlines())
+         if ln.startswith("{")),
+        None,
+    )
+    if r.returncode != 0 or line is None:
+        print(f"# scale: isolated subprocess failed: {r.stderr[-400:]}",
+              file=sys.stderr)
+        return None
+    for ln in r.stderr.splitlines():  # relay per-op progress lines
+        if ln.startswith("# scale"):
+            print(ln, file=sys.stderr)
+    return json.loads(line)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -704,6 +734,12 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--warmup", type=int, default=1, help="untimed passes per query")
     ap.add_argument("--all", action="store_true", help="bench every registered query")
+    ap.add_argument(
+        "--scale-lane-only",
+        action="store_true",
+        help="run ONLY the 1x-vs-10x scaling lane and print its JSON "
+        "(used by the parent bench process for a fresh-JVM measurement)",
+    )
     ap.add_argument(
         "--no-scale-lane",
         action="store_true",
@@ -726,6 +762,12 @@ def main() -> None:
         help="event count for the streaming stress lane",
     )
     args = ap.parse_args()
+
+    if args.scale_lane_only:
+        spark = get_spark("incubator_beam_spark-bench-scale")
+        spark.range(1000).selectExpr("sum(id)").collect()
+        print(json.dumps(scale_lane(spark, args.sf_dir)))
+        return
 
     registry.load_all()
     names = sorted(registry.QUERIES) if args.all else [
@@ -781,20 +823,29 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else args.sf_dir,
     }
-    if (not args.no_scale_lane or not args.no_stress_lane) and not args.all:
-        # Fresh session for the lanes: the 59-query headline history
-        # leaves JVM/Python-worker state that inflates the big-shuffle
-        # 10x runs far beyond run-to-run noise (measured: minhash 10x
-        # 5.5s in a fresh session — reproducing r5 exactly — vs 23-38s
-        # after the headline phase, and 10.5s after just the two
-        # Pandas-UDF gates). The lanes exist to measure the OPS
-        # round-over-round, so they get the same clean-JVM treatment
-        # the control lane already gets.
+    if not args.no_scale_lane and not args.all:
+        # Isolated fresh-JVM subprocess — the exponents the JSON records
+        # are now the CITABLE ones (SCALE.md's fresh-session numbers),
+        # not the resident-JVM-inflated embedded readings. The parent
+        # session keeps running; the subprocess JVM is its own process.
+        spark.stop()  # don't bench a 10x shuffle beside a loaded 48g heap
+        iso = isolated_scale_lane(args.sf_dir)
+        if iso is not None:
+            out["scale_lane"] = {"lane": "isolated_fresh_jvm", **iso}
+        spark = get_spark("incubator_beam_spark-bench-lanes")
+        spark.range(1000).selectExpr("sum(id)").collect()
+        if iso is None:
+            # fallback: in-process lane, honestly labeled as inflated
+            out["scale_lane"] = {
+                "lane": "embedded_resident_jvm_fallback",
+                **scale_lane(spark, args.sf_dir),
+            }
+    elif not args.no_stress_lane and not args.all:
+        # stress lane still wants a clean session when the scale lane
+        # didn't already provide one
         spark.stop()
         spark = get_spark("incubator_beam_spark-bench-lanes")
         spark.range(1000).selectExpr("sum(id)").collect()
-    if not args.no_scale_lane and not args.all:
-        out["scale_lane"] = scale_lane(spark, args.sf_dir)
     if not args.no_stress_lane and not args.all:
         cleanup()
         out["stress_lane"] = stress_lane(spark, n_events=args.stress_events)

@@ -867,6 +867,7 @@ def _stable_scan(
     after_match: str = "past last row",
     skip_sym: "str | None" = None,
     skip_first: bool = False,
+    start: int = 0,
 ) -> tuple[list[tuple[int, int, list]], int]:
     """Leftmost-greedy matches over a PARTIAL stream prefix: scan like
     ``NFA.finditer`` but stop at the first position whose outcome could
@@ -888,9 +889,15 @@ def _stable_scan(
     match, the scan stops at the first probing position, and every
     emitted match starts strictly before the returned boundary — so
     dropping ``rows[:boundary]`` can never re-emit a match, whatever the
-    overlap."""
+    overlap.
+
+    ``start`` begins the scan mid-buffer: the streaming kernel retains
+    already-consumed HISTORY rows at the buffer front so PREV()
+    physical navigation can see across the consumption boundary —
+    those rows must never be rescanned (they would re-emit), so the
+    scan starts at the first unconsumed index."""
     matches: list[tuple[int, int, list]] = []
-    i = 0
+    i = start
     while i < n:
         probe = [False]
         m = nfa.match_at(i, n, can, probe=probe)
@@ -1064,6 +1071,16 @@ def match_recognize_stream(
 
     col_defines = {n: d for n, d in define.items() if isinstance(d, Column)}
     fn_defines = {n: d for n, d in define.items() if not isinstance(d, Column)}
+    # PREV()/NEXT() physical navigation (compile_condition exposes the
+    # worst-case excursions): retain max_prev consumed rows as history so
+    # PREV sees across the consumption boundary, and hold back max_next
+    # tail rows whose forward navigation is still unresolved.
+    max_prev = max(
+        (getattr(d, "max_prev", 0) for d in fn_defines.values()), default=0
+    )
+    max_next = max(
+        (getattr(d, "max_next", 0) for d in fn_defines.values()), default=0
+    )
 
     classifier: Column = F.lit(".")
     for name in reversed(list(col_defines)):
@@ -1136,6 +1153,10 @@ def match_recognize_stream(
     def fn(key, pdfs, state):
         blob = json.loads(state.get[0]) if state.exists else {"rows": [], "mn": 0}
         rows = blob["rows"]  # [order_val, sym, *data_cols-values]
+        # h = retained HISTORY rows at the buffer front: already consumed
+        # (never rescanned), kept only so PREV() physical navigation can
+        # see across the consumption boundary (empty unless max_prev > 0)
+        h = blob.get("h", 0)
         wm_us = state.getCurrentWatermarkMs() * 1000 if event_time else None
         for pdf in pdfs:
             if event_time:
@@ -1164,6 +1185,11 @@ def match_recognize_stream(
             import bisect
 
             n_scan = bisect.bisect_left([r[0] for r in rows], wm_us)
+        if max_next:
+            # rows whose NEXT() navigation is still unresolved cannot be
+            # classified yet — hold them out of the scannable region
+            n_scan = min(n_scan, len(rows) - max_next)
+        n_scan = max(n_scan, h)
         syms = "".join(r[1] for r in rows)
         col_idx = {order_by: 0}
         extra = [c for c in data_cols if c != order_by]
@@ -1181,7 +1207,7 @@ def match_recognize_stream(
             return s[i] == sym_chars[sym]
 
         decided, consumed = _stable_scan(
-            nfa, n_scan, can, after_match, skip_sym, skip_first
+            nfa, n_scan, can, after_match, skip_sym, skip_first, start=h
         )
         for lo, hi, assignment in decided:
             blob["mn"] += 1
@@ -1317,9 +1343,13 @@ def match_recognize_stream(
                     last_sym = name_by_char[syms[hi - 1]]
                 vals.insert(0, last_sym)
             out.append([*key, blob["mn"], *vals])
-        rows = rows[consumed:]
-        if len(rows) > max_buffer:
-            rows = rows[-max_buffer:]
+        keep_from = max(0, consumed - max_prev)
+        blob["h"] = consumed - keep_from
+        rows = rows[keep_from:]
+        if len(rows) > max_buffer + max_prev:
+            cut = len(rows) - (max_buffer + max_prev)
+            rows = rows[cut:]
+            blob["h"] = max(0, blob["h"] - cut)
         blob["rows"] = rows
         state.update((json.dumps(blob),))
         if out:

@@ -24,6 +24,7 @@ callable:
     unary: - unary | primary
     primary: number | 'string' | TRUE | FALSE | NULL | (or)
            | FIRST|LAST ( Sym.col [, n] )   -- logical navigation
+           | PREV|NEXT ( add [, n] )        -- PHYSICAL-row navigation
            | Sym.col                        -- == LAST(Sym.col)
            | col                            -- current row's value
 
@@ -33,6 +34,17 @@ Semantics (SQL standard running semantics inside DEFINE):
   The row under test is tentatively mapped to the symbol BEING defined,
   so self-navigation sees it; other symbols see only prior bindings.
   Fewer than n+1 mapped rows -> NULL.
+- ``PREV(expr[, n])`` / ``NEXT(expr[, n])`` evaluate ``expr`` on the
+  row n physical positions before/after the row under test (default
+  n=1) — the streaming kernel's in-state analog of the batch front
+  door's lag/lead lowering (reference ``impl/cep/CEPCall``: PREV
+  addresses physical rows). Inside the argument, ``Sym.col`` for ANY
+  symbol means the navigated row's column (the batch lowering strips
+  symbol prefixes the same way); FIRST/LAST are rejected there.
+  Navigation before the partition start is NULL. The compiled
+  callable exposes ``fn.max_prev`` / ``fn.max_next`` (summed worst-case
+  physical excursions) so the streaming kernel can retain enough
+  consumed history and hold back unresolved-lead rows.
 - three-valued logic: a NULL operand makes a comparison UNKNOWN,
   AND/OR/NOT follow Kleene, and a row satisfies the DEFINE only when
   the condition is TRUE.
@@ -56,15 +68,23 @@ _TOKEN = re.compile(
     r"|(?P<op><=|>=|<>|!=|=|<|>|\+|-|\*|/|\(|\)|,|\.)"
 )
 
-_KEYWORDS = {"AND", "OR", "NOT", "TRUE", "FALSE", "NULL", "IS", "FIRST", "LAST"}
+_KEYWORDS = {
+    "AND", "OR", "NOT", "TRUE", "FALSE", "NULL", "IS",
+    "FIRST", "LAST", "PREV", "NEXT",
+}
 
 _NAV_OR_CROSS = re.compile(r"\b(?:FIRST|LAST)\s*\(", re.IGNORECASE)
+
+_PHYS_NAV = re.compile(r"\b(?:PREV|NEXT)\s*\(", re.IGNORECASE)
 
 
 def has_cross_refs(masked_cond: str, symbols: set[str], self_sym: str) -> bool:
     """Does a (quote-masked) DEFINE condition need the match-state
     kernel? True when it navigates with FIRST()/LAST() or dereferences
-    a symbol other than the one being defined."""
+    a symbol other than the one being defined. (PREV/NEXT physical
+    navigation is handled separately: batch lowers it to lag/lead
+    columns BEFORE this check; streaming routes it here via
+    ``_PHYS_NAV`` — see run_sql_stream.)"""
     if _NAV_OR_CROSS.search(masked_cond):
         return True
     for other in symbols:
@@ -111,6 +131,9 @@ def compile_condition(
     used_cols: set[str] = set()  # every column the condition touches —
     # exposed as fn.columns so the kernel can project/shuffle ONLY these
     # instead of the whole row (the 100-TB shuffle-width win)
+    phys = [0]  # >0 while parsing inside a PREV()/NEXT() argument
+    nav_prev = [0]  # summed PREV offsets (worst-case backward excursion)
+    nav_next = [0]  # summed NEXT offsets (worst-case forward excursion)
 
     def peek(k: int = 0):
         j = p[0] + k
@@ -167,8 +190,48 @@ def compile_condition(
         if kind == "kw" and val == "NULL":
             take()
             return lambda a, i, b: None
+        if kind == "kw" and val in ("PREV", "NEXT"):
+            take()
+            take("op", "(")
+            phys[0] += 1
+            inner = parse_add()  # expression evaluated on the navigated row
+            phys[0] -= 1
+            off = 1
+            if peek() == ("op", ","):
+                take()
+                off = take("num")[1]
+                if not isinstance(off, int) or off < 0:
+                    raise ValueError(
+                        f"{val}() offset must be a non-negative integer"
+                    )
+            take("op", ")")
+            if val == "PREV":
+                nav_prev[0] += off
+                shift = -off
+            else:
+                nav_next[0] += off
+                shift = off
+
+            def nav(a, i, b, inner=inner, shift=shift):
+                j = i + shift
+                if j < 0:
+                    return None  # before the partition start: SQL NULL
+                try:
+                    return inner(a, j, b)
+                except IndexError:
+                    # beyond the buffer end — unreachable for scanned
+                    # rows (the streaming kernel holds back max_next
+                    # tail rows); in batch it is the partition end: NULL
+                    return None
+
+            return nav
         if kind == "kw" and val in ("FIRST", "LAST"):
             take()
+            if phys[0]:
+                raise ValueError(
+                    f"{val}() (match-state navigation) is not valid "
+                    "inside PREV()/NEXT() physical navigation"
+                )
             take("op", "(")
             sym = take("ident")[1]
             take("op", ".")
@@ -197,8 +260,11 @@ def compile_condition(
                         f"{val}.{col}: {val!r} is not a DEFINE symbol "
                         "(table-qualified columns are not valid in DEFINE)"
                     )
-                if val == self_sym:
-                    # self-reference == the current row's value
+                if val == self_sym or phys[0]:
+                    # self-reference == the current row's value; inside
+                    # PREV()/NEXT() every Sym.col means the NAVIGATED
+                    # row's column (physical addressing — the batch
+                    # lowering strips symbol prefixes the same way)
                     used_cols.add(col)
 
                     def cur(a, i, b, c=col):
@@ -350,4 +416,6 @@ def compile_condition(
         return root(arrs, i, bindings) is True
 
     fn.columns = frozenset(used_cols)
+    fn.max_prev = nav_prev[0]
+    fn.max_next = nav_next[0]
     return fn

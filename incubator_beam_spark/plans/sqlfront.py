@@ -598,10 +598,16 @@ def run_sql_stream(
     is sound), every AFTER MATCH SKIP mode (PAST LAST ROW / TO NEXT
     ROW / TO FIRST|LAST <sym> — overlap is sound incrementally because
     the restart position depends only on a decided match; see
-    ``_stable_scan``), no PREV()/NEXT() (physical navigation needs a
-    lag Window, which is not incrementally computable per micro-batch),
-    and a pattern whose end is not extendable (the kernel's liveness
-    guard).
+    ``_stable_scan``), PREV()/NEXT() physical navigation in DEFINE
+    (lag's frame is physical rows the state buffer already holds: the
+    condition compiles to a match-state callable that reads the
+    navigated buffer row, the kernel retains max_prev consumed rows as
+    history and holds back max_next unresolved-lead tail rows — one
+    liveness consequence: a row's classification waits for its NEXT()
+    target to arrive, so a `NEXT(x) IS NULL`-at-partition-end match can
+    never fire on a stream), and a pattern whose end is not extendable
+    (the kernel's liveness guard). PREV/NEXT in MEASURES stays
+    batch-only.
     Everything else carries over: cross-symbol DEFINE references
     compile to match-state callables (their column sets become the
     state's ``predicate_cols``), SUBSET union symbols, aggregate +
@@ -636,14 +642,19 @@ def run_sql_stream(
     defines: dict = {}
     predicate_cols: set[str] = set()
     for sym, cond in kw["define"].items():
-        if _MR_NAV.search(_mask_quotes(cond)):
-            raise ValueError(
-                f"DEFINE for {sym!r} uses PREV()/NEXT() — physical "
-                "navigation is not incrementally computable per "
-                "micro-batch; use LAST/FIRST(Sym.col) match navigation "
-                "or the batch front door"
-            )
-        if has_cross_refs(_mask_quotes(cond), all_syms, sym):
+        masked = _mask_quotes(cond)
+        if _MR_NAV.search(masked):
+            # PREV()/NEXT() physical navigation: computable per
+            # micro-batch INSIDE the state buffer (the batch lowering's
+            # lag/lead frame is physical rows the buffer already holds)
+            # — compile_condition's PREV/NEXT grammar evaluates the
+            # argument on the navigated buffer row; the kernel retains
+            # fn.max_prev consumed rows as history and holds back
+            # fn.max_next unresolved-lead tail rows (plans/cep.py).
+            fn = compile_condition(cond, sym, all_syms)
+            predicate_cols.update(fn.columns)
+            defines[sym] = fn
+        elif has_cross_refs(masked, all_syms, sym):
             fn = compile_condition(cond, sym, all_syms)
             predicate_cols.update(fn.columns)
             defines[sym] = fn

@@ -2419,7 +2419,7 @@ s3 AS (SELECT ew.dst AS id, SUM(r.rank // ew.deg) AS s
 r3 AS (SELECT d.doc_id AS id,
               (SELECT tp FROM params) + (85 * COALESCE(s3.s, 0)) // 100 AS rank
        FROM documents d LEFT JOIN s3 ON s3.id = d.doc_id)
-SELECT id AS doc_id, rank AS rank_micro FROM r3
+SELECT id AS doc_id, rank::BIGINT AS rank_micro FROM r3
 """
 
 

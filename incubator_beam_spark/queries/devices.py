@@ -1,14 +1,21 @@
 """Banked promotion devices — gate-ready queries with exact DuckDB
-oracles that are NOT yet registered (registry growth is frozen
-mid-round; every device here is pytest-oracle-green at all three
-fixture SFs, see tests/test_cep.py + tests/test_dataops.py).
+oracles. Two populations live here:
 
-PROMOTION (the next round's first task) is mechanical:
-1. append ``"incubator_beam_spark.queries.devices"`` to
-   ``registry._QUERY_MODULES``,
-2. uncomment the ``_register_all()`` call at the bottom,
-3. insert the promoted names into ``registry._PRIORITY`` (window
-   placement per COVERAGE.md §window-plan).
+* ``promoted_r9()`` — the 19 devices banked during round 8 and
+  REGISTERED in round 9 (this module sits in
+  ``registry._QUERY_MODULES`` and ``_register_all()`` applies
+  ``@query`` to each pair at import). All 19 hold the first slots of
+  the r9 driver window (``registry._PRIORITY``; COVERAGE.md
+  §window-plan).
+* ``devices()`` — the CURRENT bank: devices built this round that
+  stay unregistered until the next round's window opens (growth
+  freeze; every entry must be pytest-oracle-green at all three
+  fixture SFs before it enters the bank).
+
+PROMOTION stays mechanical: next round, move entries from
+``devices()`` into the promoted dict and insert the names into
+``registry._PRIORITY`` (window placement per COVERAGE.md
+§window-plan).
 
 The streaming devices return DRAINED batch DataFrames (bounded
 file-backed stream through a memory sink — the same contract every
@@ -269,8 +276,10 @@ def _dataops_devices():
     }
 
 
-def devices() -> dict:
-    """name -> (query_fn, oracle_sql) for every banked device."""
+def promoted_r9() -> dict:
+    """name -> (query_fn, oracle_sql) for the 19 devices promoted into
+    the registry in round 9 (the r8 bank, registered via
+    ``_register_all`` at import)."""
     out = {
         "stream_match_recognize_all_rows": (
             stream_match_recognize_all_rows,
@@ -299,13 +308,96 @@ def devices() -> dict:
     return out
 
 
+STREAM_MR_PREV_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER w AS rn,
+         CASE WHEN value < lag(value) OVER w THEN 'D'
+              WHEN value > lag(value) OVER w THEN 'U'
+              ELSE NULL END AS cls
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+druns AS (
+  SELECT user_id, min(rn) AS start_rn, max(rn) AS end_rn,
+         max(event_id) AS bottom_event, count(*)::BIGINT AS n_down
+  FROM (SELECT *, rn - row_number()
+          OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        FROM ordered WHERE cls = 'D')
+  GROUP BY user_id, grp),
+pairs AS (
+  SELECT d.user_id, d.start_rn, d.bottom_event,
+         u.event_id AS top_event, d.n_down
+  FROM druns d JOIN ordered u
+    ON u.user_id = d.user_id AND u.rn = d.end_rn + 1 AND u.cls = 'U')
+SELECT user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY start_rn)
+         AS match_number,
+       bottom_event, top_event, n_down
+FROM pairs
+"""
+
+
+def stream_match_recognize_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREV() physical navigation in the STREAMING kernel (r9 lift;
+    verdict r8 item 2): the batch V-pattern's falling/rising DEFINEs
+    ``DOWN AS value < PREV(value)`` compiled to in-state callables —
+    lag's physical-row frame is rows the state buffer already holds,
+    with max_prev consumed rows retained as history so PREV sees
+    across the consumption boundary. Pattern is the non-extendable
+    V-variant ``DOWN+ UP`` (the batch gate's trailing ``UP+`` would
+    violate the streaming liveness guard — a trailing quantifier can
+    always extend into the next batch). Oracle: lag-classified D-runs
+    immediately followed by a U row."""
+    import uuid
+
+    from ..plans.sqlfront import run_sql_stream
+    from .streaming_queries import _drain, stream_table
+
+    view = f"__mrprev_{uuid.uuid4().hex[:8]}"
+    stream_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    out = run_sql_stream(
+        spark,
+        f"""
+        SELECT user_id, match_number, bottom_event, top_event, n_down
+        FROM {view} MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY event_id
+          MEASURES LAST(DOWN.event_id) AS bottom_event,
+                   LAST(UP.event_id) AS top_event,
+                   COUNT(DOWN.*) AS n_down
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (DOWN+ UP)
+          DEFINE DOWN AS value < PREV(value),
+                 UP AS value > PREV(value)
+        )
+        """,
+    )
+    return _drain(out, "append")
+
+
+def devices() -> dict:
+    """name -> (query_fn, oracle_sql) for every CURRENTLY banked device
+    (built this round, registered next round)."""
+    from . import tpcds as _t
+
+    return {
+        "stream_match_recognize_prev": (
+            stream_match_recognize_prev,
+            STREAM_MR_PREV_ORACLE,
+        ),
+        "sql_tpcds_q72_factfact": (
+            _t.sql_tpcds_q72_factfact,
+            _t._Q72_FACTFACT_BODY,
+        ),
+    }
+
+
 def _register_all() -> None:
-    """Apply @query to every banked device (promotion step 2)."""
+    """Apply @query to every promoted device (runs at import)."""
     from ..registry import query
 
-    for name, (fn, oracle) in devices().items():
+    for name, (fn, oracle) in promoted_r9().items():
         query(name, oracle=oracle)(fn)
 
 
-# promotion step 2 — uncomment when this module joins _QUERY_MODULES:
-# _register_all()
+_register_all()

@@ -3794,3 +3794,48 @@ def sql_tpcds_q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(
         spark, sf_dir, _Q99_BODY.replace("{DAYS}", "datediff(l.l_shipdate, o.o_orderdate)")
     )
+
+
+# --- q72 fact-to-fact device (unregistered; r10 promotion — verdict r8
+# item 5: the reference q72's defining stressor is the
+# catalog_sales x inventory FACT-TO-FACT join, which the fixture's
+# missing inventory table forced the registered q72 port to drop; this
+# device restores the shape with a DERIVED availability fact) ---
+
+_Q72_FACTFACT_BODY = """
+    WITH avail AS (
+      SELECT l_partkey AS a_partkey,
+             year(l_shipdate) * 12 + month(l_shipdate) AS a_mon,
+             CAST(sum(l_quantity) AS BIGINT) AS avail_qty
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY 1, 2),
+    demand AS (
+      SELECT l_partkey,
+             year(l_shipdate) * 12 + month(l_shipdate) AS d_mon,
+             l_quantity
+      FROM lineitem WHERE l_returnflag = 'N')
+    SELECT d.l_partkey AS partkey, d.d_mon AS mon,
+           CAST(count(*) AS BIGINT) AS n_low
+    FROM demand d JOIN avail a
+      ON a.a_partkey = d.l_partkey AND a.a_mon = d.d_mon
+    WHERE a.avail_qty < d.l_quantity * 3
+    GROUP BY d.l_partkey, d.d_mon
+    ORDER BY n_low DESC, partkey, mon
+    LIMIT 100
+"""
+
+
+def sql_tpcds_q72_factfact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-to-fact half of TPC-DS query72 the registered port
+    cannot express (``queries/query72.sql``: catalog_sales JOIN
+    inventory ON item + week WHERE inv_quantity_on_hand < cs_quantity —
+    the join that makes q72 the benchmark's notorious stressor, since
+    NEITHER side is broadcastable): demand lines (non-returned) join a
+    DERIVED availability fact (returned quantity per part x ship-month
+    — an aggregate of the same fact table, so its row count scales
+    with the data like inventory's |item| x |week| does) on
+    (partkey, month), keeping q72's cross-fact quantity inequality
+    (available < 3x demanded = a low-stock promise line). At 100 TB
+    both sides shuffle on (partkey, month) — a plan test pins the
+    sort-merge/shuffled-hash path with broadcast disabled."""
+    return _sql(spark, sf_dir, _Q72_FACTFACT_BODY)

@@ -1367,10 +1367,12 @@ def test_run_sql_stream_front_door(spark):
     with TestStream(spark, schema) as ts:
         ts.stream.createOrReplaceTempView("mrs_stream2")
         base = q.replace("{T}", "mrs_stream2")
-        with pytest.raises(ValueError, match="PREV"):
-            run_sql_stream(
-                spark, base.replace("D.val < LAST(S.val)", "D.val < PREV(val)")
-            )
+        # PREV no longer raises (r9 lift — it compiles to an in-state
+        # callable; see test_run_sql_stream_prev_next_agreement): the
+        # lowering must produce a STREAMING DataFrame
+        assert run_sql_stream(
+            spark, base.replace("D.val < LAST(S.val)", "D.val < PREV(val)")
+        ).isStreaming
         # SKIP TO NEXT ROW no longer raises (r8 lift — see
         # test_run_sql_stream_skip_modes); an unknown skip target
         # still does
@@ -2409,3 +2411,150 @@ def test_stream_skip_to_last_with_callable_define(spark):
             for r in ts.results().collect()
         )
     assert got == want
+
+
+def test_stream_match_recognize_prev_oracle(spark):
+    """Exact-DuckDB-oracle check for PREV() physical navigation in the
+    STREAMING kernel (r9 lift, verdict r8 item 2; reference
+    ``impl/cep/CEPCall`` physical-row navigation) — a driver-gate
+    device for a future window: the V-pattern ``DOWN+ UP`` with
+    ``DOWN AS value < PREV(value)`` through the streaming SQL front
+    door. PREV compiles to an in-state callable; the kernel retains one
+    consumed row of history so the row after a consumed match still
+    sees its physical predecessor. 335/3233/32305 matches across the
+    three fixture SFs."""
+    import duckdb
+
+    from incubator_beam_spark.queries.devices import (
+        STREAM_MR_PREV_ORACLE,
+        stream_match_recognize_prev,
+    )
+
+    from .conftest import SF_DIR, assert_matches_oracle
+
+    got = stream_match_recognize_prev(spark, SF_DIR)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    assert_matches_oracle(got, con, STREAM_MR_PREV_ORACLE, "stream_mr_prev")
+
+
+def test_run_sql_stream_prev_next_agreement(spark):
+    """PREV()/NEXT() DEFINE navigation, batch vs streaming front door:
+    identical SQL through run_sql and run_sql_stream must agree, with
+    (a) a V straddling the micro-batch boundary, (b) a match whose
+    consumption is followed by a row whose PREV target was consumed
+    (history retention), and (c) a NEXT() condition whose target
+    arrives only in the NEXT micro-batch (unresolved-lead holdback)."""
+    from pyspark.sql import types as T
+
+    from incubator_beam_spark.plans.sqlfront import run_sql, run_sql_stream
+    from incubator_beam_spark.streaming import TestStream
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    q = """
+      SELECT key, match_number, bottom, top, n_down
+      FROM {T} MATCH_RECOGNIZE (
+        PARTITION BY key
+        ORDER BY seq
+        MEASURES LAST(DOWN.seq) AS bottom, LAST(UP.seq) AS top,
+                 COUNT(DOWN.*) AS n_down
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (DOWN+ UP)
+        DEFINE DOWN AS val < PREV(val),
+               UP AS val > PREV(val)
+      )
+    """
+    # key 1: V falling through the batch boundary (9 8 | 7 10); after
+    # the match consumes through seq 4, seq 5's PREV target (seq 4,
+    # val 10) is CONSUMED history — 6<10 classifies D only if retained.
+    data = [(1, 1, 9.0), (1, 2, 8.0)]
+    data2 = [(1, 3, 7.0), (1, 4, 10.0), (1, 5, 6.0)]
+    data3 = [(1, 6, 11.0), (1, 7, 11.0)]
+    spark.createDataFrame(data + data2 + data3, schema).createOrReplaceTempView(
+        "mrs_prev_batch"
+    )
+    expected = sorted(
+        (r.key, r.match_number, r.bottom, r.top, r.n_down)
+        for r in run_sql(spark, q.replace("{T}", "mrs_prev_batch")).collect()
+    )
+    assert expected == [(1, 1, 3, 4, 2), (1, 2, 5, 6, 1)]
+    with TestStream(spark, schema) as ts:
+        ts.stream.createOrReplaceTempView("mrs_prev_stream")
+        out = run_sql_stream(spark, q.replace("{T}", "mrs_prev_stream"))
+        ts.start(out, output_mode="append")
+        ts.add_elements(data).advance()
+        ts.add_elements(data2).advance()
+        ts.add_elements(data3).advance()
+        rows = sorted(
+            (r.key, r.match_number, r.bottom, r.top, r.n_down)
+            for r in ts.results().collect()
+        )
+    assert rows == expected
+
+    # NEXT(): a row classifies only when its successor arrives — P is
+    # "a peak": val > PREV(val) AND val > NEXT(val). seq 3 (the peak)
+    # arrives at the END of batch 1; its NEXT target (seq 4) arrives in
+    # batch 2, so the match must be held then emitted, not dropped.
+    q2 = """
+      SELECT key, match_number, peak
+      FROM {T} MATCH_RECOGNIZE (
+        PARTITION BY key
+        ORDER BY seq
+        MEASURES LAST(P.seq) AS peak
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (P)
+        DEFINE P AS val > PREV(val) AND val > NEXT(val)
+      )
+    """
+    d1 = [(2, 1, 1.0), (2, 2, 5.0), (2, 3, 9.0)]
+    d2 = [(2, 4, 4.0), (2, 5, 8.0)]
+    d3 = [(2, 6, 2.0), (2, 7, 3.0)]
+    spark.createDataFrame(d1 + d2 + d3, schema).createOrReplaceTempView(
+        "mrs_next_batch"
+    )
+    expected2 = sorted(
+        (r.key, r.match_number, r.peak)
+        for r in run_sql(spark, q2.replace("{T}", "mrs_next_batch")).collect()
+    )
+    assert expected2 == [(2, 1, 3), (2, 2, 5)]
+    with TestStream(spark, schema) as ts:
+        ts.stream.createOrReplaceTempView("mrs_next_stream")
+        out2 = run_sql_stream(spark, q2.replace("{T}", "mrs_next_stream"))
+        ts.start(out2, output_mode="append")
+        ts.add_elements(d1).advance()
+        ts.add_elements(d2).advance()
+        ts.add_elements(d3).advance()
+        rows2 = sorted(
+            (r.key, r.match_number, r.peak)
+            for r in ts.results().collect()
+        )
+    assert rows2 == expected2
+
+
+def test_sql_tpcds_q72_factfact_oracle(spark, duck):
+    """Exact-oracle check for the q72 fact-to-fact device (verdict r8
+    item 5): demand lines joined to the derived availability fact on
+    (partkey, month) with the cross-fact quantity inequality — the
+    join shape the registered q72 port drops for lack of an inventory
+    fixture. (Lives here with the other future-window devices; the
+    non-broadcast plan pin is in test_plans.py.)"""
+    from incubator_beam_spark.queries.tpcds import (
+        _Q72_FACTFACT_BODY,
+        sql_tpcds_q72_factfact,
+    )
+
+    from .conftest import SF_DIR, assert_matches_oracle
+
+    out = sql_tpcds_q72_factfact(spark, SF_DIR)
+    assert_matches_oracle(out, duck, _Q72_FACTFACT_BODY, "sql_tpcds_q72_factfact")

@@ -577,3 +577,185 @@ def test_stream_skip_modes_chunking_invariant(pattern, stream, sizes, mode):
         assert gerr and got == want[: len(got)], (pattern, s, mode)
     else:
         assert not gerr and got == want, (pattern, s, mode)
+
+
+# -- Targeted skip-boundary cases (VERDICT r8 item 7) ------------------------
+#
+# Random chunking under-samples the ONE shape where the restart policy
+# and the stability probe interact hardest: the SKIP TO FIRST/LAST
+# restart row is the LAST row of a micro-batch, so the probe must hold
+# the restarted scan (a match could begin at the restart row and extend
+# into the next batch) without re-emitting or skipping the decided
+# match. Enumerate that shape deterministically: for every decided
+# match of every case, chunk exactly AT the restart row (and one row
+# either side).
+
+
+def test_skip_restart_row_at_batch_boundary():
+    cases = [
+        # S D D, skip to last D: restart lands mid-pattern of the next
+        # candidate region
+        ("A B B", "ABBABB.", "to last B", "B", False),
+        ("A B B", "ABBBABB.", "to last B", "B", False),
+        # skip to first D: restart immediately after the match start
+        ("A B B", "ABBABBABB.", "to first B", "B", True),
+        # H H with skip to LAST H: restart at the second row of the
+        # match — overlapping matches sharing a row
+        ("A A", "AAAA.", "to last A", "A", False),
+        # alternation + bounded quantifier under both skip targets
+        ("A (B|C){1,2}", "ABCABCB.", "to last B", "B", False),
+        ("A (B|C){1,2}", "ACBACB.", "to first C", "C", True),
+    ]
+    for pattern, s, after_match, skip_sym, skip_first in cases:
+        rx = _compile_pattern(pattern, CHARS)
+        skip_ch = CHARS[skip_sym]
+        want, werr = whole_run_skip(rx, s, skip_ch, skip_first)
+        assert werr is None, f"bad case (reference errored): {pattern} {s}"
+        assert want, f"bad case (no matches): {pattern} {s}"
+        # restart positions implied by the policy for each match
+        restarts = []
+        for _mn, lo, hi in want:
+            t = s.find(skip_ch, lo, hi) if skip_first else s.rfind(skip_ch, lo, hi)
+            restarts.append(t)
+        for t in restarts:
+            for cut in (t, t + 1, t + 2):  # boundary ON, just-past, after
+                if not 0 < cut < len(s):
+                    continue
+                sizes = [cut, len(s) - cut]
+                got, gerr = incremental_run_skip(
+                    pattern, s, sizes, after_match, skip_sym, skip_first
+                )
+                assert not gerr and got == want, (
+                    pattern, s, after_match, skip_first, sizes, got, want,
+                )
+
+
+# -- PREV()/NEXT() physical navigation under chunking (r9 lift) --------------
+#
+# The streaming kernel's claim for nav defines: retaining max_prev
+# consumed rows as history and holding back max_next unresolved-lead
+# tail rows makes the incremental run equal the whole-sequence run for
+# every chunking. The consumption math below replicates
+# match_recognize_stream.fn exactly (h/keep_from/n_scan); the compiled
+# conditions are the REAL cepdefine callables.
+
+
+def _nav_defines(exprs):
+    from incubator_beam_spark.plans.cepdefine import compile_condition
+
+    syms = set(exprs)
+    return {
+        sym: compile_condition(cond, sym, syms) for sym, cond in exprs.items()
+    }
+
+
+def incremental_nav_run(pattern, vals, sizes, defines):
+    from incubator_beam_spark.plans.cep import _stable_scan
+    from incubator_beam_spark.plans.nfa import NFA, trail_bindings
+
+    max_prev = max(d.max_prev for d in defines.values())
+    max_next = max(d.max_next for d in defines.values())
+    nfa = NFA(pattern)
+    out, mn = [], 0
+    buf: list = []
+    base = 0  # global index of buf[0]
+    h = 0  # retained-history rows at the buffer front
+    pos = 0
+    it = iter(sizes)
+    while pos < len(vals):
+        try:
+            k = next(it)
+        except StopIteration:
+            k = len(vals) - pos
+        buf = buf + list(vals[pos : pos + k])
+        pos += k
+        arrs = {"value": buf}
+
+        def can(sym, i, trail, a=arrs):
+            fn = defines.get(sym)
+            return bool(fn(a, i, trail_bindings(trail))) if fn else False
+
+        n_scan = max(len(buf) - max_next, h)
+        decided, consumed = _stable_scan(nfa, n_scan, can, start=h)
+        for lo, hi, _assignment in decided:
+            mn += 1
+            out.append((mn, base + lo, base + hi))
+        keep_from = max(0, consumed - max_prev)
+        h = consumed - keep_from
+        buf = buf[keep_from:]
+        base += keep_from
+    return out
+
+
+def whole_nav_run(pattern, vals, classify):
+    """Batch reference: per-row classification is position-determined
+    (nav sees the whole sequence), then plain finditer."""
+    s = "".join(classify(vals, i) for i in range(len(vals)))
+    rx = _compile_pattern(pattern, {"D": "D", "U": "U", "P": "P"})
+    return whole_run(rx, s)
+
+
+_NAV_EXPRS = {
+    "D": "value < PREV(value)",
+    "U": "value > PREV(value)",
+    "P": "value > PREV(value) AND value > NEXT(value)",
+}
+
+
+def _classify(vals, i):
+    d = i > 0 and vals[i] < vals[i - 1]
+    u = i > 0 and vals[i] > vals[i - 1]
+    p = u and i + 1 < len(vals) and vals[i] > vals[i + 1]
+    # precedence mirrors symbol identity (defines are independent): a
+    # row can satisfy several; the char string needs ONE char per row,
+    # so each pattern below uses symbols with disjoint satisfaction or
+    # we classify per-pattern
+    return "D" if d else ("P" if p else ("U" if u else "."))
+
+
+nav_vals = st.lists(st.integers(0, 4), min_size=0, max_size=24)
+
+
+@settings(max_examples=300, deadline=None)
+@given(vals=nav_vals, sizes=chunkings)
+def test_stream_prev_nav_equals_batch(vals, sizes):
+    """``D+ U`` with PREV defines: incremental (history-retaining) run
+    == whole-sequence run, every chunking. The trailing no-match row
+    decides every tail."""
+    vals = [*vals, 99, 99]  # 99,99: final rows are U then '.', deciding tails
+    defines = _nav_defines({k: _NAV_EXPRS[k] for k in ("D", "U")})
+
+    def classify(vs, i):
+        if i > 0 and vs[i] < vs[i - 1]:
+            return "D"
+        if i > 0 and vs[i] > vs[i - 1]:
+            return "U"
+        return "."
+
+    got = incremental_nav_run("D+ U", vals, sizes, defines)
+    want = whole_nav_run("D+ U", vals, classify)
+    assert got == want, (vals, sizes)
+
+
+@settings(max_examples=300, deadline=None)
+@given(vals=nav_vals, sizes=chunkings)
+def test_stream_next_nav_prefix_of_batch(vals, sizes):
+    """``P`` (a peak: above both physical neighbors) uses NEXT: the
+    held-back tail may delay emission, but every emission equals the
+    batch run's prefix; with two terminator rows appended the runs are
+    EQUAL except the final row (whose NEXT never resolves — and which
+    the batch reference also never classifies as a peak since a
+    terminator cannot out-rank 99)."""
+    vals = [*vals, 99, 0, 0]  # peak-proof tail: 0,0 cannot be peaks
+    defines = _nav_defines({"P": _NAV_EXPRS["P"]})
+
+    def classify(vs, i):
+        u = i > 0 and vs[i] > vs[i - 1]
+        return "P" if (u and i + 1 < len(vs) and vs[i] > vs[i + 1]) else "."
+
+    got = incremental_nav_run("P", vals, sizes, defines)
+    want = whole_nav_run("P", vals, classify)
+    # the last buffered row's NEXT never resolves, so it can never emit
+    # incrementally — but the appended 0,0 tail means no peak lives
+    # there, so the runs must be exactly equal
+    assert got == want, (vals, sizes)

@@ -772,3 +772,29 @@ def test_python_datasource_planned_scan(spark):
         .load()
     )
     assert raw.rdd.getNumPartitions() == 8
+
+
+def test_q72_factfact_join_not_broadcast(spark):
+    """The q72 fact-to-fact device's defining property: with broadcast
+    disabled (the honest stand-in for a 100-TB run where neither fact
+    fits in memory), the demand x availability join takes the
+    sort-merge/shuffled-hash path on (partkey, month) — the shape the
+    registered q72 port cannot express without an inventory table."""
+    import contextlib
+    import io as _io
+
+    from incubator_beam_spark.queries.tpcds import sql_tpcds_q72_factfact
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = sql_tpcds_q72_factfact(spark, SF_DIR)
+        df.count()
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")

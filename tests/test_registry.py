@@ -55,8 +55,24 @@ def test_banked_devices_manifest_green(spark, duck):
     from .conftest import SF_DIR, assert_matches_oracle
 
     dev = devices()
-    assert len(dev) >= 19
     registered = set(registry.load_all())
     assert not (set(dev) & registered), "devices must stay unregistered"
     for name, (fn, oracle) in sorted(dev.items()):
         assert_matches_oracle(fn(spark, SF_DIR), duck, oracle, name)
+
+
+def test_promoted_r9_devices_registered_with_manifest_pairs():
+    """The 19 r8-bank devices promoted in round 9 are registered with
+    EXACTLY their banked (fn, oracle) pairs, and all 19 sit inside the
+    50-gate driver window."""
+    from incubator_beam_spark.queries.devices import promoted_r9
+
+    qs = registry.load_all()
+    window = list(qs)[:50]
+    promoted = promoted_r9()
+    assert len(promoted) == 19
+    for name, (fn, oracle) in promoted.items():
+        assert name in qs, f"promoted device {name} not registered"
+        assert qs[name].fn is fn, f"{name}: registered fn differs from manifest"
+        assert qs[name].oracle == oracle, f"{name}: oracle differs from manifest"
+        assert name in window, f"{name} promoted but outside the driver window"
