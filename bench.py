@@ -400,6 +400,31 @@ def scale_lane(spark, sf_dir: str, scales=(1, 10)) -> dict:
         )
         return out.groupBy().agg(F.count(F.lit(1)).alias("n"))
 
+    # The quality-ensemble verdict is the likeliest real 100-TB daily
+    # job in the repo (one shared rules+classifier scan, one tier join)
+    # — priced here so its TB-shape cost model is measured, not claimed.
+    def run_ensemble(k):
+        from incubator_beam_spark.dataops.curation import perplexity_buckets
+        from incubator_beam_spark.dataops.inference import hash_ngram_classify
+        from incubator_beam_spark.dataops.text import gopher_rules
+
+        docs = _scaled_docs(spark, sf_dir, k)
+        with_rules = docs.withColumn(
+            "gopher_ok", gopher_rules(F.col("text"))["keep"]
+        )
+        scan = hash_ngram_classify(with_rules, passthrough=("gopher_ok",)).select(
+            "doc_id", "gopher_ok", "pred_class"
+        )
+        tiers = perplexity_buckets(docs).select("doc_id", "tier")
+        keep = (
+            F.col("gopher_ok")
+            & (F.col("pred_class") != 2)
+            & F.coalesce(F.col("tier") != "tail", F.lit(False))
+        )
+        return scan.join(tiers, "doc_id", "left").select(
+            "doc_id", keep.alias("keep")
+        )
+
     ops = {
         "doc_minhash_lsh_pairs": run_minhash,
         "doc_neardup_clusters": run_clusters,
@@ -413,6 +438,7 @@ def scale_lane(spark, sf_dir: str, scales=(1, 10)) -> dict:
         "cep_match_recognize": run_cep,
         "cep_prev_navigation": run_cep_nav,
         "cep_cross_symbol": run_cep_cross,
+        "doc_quality_ensemble": run_ensemble,
     }
     base_rows = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     emb_rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()

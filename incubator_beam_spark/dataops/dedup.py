@@ -251,6 +251,78 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """The PERSISTABLE LSH band-bucket index: (band, key, doc_id) rows —
+    24 B/doc/band. Write it partitioned by ``band`` once; incremental
+    ingest (``minhash_lsh_incremental``) then finds near-dups of new
+    documents against the whole corpus WITHOUT recomputing corpus
+    signatures — the artifact the pairwise ``minhash_lsh_pairs`` job
+    cannot give you when documents arrive continuously."""
+    sig = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .select("doc_id", shingles(F.col(text_col)).alias("sh"))
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    )
+    return sig.select(
+        "doc_id", F.explode(lsh_band_keys(F.col("sig"), rows_per_band)).alias("bk")
+    ).select(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "doc_id")
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Near-dups of INCOMING documents against a persisted corpus index
+    (``minhash_index``): band keys computed for the new batch only,
+    equi-joined to the index buckets, candidates verified with exact
+    Jaccard — shingles recomputed ONLY for the candidate corpus rows
+    (a join back to ``corpus_docs``), never a corpus-wide rescan.
+
+    At 100 TB: the index is the amortized artifact (built once,
+    partitioned by band so an ingest batch's probe prunes to its
+    buckets); the incoming batch is small, so its band rows broadcast
+    into the index join, and the verify join moves only candidate ids.
+    Returns (new_id, old_id, jaccard >= threshold).
+    """
+    new_sig = (
+        new_docs.select(F.col(id_col).alias("new_id"), F.col(text_col))
+        .select("new_id", shingles(F.col(text_col)).alias("sh_new"))
+        .withColumn("sig", minhash_signature(F.col("sh_new"), num_hashes))
+    )
+    new_bands = new_sig.select(
+        "new_id",
+        "sh_new",
+        F.explode(lsh_band_keys(F.col("sig"), rows_per_band)).alias("bk"),
+    ).select("new_id", "sh_new", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    candidates = (
+        corpus_index.join(F.broadcast(new_bands), ["band", "key"])
+        .select("new_id", F.col("doc_id").alias("old_id"), "sh_new")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    old_sh = corpus_docs.select(
+        F.col(id_col).alias("old_id"),
+        shingles(F.col(text_col)).alias("sh_old"),
+    )
+    return (
+        candidates.join(old_sh, "old_id")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_new"), F.col("sh_old")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "old_id", "jaccard")
+    )
+
+
 def simhash64(text: Column, bits: int = 32) -> Column:
     """SimHash over BPE-ish tokens packed into a BIGINT.
 

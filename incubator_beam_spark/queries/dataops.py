@@ -3321,3 +3321,152 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         resample_stage, synth_schema
     )
     return audio_pcm_stats(wav)
+
+
+# --- incremental MinHash near-dup device (unregistered; r10 promotion —
+# verdict r8 item 8: near-dup detection for CONTINUOUS ingest against
+# the persisted band-bucket index, the flow the pairwise job cannot
+# serve when documents arrive after the corpus was deduped) ---
+
+MINHASH_INCREMENTAL_ORACLE = f"""
+WITH corpus_sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+corpus_sig AS (SELECT doc_id, sh, [{_SIG}] AS sig FROM corpus_sh),
+corpus_bands AS (
+  SELECT doc_id, b AS band, md5(sig[2*b + 1] || '|' || sig[2*b + 2]) AS key
+  FROM corpus_sig, unnest(generate_series(0, 3)) AS t(b)),
+incoming AS (
+  SELECT doc_id + 1000000 AS doc_id, text || ' rev' AS text FROM documents),
+new_sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM incoming),
+new_sig AS (SELECT doc_id, sh, [{_SIG}] AS sig FROM new_sh),
+new_bands AS (
+  SELECT doc_id, b AS band, md5(sig[2*b + 1] || '|' || sig[2*b + 2]) AS key
+  FROM new_sig, unnest(generate_series(0, 3)) AS t(b)),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS old_id
+  FROM new_bands n JOIN corpus_bands c ON n.band = c.band AND n.key = c.key)
+SELECT new_id, old_id,
+       round(len(list_intersect(a.sh, b.sh))
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM cand JOIN new_sig a ON cand.new_id = a.doc_id
+          JOIN corpus_sig b ON cand.old_id = b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+"""
+
+
+def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest (dataops/dedup.py minhash_index +
+    minhash_lsh_incremental): build the corpus band-bucket index ONCE,
+    persist it as band-partitioned parquet, reopen it cold, then find
+    near-dups of an incoming batch — deterministic lightly-edited
+    re-crawls (every document with ' rev' appended, ids offset by 1e6)
+    — against the index alone: band keys computed for the batch only,
+    bucket equi-join, exact-Jaccard verify joining back to the corpus
+    for candidate rows only. The corpus signatures are never
+    recomputed. The oracle replays index + ingest end to end, so every
+    (new_id, old_id, jaccard) pair hash-matches."""
+    import tempfile
+
+    d = table(spark, sf_dir, "documents")
+    idx_dir = tempfile.mkdtemp(prefix="minhash_index_")
+    dedup.minhash_index(d).write.mode("overwrite").partitionBy("band").parquet(
+        idx_dir
+    )
+    idx = spark.read.parquet(idx_dir)
+    incoming = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" rev")).alias("text"),
+    )
+    return dedup.minhash_lsh_incremental(incoming, idx, d)
+
+
+# --- streaming IVF index maintenance device (unregistered; r10
+# promotion — verdict r8 item 8: the ANN index as a CONTINUOUSLY
+# MAINTAINED artifact — embeddings arrive as micro-batches, assign to
+# the offline-trained coarse quantizer scan-side, and append into the
+# cell-partitioned parquet index the serving path reads) ---
+
+STREAM_IVF_MAINTAIN_ORACLE = """
+WITH vv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 10000) AS BIGINT)) AS vq
+  FROM embeddings),
+cent AS (SELECT vec_id AS cid, vq AS cv FROM vv WHERE vec_id < 8),
+d AS (
+  SELECT vv.vec_id, vv.vq, cent.cid,
+         list_sum(list_transform(generate_series(1, len(vv.vq)),
+                  i -> (vv.vq[i] - cent.cv[i]) * (vv.vq[i] - cent.cv[i])))
+           AS dist
+  FROM vv CROSS JOIN cent),
+assigned AS (
+  SELECT vec_id, vq, cid AS cell FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)
+SELECT cell::BIGINT AS cell, count(*)::BIGINT AS n_vecs,
+       sum(list_sum(vq))::BIGINT AS qsum_total
+FROM assigned GROUP BY cell
+"""
+
+
+def stream_ivf_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF index MAINTENANCE: embeddings arrive as
+    micro-batches (file stream), each vector assigns to the
+    offline-trained coarse quantizer (the first 8 vectors, e4-quantized
+    — broadcast as plan literals, integer-exact L2 argmin with ties to
+    the lowest cell: the kmeans_lloyd assignment contract) entirely
+    SCAN-SIDE — no state, no shuffle, so the write is a plain append
+    into cell-partitioned parquet: exactly how a 100-TB ANN index stays
+    current between quantizer retrains. The index is then reopened COLD
+    and the per-cell maintenance stats (row count + integer checksum)
+    must equal the batch oracle — streamed ingest cannot change a
+    single assignment."""
+    import tempfile
+
+    e = table(spark, sf_dir, "embeddings")
+    vq_expr = (
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+        "x -> CAST(round(x * 10000) AS BIGINT))"
+    )
+    cents = [
+        list(r.q)
+        for r in e.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .selectExpr(f"{vq_expr} AS q")
+        .collect()
+    ]
+    cents_sql = ", ".join(
+        "array(" + ", ".join(str(int(v)) for v in c) + ")" for c in cents
+    )
+    d_expr = (
+        f"transform(array({cents_sql}), c -> aggregate("
+        f"zip_with(vq, c, (x, y) -> (x - y) * (x - y)), 0L, "
+        f"(acc, x) -> acc + x))"
+    )
+    cell_expr = f"CAST(array_position({d_expr}, array_min({d_expr})) - 1 AS INT)"
+
+    from ..streaming.source import stream_table
+
+    s = stream_table(spark, sf_dir, "embeddings")
+    idx_rows = s.selectExpr("vec_id", f"{vq_expr} AS vq").selectExpr(
+        "vec_id", "aggregate(vq, 0L, (acc, x) -> acc + x) AS qsum",
+        f"{cell_expr} AS cell",
+    )
+    out_dir = tempfile.mkdtemp(prefix="ivf_stream_index_")
+    ckpt = tempfile.mkdtemp(prefix="ivf_stream_ckpt_")
+    q = (
+        idx_rows.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("cell")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    idx = spark.read.parquet(out_dir)
+    return idx.groupBy(F.col("cell").cast("long").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("qsum").alias("qsum_total"),
+    )

@@ -378,6 +378,7 @@ def stream_match_recognize_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
 def devices() -> dict:
     """name -> (query_fn, oracle_sql) for every CURRENTLY banked device
     (built this round, registered next round)."""
+    from . import dataops as _d
     from . import tpcds as _t
 
     return {
@@ -388,6 +389,14 @@ def devices() -> dict:
         "sql_tpcds_q72_factfact": (
             _t.sql_tpcds_q72_factfact,
             _t._Q72_FACTFACT_BODY,
+        ),
+        "doc_minhash_incremental": (
+            _d.doc_minhash_incremental,
+            _d.MINHASH_INCREMENTAL_ORACLE,
+        ),
+        "stream_ivf_index_maintain": (
+            _d.stream_ivf_index_maintain,
+            _d.STREAM_IVF_MAINTAIN_ORACLE,
         ),
     }
 

@@ -2668,3 +2668,43 @@ def test_decimate_wav_properties():
     assert decimate_wav(bytes(ieee), 2) is None
     with _pytest.raises(ValueError):
         decimate_wav(wav, 0)
+
+
+def test_doc_minhash_incremental_oracle(spark, duck):
+    """Incremental near-dup ingest against the persisted band-bucket
+    index (future-window device): deterministic re-crawl variants
+    (' rev' appended, ids offset 1e6) must find their corpus
+    near-dups through the REOPENED parquet index alone, candidates
+    verified with exact Jaccard — every (new_id, old_id, jaccard)
+    pair hash-matches the end-to-end oracle replay."""
+    from incubator_beam_spark.queries.dataops import (
+        MINHASH_INCREMENTAL_ORACLE,
+        doc_minhash_incremental,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    out = doc_minhash_incremental(spark, SF_DIR)
+    assert out.count() > 0  # re-crawls genuinely match their originals
+    assert_matches_oracle(
+        out, duck, MINHASH_INCREMENTAL_ORACLE, "doc_minhash_incremental"
+    )
+
+
+def test_stream_ivf_index_maintain_oracle(spark, duck):
+    """Streaming IVF index maintenance (future-window device):
+    micro-batch scan-side assignment appended into cell-partitioned
+    parquet, reopened cold — per-cell row counts + integer checksums
+    equal the batch assignment exactly (streamed ingest cannot change
+    a single cell)."""
+    from incubator_beam_spark.queries.dataops import (
+        STREAM_IVF_MAINTAIN_ORACLE,
+        stream_ivf_index_maintain,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    out = stream_ivf_index_maintain(spark, SF_DIR)
+    assert_matches_oracle(
+        out, duck, STREAM_IVF_MAINTAIN_ORACLE, "stream_ivf_index_maintain"
+    )
