@@ -111,6 +111,18 @@ HEADLINE = [
     "sql_match_recognize_cross",
     "cep_measures_complete",
     "io_python_datasource",
+    # round-9 additions (the promoted devices' batch hot paths):
+    # PageRank (iterative graph rounds), the hashed-ngram classifier
+    # and unigram-Viterbi tokenizer (scan-side per-row throughput —
+    # training-data prep's hot loops), the IVF-staged kNN label
+    # transfer, and the three-signal quality-ensemble verdict (the
+    # likeliest real daily job). Streaming devices stay out of the
+    # headline (fixed drain machinery would swamp the batch signal).
+    "doc_pagerank",
+    "doc_hashngram_classify",
+    "doc_unigram_viterbi",
+    "emb_knn_classify",
+    "doc_quality_ensemble",
 ]
 
 

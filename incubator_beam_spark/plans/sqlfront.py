@@ -606,8 +606,9 @@ def run_sql_stream(
     liveness consequence: a row's classification waits for its NEXT()
     target to arrive, so a `NEXT(x) IS NULL`-at-partition-end match can
     never fire on a stream), and a pattern whose end is not extendable
-    (the kernel's liveness guard). PREV/NEXT in MEASURES stays
-    batch-only.
+    (the kernel's liveness guard). PREV/NEXT is DEFINE-only on BOTH
+    front doors (the MEASURES grammar rejects it loudly; measure
+    navigation is the logical FIRST/LAST(col, n) offset form).
     Everything else carries over: cross-symbol DEFINE references
     compile to match-state callables (their column sets become the
     state's ``predicate_cols``), SUBSET union symbols, aggregate +

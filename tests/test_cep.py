@@ -2558,3 +2558,106 @@ def test_sql_tpcds_q72_factfact_oracle(spark, duck):
 
     out = sql_tpcds_q72_factfact(spark, SF_DIR)
     assert_matches_oracle(out, duck, _Q72_FACTFACT_BODY, "sql_tpcds_q72_factfact")
+
+
+def test_match_recognize_stream_prev_event_time(spark):
+    """EVENT-TIME watermark mode x PREV() physical navigation: the
+    buffer orders by timestamp, nav callables address the SORTED
+    physical rows, the scan runs only over the pre-watermark prefix,
+    and the retained history row must serve PREV across a consumed
+    match boundary — all under OUT-OF-ORDER delivery inside the
+    watermark. Streaming result must equal the batch kernel with the
+    same compiled conditions."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from incubator_beam_spark.plans.cep import (
+        match_recognize,
+        match_recognize_stream,
+    )
+    from incubator_beam_spark.plans.cepdefine import compile_condition
+    from incubator_beam_spark.queries.events import _stage_scripted_file
+
+    schema = "user bigint, ts timestamp, val double"
+    base = "2024-01-01 00:00:"
+    # classes by ts: . D D U | D U | D U  ->  three D+ U matches; the
+    # :05 row's PREV target (:04) is CONSUMED when match 1 emits
+    real = [
+        (1, f"{base}01", 9.0), (1, f"{base}02", 8.0),
+        (1, f"{base}03", 7.0), (1, f"{base}04", 10.0),
+        (1, f"{base}05", 6.0), (1, f"{base}06", 11.0),
+        (1, f"{base}07", 5.0), (1, f"{base}08", 9.0),
+    ]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user bigint, ts string, val double"
+        ).selectExpr("user", "CAST(ts AS TIMESTAMP) AS ts", "val")
+
+    stage = tempfile.mkdtemp(prefix="cep_prev_et_")
+    t0 = 1700000000
+    # out-of-order delivery inside the watermark
+    _stage_scripted_file(
+        stage, mk([real[2], real[0], real[3], real[1]]), "a_first", t0
+    )
+    _stage_scripted_file(stage, mk([real[5], real[4]]), "b_second", t0 + 10)
+    _stage_scripted_file(stage, mk([real[7], real[6]]), "c_third", t0 + 20)
+    _stage_scripted_file(
+        stage, mk([(1, "2024-01-01 01:00:00", 99.0)]), "d_wm_push", t0 + 30
+    )
+    _stage_scripted_file(
+        stage, mk([(1, "2024-01-01 01:00:01", 0.0)]), "e_flush", t0 + 40
+    )
+    syms = {"D", "U"}
+    define = {
+        "D": compile_condition("val < PREV(val)", "D", syms),
+        "U": compile_condition("val > PREV(val)", "U", syms),
+    }
+    measures = {"n_down": ("count", "D"), "bottom": ("last", "D", "val"),
+                "top": ("last", "U", "val")}
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = match_recognize_stream(
+        stream,
+        partition_by="user",
+        order_by="ts",
+        define=define,
+        pattern="D+ U",
+        measures=measures,
+        predicate_cols=["val"],
+        event_time=True,
+        watermark_delay="10 seconds",
+    )
+    name = f"cep_prev_et_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.match_number, r.n_down, r.bottom, r.top)
+        for r in spark.table(name).collect()
+    )
+    want_df = match_recognize(
+        mk(real),
+        partition_by=["user"],
+        order_by=["ts"],
+        define=define,
+        pattern="D+ U",
+        measures=measures,
+    )
+    want = sorted(
+        (r.match_number, r.n_down, r.bottom, r.top)
+        for r in want_df.collect()
+    )
+    assert got == want == [
+        (1, 2, 7.0, 10.0), (2, 1, 6.0, 11.0), (3, 1, 5.0, 9.0),
+    ]
+    shutil.rmtree(stage, ignore_errors=True)
