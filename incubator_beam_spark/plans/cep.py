@@ -993,8 +993,12 @@ def match_recognize_stream(
     Measures must not target the order column in event-time mode (it is
     held as integer microseconds in state).
 
-    Single order/partition columns keep the state row narrow; measures
-    reference the same C-level str scan as the batch kernel.
+    ``order_by`` may be COMPOUND (r9 lift): the composite sort key
+    lives in state slot 0 and each order column also rides the data
+    slots, so measures can reference any of them; ties resolve by the
+    declared column order, batch-identically. Event-time mode needs a
+    single timestamp order column (the watermark). Measures reference
+    the same C-level str scan as the batch kernel.
     ``with_classifier=True`` appends a ``classifier`` column holding
     the LAST matched row's symbol name (the SQL standard's
     CLASSIFIER() under ONE ROW PER MATCH — same contract as the batch
@@ -1016,9 +1020,20 @@ def match_recognize_stream(
     import json
 
     # multi-column PARTITION BY: the key lives in the groupBy, not the
-    # state blob, so compound keys do not widen state rows (r8 lift;
-    # ORDER BY stays single — the per-key sequence column)
+    # state blob, so compound keys do not widen state rows (r8 lift).
+    # Compound ORDER BY (r9 lift): the sort key becomes a composite
+    # list in state slot 0 and every order column rides the data slots
+    # so measures can still reference them; event-time mode stays
+    # single-column (the watermark needs ONE timestamp).
     part_cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    if event_time and len(order_cols) != 1:
+        raise ValueError(
+            "event_time mode needs a single timestamp ORDER BY column "
+            "(the watermark column)"
+        )
+    multi_order = len(order_cols) > 1
+    order_by = order_cols[0]
 
     if not define:
         raise ValueError("define must not be empty")
@@ -1091,7 +1106,7 @@ def match_recognize_stream(
     measure_cols = sorted({spec[2] for spec in measures.values() if spec[2]})
     keep = list(
         dict.fromkeys(
-            [*part_cols, order_by, *measure_cols, *(predicate_cols or [])]
+            [*part_cols, *order_cols, *measure_cols, *(predicate_cols or [])]
         )
     )
     if event_time and order_by in measure_cols:
@@ -1127,7 +1142,7 @@ def match_recognize_stream(
                 T.StructField("match_number", T.LongType()),
                 T.StructField("classifier", T.StringType()),
             ]
-            + [proj.schema[order_by]]
+            + [proj.schema[c] for c in order_cols]
             + [_measure_field(n, s) for n, s in measures.items()]
         )
     else:
@@ -1168,14 +1183,24 @@ def match_recognize_stream(
                         .astype("int64")
                     }
                 )
-            pdf = pdf.sort_values(order_by, kind="mergesort")
-            for tup in pdf[[order_by, "__sym", *[c for c in data_cols if c != order_by]]].itertuples(
-                index=False
-            ):
-                vals = list(tup)
-                if wm_us is not None and vals[0] < wm_us:
-                    continue  # late row: behind the watermark, dropped
-                rows.append([vals[0], vals[1], *vals[2:]])
+            if multi_order:
+                # composite sort key in slot 0; every order column also
+                # rides the data slots so measures can reference it
+                pdf = pdf.sort_values(order_cols, kind="mergesort")
+                oidx = [data_cols.index(c) for c in order_cols]
+                for tup in pdf[["__sym", *data_cols]].itertuples(index=False):
+                    vals = list(tup)
+                    ex = vals[1:]
+                    rows.append([[ex[i] for i in oidx], vals[0], *ex])
+            else:
+                pdf = pdf.sort_values(order_by, kind="mergesort")
+                for tup in pdf[[order_by, "__sym", *[c for c in data_cols if c != order_by]]].itertuples(
+                    index=False
+                ):
+                    vals = list(tup)
+                    if wm_us is not None and vals[0] < wm_us:
+                        continue  # late row: behind the watermark, dropped
+                    rows.append([vals[0], vals[1], *vals[2:]])
         rows.sort(key=lambda r: r[0])
         # the scan may only decide the prefix no future row can enter:
         # everything with ts < watermark (event-time), else the whole
@@ -1191,10 +1216,13 @@ def match_recognize_stream(
             n_scan = min(n_scan, len(rows) - max_next)
         n_scan = max(n_scan, h)
         syms = "".join(r[1] for r in rows)
-        col_idx = {order_by: 0}
-        extra = [c for c in data_cols if c != order_by]
-        for i, c in enumerate(extra):
-            col_idx[c] = 2 + i
+        if multi_order:
+            col_idx = {c: 2 + i for i, c in enumerate(data_cols)}
+        else:
+            col_idx = {order_by: 0}
+            extra = [c for c in data_cols if c != order_by]
+            for i, c in enumerate(extra):
+                col_idx[c] = 2 + i
         out = []
         if fn_defines or all_rows:
             # buffered column views for match-state-dependent callables
@@ -1220,8 +1248,13 @@ def match_recognize_stream(
                     ]
                 mvals = _running_measure_values(specs, arrs, pairs)
                 for pos, (idx, sname) in enumerate(pairs):
+                    ovals = (
+                        [rows[idx][col_idx[c]] for c in order_cols]
+                        if multi_order
+                        else [rows[idx][0]]
+                    )
                     out.append(
-                        [*key, blob["mn"], sname, rows[idx][0]]
+                        [*key, blob["mn"], sname, *ovals]
                         + [mv[pos] for mv in mvals]
                     )
                 continue

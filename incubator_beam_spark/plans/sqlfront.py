@@ -591,9 +591,11 @@ def run_sql_stream(
     registered STREAMING temp view, and the result is a streaming
     DataFrame ready for ``writeStream``.
 
-    Streaming contract (violations raise up front): a single ORDER BY
-    column (PARTITION BY may be compound — the key lives in the
-    grouping, not in state rows), ONE or ALL ROWS PER MATCH (decided
+    Streaming contract (violations raise up front): compound PARTITION
+    BY and compound ORDER BY both supported (the key lives in the
+    grouping; a compound sort key rides state slot 0 — event-time mode
+    alone needs a single timestamp ORDER BY column, the watermark),
+    ONE or ALL ROWS PER MATCH (decided
     matches are final, so per-row emission with RUNNING/FINAL measures
     is sound), every AFTER MATCH SKIP mode (PAST LAST ROW / TO NEXT
     ROW / TO FIRST|LAST <sym> — overlap is sound incrementally because
@@ -633,10 +635,11 @@ def run_sql_stream(
             f"run_sql_stream: table {table!r} is not a streaming view — "
             "use run_sql for batch inputs"
         )
-    if len(kw["order_by"]) != 1:
+    if event_time and len(kw["order_by"]) != 1:
         raise ValueError(
-            "streaming MATCH_RECOGNIZE needs a single ORDER BY column "
-            "(the per-key sequence; state holds one order scalar per row)"
+            "event-time streaming MATCH_RECOGNIZE needs a single "
+            "timestamp ORDER BY column (the watermark column); compound "
+            "ORDER BY is supported in arrival-order mode"
         )
     rename_cls = kw.pop("rename_cls", None)
     all_syms = set(kw["define"])
@@ -668,7 +671,9 @@ def run_sql_stream(
     out = match_recognize_stream(
         df,
         partition_by=kw["partition_by"],
-        order_by=kw["order_by"][0],
+        order_by=(
+            kw["order_by"][0] if len(kw["order_by"]) == 1 else kw["order_by"]
+        ),
         define=defines,
         pattern=kw["pattern"],
         measures=kw["measures"],

@@ -375,6 +375,65 @@ def stream_match_recognize_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(out, "append")
 
 
+STREAM_MR_COMPOUND_ORDER_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY event_type, event_id) AS rn
+  FROM events),
+high AS (
+  SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+         AS isl
+  FROM ordered WHERE value >= 150),
+pos AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, isl ORDER BY rn) AS p
+  FROM high),
+pairs AS (
+  SELECT a.user_id, a.rn AS srn,
+         a.event_type AS first_type, a.event_id AS first_event,
+         b.event_type AS last_type, b.event_id AS last_event
+  FROM pos a JOIN pos b
+    ON b.user_id = a.user_id AND b.isl = a.isl AND b.p = a.p + 1
+  WHERE a.p % 2 = 1)
+SELECT user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY srn)
+         AS match_number,
+       first_type, first_event, last_type, last_event
+FROM pairs
+"""
+
+
+def stream_match_recognize_compound_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING compound ORDER BY (r9 lift — the last documented
+    streaming-only restriction): scan order (event_type, event_id)
+    within each user — the composite sort key lives in state slot 0,
+    ties resolve by the declared column order, and the MEASURES
+    reference BOTH order columns (the multi-order data-slot path).
+    Greedy ``H H`` pairs over the high-value rows in compound order;
+    the oracle reproduces it with island detection over the same
+    compound ordering."""
+    from ..plans.cep import match_recognize_stream
+    from .streaming_queries import _drain, stream_table
+
+    e = stream_table(spark, sf_dir, "events")
+    out = match_recognize_stream(
+        e,
+        partition_by="user_id",
+        order_by=["event_type", "event_id"],
+        define={"H": F.col("value") >= 150},
+        pattern="H H",
+        measures={
+            "first_type": ("first", "H", "event_type"),
+            "first_event": ("first", "H", "event_id"),
+            "last_type": ("last", "H", "event_type"),
+            "last_event": ("last", "H", "event_id"),
+        },
+    )
+    return _drain(out, "append")
+
+
 def devices() -> dict:
     """name -> (query_fn, oracle_sql) for every CURRENTLY banked device
     (built this round, registered next round)."""
@@ -397,6 +456,10 @@ def devices() -> dict:
         "stream_ivf_index_maintain": (
             _d.stream_ivf_index_maintain,
             _d.STREAM_IVF_MAINTAIN_ORACLE,
+        ),
+        "stream_match_recognize_compound_order": (
+            stream_match_recognize_compound_order,
+            STREAM_MR_COMPOUND_ORDER_ORACLE,
         ),
     }
 

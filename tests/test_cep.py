@@ -2661,3 +2661,213 @@ def test_match_recognize_stream_prev_event_time(spark):
         (1, 2, 7.0, 10.0), (2, 1, 6.0, 11.0), (3, 1, 5.0, 9.0),
     ]
     shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_match_recognize_stream_compound_order_by(spark):
+    """Compound ORDER BY in the STREAMING kernel (r9 lift): the
+    composite (grp, seq) sort key must order ties batch-identically —
+    rows sharing grp resolve by seq — across micro-batch boundaries,
+    and measures may reference BOTH order columns. Stream == batch on
+    the same data, including a match straddling the boundary."""
+    from pyspark.sql import types as T
+
+    from incubator_beam_spark.plans.cep import (
+        match_recognize,
+        match_recognize_stream,
+    )
+    from incubator_beam_spark.streaming import TestStream
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("grp", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("etype", T.StringType()),
+        ]
+    )
+    # scan order = (grp, seq); deliver SHUFFLED within each batch so
+    # only the composite sort can produce the right sequence
+    data = [
+        (1, 1, 2, "d"), (1, 1, 1, "s"), (1, 2, 1, "r"),  # S D R across grp
+        (1, 2, 2, "s"),
+    ]
+    data2 = [(1, 3, 1, "d"), (1, 3, 2, "r"), (1, 9, 9, "x")]
+    kw = dict(
+        define={
+            "S": F.col("etype") == "s",
+            "D": F.col("etype") == "d",
+            "R": F.col("etype") == "r",
+        },
+        pattern="S D R",
+        measures={
+            "g1": ("first", "S", "grp"),
+            "q1": ("first", "S", "seq"),
+            "g2": ("last", "R", "grp"),
+            "q2": ("last", "R", "seq"),
+        },
+    )
+    want = sorted(
+        (r.key, r.match_number, r.g1, r.q1, r.g2, r.q2)
+        for r in match_recognize(
+            spark.createDataFrame(data + data2, schema),
+            partition_by=["key"],
+            order_by=["grp", "seq"],
+            **kw,
+        ).collect()
+    )
+    assert want == [(1, 1, 1, 1, 2, 1), (1, 2, 2, 2, 3, 2)]
+    with TestStream(spark, schema) as ts:
+        out = match_recognize_stream(
+            ts.stream,
+            partition_by="key",
+            order_by=["grp", "seq"],
+            **kw,
+        )
+        ts.start(out, output_mode="append")
+        ts.add_elements(data).advance()
+        ts.add_elements(data2).advance()
+        got = sorted(
+            (r.key, r.match_number, r.g1, r.q1, r.g2, r.q2)
+            for r in ts.results().collect()
+        )
+    assert got == want
+
+
+def test_run_sql_stream_compound_order_by(spark):
+    """Compound ORDER BY through the streaming SQL front door: same SQL
+    through run_sql and run_sql_stream must agree; event-time mode with
+    a compound ORDER BY still raises (the watermark needs one
+    timestamp column)."""
+    from pyspark.sql import types as T
+
+    from incubator_beam_spark.plans.sqlfront import run_sql, run_sql_stream
+    from incubator_beam_spark.streaming import TestStream
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("grp", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    q = """
+      SELECT key, match_number, e1g, e2q
+      FROM {T} MATCH_RECOGNIZE (
+        PARTITION BY key
+        ORDER BY grp, seq
+        MEASURES FIRST(H.grp) AS e1g, LAST(H.seq) AS e2q
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (H H)
+        DEFINE H AS val >= 10
+      )
+    """
+    data = [(1, 1, 2, 11.0), (1, 1, 1, 12.0), (1, 2, 1, 1.0)]
+    data2 = [(1, 2, 2, 13.0), (1, 3, 1, 14.0)]
+    spark.createDataFrame(data + data2, schema).createOrReplaceTempView(
+        "mrs_cord_batch"
+    )
+    expected = sorted(
+        (r.key, r.match_number, r.e1g, r.e2q)
+        for r in run_sql(spark, q.replace("{T}", "mrs_cord_batch")).collect()
+    )
+    assert expected == [(1, 1, 1, 2), (1, 2, 2, 1)]
+    with TestStream(spark, schema) as ts:
+        ts.stream.createOrReplaceTempView("mrs_cord_stream")
+        out = run_sql_stream(spark, q.replace("{T}", "mrs_cord_stream"))
+        ts.start(out, output_mode="append")
+        ts.add_elements(data).advance()
+        ts.add_elements(data2).advance()
+        rows = sorted(
+            (r.key, r.match_number, r.e1g, r.e2q)
+            for r in ts.results().collect()
+        )
+    assert rows == expected
+    with TestStream(spark, schema) as ts:
+        ts.stream.createOrReplaceTempView("mrs_cord_et")
+        with pytest.raises(ValueError, match="single"):
+            run_sql_stream(
+                spark, q.replace("{T}", "mrs_cord_et"), event_time=True
+            )
+
+
+def test_match_recognize_stream_compound_order_all_rows(spark):
+    """ALL ROWS PER MATCH x compound ORDER BY: the per-row emission
+    path must emit EVERY order column (the composite key lives only in
+    state slot 0), batch == stream."""
+    from pyspark.sql import types as T
+
+    from incubator_beam_spark.plans.cep import (
+        match_recognize,
+        match_recognize_stream,
+    )
+    from incubator_beam_spark.streaming import TestStream
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("grp", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("etype", T.StringType()),
+        ]
+    )
+    data = [(1, 1, 2, "d"), (1, 1, 1, "s"), (1, 2, 1, "r"), (1, 9, 9, "x")]
+    kw = dict(
+        define={
+            "S": F.col("etype") == "s",
+            "D": F.col("etype") == "d",
+            "R": F.col("etype") == "r",
+        },
+        pattern="S D R",
+        measures={"n_run": ("count", None)},
+        all_rows=True,
+    )
+    want = sorted(
+        (r.key, r.match_number, r.classifier, r.grp, r.seq, r.n_run)
+        for r in match_recognize(
+            spark.createDataFrame(data, schema),
+            partition_by=["key"],
+            order_by=["grp", "seq"],
+            **kw,
+        ).collect()
+    )
+    assert want == [
+        (1, 1, "D", 1, 2, 2), (1, 1, "R", 2, 1, 3), (1, 1, "S", 1, 1, 1),
+    ]
+    with TestStream(spark, schema) as ts:
+        out = match_recognize_stream(
+            ts.stream, partition_by="key", order_by=["grp", "seq"], **kw
+        )
+        ts.start(out, output_mode="append")
+        ts.add_elements(data).advance()
+        got = sorted(
+            (r.key, r.match_number, r.classifier, r.grp, r.seq, r.n_run)
+            for r in ts.results().collect()
+        )
+    assert got == want
+
+
+def test_stream_match_recognize_compound_order_oracle(spark):
+    """Exact-DuckDB-oracle check for the compound-ORDER-BY streaming
+    device (future-window gate): greedy H H pairs over (event_type,
+    event_id) scan order, measures reading both order columns.
+    2/20/227 matches across the three fixture SFs."""
+    import duckdb
+
+    from incubator_beam_spark.queries.devices import (
+        STREAM_MR_COMPOUND_ORDER_ORACLE,
+        stream_match_recognize_compound_order,
+    )
+
+    from .conftest import SF_DIR, assert_matches_oracle
+
+    got = stream_match_recognize_compound_order(spark, SF_DIR)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    assert_matches_oracle(
+        got, con, STREAM_MR_COMPOUND_ORDER_ORACLE, "stream_mr_compound_order"
+    )
