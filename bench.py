@@ -745,10 +745,16 @@ def isolated_scale_lane(sf_dir: str) -> dict | None:
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    r = subprocess.run(
-        [sys.executable, "bench.py", "--scale-lane-only", "--sf-dir", sf_dir],
-        cwd=repo, capture_output=True, text=True, timeout=1800,
-    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "bench.py", "--scale-lane-only", "--sf-dir", sf_dir],
+            cwd=repo, capture_output=True, text=True, timeout=1800,
+        )
+    except (subprocess.TimeoutExpired, OSError) as e:
+        # a wedged subprocess must not abort the whole bench run after
+        # the headline phase already completed — fall back, labeled
+        print(f"# scale: isolated subprocess failed: {e!r}", file=sys.stderr)
+        return None
     line = next(
         (ln for ln in reversed(r.stdout.strip().splitlines())
          if ln.startswith("{")),

@@ -301,14 +301,17 @@ def minhash_lsh_incremental(
         .select("new_id", shingles(F.col(text_col)).alias("sh_new"))
         .withColumn("sig", minhash_signature(F.col("sh_new"), num_hashes))
     )
+    # broadcast only (new_id, band, key) — ~24 B/doc/band; the shingle
+    # arrays join back by new_id AFTER candidate generation, exactly
+    # like the corpus side, so neither side's text-sized arrays ride
+    # the band fan-out or the dedup
     new_bands = new_sig.select(
         "new_id",
-        "sh_new",
         F.explode(lsh_band_keys(F.col("sig"), rows_per_band)).alias("bk"),
-    ).select("new_id", "sh_new", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("new_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     candidates = (
         corpus_index.join(F.broadcast(new_bands), ["band", "key"])
-        .select("new_id", F.col("doc_id").alias("old_id"), "sh_new")
+        .select("new_id", F.col("doc_id").alias("old_id"))
         .dropDuplicates(["new_id", "old_id"])
     )
     old_sh = corpus_docs.select(
@@ -316,7 +319,8 @@ def minhash_lsh_incremental(
         shingles(F.col(text_col)).alias("sh_old"),
     )
     return (
-        candidates.join(old_sh, "old_id")
+        candidates.join(new_sig.select("new_id", "sh_new"), "new_id")
+        .join(old_sh, "old_id")
         .withColumn("jaccard", F.round(jaccard(F.col("sh_new"), F.col("sh_old")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "old_id", "jaccard")

@@ -935,7 +935,7 @@ def _stable_scan(
 def match_recognize_stream(
     df: DataFrame,
     partition_by: "str | list[str]",
-    order_by: str,
+    order_by: "str | list[str]",
     define: dict[str, "Column | callable"],
     pattern: str,
     measures: dict[str, tuple],
@@ -993,9 +993,10 @@ def match_recognize_stream(
     Measures must not target the order column in event-time mode (it is
     held as integer microseconds in state).
 
-    ``order_by`` may be COMPOUND (r9 lift): the composite sort key
-    lives in state slot 0 and each order column also rides the data
-    slots, so measures can reference any of them; ties resolve by the
+    ``order_by`` may be COMPOUND (r9 lift): each order column is
+    stored once in the data slots and the composite sort key derives
+    from them (state rows stay as narrow as the single-order path), so
+    measures can reference any order column; ties resolve by the
     declared column order, batch-identically. Event-time mode needs a
     single timestamp order column (the watermark). Measures reference
     the same C-level str scan as the batch kernel.
@@ -1021,10 +1022,10 @@ def match_recognize_stream(
 
     # multi-column PARTITION BY: the key lives in the groupBy, not the
     # state blob, so compound keys do not widen state rows (r8 lift).
-    # Compound ORDER BY (r9 lift): the sort key becomes a composite
-    # list in state slot 0 and every order column rides the data slots
-    # so measures can still reference them; event-time mode stays
-    # single-column (the watermark needs ONE timestamp).
+    # Compound ORDER BY (r9 lift): every order column is stored once in
+    # the data slots and the composite sort key derives from them;
+    # event-time mode stays single-column (the watermark needs ONE
+    # timestamp).
     part_cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     if event_time and len(order_cols) != 1:
@@ -1164,6 +1165,17 @@ def match_recognize_stream(
     state_schema = T.StructType([T.StructField("blob", T.StringType())])
     specs = list(measures.values())
     data_cols = [c for c in keep if c not in part_cols]
+    # static column->state-slot map (shared by the scan, measures, and
+    # the sort). Multi-order rows store every column ONCE in the data
+    # slots (slot 0 stays None); the composite sort key is derived from
+    # the slots, so compound ORDER BY does not widen state rows.
+    if multi_order:
+        col_idx = {c: 2 + i for i, c in enumerate(data_cols)}
+        _order_slots = [col_idx[c] for c in order_cols]
+    else:
+        col_idx = {order_by: 0}
+        for _i, _c in enumerate([c for c in data_cols if c != order_by]):
+            col_idx[_c] = 2 + _i
 
     def fn(key, pdfs, state):
         blob = json.loads(state.get[0]) if state.exists else {"rows": [], "mn": 0}
@@ -1184,14 +1196,12 @@ def match_recognize_stream(
                     }
                 )
             if multi_order:
-                # composite sort key in slot 0; every order column also
-                # rides the data slots so measures can reference it
+                # every column stored once in the data slots; slot 0 is
+                # unused (the composite sort key derives from the slots)
                 pdf = pdf.sort_values(order_cols, kind="mergesort")
-                oidx = [data_cols.index(c) for c in order_cols]
                 for tup in pdf[["__sym", *data_cols]].itertuples(index=False):
                     vals = list(tup)
-                    ex = vals[1:]
-                    rows.append([[ex[i] for i in oidx], vals[0], *ex])
+                    rows.append([None, vals[0], *vals[1:]])
             else:
                 pdf = pdf.sort_values(order_by, kind="mergesort")
                 for tup in pdf[[order_by, "__sym", *[c for c in data_cols if c != order_by]]].itertuples(
@@ -1201,7 +1211,10 @@ def match_recognize_stream(
                     if wm_us is not None and vals[0] < wm_us:
                         continue  # late row: behind the watermark, dropped
                     rows.append([vals[0], vals[1], *vals[2:]])
-        rows.sort(key=lambda r: r[0])
+        if multi_order:
+            rows.sort(key=lambda r: [r[s] for s in _order_slots])
+        else:
+            rows.sort(key=lambda r: r[0])
         # the scan may only decide the prefix no future row can enter:
         # everything with ts < watermark (event-time), else the whole
         # buffer (in-order contract)
@@ -1212,17 +1225,16 @@ def match_recognize_stream(
             n_scan = bisect.bisect_left([r[0] for r in rows], wm_us)
         if max_next:
             # rows whose NEXT() navigation is still unresolved cannot be
-            # classified yet — hold them out of the scannable region
-            n_scan = min(n_scan, len(rows) - max_next)
+            # classified yet — hold them out of the scannable region.
+            # SUBTRACT from the already-final prefix, never min() against
+            # the buffer end: in event-time mode rows at/after the
+            # watermark are buffered but their PHYSICAL POSITION is not
+            # final (a not-late row can still sort between them), so a
+            # below-watermark row's NEXT() target must itself be below
+            # the watermark before the row may be scanned.
+            n_scan -= max_next
         n_scan = max(n_scan, h)
         syms = "".join(r[1] for r in rows)
-        if multi_order:
-            col_idx = {c: 2 + i for i, c in enumerate(data_cols)}
-        else:
-            col_idx = {order_by: 0}
-            extra = [c for c in data_cols if c != order_by]
-            for i, c in enumerate(extra):
-                col_idx[c] = 2 + i
         out = []
         if fn_defines or all_rows:
             # buffered column views for match-state-dependent callables

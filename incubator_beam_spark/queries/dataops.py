@@ -181,8 +181,8 @@ def doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
     FROM cand JOIN sig_t a ON cand.id_a = a.doc_id
               JOIN sig_t b ON cand.id_b = b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh))
-          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    WHERE round(len(list_intersect(a.sh, b.sh))
+                / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
     """,
 )
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3349,8 +3349,8 @@ SELECT new_id, old_id,
              / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
 FROM cand JOIN new_sig a ON cand.new_id = a.doc_id
           JOIN corpus_sig b ON cand.old_id = b.doc_id
-WHERE len(list_intersect(a.sh, b.sh))
-      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+WHERE round(len(list_intersect(a.sh, b.sh))
+            / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
 """
 
 

@@ -2871,3 +2871,103 @@ def test_stream_match_recognize_compound_order_oracle(spark):
     assert_matches_oracle(
         got, con, STREAM_MR_COMPOUND_ORDER_ORACLE, "stream_mr_compound_order"
     )
+
+
+def test_match_recognize_stream_next_event_time_unstable_position(spark):
+    """EVENT-TIME mode x NEXT(): the holdback must be applied WITHIN
+    the watermark prefix, not against the buffer end — a buffered
+    at/after-watermark row's PHYSICAL position is not final, so a
+    below-watermark row may only be scanned once its NEXT() target is
+    itself below the watermark. Here ts=:02's apparent successor in
+    batch 1 is ts=:30 (5 > 3 would be a peak), but the TRUE successor
+    ts=:25 (val 9) arrives in batch 2, above the then-watermark — the
+    kernel must NOT have emitted a peak at :02. Expected single peak:
+    :25 (9 > 5 and 9 > 3)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from incubator_beam_spark.plans.cep import (
+        match_recognize,
+        match_recognize_stream,
+    )
+    from incubator_beam_spark.plans.cepdefine import compile_condition
+    from incubator_beam_spark.queries.events import _stage_scripted_file
+
+    schema = "user bigint, ts timestamp, val double"
+    real = [
+        (1, "2024-01-01 00:00:01", 1.0),
+        (1, "2024-01-01 00:00:02", 5.0),
+        (1, "2024-01-01 00:00:30", 3.0),
+        (1, "2024-01-01 00:00:25", 9.0),  # arrives later, sorts between
+    ]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user bigint, ts string, val double"
+        ).selectExpr("user", "CAST(ts AS TIMESTAMP) AS ts", "val")
+
+    stage = tempfile.mkdtemp(prefix="cep_next_et_")
+    t0 = 1700000000
+    # batch 1: :01 :02 :30 -> watermark moves to :20; the buggy
+    # buffer-end holdback would scan :02 against :30 and emit a peak
+    _stage_scripted_file(stage, mk(real[:3]), "a_first", t0)
+    # batch 2: :25 (>= watermark :20, NOT late) slots between :02 and :30
+    _stage_scripted_file(stage, mk([real[3]]), "b_second", t0 + 10)
+    _stage_scripted_file(
+        stage, mk([(1, "2024-01-01 01:00:00", 0.5)]), "c_wm_push", t0 + 20
+    )
+    _stage_scripted_file(
+        stage, mk([(1, "2024-01-01 01:00:01", 0.25)]), "d_flush", t0 + 30
+    )
+    _stage_scripted_file(
+        stage, mk([(1, "2024-01-01 02:00:00", 0.1)]), "e_flush2", t0 + 40
+    )
+    define = {
+        "P": compile_condition(
+            "val > PREV(val) AND val > NEXT(val)", "P", {"P"}
+        )
+    }
+    measures = {"peak": ("last", "P", "val")}
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = match_recognize_stream(
+        stream,
+        partition_by="user",
+        order_by="ts",
+        define=define,
+        pattern="P",
+        measures=measures,
+        predicate_cols=["val"],
+        event_time=True,
+        watermark_delay="10 seconds",
+    )
+    name = f"cep_next_et_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.match_number, r.peak) for r in spark.table(name).collect()
+    )
+    want_df = match_recognize(
+        mk(real + [(1, "2024-01-01 01:00:00", 0.5),
+                   (1, "2024-01-01 01:00:01", 0.25)]),
+        partition_by=["user"],
+        order_by=["ts"],
+        define=define,
+        pattern="P",
+        measures=measures,
+    )
+    want = sorted((r.match_number, r.peak) for r in want_df.collect())
+    # batch truth: peaks at :25 (9) and :00:30? 3 > 9? no. 0.5 > 0.25
+    # but 0.5 < 3 -> no. Exactly one peak.
+    assert got == want == [(1, 9.0)]
+    shutil.rmtree(stage, ignore_errors=True)
