@@ -3470,3 +3470,55 @@ def stream_ivf_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("qsum").alias("qsum_total"),
     )
+
+
+# --- embedding moments device (unregistered; r10 promotion — the
+# EXACT sufficient statistics for PCA whitening / OPQ pre-rotation:
+# first moments + upper-triangle second moments in integer e4 units;
+# the d x d eigendecomposition is a bounded driver-side artifact
+# computed FROM these, so the distributed part is oracle-exact) ---
+
+EMB_MOMENTS_ORACLE = """
+WITH vv AS (
+  SELECT list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 10000) AS BIGINT)) AS vq
+  FROM embeddings),
+pairs AS (
+  SELECT i, j,
+         CASE WHEN j = 0 THEN vq[i] ELSE vq[i] * vq[j] END AS xy
+  FROM vv,
+       unnest(generate_series(1, len(vq))) AS t(i),
+       unnest(generate_series(0, len(vq))) AS s(j)
+  WHERE j = 0 OR j >= i)
+SELECT i::BIGINT AS i, j::BIGINT AS j,
+       count(*)::BIGINT AS n, sum(xy)::BIGINT AS sxy
+FROM pairs GROUP BY i, j
+"""
+
+
+def emb_second_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact moment matrix for embedding whitening (PCA / OPQ-style
+    pre-rotation): per vector, the e4-quantized first moments (j=0
+    rows) and upper-triangle second moments vq_i*vq_j — integer-exact,
+    so the result is independent of partitioning and summation order.
+    At 100 TB: the pair fan-out is scan-side (one flatten-transform,
+    no join), map-side combine collapses each partition to at most
+    d(d+1)/2 + d partial rows, and the shuffle carries ONLY those
+    partials — the classic distributed Gram-matrix shape. The
+    d x d eigendecomposition consuming these is a bounded driver-side
+    artifact (d=64 here: 2,080 rows)."""
+    e = table(spark, sf_dir, "embeddings")
+    vq = "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(round(x * 10000) AS BIGINT))"
+    pair_expr = f"""
+      flatten(transform(sequence(1, size(vq)), i ->
+        transform(concat(array(0), sequence(i, size(vq))), j ->
+          struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                 IF(j = 0, element_at(vq, i),
+                    element_at(vq, i) * element_at(vq, j)) AS xy))))
+    """
+    return (
+        e.selectExpr(f"{vq} AS vq")
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("p.xy").alias("sxy"))
+    )

@@ -461,6 +461,10 @@ def devices() -> dict:
             stream_match_recognize_compound_order,
             STREAM_MR_COMPOUND_ORDER_ORACLE,
         ),
+        "emb_second_moments": (
+            _d.emb_second_moments,
+            _d.EMB_MOMENTS_ORACLE,
+        ),
     }
 
 

@@ -2708,3 +2708,43 @@ def test_stream_ivf_index_maintain_oracle(spark, duck):
     assert_matches_oracle(
         out, duck, STREAM_IVF_MAINTAIN_ORACLE, "stream_ivf_index_maintain"
     )
+
+
+def test_emb_second_moments_oracle(spark, duck):
+    """Exact moment matrix for embedding whitening (future-window
+    device): e4-integer first moments (j=0) + upper-triangle second
+    moments, 2,144 rows for d=64 — independent of partitioning and
+    summation order, so the full table hash-matches."""
+    from incubator_beam_spark.queries.dataops import (
+        EMB_MOMENTS_ORACLE,
+        emb_second_moments,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    out = emb_second_moments(spark, SF_DIR)
+    assert out.count() == 64 * 65 // 2 + 64
+    assert_matches_oracle(out, duck, EMB_MOMENTS_ORACLE, "emb_second_moments")
+
+
+def test_emb_second_moments_plan_single_exchange(spark):
+    """The Gram-matrix device must be the one-shuffle shape: pair
+    fan-out scan-side (Generate, no join), partial+final HashAggregate
+    around exactly ONE exchange — the shuffle carries only the
+    map-side-combined (i, j) partials."""
+    import contextlib
+    import io
+    import re
+
+    from incubator_beam_spark.queries.dataops import emb_second_moments
+
+    df = emb_second_moments(spark, SF_DIR)
+    df.count()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) == 1, f"expected 1 shuffle, got {len(shuffles)}"
+    assert "Generate" in plan  # the scan-side pair fan-out
+    assert "Join" not in plan
