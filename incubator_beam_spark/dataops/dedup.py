@@ -290,11 +290,14 @@ def minhash_lsh_incremental(
     Jaccard — shingles recomputed ONLY for the candidate corpus rows
     (a join back to ``corpus_docs``), never a corpus-wide rescan.
 
-    At 100 TB: the index is the amortized artifact (built once,
-    partitioned by band so an ingest batch's probe prunes to its
-    buckets); the incoming batch is small, so its band rows broadcast
-    into the index join, and the verify join moves only candidate ids.
-    Returns (new_id, old_id, jaccard >= threshold).
+    At 100 TB: the index is the amortized artifact — built once and
+    scanned (never re-signed) per ingest; note a FULL batch touches
+    every band partition since each new doc emits a key in all bands
+    (band-partitioning helps band-restricted probes and re-banding
+    maintenance, not the common probe). The incoming batch is small,
+    so only its (new_id, band, key) rows broadcast into the index
+    join, and the verify join moves only candidate ids. Returns
+    (new_id, old_id, jaccard >= threshold).
     """
     new_sig = (
         new_docs.select(F.col(id_col).alias("new_id"), F.col(text_col))
