@@ -2971,3 +2971,73 @@ def test_match_recognize_stream_next_event_time_unstable_position(spark):
     # but 0.5 < 3 -> no. Exactly one peak.
     assert got == want == [(1, 9.0)]
     shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_stream_compound_order_with_prev_nav(spark):
+    """The two r9 lifts COMPOSED: compound ORDER BY x PREV() physical
+    navigation — nav callables must address the (grp, seq)-sorted
+    buffer through the multi-order slot layout, history retention must
+    serve PREV across a consumed boundary, and stream == batch."""
+    from pyspark.sql import types as T
+
+    from incubator_beam_spark.plans.cep import (
+        match_recognize,
+        match_recognize_stream,
+    )
+    from incubator_beam_spark.plans.cepdefine import compile_condition
+    from incubator_beam_spark.streaming import TestStream
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("grp", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    # (grp, seq) order: vals 9 8 | 7 10 | 6 11 -> . D | D U | D U:
+    # match 1 = D D U (rows 2-4), then row (3,1)=6's PREV target
+    # (2,2)=10 is CONSUMED history; match 2 = D U (rows 5-6)
+    data = [(1, 1, 2, 8.0), (1, 1, 1, 9.0), (1, 2, 1, 7.0)]
+    data2 = [(1, 2, 2, 10.0), (1, 3, 1, 6.0), (1, 3, 2, 11.0), (1, 9, 9, 11.0)]
+    syms = {"D", "U"}
+    define = {
+        "D": compile_condition("val < PREV(val)", "D", syms),
+        "U": compile_condition("val > PREV(val)", "U", syms),
+    }
+    measures = {
+        "n_down": ("count", "D"),
+        "bot_g": ("last", "D", "grp"),
+        "bot_q": ("last", "D", "seq"),
+        "top": ("last", "U", "val"),
+    }
+    want = sorted(
+        (r.key, r.match_number, r.n_down, r.bot_g, r.bot_q, r.top)
+        for r in match_recognize(
+            spark.createDataFrame(data + data2, schema),
+            partition_by=["key"],
+            order_by=["grp", "seq"],
+            define=define,
+            pattern="D+ U",
+            measures=measures,
+        ).collect()
+    )
+    assert want == [(1, 1, 2, 2, 1, 10.0), (1, 2, 1, 3, 1, 11.0)]
+    with TestStream(spark, schema) as ts:
+        out = match_recognize_stream(
+            ts.stream,
+            partition_by="key",
+            order_by=["grp", "seq"],
+            define=define,
+            pattern="D+ U",
+            measures=measures,
+            predicate_cols=["val"],
+        )
+        ts.start(out, output_mode="append")
+        ts.add_elements(data).advance()
+        ts.add_elements(data2).advance()
+        got = sorted(
+            (r.key, r.match_number, r.n_down, r.bot_g, r.bot_q, r.top)
+            for r in ts.results().collect()
+        )
+    assert got == want
