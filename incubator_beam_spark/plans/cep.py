@@ -988,18 +988,38 @@ def match_recognize_stream(
     can enter — with the stability probe firing at the prefix edge.
     Rows arriving later than the watermark are dropped (the standard
     late-data contract); rows at/after it buffer unfinalized, whatever
-    order they arrive in. (With ``event_time=False`` the buffer order
-    is arrival order per batch — correct only for in-order sources.)
-    Measures must not target the order column in event-time mode (it is
-    held as integer microseconds in state).
+    order they arrive in.
+
+    With ``event_time=False`` (ARRIVAL-ORDER mode) the source must
+    deliver each key's rows in ``order_by`` order ACROSS micro-batches
+    (composite order when ``order_by`` is compound): rows are sorted
+    within the buffer, but once a row has been consumed by a decided
+    match the kernel never re-sorts behind it, so a later batch
+    delivering a row that sorts BEFORE an already-consumed row would
+    silently produce matches a batch run never produces. The kernel
+    therefore tracks the last-consumed sort key per key in state and
+    RAISES on such an arrival (ADVICE r9) — out-of-order sources must
+    use ``event_time=True``, whose watermark makes reordering sound.
+    Within a micro-batch, any arrival order is fine (sorted before the
+    scan).
+    Measures must not target the TIMESTAMP order column in event-time
+    mode (it is held as integer microseconds in state); compound
+    tie-breaker columns stay measurable.
 
     ``order_by`` may be COMPOUND (r9 lift): each order column is
     stored once in the data slots and the composite sort key derives
     from them (state rows stay as narrow as the single-order path), so
     measures can reference any order column; ties resolve by the
-    declared column order, batch-identically. Event-time mode needs a
-    single timestamp order column (the watermark). Measures reference
-    the same C-level str scan as the batch kernel.
+    declared column order, batch-identically. Compound ``order_by``
+    works in event-time mode too (r10 lift): ``order_by[0]`` must be
+    the timestamp column (the single watermark), and the remaining
+    columns are pure TIE-BREAKERS — the scannable prefix is still
+    ts < watermark, whose row set is final under the late-drop
+    contract, so ties within it are fully buffered and their order
+    deterministic whatever the arrival order; tie-breaker columns stay
+    measurable (only the ts column itself is held as integer
+    microseconds). Measures reference the same C-level str scan as the
+    batch kernel.
     ``with_classifier=True`` appends a ``classifier`` column holding
     the LAST matched row's symbol name (the SQL standard's
     CLASSIFIER() under ONE ROW PER MATCH — same contract as the batch
@@ -1028,12 +1048,19 @@ def match_recognize_stream(
     # timestamp).
     part_cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
-    if event_time and len(order_cols) != 1:
-        raise ValueError(
-            "event_time mode needs a single timestamp ORDER BY column "
-            "(the watermark column)"
-        )
-    multi_order = len(order_cols) > 1
+    # Event-time x compound ORDER BY (r10 lift): the watermark is still
+    # ONE timestamp column — order_cols[0] — and the remaining columns
+    # are pure TIE-BREAKERS. The stability argument is unchanged: the
+    # scannable prefix is ts < watermark, whose row SET is final (later
+    # arrivals below the watermark are dropped as late), so ties within
+    # it are fully buffered and their (ts, tie...) order deterministic
+    # whatever the arrival order. Tie-breaker columns live in the data
+    # slots (event-time keeps the single-order state layout: slot 0 =
+    # integer-microsecond ts, which the watermark bisect and late-drop
+    # read), so measures may reference them; only the ts column itself
+    # stays un-measurable in event-time mode.
+    multi_order = len(order_cols) > 1 and not event_time
+    et_tie_cols = order_cols[1:] if event_time else []
     order_by = order_cols[0]
 
     if not define:
@@ -1176,6 +1203,8 @@ def match_recognize_stream(
         col_idx = {order_by: 0}
         for _i, _c in enumerate([c for c in data_cols if c != order_by]):
             col_idx[_c] = 2 + _i
+    # event-time tie-breaker slots (empty unless compound event-time)
+    _tie_slots = [col_idx[c] for c in et_tie_cols]
 
     def fn(key, pdfs, state):
         blob = json.loads(state.get[0]) if state.exists else {"rows": [], "mn": 0}
@@ -1184,6 +1213,11 @@ def match_recognize_stream(
         # (never rescanned), kept only so PREV() physical navigation can
         # see across the consumption boundary (empty unless max_prev > 0)
         h = blob.get("h", 0)
+        # arrival-order contract (ADVICE r9): lk = the last CONSUMED
+        # row's sort key; a new row sorting before it would need to
+        # re-sort behind the consumption boundary — loud, not silent
+        lk = blob.get("lk") if not event_time else None
+        new_min = None
         wm_us = state.getCurrentWatermarkMs() * 1000 if event_time else None
         for pdf in pdfs:
             if event_time:
@@ -1201,7 +1235,11 @@ def match_recognize_stream(
                 pdf = pdf.sort_values(order_cols, kind="mergesort")
                 for tup in pdf[["__sym", *data_cols]].itertuples(index=False):
                     vals = list(tup)
-                    rows.append([None, vals[0], *vals[1:]])
+                    r = [None, vals[0], *vals[1:]]
+                    k = [r[s] for s in _order_slots]
+                    if new_min is None or k < new_min:
+                        new_min = k
+                    rows.append(r)
             else:
                 pdf = pdf.sort_values(order_by, kind="mergesort")
                 for tup in pdf[[order_by, "__sym", *[c for c in data_cols if c != order_by]]].itertuples(
@@ -1210,9 +1248,24 @@ def match_recognize_stream(
                     vals = list(tup)
                     if wm_us is not None and vals[0] < wm_us:
                         continue  # late row: behind the watermark, dropped
+                    if new_min is None or vals[0] < new_min:
+                        new_min = vals[0]
                     rows.append([vals[0], vals[1], *vals[2:]])
+        if lk is not None and new_min is not None and new_min < lk:
+            raise ValueError(
+                "arrival-order streaming MATCH_RECOGNIZE requires each "
+                "key's rows to arrive in ORDER BY order across "
+                f"micro-batches: got sort key {new_min!r} after rows up "
+                f"to {lk!r} were already consumed by decided matches — "
+                "use event_time=True for out-of-order sources"
+            )
         if multi_order:
             rows.sort(key=lambda r: [r[s] for s in _order_slots])
+        elif _tie_slots:
+            # event-time compound: primary key is the integer-us ts in
+            # slot 0 (the watermark bisect below stays valid), ties
+            # resolve by the declared tie-breaker columns
+            rows.sort(key=lambda r: [r[0], *(r[s] for s in _tie_slots)])
         else:
             rows.sort(key=lambda r: r[0])
         # the scan may only decide the prefix no future row can enter:
@@ -1260,11 +1313,9 @@ def match_recognize_stream(
                     ]
                 mvals = _running_measure_values(specs, arrs, pairs)
                 for pos, (idx, sname) in enumerate(pairs):
-                    ovals = (
-                        [rows[idx][col_idx[c]] for c in order_cols]
-                        if multi_order
-                        else [rows[idx][0]]
-                    )
+                    # col_idx maps every order column in every layout
+                    # (slot 0 for the single/event-time primary)
+                    ovals = [rows[idx][col_idx[c]] for c in order_cols]
                     out.append(
                         [*key, blob["mn"], sname, *ovals]
                         + [mv[pos] for mv in mvals]
@@ -1388,6 +1439,11 @@ def match_recognize_stream(
                     last_sym = name_by_char[syms[hi - 1]]
                 vals.insert(0, last_sym)
             out.append([*key, blob["mn"], *vals])
+        if not event_time and consumed > 0:
+            last = rows[consumed - 1]
+            blob["lk"] = (
+                [last[s] for s in _order_slots] if multi_order else last[0]
+            )
         keep_from = max(0, consumed - max_prev)
         blob["h"] = consumed - keep_from
         rows = rows[keep_from:]

@@ -42,9 +42,12 @@ Semantics (SQL standard running semantics inside DEFINE):
   symbol means the navigated row's column (the batch lowering strips
   symbol prefixes the same way); FIRST/LAST are rejected there.
   Navigation before the partition start is NULL. The compiled
-  callable exposes ``fn.max_prev`` / ``fn.max_next`` (summed worst-case
-  physical excursions) so the streaming kernel can retain enough
-  consumed history and hold back unresolved-lead rows.
+  callable exposes ``fn.max_prev`` / ``fn.max_next`` — the worst-case
+  physical excursions, computed as the MAX over nesting paths
+  (offsets accumulate only through NESTED navigation; sibling
+  ``PREV(a) AND PREV(b)`` needs 1 row of history, not 2) — so the
+  streaming kernel retains exactly enough consumed history and holds
+  back no more unresolved-lead rows than necessary.
 - three-valued logic: a NULL operand makes a comparison UNKNOWN,
   AND/OR/NOT follow Kleene, and a row satisfies the DEFINE only when
   the condition is TRUE.
@@ -132,8 +135,22 @@ def compile_condition(
     # exposed as fn.columns so the kernel can project/shuffle ONLY these
     # instead of the whole row (the 100-TB shuffle-width win)
     phys = [0]  # >0 while parsing inside a PREV()/NEXT() argument
-    nav_prev = [0]  # summed PREV offsets (worst-case backward excursion)
-    nav_next = [0]  # summed NEXT offsets (worst-case forward excursion)
+    # Physical-navigation excursion FRAMES, one per nav-argument nesting
+    # level: [r_lo, r_hi, h] where (r_lo, r_hi) bound the NET offsets
+    # (relative to the frame's evaluation row) at which column READS
+    # occur (None when the subtree reads nothing), and h >= 0 is the
+    # worst backward HOP depth — each nav hop boundary-checks j < 0
+    # hop-wise, so an intermediate backward hop needs retained history
+    # even when the net read lands forward of it. ADVICE r9: siblings
+    # take the MAX (they share one history window); only genuine
+    # nesting accumulates, and opposite-direction nesting cancels for
+    # the forward (NEXT-holdback) bound.
+    exc: list[list] = [[None, None, 0]]
+
+    def _note_read() -> None:
+        top = exc[-1]
+        top[0] = 0 if top[0] is None else min(top[0], 0)
+        top[1] = 0 if top[1] is None else max(top[1], 0)
 
     def peek(k: int = 0):
         j = p[0] + k
@@ -194,6 +211,7 @@ def compile_condition(
             take()
             take("op", "(")
             phys[0] += 1
+            exc.append([None, None, 0])  # fresh frame for the argument
             inner = parse_add()  # expression evaluated on the navigated row
             phys[0] -= 1
             off = 1
@@ -205,12 +223,18 @@ def compile_condition(
                         f"{val}() offset must be a non-negative integer"
                     )
             take("op", ")")
-            if val == "PREV":
-                nav_prev[0] += off
-                shift = -off
-            else:
-                nav_next[0] += off
-                shift = off
+            shift = -off if val == "PREV" else off
+            r_lo, r_hi, h = exc.pop()
+            top = exc[-1]
+            if r_lo is not None:
+                # the argument evaluates at i+shift; its reads are
+                # relative to THAT row, so they translate by shift
+                lo, hi = r_lo + shift, r_hi + shift
+                top[0] = lo if top[0] is None else min(top[0], lo)
+                top[1] = hi if top[1] is None else max(top[1], hi)
+            # hop depth: this hop reaches max(0, -shift); the
+            # argument's hops sit shift further along the path
+            top[2] = max(top[2], max(0, h - shift))
 
             def nav(a, i, b, inner=inner, shift=shift):
                 j = i + shift
@@ -266,6 +290,7 @@ def compile_condition(
                     # row's column (physical addressing — the batch
                     # lowering strips symbol prefixes the same way)
                     used_cols.add(col)
+                    _note_read()
 
                     def cur(a, i, b, c=col):
                         v = a[c][i]
@@ -276,6 +301,7 @@ def compile_condition(
                 return nav_fn("LAST", val, col, 0)
 
             used_cols.add(val)
+            _note_read()
 
             def cur(a, i, b, c=val):
                 v = a[c][i]
@@ -416,6 +442,11 @@ def compile_condition(
         return root(arrs, i, bindings) is True
 
     fn.columns = frozenset(used_cols)
-    fn.max_prev = nav_prev[0]
-    fn.max_next = nav_next[0]
+    r_lo, r_hi, h = exc[0]
+    # history must cover the deepest backward hop (every backward read
+    # is reached through hops, so h already dominates -r_lo; keep the
+    # max as a belt-and-braces bound); holdback covers only NET forward
+    # reads — forward hops are not boundary-checked
+    fn.max_prev = max(h, -(r_lo or 0))
+    fn.max_next = max(0, r_hi or 0)
     return fn

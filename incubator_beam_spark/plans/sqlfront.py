@@ -593,8 +593,18 @@ def run_sql_stream(
 
     Streaming contract (violations raise up front): compound PARTITION
     BY and compound ORDER BY both supported (the key lives in the
-    grouping; a compound sort key rides state slot 0 — event-time mode
-    alone needs a single timestamp ORDER BY column, the watermark),
+    grouping; the composite sort key derives from the data slots). In
+    event-time mode a compound ORDER BY's FIRST column must be the
+    timestamp (the single watermark); the remaining columns are pure
+    tie-breakers within the watermark-final prefix (r10 lift — see
+    ``match_recognize_stream``). Arrival-order mode (``event_time=
+    False``) requires
+    each key's rows to arrive in ORDER BY order ACROSS micro-batches
+    (composite order for a compound ORDER BY); within a batch any
+    order is fine. The kernel tracks the last-consumed sort key in
+    state and raises on a violating arrival instead of silently
+    diverging from the batch result — out-of-order sources must use
+    ``event_time=True``. Also supported:
     ONE or ALL ROWS PER MATCH (decided
     matches are final, so per-row emission with RUNNING/FINAL measures
     is sound), every AFTER MATCH SKIP mode (PAST LAST ROW / TO NEXT
@@ -635,12 +645,10 @@ def run_sql_stream(
             f"run_sql_stream: table {table!r} is not a streaming view — "
             "use run_sql for batch inputs"
         )
-    if event_time and len(kw["order_by"]) != 1:
-        raise ValueError(
-            "event-time streaming MATCH_RECOGNIZE needs a single "
-            "timestamp ORDER BY column (the watermark column); compound "
-            "ORDER BY is supported in arrival-order mode"
-        )
+    # Compound ORDER BY is supported in BOTH modes (r10 lift): in
+    # event-time mode the first order column must be the timestamp
+    # (the single watermark) and the rest act as tie-breakers within
+    # the watermark-final prefix — see match_recognize_stream.
     rename_cls = kw.pop("rename_cls", None)
     all_syms = set(kw["define"])
     defines: dict = {}

@@ -1079,6 +1079,46 @@ def test_cepdefine_compiler_semantics():
         compile_condition("LAST(Z.v) > 1", "A", syms)
 
 
+def test_cepdefine_nav_excursion_is_max_over_paths():
+    """ADVICE r9: fn.max_prev/max_next must be the MAX over nesting
+    paths, not the sum of every PREV/NEXT in the condition — sibling
+    navigations share the same history window, so summing them inflated
+    retained history and the NEXT holdback (extra latency, extra
+    undecidable drain-end rows). Offsets still accumulate through
+    genuine NESTING (the argument evaluates on the navigated row), and
+    opposite-direction nesting partially cancels."""
+    import numpy as np
+
+    from incubator_beam_spark.plans.cepdefine import compile_condition
+
+    arrs = {"v": np.array([1.0, 2.0, 3.0, 4.0, 5.0])}
+
+    # siblings: max, not sum
+    fn = compile_condition("v > PREV(v) AND v > PREV(v, 2)", "A", {"A"})
+    assert (fn.max_prev, fn.max_next) == (2, 0)
+    fn = compile_condition("v > NEXT(v) OR v > NEXT(v, 3)", "A", {"A"})
+    assert (fn.max_prev, fn.max_next) == (0, 3)
+    # mixed directions: independent maxima
+    fn = compile_condition("PREV(v, 2) < v AND NEXT(v) > v", "A", {"A"})
+    assert (fn.max_prev, fn.max_next) == (2, 1)
+    # nesting accumulates along the path: PREV(PREV(v)) reaches i-2
+    fn = compile_condition("v > PREV(PREV(v))", "A", {"A"})
+    assert (fn.max_prev, fn.max_next) == (2, 0)
+    assert fn(arrs, 2, {}) is True  # v[2]=3 > v[0]=1
+    assert fn(arrs, 1, {}) is False  # navigates before partition start
+    # opposite-direction nesting cancels: NEXT(PREV(v,2)) reaches i-1
+    fn = compile_condition("v > NEXT(PREV(v, 2))", "A", {"A"})
+    assert (fn.max_prev, fn.max_next) == (1, 0)
+    assert fn(arrs, 1, {}) is True  # v[1]=2 > v[0]=1
+    # ...and the nested sibling inside an argument frames independently
+    fn = compile_condition(
+        "PREV(v + PREV(v)) > 0 AND NEXT(v, 2) > 0", "A", {"A"}
+    )
+    assert (fn.max_prev, fn.max_next) == (2, 2)
+    # evaluation agrees with the excursion claim at the buffer edge
+    assert fn(arrs, 2, {}) is True  # PREV chain hits rows 1 and 0
+
+
 def test_measure_offsets_and_one_row_classifier(spark):
     """FIRST/LAST(col, n) logical offsets (one-row + running) and
     CLASSIFIER under ONE ROW PER MATCH — VERDICT r6 item #3."""
@@ -2542,6 +2582,208 @@ def test_run_sql_stream_prev_next_agreement(spark):
     assert rows2 == expected2
 
 
+def test_match_recognize_stream_event_time_compound_order(spark):
+    """EVENT-TIME x compound ORDER BY (r10 lift — the last streaming
+    restriction): the watermark stays the single timestamp column and
+    the remaining order columns act as tie-breakers within the
+    watermark-final prefix. Rows sharing a timestamp arrive OUT OF
+    ORDER across micro-batches (inside the watermark) and must still
+    sort batch-identically by (ts, seq); the tie-breaker column stays
+    measurable. Stream == batch kernel on the same data."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from incubator_beam_spark.plans.cep import (
+        match_recognize,
+        match_recognize_stream,
+    )
+    from incubator_beam_spark.queries.events import _stage_scripted_file
+
+    schema = T.StructType(
+        [
+            T.StructField("user", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    base = "2024-01-01 00:00:0"
+    # (ts_sec, seq, val): H-runs depend on the TIE order within each ts
+    real = [
+        (1, f"{base}1", 1, 150.0), (1, f"{base}1", 2, 50.0),
+        (1, f"{base}1", 3, 150.0), (1, f"{base}2", 1, 150.0),
+        (1, f"{base}2", 2, 150.0), (1, f"{base}3", 1, 50.0),
+        (1, f"{base}3", 2, 150.0), (1, f"{base}3", 3, 150.0),
+        (1, f"{base}3", 4, 150.0),
+    ]
+    push = (1, "2024-01-01 01:00:00", 99, 99.0)
+    flush = (1, "2024-01-01 01:00:01", 100, 0.0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "user bigint, ts string, seq bigint, val double"
+        ).selectExpr("user", "CAST(ts AS TIMESTAMP) AS ts", "seq", "val")
+
+    stage = tempfile.mkdtemp(prefix="cep_et_compound_")
+    t0 = 1700000000
+    # ties delivered out of order across batches, inside the watermark
+    _stage_scripted_file(
+        stage, mk([real[2], real[3], real[0]]), "a_first", t0
+    )
+    _stage_scripted_file(
+        stage, mk([real[6], real[1], real[4]]), "b_second", t0 + 10
+    )
+    _stage_scripted_file(
+        stage, mk([real[8], real[5], real[7]]), "c_third", t0 + 20
+    )
+    _stage_scripted_file(stage, mk([push]), "d_wm_push", t0 + 30)
+    _stage_scripted_file(stage, mk([flush]), "e_flush", t0 + 40)
+    define = {"H": F.col("val") >= 100}
+    measures = {
+        "first_seq": ("first", "H", "seq"),
+        "last_seq": ("last", "H", "seq"),
+    }
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = match_recognize_stream(
+        stream,
+        partition_by="user",
+        order_by=["ts", "seq"],
+        define=define,
+        pattern="H H",
+        measures=measures,
+        event_time=True,
+        watermark_delay="10 seconds",
+    )
+    name = f"cep_et_compound_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.match_number, r.first_seq, r.last_seq)
+        for r in spark.table(name).collect()
+    )
+    want_df = match_recognize(
+        mk([*real, push, flush]),
+        partition_by=["user"],
+        order_by=["ts", "seq"],
+        define=define,
+        pattern="H H",
+        measures=measures,
+    )
+    want = sorted(
+        (r.match_number, r.first_seq, r.last_seq)
+        for r in want_df.collect()
+    )
+    # match 1 straddles the ts=1/ts=2 boundary off a tie-broken row;
+    # match 2 is decided purely by the tie order within ts=3
+    assert got == want == [(1, 3, 1), (2, 2, 3)]
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_stream_arrival_order_violation_raises(spark):
+    """ADVICE r9: arrival-order mode silently required each key's rows
+    to arrive in ORDER BY order across micro-batches — a later batch
+    delivering a row that sorts before already-CONSUMED rows yielded
+    matches a batch run never produces, with no runtime detection. The
+    kernel now tracks the last-consumed sort key in state and raises.
+    Covers the single-column and the COMPOUND ORDER BY paths (the
+    composite key is the one tracked in state)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from incubator_beam_spark.plans.cep import match_recognize_stream
+    from incubator_beam_spark.streaming import TestStream
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+
+    def run(order_by, batch1, batch2):
+        with TestStream(spark, schema) as ts:
+            out = match_recognize_stream(
+                ts.stream,
+                partition_by="key",
+                order_by=order_by,
+                define={"H": F.col("val") >= 100},
+                pattern="H H",
+                measures={"last_seq": ("last", "H", "seq")},
+            )
+            ts.start(out, output_mode="append")
+            ts.add_elements(batch1).advance()  # match decided+consumed
+            ts.add_elements(batch2).advance()  # sorts before consumed
+
+    # single-column ORDER BY: seq 1 arrives after seqs 1-2 are consumed
+    with pytest.raises(Exception, match="arrival-order"):
+        run(
+            "seq",
+            [(1, 1, "a", 150.0), (1, 2, "a", 150.0)],
+            [(1, 1, "z", 150.0)],
+        )
+    # compound ORDER BY (grp, seq): ("a", 9) sorts before consumed
+    # ("b", 2) even though seq alone is in order
+    with pytest.raises(Exception, match="arrival-order"):
+        run(
+            ["grp", "seq"],
+            [(2, 1, "b", 150.0), (2, 2, "b", 150.0)],
+            [(2, 9, "a", 150.0)],
+        )
+    # in-order across batches stays green (equal-boundary key is fine)
+    with TestStream(spark, schema) as ts:
+        out = match_recognize_stream(
+            ts.stream,
+            partition_by="key",
+            order_by=["grp", "seq"],
+            define={"H": F.col("val") >= 100},
+            pattern="H H",
+            measures={"last_seq": ("last", "H", "seq")},
+        )
+        ts.start(out, output_mode="append")
+        ts.add_elements([(3, 1, "a", 150.0), (3, 2, "a", 150.0)]).advance()
+        ts.add_elements([(3, 3, "b", 150.0), (3, 4, "b", 150.0)]).advance()
+        got = sorted(
+            (r.key, r.match_number, r.last_seq) for r in ts.results().collect()
+        )
+    assert got == [(3, 1, 2), (3, 2, 4)]
+
+
+def test_stream_match_recognize_compound_order_et_oracle(spark, duck):
+    """Event-time x compound ORDER BY device (r10-built, r11
+    promotion): minute-truncated watermark column with in-minute ties
+    broken by (event_type, event_id), second half of the month
+    delivered FIRST — the drained stream must hash-match the compound-
+    order island oracle. Dtype-strict (the banking comparator)."""
+    from incubator_beam_spark.queries.devices import (
+        STREAM_MR_COMPOUND_ORDER_ET_ORACLE,
+        stream_match_recognize_compound_order_et,
+    )
+
+    from .conftest import SF_DIR, assert_matches_oracle_strict
+
+    out = stream_match_recognize_compound_order_et(spark, SF_DIR)
+    assert_matches_oracle_strict(
+        out, duck, STREAM_MR_COMPOUND_ORDER_ET_ORACLE,
+        "stream_match_recognize_compound_order_et",
+    )
+
+
 def test_sql_tpcds_q72_factfact_oracle(spark, duck):
     """Exact-oracle check for the q72 fact-to-fact device (verdict r8
     item 5): demand lines joined to the derived availability fact on
@@ -2735,9 +2977,10 @@ def test_match_recognize_stream_compound_order_by(spark):
 
 def test_run_sql_stream_compound_order_by(spark):
     """Compound ORDER BY through the streaming SQL front door: same SQL
-    through run_sql and run_sql_stream must agree; event-time mode with
-    a compound ORDER BY still raises (the watermark needs one
-    timestamp column)."""
+    through run_sql and run_sql_stream must agree; event-time mode now
+    ACCEPTS a compound ORDER BY (r10 lift) — the first column is the
+    watermark timestamp, the rest tie-break — verified through the SQL
+    front door with ties delivered out of order across batches."""
     from pyspark.sql import types as T
 
     from incubator_beam_spark.plans.sqlfront import run_sql, run_sql_stream
@@ -2784,12 +3027,56 @@ def test_run_sql_stream_compound_order_by(spark):
             for r in ts.results().collect()
         )
     assert rows == expected
-    with TestStream(spark, schema) as ts:
+    # event-time x compound ORDER BY through the SQL front door: ts is
+    # the watermark, seq tie-breaks within each (repeated) timestamp
+    et_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    q_et = """
+      SELECT key, match_number, s1, s2
+      FROM {T} MATCH_RECOGNIZE (
+        PARTITION BY key
+        ORDER BY ts, seq
+        MEASURES FIRST(H.seq) AS s1, LAST(H.seq) AS s2
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (H H)
+        DEFINE H AS val >= 10
+      )
+    """
+    import datetime as _dt
+
+    t = lambda s: _dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    et1 = [(1, t(1), 3, 11.0), (1, t(1), 1, 12.0)]  # tie 1 partial
+    et2 = [(1, t(1), 2, 1.0), (1, t(2), 1, 13.0)]  # tie 1 completes late
+    et_push = [(1, t(50), 9, 0.0)]  # watermark push (delay 10s)
+    et_flush = [(1, _dt.datetime(2024, 1, 1, 0, 2, 0), 10, 0.0)]
+    with TestStream(spark, et_schema) as ts:
         ts.stream.createOrReplaceTempView("mrs_cord_et")
-        with pytest.raises(ValueError, match="single"):
-            run_sql_stream(
-                spark, q.replace("{T}", "mrs_cord_et"), event_time=True
-            )
+        out = run_sql_stream(
+            spark,
+            q_et.replace("{T}", "mrs_cord_et"),
+            event_time=True,
+            watermark_delay="10 seconds",
+        )
+        ts.start(out, output_mode="append")
+        ts.add_elements(et1).advance()
+        ts.add_elements(et2).advance()
+        ts.add_elements(et_push).advance()
+        ts.add_elements(et_flush).advance()
+        rows_et = sorted(
+            (r.key, r.match_number, r.s1, r.s2)
+            for r in ts.results().collect()
+        )
+    # sorted order: (1,1),(1,2),(1,3),(2,1) -> H at seq1? vals: seq1=12 H,
+    # seq2=1 ., seq3=11 H, (t2,1)=13 H -> greedy scan: [1 H][2 .] no,
+    # [3 H][t2.1 H] match (first_seq 3, last_seq 1)
+    assert rows_et == [(1, 1, 3, 1)]
 
 
 def test_match_recognize_stream_compound_order_all_rows(spark):

@@ -759,3 +759,136 @@ def test_stream_next_nav_prefix_of_batch(vals, sizes):
     # incrementally — but the appended 0,0 tail means no peak lives
     # there, so the runs must be exactly equal
     assert got == want, (vals, sizes)
+
+
+# -- compound ORDER BY x PREV/NEXT navigation (r10; verdict r9 item 7) --------
+#
+# The composite-sort-key derivation is most likely to diverge from
+# batch where TIES meet navigation: a micro-batch delivers its rows in
+# arbitrary INTRA-batch order, the kernel re-sorts the buffer by the
+# composite key, and PREV/NEXT address the SORTED physical rows — so a
+# wrong tie resolution flips a D/U/P classification. This differential
+# randomizes the tie density (first-order-column group sizes), the
+# intra-batch arrival permutation, and the chunk boundaries, and runs
+# the REAL cepdefine callables through the kernel's exact
+# sort-merge-scan-consume math against the whole-sequence reference.
+
+
+def incremental_compound_nav_run(pattern, rows, sizes, defines, rng):
+    """rows: [(k1, k2, value)] in GLOBAL composite order (the enforced
+    cross-batch arrival contract); each chunk is delivered in a random
+    intra-batch permutation, then the buffer re-sorts by the composite
+    key exactly as match_recognize_stream.fn does (stable sort over
+    [key columns] — arrival position is NOT part of the key)."""
+    from incubator_beam_spark.plans.cep import _stable_scan
+    from incubator_beam_spark.plans.nfa import NFA, trail_bindings
+
+    max_prev = max(d.max_prev for d in defines.values())
+    max_next = max(d.max_next for d in defines.values())
+    nfa = NFA(pattern)
+    out, mn = [], 0
+    buf: list = []
+    h = 0
+    consumed_keys = 0  # total rows ever dropped from the buffer front
+    pos = 0
+    it = iter(sizes)
+    while pos < len(rows):
+        try:
+            k = next(it)
+        except StopIteration:
+            k = len(rows) - pos
+        chunk = list(rows[pos : pos + k])
+        rng.shuffle(chunk)  # intra-batch order is free
+        pos += k
+        buf = buf + chunk
+        buf.sort(key=lambda r: [r[0], r[1]])  # the kernel's composite sort
+        arrs = {"value": [r[2] for r in buf]}
+
+        def can(sym, i, trail, a=arrs):
+            fn = defines.get(sym)
+            return bool(fn(a, i, trail_bindings(trail))) if fn else False
+
+        n_scan = max(len(buf) - max_next, h)
+        decided, consumed = _stable_scan(nfa, n_scan, can, start=h)
+        for lo, hi, _assignment in decided:
+            mn += 1
+            out.append((mn, consumed_keys + lo, consumed_keys + hi))
+        keep_from = max(0, consumed - max_prev)
+        h = consumed - keep_from
+        buf = buf[keep_from:]
+        consumed_keys += keep_from
+    return out
+
+
+# tie GROUP sizes for the first order column: group g holds the next
+# `size` rows as (g, 0), (g, 1), ... — composite keys stay unique (the
+# fully-tied case has no specified order), ties live in column 1
+tie_groups = st.lists(st.integers(1, 4), min_size=0, max_size=12)
+payloads = st.lists(st.integers(0, 4), min_size=0, max_size=24)
+
+
+def _keyed_rows(vals, groups):
+    rows, g, j = [], 0, 0
+    sizes = iter(groups)
+    cap = next(sizes, 1)
+    for v in vals:
+        if j >= cap:
+            g, j, cap = g + 1, 0, next(sizes, 1)
+        rows.append((g, j, v))
+        j += 1
+    return rows
+
+
+@settings(max_examples=250, deadline=None)
+@given(
+    vals=payloads, groups=tie_groups, sizes=chunkings,
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_stream_compound_order_prev_nav_equals_batch(vals, groups, sizes, seed):
+    """``D+ U`` with PREV defines over a COMPOUND order key: the
+    incremental run (random tie density, random intra-batch
+    permutation, random chunking) == the whole-sequence run."""
+    import random
+
+    vals = [*vals, 99, 99]  # deciding tail (U then '.')
+    rows = _keyed_rows(vals, groups)
+    defines = _nav_defines({k: _NAV_EXPRS[k] for k in ("D", "U")})
+
+    def classify(vs, i):
+        if i > 0 and vs[i] < vs[i - 1]:
+            return "D"
+        if i > 0 and vs[i] > vs[i - 1]:
+            return "U"
+        return "."
+
+    got = incremental_compound_nav_run(
+        "D+ U", rows, sizes, defines, random.Random(seed)
+    )
+    want = whole_nav_run("D+ U", vals, classify)
+    assert got == want, (vals, groups, sizes, seed)
+
+
+@settings(max_examples=250, deadline=None)
+@given(
+    vals=payloads, groups=tie_groups, sizes=chunkings,
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_stream_compound_order_next_nav_equals_batch(vals, groups, sizes, seed):
+    """``P`` (peak via PREV AND NEXT) over a COMPOUND order key: the
+    NEXT holdback must interact correctly with rows that re-sorted
+    inside their tie group before classification."""
+    import random
+
+    vals = [*vals, 99, 0, 0]  # peak-proof tail
+    rows = _keyed_rows(vals, groups)
+    defines = _nav_defines({"P": _NAV_EXPRS["P"]})
+
+    def classify(vs, i):
+        u = i > 0 and vs[i] > vs[i - 1]
+        return "P" if (u and i + 1 < len(vs) and vs[i] > vs[i + 1]) else "."
+
+    got = incremental_compound_nav_run(
+        "P", rows, sizes, defines, random.Random(seed)
+    )
+    want = whole_nav_run("P", vals, classify)
+    assert got == want, (vals, groups, sizes, seed)
