@@ -440,6 +440,56 @@ def ivf_topk(
     )
 
 
+def ivf_topk_indexed(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF top-k against a MAINTAINED index — the ``(id, v, vn, cell)``
+    artifact index maintenance writes (cell-partitioned parquet, see
+    ``stream_ivf_index_maintain``): corpus cells come from the index's
+    stored ``cell`` column, nothing is re-assigned, and the probed
+    cells are pushed down as an ``isin`` filter BEFORE the join so the
+    scan reads only the probed cell partitions. This is the SERVING
+    shape at 100 TB: a query batch touches nprobe partitions per
+    query, not the index — probe cost is independent of index size.
+    The probed-cell collect is a bounded driver artifact (at most
+    nprobe x |query batch| integers). Ranking contract identical to
+    ``ivf_topk`` (cos rounded 6dp DESC, match_id ASC)."""
+    if nprobe > 1:
+        qa = ivf_assign_probes(queries, centroids, nprobe, id_col, vec_col)
+    else:
+        qa = ivf_assign(queries, centroids, id_col, vec_col)
+    qa = qa.select(
+        F.col("id").alias("query_id"), F.col("cell"),
+        F.col("v").alias("qv"), F.col("vn").alias("qn"),
+    )
+    cells = [r.cell for r in qa.select("cell").distinct().collect()]
+    ca = index.filter(F.col("cell").isin(cells)).select(
+        F.col("id").alias("match_id"), F.col("cell"),
+        F.col("v").alias("cv"), F.col("vn").alias("cn"),
+    )
+    scored = (
+        ca.join(F.broadcast(qa), "cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn(
+            "cos",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
+        .select("query_id", "match_id", "cos")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cos", "rank")
+    )
+
+
 def l2_normalize(vec: Column) -> Column:
     """Unit-normalize an embedding (zero vectors pass through unchanged).
     Codegen'd transform+aggregate — normalization is a scan-side op."""

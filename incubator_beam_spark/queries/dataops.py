@@ -3382,6 +3382,111 @@ def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_incremental(incoming, idx, d)
 
 
+# --- minhash ingest-LOOP device (unregistered; r11 promotion — the
+# dedup twin of stream_ann_serving's freshness contract: probe, then
+# WRITE BACK the batch's band keys into the index, so the next batch
+# deduplicates against everything ingested before it, not just the
+# original corpus) ---
+
+MINHASH_INGEST_LOOP_ORACLE = f"""
+WITH corpus_sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+corpus_sig AS (SELECT doc_id, sh, [{_SIG}] AS sig FROM corpus_sh),
+corpus_bands AS (
+  SELECT doc_id, b AS band, md5(sig[2*b + 1] || '|' || sig[2*b + 2]) AS key
+  FROM corpus_sig, unnest(generate_series(0, 3)) AS t(b)),
+b1 AS (
+  SELECT doc_id + 1000000 AS doc_id, text || ' rev' AS text FROM documents),
+b1_sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM b1),
+b1_sig AS (SELECT doc_id, sh, [{_SIG}] AS sig FROM b1_sh),
+b1_bands AS (
+  SELECT doc_id, b AS band, md5(sig[2*b + 1] || '|' || sig[2*b + 2]) AS key
+  FROM b1_sig, unnest(generate_series(0, 3)) AS t(b)),
+cand1 AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS old_id
+  FROM b1_bands n JOIN corpus_bands c ON n.band = c.band AND n.key = c.key),
+pairs1 AS (
+  SELECT 1::BIGINT AS batch, new_id, old_id,
+         round(len(list_intersect(a.sh, b.sh))
+               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+  FROM cand1 JOIN b1_sig a ON cand1.new_id = a.doc_id
+             JOIN corpus_sig b ON cand1.old_id = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))
+              / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
+idx2_bands AS (
+  SELECT * FROM corpus_bands UNION ALL SELECT * FROM b1_bands),
+idx2_sig AS (
+  SELECT doc_id, sh FROM corpus_sig UNION ALL SELECT doc_id, sh FROM b1_sig),
+b2 AS (
+  SELECT doc_id + 2000000 AS doc_id, text || ' rev2' AS text FROM documents),
+b2_sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM b2),
+b2_sig AS (SELECT doc_id, sh, [{_SIG}] AS sig FROM b2_sh),
+b2_bands AS (
+  SELECT doc_id, b AS band, md5(sig[2*b + 1] || '|' || sig[2*b + 2]) AS key
+  FROM b2_sig, unnest(generate_series(0, 3)) AS t(b)),
+cand2 AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS old_id
+  FROM b2_bands n JOIN idx2_bands c ON n.band = c.band AND n.key = c.key),
+pairs2 AS (
+  SELECT 2::BIGINT AS batch, new_id, old_id,
+         round(len(list_intersect(a.sh, b.sh))
+               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+  FROM cand2 JOIN b2_sig a ON cand2.new_id = a.doc_id
+             JOIN idx2_sig b ON cand2.old_id = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))
+              / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5)
+SELECT * FROM pairs1 UNION ALL SELECT * FROM pairs2
+"""
+
+
+def doc_minhash_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE incremental-dedup ingest loop (dataops/dedup.py):
+    batch 1 (' rev' re-crawls, ids +1e6) probes the persisted corpus
+    index, then its band keys are APPENDED into the band-partitioned
+    index (the write-back — 24 B/doc/band, append-only, no corpus
+    rescan); batch 2 (' rev2', ids +2e6) probes the GROWN index
+    reopened cold and must surface near-dups against BOTH the corpus
+    and batch 1 — index freshness for dedup, the same contract
+    stream_ann_serving pins for ANN. A missing write-back loses every
+    (2e6, 1e6) pair; a leaked future row invents pairs batch 1 never
+    saw. The oracle replays both probes end to end."""
+    import tempfile
+
+    d = table(spark, sf_dir, "documents")
+    idx_dir = tempfile.mkdtemp(prefix="minhash_loop_index_")
+    dedup.minhash_index(d).write.mode("overwrite").partitionBy("band").parquet(
+        idx_dir
+    )
+    b1 = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" rev")).alias("text"),
+    )
+    idx = spark.read.parquet(idx_dir)
+    pairs1 = dedup.minhash_lsh_incremental(b1, idx, d).withColumn(
+        "batch", F.lit(1).cast("long")
+    )
+    pairs1 = pairs1.select("batch", "new_id", "old_id", "jaccard")
+    # persist pairs1 BEFORE the write-back mutates the index it reads
+    # (lazy plans would otherwise probe the grown index)
+    p1_dir = tempfile.mkdtemp(prefix="minhash_loop_p1_")
+    pairs1.write.mode("overwrite").parquet(p1_dir)
+    # the write-back: batch 1's band keys join the index, append-only
+    dedup.minhash_index(b1).write.mode("append").partitionBy("band").parquet(
+        idx_dir
+    )
+    b2 = d.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" rev2")).alias("text"),
+    )
+    idx2 = spark.read.parquet(idx_dir)  # reopened cold: corpus + batch 1
+    corpus2 = d.unionByName(b1)
+    pairs2 = dedup.minhash_lsh_incremental(b2, idx2, corpus2).withColumn(
+        "batch", F.lit(2).cast("long")
+    )
+    return spark.read.parquet(p1_dir).unionByName(
+        pairs2.select("batch", "new_id", "old_id", "jaccard")
+    )
+
+
 # --- streaming IVF index maintenance device (unregistered; r10
 # promotion — verdict r8 item 8: the ANN index as a CONTINUOUSLY
 # MAINTAINED artifact — embeddings arrive as micro-batches, assign to
@@ -3471,6 +3576,134 @@ def stream_ivf_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.groupBy(F.col("cell").cast("long").alias("cell")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("qsum").alias("qsum_total"),
+    )
+
+
+# --- streaming ANN serving device (unregistered; r11 promotion —
+# verdict r9 item 8: compose the maintained IVF index with the kNN
+# vote stage into CONTINUOUS AUTO-LABELING, exercising index-FRESHNESS
+# semantics no other gate touches: a fixed query batch re-probes the
+# index after every ingest micro-batch, so predictions must evolve
+# with exactly the accumulated prefix) ---
+
+
+def _ann_serving_oracle(prefixes: int = 4, nprobe: int = 2, k: int = 10) -> str:
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM embeddings),
+pfx AS (SELECT unnest(generate_series(1, {prefixes})) AS p),
+vv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label FROM embeddings),
+cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+         FROM embeddings WHERE vec_id < 8),
+sc AS (SELECT vv.id, vv.v, vv.label, cent.cid, {_IVF_COS} AS cos_c
+       FROM vv CROSS JOIN cent),
+assigned AS (
+  SELECT id, v, label, cid AS cell, sqrt(list_dot_product(v, v)) AS vn
+  FROM sc
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cos_c DESC, cid) = 1),
+qa AS (
+  SELECT id AS query_id, cid AS cell, v AS qv,
+         sqrt(list_dot_product(v, v)) AS qn
+  FROM sc WHERE id < 10
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cos_c DESC, cid)
+          <= {nprobe}),
+pq AS (SELECT pfx.p, qa.* FROM pfx CROSS JOIN qa),
+topk AS (
+  SELECT p, query_id, match_id, label FROM (
+    SELECT pq.p, pq.query_id, a.id AS match_id, a.label,
+           row_number() OVER (
+             PARTITION BY pq.p, pq.query_id
+             ORDER BY round(list_dot_product(qv, a.v) / (qn * a.vn), 6) DESC,
+                      a.id) AS rank
+    FROM pq JOIN assigned a USING (cell)
+    WHERE a.id != pq.query_id
+      AND a.id * {prefixes} < pq.p * (SELECT n FROM nn))
+  WHERE rank <= {k}),
+votes AS (
+  SELECT p, query_id, label AS nbr_label, count(*) AS votes
+  FROM topk GROUP BY p, query_id, label)
+SELECT ((p * (SELECT n FROM nn) + {prefixes - 1}) // {prefixes})::BIGINT
+         AS n_indexed,
+       query_id, nbr_label AS pred_label, votes::BIGINT AS votes
+FROM (SELECT *, row_number() OVER (PARTITION BY p, query_id
+                                   ORDER BY votes DESC, nbr_label) AS rn
+      FROM votes) WHERE rn = 1
+"""
+
+
+STREAM_ANN_SERVING_ORACLE = _ann_serving_oracle()
+
+
+def stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS AUTO-LABELING: embeddings stream in as 4 scripted
+    ingest micro-batches (vec_id quartiles), each batch assigns to the
+    offline coarse quantizer scan-side and APPENDS into the
+    cell-partitioned parquet index (the stream_ivf_index_maintain
+    artifact, now carrying v/vn/label for serving); after every ingest
+    batch the FIXED query set (vec_id < 10) re-probes the index COLD
+    from disk via ``ivf_topk_indexed`` (corpus cells read from the
+    index — nothing re-assigned; probed cells pushed down as a
+    partition filter, so probe cost is independent of index size) and
+    the kNN vote emits (n_indexed, query, pred_label, votes). The
+    oracle replays the IVF+vote over each accumulated prefix, so a
+    stale index, a leaked future row, or a wrong freshness boundary
+    changes ``n_indexed`` or a prediction and fails the hash. At
+    100 TB this is the serving loop between quantizer retrains: ingest
+    appends touch only their cells, queries touch only nprobe
+    partitions each."""
+    import tempfile
+
+    from ..dataops.similarity import ivf_assign, ivf_topk_indexed, knn_classify
+    from .events import _stage_scripted_file
+
+    e = table(spark, sf_dir, "embeddings")
+    n = e.count()
+    centroids = e.filter(F.col("vec_id") < 8)
+    queries_df = e.filter(F.col("vec_id") < 10)
+    stage = tempfile.mkdtemp(prefix="ann_serve_stage_")
+    t0 = 1700000000
+    for b in range(4):
+        part = e.filter(
+            (F.col("vec_id") * 4 >= b * n) & (F.col("vec_id") * 4 < (b + 1) * n)
+        )
+        _stage_scripted_file(stage, part, f"b{b}", t0 + 10 * b)
+    index_dir = tempfile.mkdtemp(prefix="ann_serve_index_")
+    results_dir = tempfile.mkdtemp(prefix="ann_serve_out_")
+    ckpt = tempfile.mkdtemp(prefix="ann_serve_ckpt_")
+
+    def handle(batch_df, _epoch):
+        assigned = ivf_assign(batch_df, centroids).join(
+            batch_df.select(F.col("vec_id").alias("id"), "label"), "id"
+        )
+        assigned.write.mode("append").partitionBy("cell").parquet(index_dir)
+        idx = spark.read.parquet(index_dir)  # the maintained artifact, cold
+        n_indexed = idx.count()
+        nbrs = ivf_topk_indexed(queries_df, idx, centroids, k=10, nprobe=2)
+        pred = knn_classify(
+            queries_df,
+            idx.select(F.col("id").alias("vec_id"), "label"),
+            k=10,
+            topk=nbrs,
+        )
+        pred.withColumn("n_indexed", F.lit(n_indexed).cast("long")).write.mode(
+            "append"
+        ).parquet(results_dir)
+
+    s = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        s.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(results_dir).select(
+        "n_indexed", "query_id", "pred_label", "votes"
     )
 
 

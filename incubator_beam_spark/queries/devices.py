@@ -434,9 +434,13 @@ def stream_match_recognize_compound_order(
     return _drain(out, "append")
 
 
-def devices() -> dict:
-    """name -> (query_fn, oracle_sql) for every CURRENTLY banked device
-    (built this round, registered next round)."""
+def promoted_r10() -> dict:
+    """name -> (query_fn, oracle_sql) for the SIX devices banked during
+    round 9 and REGISTERED in round 10 (they lead the r10 driver
+    window; COVERAGE.md §window-plan). The q72_factfact body carries
+    the r10 pre-flight fix: ``mon`` CAST to BIGINT in both CTEs (Spark
+    year()*12+month() is INT, DuckDB's is BIGINT — values were
+    identical but the driver hash is dtype-sensitive)."""
     from . import dataops as _d
     from . import tpcds as _t
 
@@ -468,12 +472,130 @@ def devices() -> dict:
     }
 
 
+STREAM_MR_COMPOUND_ORDER_ET_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY date_trunc('minute', ts), event_type,
+                                     event_id) AS rn
+  FROM events),
+high AS (
+  SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+         AS isl
+  FROM ordered WHERE value >= 150),
+pos AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, isl ORDER BY rn) AS p
+  FROM high),
+pairs AS (
+  SELECT a.user_id, a.rn AS srn,
+         a.event_type AS first_type, a.event_id AS first_event,
+         b.event_type AS last_type, b.event_id AS last_event
+  FROM pos a JOIN pos b
+    ON b.user_id = a.user_id AND b.isl = a.isl AND b.p = a.p + 1
+  WHERE a.p % 2 = 1)
+SELECT user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY srn)
+         AS match_number,
+       first_type, first_event, last_type, last_event
+FROM pairs
+"""
+
+
+def stream_match_recognize_compound_order_et(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EVENT-TIME x compound ORDER BY (r10 lift — the restriction the
+    r9 round left documented): order by (tmin, event_type, event_id)
+    where ``tmin`` is the MINUTE-truncated timestamp — the watermark
+    column, with heavy TIES inside every minute that the two
+    tie-breaker columns must resolve batch-identically — under WILDLY
+    out-of-order arrival (second half of the month delivered first,
+    same scripting as stream_cep_event_time: 60-day watermark delay,
+    then terminator / watermark-push / flush sentinel waves). Greedy
+    ``H H`` pairs the high-value islands in compound order; MEASURES
+    read both tie-breaker columns (tie-breakers stay measurable — only
+    the watermark column itself is held as integer microseconds).
+    Sentinels carry value 0 after all real data, so they decide
+    trailing matches without joining any."""
+    import tempfile
+    import time
+
+    from ..plans.cep import match_recognize_stream
+    from .events import _per_user_sentinels, _stage_scripted_file
+    from .streaming_queries import _drain
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    stage = tempfile.mkdtemp(prefix="cep_et_compound_")
+    mid = F.lit("2024-01-16").cast("timestamp")
+    t0 = time.time() - 100
+    _stage_scripted_file(stage, e.filter(F.col("ts") >= mid), "a_late_half", t0)
+    _stage_scripted_file(stage, e.filter(F.col("ts") < mid), "b_early_half", t0 + 10)
+
+    def sent(ts_lit):
+        return (
+            _per_user_sentinels(e, ts_lit)
+            .withColumn("value", F.lit(0.0))
+            .select(e.columns)
+        )
+
+    _stage_scripted_file(stage, sent("2024-03-01"), "c_terminators", t0 + 20)
+    _stage_scripted_file(stage, sent("2024-06-01"), "d_wm_push", t0 + 30)
+    _stage_scripted_file(stage, sent("2024-06-02"), "e_flush", t0 + 40)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    ).withColumn("tmin", F.date_trunc("minute", F.col("ts")))
+    out = match_recognize_stream(
+        stream,
+        partition_by="user_id",
+        order_by=["tmin", "event_type", "event_id"],
+        define={"H": F.col("value") >= 150},
+        pattern="H H",
+        measures={
+            "first_type": ("first", "H", "event_type"),
+            "first_event": ("first", "H", "event_id"),
+            "last_type": ("last", "H", "event_type"),
+            "last_event": ("last", "H", "event_id"),
+        },
+        event_time=True,
+        watermark_delay="60 days",
+    )
+    return _drain(out, "append")
+
+
+def devices() -> dict:
+    """name -> (query_fn, oracle_sql) for every CURRENTLY banked device
+    (built this round, registered next round). The bank restarts empty
+    at each promotion; r10-built devices accumulate here."""
+    from . import dataops as _d
+
+    return {
+        "stream_ann_serving": (
+            _d.stream_ann_serving,
+            _d.STREAM_ANN_SERVING_ORACLE,
+        ),
+        "stream_match_recognize_compound_order_et": (
+            stream_match_recognize_compound_order_et,
+            STREAM_MR_COMPOUND_ORDER_ET_ORACLE,
+        ),
+        "doc_minhash_ingest_loop": (
+            _d.doc_minhash_ingest_loop,
+            _d.MINHASH_INGEST_LOOP_ORACLE,
+        ),
+    }
+
+
 def _register_all() -> None:
     """Apply @query to every promoted device (runs at import)."""
     from ..registry import query
 
-    for name, (fn, oracle) in promoted_r9().items():
-        query(name, oracle=oracle)(fn)
+    for promoted in (promoted_r9, promoted_r10):
+        for name, (fn, oracle) in promoted().items():
+            query(name, oracle=oracle)(fn)
 
 
 _register_all()

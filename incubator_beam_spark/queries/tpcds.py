@@ -3805,13 +3805,13 @@ def sql_tpcds_q99(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q72_FACTFACT_BODY = """
     WITH avail AS (
       SELECT l_partkey AS a_partkey,
-             year(l_shipdate) * 12 + month(l_shipdate) AS a_mon,
+             CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS a_mon,
              CAST(sum(l_quantity) AS BIGINT) AS avail_qty
       FROM lineitem WHERE l_returnflag = 'R'
       GROUP BY 1, 2),
     demand AS (
       SELECT l_partkey,
-             year(l_shipdate) * 12 + month(l_shipdate) AS d_mon,
+             CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS d_mon,
              l_quantity
       FROM lineitem WHERE l_returnflag = 'N')
     SELECT d.l_partkey AS partkey, d.d_mon AS mon,

@@ -72,69 +72,64 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # gates. Everything else (TPC-H, joins, sets — all driver-green in round 1)
 # registers after the window and stays covered by the local oracle tests.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-9 window (verdict r8 item 1, eighth rotation): the
-    # COMMITTED r9 set from COVERAGE.md §window-plan with the committed
-    # displacement rule applied — all NINETEEN promoted devices take
-    # the head of the window (the committed trio first; "if r9 adds
-    # more than three new gates, they displace re-check slots from the
-    # tail, never the twins" — 16 extra promotions displace the 15
-    # heavy/misc re-check slots plus cep_all_rows_running, the CEP
-    # family member with the freshest independent signal: the r8 judge
-    # emulator ran it clean at BOTH sf0.01 and sf0.1). Then the 13
-    # rows-only-family exact twins, the TWS pair under the shim-less
-    # env, and the remaining 16-gate CEP family re-check (the r8
-    # streaming-kernel lift touched plans/cep.py, so the whole family
-    # re-faces the driver). Every row carries a hash verdict.
-    "stream_match_recognize_all_rows",
-    "stream_match_recognize_classifier",
-    "stream_match_recognize_compound_key",
-    "stream_match_recognize_skip_next",
-    "stream_hashngram_classify",
-    "doc_pagerank",
-    "mm_jpeg_meta",
-    "mm_gif_meta",
-    "doc_bigram_kn_logprob",
-    "doc_hashngram_classify",
-    "doc_ccnet_buckets",
-    "emb_knn_classify",
-    "doc_unigram_viterbi",
-    "doc_wordpiece_stats",
-    "doc_quality_ensemble",
-    "doc_rrf_hybrid_topk",
-    "mm_image_ahash_dedup",
-    "mm_image_resize",
-    "mm_audio_resample",
-    "agg_sample_deterministic",
-    "agg_sample_per_key_deterministic",
-    "agg_sample_size_bounds",
-    "agg_approx_distinct_bounds",
-    "agg_approx_unique_per_key_bounds",
-    "agg_approx_quantiles_bounds",
-    "agg_approx_quantiles_per_key_bounds",
-    "agg_count_min_bounds",
-    "agg_hll_bounds",
-    "mm_png_pixel_roundtrip",
-    "doc_compression_roundtrip",
-    "doc_stratified_bounds",
-    "doc_pack_bounds",
-    "stream_per_key_counter_tws",
-    "stateful_timer_flush_tws",
-    "cep_match_recognize",
-    "cep_quantifier_bounded",
-    "cep_reluctant_lazy",
-    "cep_nfa_ambiguous_quant",
-    "stream_cep_quantifier",
-    "stream_cep_stability",
-    "stream_cep_event_time",
-    "cep_skip_to_next_row",
-    "cep_all_rows_per_match",
-    "stream_cep_late_drop",
-    "cep_skip_to_last",
-    "sql_match_recognize",
-    "sql_match_recognize_prev",
-    "sql_match_recognize_subset",
-    "sql_match_recognize_cross",
-    "cep_measures_complete",
+    # ROUND-10 window (verdict r9 item 1, ninth rotation — the
+    # COMMITTED r10 set from COVERAGE.md §window-plan, verbatim): the
+    # six r9-built devices promoted via the mechanical devices.py path
+    # lead (growth +6, registry 419 -> 425), then cep_all_rows_running
+    # (the one CEP family member the r9 displacement rule dropped),
+    # then the 15 heavy/misc re-check slots the r9 promotions
+    # displaced, then the 28 stalest r1-era gates (driver-checked once
+    # in round 1, never since). Every row carries a hash verdict.
+    "stream_match_recognize_prev",
+    "sql_tpcds_q72_factfact",
+    "doc_minhash_incremental",
+    "stream_ivf_index_maintain",
+    "stream_match_recognize_compound_order",
+    "emb_second_moments",
+    "cep_all_rows_running",
+    "io_python_datasource",
+    "io_tfrecord_roundtrip",
+    "core_elementwise_chain",
+    "core_partition_fanout",
+    "core_reshuffle_stability",
+    "schema_surgery_roundtrip",
+    "join_lookup_broadcast",
+    "stream_nexmark_q7",
+    "stream_stream_left_join",
+    "doc_curation_pipeline",
+    "sql_tpcds_q64",
+    "sql_tpcds_q67",
+    "sql_tpcds_q78",
+    "sql_tpcds_q5",
+    "sql_tpcds_q14",
+    "agg_bit_xor",
+    "agg_count_per_element",
+    "agg_cube",
+    "agg_latest_per_key",
+    "agg_mean_per_key",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_string_agg",
+    "agg_tuple_combine",
+    "agg_variance_covariance",
+    "cogroup_by_key",
+    "distinct_rows",
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "join_inner",
+    "join_left_outer",
+    "join_right_outer",
+    "join_semi",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "topk_global",
 )
 
 

@@ -5,9 +5,14 @@ all columns — exactly the step that crashes on list cells), then compare
 values AND dtypes (the driver's value-hash is dtype-sensitive: int64 290
 vs float64 290.0 hash-mismatched in round 1).
 
-Usage: python scripts/driver_emulate.py [N] [name ...]
-  N      check the first N registered queries (default 50 — the window)
-  name   check only the named queries
+Usage: python scripts/driver_emulate.py [--devices] [N] [name ...]
+  N          check the first N registered queries (default 50 — the window)
+  name       check only the named queries
+  --devices  check the BANKED manifest pairs (queries/devices.py::devices())
+             instead of registered gates — verdict r9 item 2: the banking
+             ritual must run the same dtype-strict check promotion will face
+             (the registry-only emulator is exactly why the q72_factfact
+             int32-vs-int64 mon column survived the r9 verification)
 """
 
 from __future__ import annotations
@@ -75,7 +80,20 @@ def check(name: str, q, spark, con) -> str:
 def main() -> None:
     qs = registry.load_all()
     args = sys.argv[1:]
-    if args and not args[0].isdigit():
+    if args and args[0] == "--devices":
+        from incubator_beam_spark.queries.devices import devices
+        from incubator_beam_spark.registry import Query
+
+        dev = devices()
+        qs = {
+            name: Query(name, fn, oracle, "")
+            for name, (fn, oracle) in dev.items()
+        }
+        names = args[1:] or list(qs)
+        if not names:
+            print("device bank is empty — nothing to check")
+            sys.exit(0)
+    elif args and not args[0].isdigit():
         names = args
     else:
         n = int(args[0]) if args else 50

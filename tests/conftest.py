@@ -75,6 +75,48 @@ def normalize(columns, rows):
     return [columns[i] for i in order], out
 
 
+def assert_matches_oracle_strict(spark_df, duck_con, oracle: str, name: str = "query"):
+    """Dtype-strict comparator for BANKED manifest pairs (verdict r9
+    item 2): mirrors the driver's pandas-level value hash the way
+    scripts/driver_emulate.py does — dtype KINDS must match, and for
+    integer kinds the WIDTH must match too (the r10 q72_factfact trap:
+    Spark year()*12+month() arrives int32, DuckDB's int64 — values
+    identical, driver hash fails). assert_matches_oracle compares
+    collected Python values and cannot see either."""
+    s_pdf = spark_df.toPandas()
+    d_pdf = duck_con.sql(oracle).df()
+    assert sorted(s_pdf.columns) == sorted(d_pdf.columns), (
+        f"{name}: column mismatch spark={sorted(s_pdf.columns)} "
+        f"duck={sorted(d_pdf.columns)}"
+    )
+    assert len(s_pdf) == len(d_pdf), (
+        f"{name}: row count spark={len(s_pdf)} duck={len(d_pdf)}"
+    )
+
+    def _canon(pdf):
+        pdf = pdf[sorted(pdf.columns)]
+        if len(pdf):
+            pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+        return pdf.reset_index(drop=True)
+
+    s_c, d_c = _canon(s_pdf), _canon(d_pdf)
+    for col in s_c.columns:
+        a, b = s_c[col], d_c[col]
+        assert a.dtype.kind == b.dtype.kind, (
+            f"{name}: dtype KIND mismatch on {col}: spark={a.dtype} duck={b.dtype}"
+        )
+        if a.dtype != b.dtype:
+            assert a.dtype.kind not in "iu", (
+                f"{name}: integer WIDTH mismatch on {col}: spark={a.dtype} "
+                f"duck={b.dtype} (driver hash fails on this — cast both sides)"
+            )
+            b = b.astype(a.dtype)
+        assert a.equals(b), (
+            f"{name}: value mismatch on {col}: "
+            f"{[(x, y) for x, y in zip(a.tolist(), b.tolist()) if x != y][:5]}"
+        )
+
+
 def assert_matches_oracle(spark_df, duck_con, oracle: str, name: str = "query"):
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)

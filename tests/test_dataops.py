@@ -2748,3 +2748,49 @@ def test_emb_second_moments_plan_single_exchange(spark):
     assert len(shuffles) == 1, f"expected 1 shuffle, got {len(shuffles)}"
     assert "Generate" in plan  # the scan-side pair fan-out
     assert "Join" not in plan
+
+
+def test_stream_ann_serving_oracle(spark, duck):
+    """Streaming ANN serving / continuous auto-labeling (r10-built
+    device, r11 promotion — verdict r9 item 8): a fixed query batch
+    re-probes the MAINTAINED cell-partitioned index after each of 4
+    scripted ingest micro-batches; (n_indexed, query, pred_label,
+    votes) must equal the batch IVF+vote replay over each accumulated
+    prefix — index freshness is part of the oracle. Dtype-strict (the
+    banking ritual's comparator)."""
+    from incubator_beam_spark.queries.dataops import (
+        STREAM_ANN_SERVING_ORACLE,
+        stream_ann_serving,
+    )
+
+    from .conftest import assert_matches_oracle_strict
+
+    out = stream_ann_serving(spark, SF_DIR)
+    assert_matches_oracle_strict(
+        out, duck, STREAM_ANN_SERVING_ORACLE, "stream_ann_serving"
+    )
+
+
+def test_doc_minhash_ingest_loop_oracle(spark, duck):
+    """The complete incremental-dedup ingest loop (r10-built device,
+    r11 promotion): batch 1 probes the corpus index and writes its
+    band keys back; batch 2 probes the GROWN index cold and must
+    surface (2e6, 1e6) pairs against batch-1 docs — index freshness
+    for dedup. Dtype-strict (the banking comparator); also pins that
+    batch 2 found at least one batch-1 neighbor, so the write-back is
+    load-bearing in the fixture."""
+    from incubator_beam_spark.queries.dataops import (
+        MINHASH_INGEST_LOOP_ORACLE,
+        doc_minhash_ingest_loop,
+    )
+
+    from .conftest import assert_matches_oracle_strict
+
+    out = doc_minhash_ingest_loop(spark, SF_DIR)
+    rows = out.collect()
+    assert any(
+        r.batch == 2 and 1000000 <= r.old_id < 2000000 for r in rows
+    ), "batch 2 found no batch-1 neighbors — the write-back is untested"
+    assert_matches_oracle_strict(
+        out, duck, MINHASH_INGEST_LOOP_ORACLE, "doc_minhash_ingest_loop"
+    )

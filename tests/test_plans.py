@@ -798,3 +798,54 @@ def test_q72_factfact_join_not_broadcast(spark):
         assert "BroadcastNestedLoopJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+
+
+def test_ivf_topk_indexed_partition_pruned_probe(spark, tmp_path):
+    """The serving claim behind stream_ann_serving: probing a
+    cell-partitioned index with ``ivf_topk_indexed`` must PUSH the
+    probed cells into the parquet scan as partition filters — the scan
+    reads nprobe partitions per query batch, not the index. Also pins
+    agreement with ``ivf_topk`` (the assign-on-the-fly path) on the
+    same data: the maintained artifact cannot drift from the
+    recompute path."""
+    import contextlib
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from incubator_beam_spark.dataops.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = e.filter(F.col("vec_id") < 8)
+    idx_path = str(tmp_path / "ivf_index")
+    ivf_assign(e, centroids).write.partitionBy("cell").parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    q = e.filter(F.col("vec_id") < 5)
+    nbrs = ivf_topk_indexed(q, idx, centroids, k=5, nprobe=2)
+    nbrs.count()
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        nbrs.explain("formatted")
+    plan = buf.getvalue()
+    # the index scan must carry a cell partition filter (the isin
+    # pushdown), and the index side must never broadcast
+    scan_blocks = [
+        b for b in plan.split("\n\n") if "ivf_index" in b and "Scan parquet" in b
+    ]
+    assert scan_blocks, plan
+    assert any(
+        "PartitionFilters: [" in b and "cell" in b.split("PartitionFilters:")[1]
+        for b in scan_blocks
+    ), plan
+    got = sorted(
+        (r.query_id, r.match_id, r.rank) for r in nbrs.collect()
+    )
+    want = sorted(
+        (r.query_id, r.match_id, r.rank)
+        for r in ivf_topk(q, e, centroids, k=5, nprobe=2).collect()
+    )
+    assert got == want

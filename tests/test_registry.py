@@ -48,31 +48,50 @@ def test_banked_devices_manifest_green(spark, duck):
     """Every banked promotion device (queries/devices.py) runs against
     its manifest oracle — this is EXACTLY the (fn, oracle) pair the
     next round registers, so promotion cannot ship an unchecked pair.
-    Also asserts the manifest stays unregistered (growth freeze)."""
+    DTYPE-STRICT (verdict r9 item 2): the driver's value-hash is
+    dtype-sensitive, and the value-only comparator let an
+    int32-vs-int64 `mon` column through the entire r9 bank
+    verification. Also asserts the manifest stays unregistered
+    (growth freeze)."""
     from incubator_beam_spark import registry
     from incubator_beam_spark.queries.devices import devices
 
-    from .conftest import SF_DIR, assert_matches_oracle
+    from .conftest import SF_DIR, assert_matches_oracle_strict
 
     dev = devices()
     registered = set(registry.load_all())
     assert not (set(dev) & registered), "devices must stay unregistered"
     for name, (fn, oracle) in sorted(dev.items()):
-        assert_matches_oracle(fn(spark, SF_DIR), duck, oracle, name)
+        assert_matches_oracle_strict(fn(spark, SF_DIR), duck, oracle, name)
 
 
 def test_promoted_r9_devices_registered_with_manifest_pairs():
     """The 19 r8-bank devices promoted in round 9 are registered with
-    EXACTLY their banked (fn, oracle) pairs, and all 19 sit inside the
-    50-gate driver window."""
+    EXACTLY their banked (fn, oracle) pairs (window membership was an
+    r9-window property; the window has since rotated)."""
     from incubator_beam_spark.queries.devices import promoted_r9
 
     qs = registry.load_all()
-    window = list(qs)[:50]
     promoted = promoted_r9()
     assert len(promoted) == 19
     for name, (fn, oracle) in promoted.items():
         assert name in qs, f"promoted device {name} not registered"
         assert qs[name].fn is fn, f"{name}: registered fn differs from manifest"
         assert qs[name].oracle == oracle, f"{name}: oracle differs from manifest"
-        assert name in window, f"{name} promoted but outside the driver window"
+
+
+def test_promoted_r10_devices_registered_with_manifest_pairs():
+    """The 6 r9-bank devices promoted in round 10 are registered with
+    EXACTLY their banked (fn, oracle) pairs, and all 6 LEAD the
+    50-gate driver window (COVERAGE.md §window-plan)."""
+    from incubator_beam_spark.queries.devices import promoted_r10
+
+    qs = registry.load_all()
+    window = list(qs)[:50]
+    promoted = promoted_r10()
+    assert len(promoted) == 6
+    for name, (fn, oracle) in promoted.items():
+        assert name in qs, f"promoted device {name} not registered"
+        assert qs[name].fn is fn, f"{name}: registered fn differs from manifest"
+        assert qs[name].oracle == oracle, f"{name}: oracle differs from manifest"
+        assert name in window[:6], f"{name} promoted but not leading the window"
