@@ -7,6 +7,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -165,12 +166,19 @@ def _scaled_emb(spark, sf_dir: str, k: int):
     return reduce(DataFrame.unionAll, copies)
 
 
-def scale_lane(spark, sf_dir: str, scales=(1, 10)) -> dict:
+def scale_lane(spark, sf_dir: str, scales=(1, 10), rounds: int = 3) -> dict:
     """Linear-scaling evidence for the dedup/ANN family (VERDICT r3 item
     9): run each op at 1x and 10x the sf corpus (deterministic synthetic
     variants) and report the wall-clock scaling exponent
     log(t_hi/t_lo) / log(rows_hi/rows_lo) — ~1.0 = linear, <1 =
-    overhead-amortized, ~2 = quadratic blow-up."""
+    overhead-amortized, ~2 = quadratic blow-up.
+
+    VERDICT r9 item 4: a SINGLE (1x, 10x) recording swings up to 2x
+    run-to-run on shuffle-dominated ops (minhash read 0.54-1.02 across
+    one day's recordings), so each op is now timed ``rounds`` times and
+    the committed ``scaling_exponent`` is the MEDIAN, with the
+    per-round values and min-max spread alongside — the JSON number
+    carries the same integrity as the control band."""
     import math
 
     from pyspark.sql import Window as W
@@ -437,8 +445,37 @@ def scale_lane(spark, sf_dir: str, scales=(1, 10)) -> dict:
             "doc_id", keep.alias("keep")
         )
 
+    # Incremental-minhash PROBE cost vs INDEX size (verdict r9 item 8:
+    # the number a 100-TB operator budgets per ingest batch). The index
+    # build is the amortized per-retrain artifact, so both indexes are
+    # built OUTSIDE the timed region; the timed op is a FIXED incoming
+    # batch (the base corpus re-crawled with ' rev') probing the 1x vs
+    # 10x band-bucket index — band keys for the batch only, bucket
+    # equi-join, exact-Jaccard verify against candidate corpus rows.
+    import tempfile as _tf
+
+    _mh_idx: dict[int, str] = {}
+    for _k in scales:
+        _p = _tf.mkdtemp(prefix=f"bench_mh_idx_{_k}_")
+        dedup.minhash_index(_scaled_docs(spark, sf_dir, _k)).write.mode(
+            "overwrite"
+        ).partitionBy("band").parquet(_p)
+        _mh_idx[_k] = _p
+
+    def run_minhash_probe(k):
+        idx = spark.read.parquet(_mh_idx[k])
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        incoming = base.select(
+            (F.col("doc_id") + 100_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" rev")).alias("text"),
+        )
+        return dedup.minhash_lsh_incremental(
+            incoming, idx, _scaled_docs(spark, sf_dir, k)
+        )
+
     ops = {
         "doc_minhash_lsh_pairs": run_minhash,
+        "doc_minhash_incremental_probe": run_minhash_probe,
         "doc_neardup_clusters": run_clusters,
         "emb_ivfpq_topk": run_ivfpq,
         "doc_line_dedup": run_line_dedup,
@@ -464,24 +501,34 @@ def scale_lane(spark, sf_dir: str, scales=(1, 10)) -> dict:
             else ev_rows if name.startswith("cep_")
             else base_rows
         )
-        times = {}
-        fn(scales[0]).count()  # warmup: codegen + IO cache, untimed
-        for k in scales:
-            t0 = time.perf_counter()
-            fn(k).count()
-            times[k] = time.perf_counter() - t0
         lo, hi = scales[0], scales[-1]
-        exponent = math.log(times[hi] / times[lo]) / math.log(hi / lo)
+        fn(lo).count()  # warmup: codegen + IO cache, untimed
+        t_lo, t_hi, exps = [], [], []
+        for _ in range(max(rounds, 1)):
+            times = {}
+            for k in scales:
+                t0 = time.perf_counter()
+                fn(k).count()
+                times[k] = time.perf_counter() - t0
+            t_lo.append(times[lo])
+            t_hi.append(times[hi])
+            exps.append(math.log(times[hi] / times[lo]) / math.log(hi / lo))
+        med = statistics.median
         out[name] = {
             "rows_1x": rows0 * lo,
             "rows_10x": rows0 * hi,
-            "t_1x_sec": round(times[lo], 3),
-            "t_10x_sec": round(times[hi], 3),
-            "scaling_exponent": round(exponent, 3),
+            "t_1x_sec": round(med(t_lo), 3),
+            "t_10x_sec": round(med(t_hi), 3),
+            "scaling_exponent": round(med(exps), 3),
+            "scaling_exponent_rounds": [round(e, 3) for e in exps],
+            "scaling_exponent_spread": [
+                round(min(exps), 3), round(max(exps), 3),
+            ],
         }
         print(
-            f"# scale {name}: {times[lo]:.2f}s @{lo}x -> {times[hi]:.2f}s "
-            f"@{hi}x (exp {exponent:.2f})",
+            f"# scale {name}: {med(t_lo):.2f}s @{lo}x -> {med(t_hi):.2f}s "
+            f"@{hi}x (exp median {med(exps):.2f}, "
+            f"spread {min(exps):.2f}-{max(exps):.2f} over {len(exps)})",
             file=sys.stderr,
         )
     return out
@@ -767,7 +814,14 @@ def isolated_scale_lane(sf_dir: str) -> dict | None:
     for ln in r.stderr.splitlines():  # relay per-op progress lines
         if ln.startswith("# scale"):
             print(ln, file=sys.stderr)
-    return json.loads(line)
+    try:
+        return json.loads(line)
+    except ValueError as e:
+        # a stray '{'-prefixed log line is not a reason to abort the
+        # bench after the headline phase — fall back, labeled
+        print(f"# scale: isolated subprocess emitted non-JSON line: {e}",
+              file=sys.stderr)
+        return None
 
 
 def main() -> None:
