@@ -3478,7 +3478,7 @@ def doc_minhash_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" rev2")).alias("text"),
     )
     idx2 = spark.read.parquet(idx_dir)  # reopened cold: corpus + batch 1
-    corpus2 = d.unionByName(b1)
+    corpus2 = d.select("doc_id", "text").unionByName(b1)
     pairs2 = dedup.minhash_lsh_incremental(b2, idx2, corpus2).withColumn(
         "batch", F.lit(2).cast("long")
     )
