@@ -3649,7 +3649,12 @@ def stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes ``n_indexed`` or a prediction and fails the hash. At
     100 TB this is the serving loop between quantizer retrains: ingest
     appends touch only their cells, queries touch only nprobe
-    partitions each."""
+    partitions each. (foreachBatch is at-least-once on retry; a
+    production deployment keys both the index append and the results
+    write by epoch_id — e.g. epoch-partitioned paths overwritten
+    idempotently — which changes no plan shape, so the scripted
+    bounded drain here stays the honest test of the freshness
+    semantics.)"""
     import tempfile
 
     from ..dataops.similarity import ivf_assign, ivf_topk_indexed, knn_classify
