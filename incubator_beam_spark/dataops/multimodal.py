@@ -895,6 +895,166 @@ def gif_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
     return df.select("doc_id", binary_col).mapInPandas(run, out_schema)
 
 
+def encode_flac_streaminfo(
+    sample_rate: int,
+    total_samples: int,
+    n_channels: int = 1,
+    bits: int = 16,
+    min_block: int = 1152,
+    max_block: int = 4096,
+    vorbis_vendor: bytes = b"",
+    padding: int = 0,
+) -> bytes:
+    """Minimal canonical FLAC metadata prefix (public FLAC format spec):
+    the ``fLaC`` magic, the mandatory STREAMINFO block first, then an
+    optional VORBIS_COMMENT block (whose CONTENT is little-endian while
+    every FLAC block header is big-endian — the classic mixed-endian
+    trap) and an optional PADDING block. The last block carries the
+    last-metadata-block flag; audio frames would follow it."""
+    import struct
+
+    blocks: list[tuple[int, bytes]] = []
+    packed = (
+        (sample_rate << 44)
+        | ((n_channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | total_samples
+    )
+    streaminfo = b"".join(
+        [
+            struct.pack(">HH", min_block, max_block),
+            b"\x00" * 6,  # min/max frame size: unknown
+            struct.pack(">Q", packed),
+            b"\x00" * 16,  # unset MD5
+        ]
+    )
+    blocks.append((0, streaminfo))
+    if vorbis_vendor:
+        blocks.append(
+            (4, struct.pack("<I", len(vorbis_vendor)) + vorbis_vendor
+             + struct.pack("<I", 0))
+        )
+    if padding:
+        blocks.append((1, b"\x00" * padding))
+    out = [b"fLaC"]
+    for i, (btype, body) in enumerate(blocks):
+        last = 0x80 if i == len(blocks) - 1 else 0
+        out.append(bytes([last | btype]) + len(body).to_bytes(3, "big") + body)
+    return b"".join(out)
+
+
+def parse_flac_meta(payload: bytes) -> dict | None:
+    """Parse STREAMINFO (and walk the remaining metadata blocks) from a
+    FLAC byte prefix — a REAL decoder: pure byte/bit arithmetic, no
+    audio library. Malformed framing returns None; a structurally valid
+    STREAMINFO with spec-invalid fields (zero sample rate, more than 8
+    channels) raises — silent zeros would poison aggregates downstream."""
+    import struct
+
+    if len(payload) < 8 or payload[:4] != b"fLaC":
+        return None
+    pos = 4
+    first = True
+    info: dict | None = None
+    n_blocks = 0
+    vendor_len = None
+    padding_bytes = 0
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        btype = hdr & 0x7F
+        length = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + length]
+        if len(body) != length:
+            return None  # truncated block
+        if first:
+            if btype != 0 or length != 34:
+                return None  # STREAMINFO must come first, 34 bytes
+            first = False
+        n_blocks += 1
+        if btype == 0:
+            min_block, max_block = struct.unpack_from(">HH", body, 0)
+            (packed,) = struct.unpack_from(">Q", body, 10)
+            sample_rate = packed >> 44
+            n_channels = ((packed >> 41) & 0x7) + 1
+            bits = ((packed >> 36) & 0x1F) + 1
+            total_samples = packed & ((1 << 36) - 1)
+            if sample_rate == 0:
+                raise ValueError("FLAC STREAMINFO: sample rate 0 is invalid")
+            if n_channels > 8:
+                raise ValueError(
+                    f"FLAC STREAMINFO: {n_channels} channels exceeds the spec max of 8"
+                )
+            info = {
+                "sample_rate": sample_rate,
+                "n_channels": n_channels,
+                "bits": bits,
+                "total_samples": total_samples,
+                "min_block": min_block,
+                "max_block": max_block,
+            }
+        elif btype == 4 and len(body) >= 4:
+            (vendor_len,) = struct.unpack_from("<I", body, 0)  # LE content
+        elif btype == 1:
+            padding_bytes += length
+        pos += 4 + length
+        if hdr & 0x80:
+            break  # last-metadata-block flag: audio frames follow
+    if info is None:
+        return None
+    info["n_blocks"] = n_blocks
+    info["vendor_len"] = vendor_len
+    info["padding_bytes"] = padding_bytes
+    return info
+
+
+def flac_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """FLAC metadata extraction (mapInPandas; the walk reads a few tens
+    of bytes per row and payloads never shuffle — the shared multimodal
+    plumbing contract)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("channels", T.IntegerType(), True),
+            T.StructField("bits", T.IntegerType(), True),
+            T.StructField("total_samples", T.LongType(), True),
+            T.StructField("max_block", T.IntegerType(), True),
+            T.StructField("n_blocks", T.IntegerType(), True),
+            T.StructField("vendor_len", T.IntegerType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_flac_meta(bytes(p)) or {} for p in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "sample_rate": pd.array(
+                        [m.get("sample_rate") for m in metas], dtype="Int32"
+                    ),
+                    "channels": pd.array(
+                        [m.get("n_channels") for m in metas], dtype="Int32"
+                    ),
+                    "bits": pd.array([m.get("bits") for m in metas], dtype="Int32"),
+                    "total_samples": pd.array(
+                        [m.get("total_samples") for m in metas], dtype="Int64"
+                    ),
+                    "max_block": pd.array(
+                        [m.get("max_block") for m in metas], dtype="Int32"
+                    ),
+                    "n_blocks": pd.array(
+                        [m.get("n_blocks") for m in metas], dtype="Int32"
+                    ),
+                    "vendor_len": pd.array(
+                        [m.get("vendor_len") for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return df.select("doc_id", binary_col).mapInPandas(run, out_schema)
+
+
 def average_hash(
     pixels: bytes, width: int, height: int, grid: int = 8
 ) -> tuple[int, int]:

@@ -2835,6 +2835,76 @@ def mm_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gif_meta(d.mapInPandas(synth, synth_schema))
 
 
+# --- FLAC metadata device (unregistered; r11 promotion — the SIXTH
+# pure-byte codec: big-endian block headers around a little-endian
+# Vorbis-comment payload, a 64-bit bit-packed STREAMINFO field, and a
+# block walk that must honor the last-block flag past variable-length
+# comment/padding blocks) ---
+
+FLAC_META_ORACLE = """
+SELECT doc_id,
+       (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 22050
+             WHEN 2 THEN 44100 ELSE 48000 END)::INTEGER AS sample_rate,
+       (1 + doc_id % 2)::INTEGER AS channels,
+       (CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END)::INTEGER AS bits,
+       (1000 + (doc_id % 97) * 331)::BIGINT AS total_samples,
+       (4096 - (doc_id % 9) * 64)::INTEGER AS max_block,
+       (1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+          + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)::INTEGER AS n_blocks,
+       CASE WHEN doc_id % 3 = 0
+            THEN (3 * (doc_id % 5 + 1))::INTEGER END AS vendor_len
+FROM documents
+"""
+
+
+def mm_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC metadata with a REAL codec (the sixth pure-byte format):
+    STREAMINFO prefixes synthesized per document — sample rate/
+    channels/bit depth/total samples bit-packed into the 64-bit field,
+    a little-endian Vorbis-comment block on every third doc and a
+    padding block on every fourth, so the big-endian block walk must
+    skip variable-length bodies and honor the last-block flag — parsed
+    back by ``parse_flac_meta``. A wrong shift in the 20|3|5|36 bit
+    unpack, a missed mixed-endian vendor length, or a walk past the
+    last-block flag each fail the hash. Payloads stay inside
+    mapInPandas stages (dataops/multimodal.py)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..dataops.multimodal import encode_flac_streaminfo, flac_meta
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    rates = (8000, 22050, 44100, 48000)
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                payloads.append(
+                    encode_flac_streaminfo(
+                        sample_rate=rates[i % 4],
+                        total_samples=1000 + (i % 97) * 331,
+                        n_channels=1 + i % 2,
+                        bits=24 if i % 3 == 0 else 16,
+                        max_block=4096 - (i % 9) * 64,
+                        vorbis_vendor=b"ref" * (i % 5 + 1)
+                        if i % 3 == 0
+                        else b"",
+                        padding=17 + i % 13 if i % 4 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return flac_meta(d.mapInPandas(synth, synth_schema))
+
+
 # --- WordPiece device (unregistered; r9/r10 promotion — BERT's greedy
 # longest-match-first rule, the greedy counterpart of the Viterbi
 # device; oracle GENERATED from the same vocab literals) ---

@@ -586,6 +586,10 @@ def devices() -> dict:
             _d.doc_minhash_ingest_loop,
             _d.MINHASH_INGEST_LOOP_ORACLE,
         ),
+        "mm_flac_meta": (
+            _d.mm_flac_meta,
+            _d.FLAC_META_ORACLE,
+        ),
     }
 
 
