@@ -3782,6 +3782,132 @@ def stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF cell-split rebalance device (unregistered; r11 promotion —
+# the THIRD leg of the index lifecycle after maintain and serve:
+# cells above the mean load split in two around deterministic seed
+# vectors, so probe cost stays even as the ingest skews cells) ---
+
+IVF_CELL_SPLIT_ORACLE = """
+WITH vv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 10000) AS BIGINT)) AS vq
+  FROM embeddings),
+cent AS (SELECT vec_id AS cid, vq AS cv FROM vv WHERE vec_id < 8),
+d AS (
+  SELECT vv.vec_id, vv.vq, cent.cid,
+         list_sum(list_transform(generate_series(1, len(vv.vq)),
+                  i -> (vv.vq[i] - cent.cv[i]) * (vv.vq[i] - cent.cv[i])))
+           AS dist
+  FROM vv CROSS JOIN cent),
+a AS (
+  SELECT vec_id, vq, cid AS cell FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+cnt AS (SELECT cell, count(*) AS n FROM a GROUP BY cell),
+tot AS (SELECT count(*) AS t FROM a),
+seeds AS (
+  SELECT cell, min(vec_id) AS lo, max(vec_id) AS hi
+  FROM a WHERE cell IN (SELECT cell FROM cnt, tot WHERE 8 * n > t)
+  GROUP BY cell),
+sv AS (
+  SELECT s.cell, alo.vq AS lov, ahi.vq AS hiv
+  FROM seeds s
+  JOIN a alo ON alo.vec_id = s.lo
+  JOIN a ahi ON ahi.vec_id = s.hi),
+split AS (
+  SELECT a.vec_id, a.vq, a.cell,
+         CASE WHEN sv.cell IS NULL THEN 0
+              WHEN list_sum(list_transform(generate_series(1, len(a.vq)),
+                     i -> (a.vq[i] - sv.lov[i]) * (a.vq[i] - sv.lov[i])))
+                   <= list_sum(list_transform(generate_series(1, len(a.vq)),
+                     i -> (a.vq[i] - sv.hiv[i]) * (a.vq[i] - sv.hiv[i])))
+              THEN 0 ELSE 1 END AS subcell
+  FROM a LEFT JOIN sv ON a.cell = sv.cell)
+SELECT cell::BIGINT AS cell, subcell::BIGINT AS subcell,
+       count(*)::BIGINT AS n_vecs, sum(list_sum(vq))::BIGINT AS qsum_total
+FROM split GROUP BY cell, subcell
+"""
+
+
+def emb_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-split REBALANCE — the third index-lifecycle operator
+    (maintain appends, serve probes, rebalance keeps probe cost even):
+    cells whose load exceeds the mean (8*n > total) split in two
+    around DETERMINISTIC seed vectors (the cell's min- and max-vec_id
+    members — the cheap stand-in for a 2-means step whose seeds a real
+    run would take from the cell's summary stats), every member
+    re-assigned to the nearer seed by the same integer-e4 L2 the
+    maintenance path uses (ties to subcell 0). At 100 TB: hot-cell
+    detection is free (the maintenance stats), seeds are a bounded
+    driver artifact (<= 2 vectors per hot cell, fetched by id), the
+    re-assignment is SCAN-SIDE against seed plan literals touching
+    only hot-cell partitions (partition filter), and the one Exchange
+    carries per-(cell, subcell) partials. The oracle replays
+    assignment, hot detection, seed choice, and split exactly."""
+    e = table(spark, sf_dir, "embeddings")
+    vq_expr = (
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+        "x -> CAST(round(x * 10000) AS BIGINT))"
+    )
+    cents = [
+        list(r.q)
+        for r in e.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .selectExpr(f"{vq_expr} AS q")
+        .collect()
+    ]
+    cents_sql = ", ".join(
+        "array(" + ", ".join(str(int(v)) for v in c) + ")" for c in cents
+    )
+    d_expr = (
+        f"transform(array({cents_sql}), c -> aggregate("
+        f"zip_with(vq, c, (x, y) -> (x - y) * (x - y)), 0L, "
+        f"(acc, x) -> acc + x))"
+    )
+    cell_expr = f"CAST(array_position({d_expr}, array_min({d_expr})) - 1 AS INT)"
+    a = e.selectExpr("vec_id", f"{vq_expr} AS vq").selectExpr(
+        "vec_id", "vq", f"{cell_expr} AS cell"
+    )
+    total = e.count()
+    counts = a.groupBy("cell").count()
+    hot = sorted(
+        r.cell for r in counts.filter(F.col("count") * 8 > total).collect()
+    )  # bounded: at most 8 cells
+    seed_ids = {
+        r.cell: (r.lo, r.hi)
+        for r in a.filter(F.col("cell").isin(hot))
+        .groupBy("cell")
+        .agg(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi"))
+        .collect()
+    }
+    ids = sorted({i for lo_hi in seed_ids.values() for i in lo_hi})
+    vq_by_id = {
+        r.vec_id: [int(x) for x in r.vq]
+        for r in a.filter(F.col("vec_id").isin(ids)).select("vec_id", "vq").collect()
+    }  # bounded: <= 2 vectors per hot cell
+
+    def _dist(vec):
+        lit = "array(" + ", ".join(str(v) for v in vec) + ")"
+        return (
+            f"aggregate(zip_with(vq, {lit}, (x, y) -> (x - y) * (x - y)), "
+            f"0L, (acc, x) -> acc + x)"
+        )
+
+    whens = " ".join(
+        f"WHEN {c} THEN IF({_dist(vq_by_id[seed_ids[c][0]])} <= "
+        f"{_dist(vq_by_id[seed_ids[c][1]])}, 0L, 1L)"
+        for c in hot
+    )
+    sub_expr = f"CASE cell {whens} ELSE 0L END" if hot else "0L"
+    split = a.selectExpr("vq", "cell", f"{sub_expr} AS subcell")
+    return split.groupBy(
+        F.col("cell").cast("long").alias("cell"), F.col("subcell").alias("subcell")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.expr("aggregate(vq, 0L, (acc, x) -> acc + x)")).alias("qsum_total"),
+    )
+
+
 # --- embedding moments device (unregistered; r10 promotion — the
 # EXACT sufficient statistics for PCA whitening / OPQ pre-rotation:
 # first moments + upper-triangle second moments in integer e4 units;

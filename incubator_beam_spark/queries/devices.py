@@ -590,6 +590,10 @@ def devices() -> dict:
             _d.mm_flac_meta,
             _d.FLAC_META_ORACLE,
         ),
+        "emb_ivf_cell_split": (
+            _d.emb_ivf_cell_split,
+            _d.IVF_CELL_SPLIT_ORACLE,
+        ),
     }
 
 

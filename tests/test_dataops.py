@@ -2850,3 +2850,29 @@ def test_mm_flac_meta_oracle(spark, duck):
 
     out = mm_flac_meta(spark, SF_DIR)
     assert_matches_oracle_strict(out, duck, FLAC_META_ORACLE, "mm_flac_meta")
+
+
+def test_emb_ivf_cell_split_oracle(spark, duck):
+    """IVF cell-split rebalance (r10-built device, r11 promotion):
+    above-mean cells split around deterministic (min, max vec_id)
+    seeds; (cell, subcell) counts and integer checksums must equal the
+    oracle's replay of assignment, hot detection, seed choice, and
+    split. Also pins that the fixture actually splits something (at
+    least one subcell 1) and that cold cells stay whole."""
+    from incubator_beam_spark.queries.dataops import (
+        IVF_CELL_SPLIT_ORACLE,
+        emb_ivf_cell_split,
+    )
+
+    from .conftest import assert_matches_oracle_strict
+
+    out = emb_ivf_cell_split(spark, SF_DIR)
+    rows = out.collect()
+    assert any(r.subcell == 1 for r in rows), "no cell split in fixture"
+    cells = {}
+    for r in rows:
+        cells.setdefault(r.cell, set()).add(r.subcell)
+    assert any(subs == {0} for subs in cells.values()), "every cell split?!"
+    assert_matches_oracle_strict(
+        out, duck, IVF_CELL_SPLIT_ORACLE, "emb_ivf_cell_split"
+    )
