@@ -594,6 +594,10 @@ def devices() -> dict:
             _d.emb_ivf_cell_split,
             _d.IVF_CELL_SPLIT_ORACLE,
         ),
+        "stream_minhash_ingest": (
+            _d.stream_minhash_ingest,
+            _d.STREAM_MINHASH_INGEST_ORACLE,
+        ),
     }
 
 

@@ -2876,3 +2876,33 @@ def test_emb_ivf_cell_split_oracle(spark, duck):
     assert_matches_oracle_strict(
         out, duck, IVF_CELL_SPLIT_ORACLE, "emb_ivf_cell_split"
     )
+
+
+def test_stream_minhash_ingest_oracle(spark, duck):
+    """Streaming near-dup ingest (r10-built device, r11 promotion):
+    three re-crawl micro-batches each probe the index of everything
+    ingested before them and write their band keys back; the drained
+    pairs must equal the per-prefix oracle replay. Also pins that the
+    cross-batch freshness edges exist in the fixture: batch 2 matched
+    batch-1 docs and batch 3 matched batch-2 docs. Dtype-strict."""
+    from incubator_beam_spark.queries.dataops import (
+        STREAM_MINHASH_INGEST_ORACLE,
+        stream_minhash_ingest,
+    )
+
+    from .conftest import assert_matches_oracle_strict
+
+    out = stream_minhash_ingest(spark, SF_DIR)
+    rows = out.collect()
+    assert any(
+        r.new_id >= 2000000 and 1000000 <= r.old_id < 2000000 for r in rows
+    ), "batch 2 found no batch-1 neighbors"
+    assert any(
+        r.new_id >= 3000000 and 2000000 <= r.old_id < 3000000 for r in rows
+    ), "batch 3 found no batch-2 neighbors"
+    assert not any(
+        r.old_id >= r.new_id for r in rows
+    ), "a pair with old ingested at/after new — freshness broken"
+    assert_matches_oracle_strict(
+        out, duck, STREAM_MINHASH_INGEST_ORACLE, "stream_minhash_ingest"
+    )
