@@ -892,3 +892,61 @@ def test_stream_compound_order_next_nav_equals_batch(vals, groups, sizes, seed):
     )
     want = whole_nav_run("P", vals, classify)
     assert got == want, (vals, groups, sizes, seed)
+
+
+# -- excursion-algebra soundness (r10; the max-over-paths rewrite) ------------
+#
+# The streaming kernel's retention contract: a row's nav condition may
+# be evaluated against ONLY the buffer window [i - max_prev,
+# i + max_next] — history before that is GC'd and rows beyond are held
+# back. If compile_condition ever under-counts an excursion, a
+# truncated window changes the verdict. This differential generates
+# random nav expression TREES (nested/sibling PREV/NEXT with offsets,
+# arithmetic), evaluates the REAL compiled callable on the full array
+# and on the exact retention window, and requires identical results at
+# every interior position.
+
+
+def _rand_nav_expr(rng, depth):
+    if depth == 0 or rng.random() < 0.3:
+        return "v"
+    kind = rng.randrange(3)
+    if kind == 0:
+        off = rng.randrange(0, 4)
+        inner = _rand_nav_expr(rng, depth - 1)
+        return f"PREV({inner}, {off})"
+    if kind == 1:
+        off = rng.randrange(0, 4)
+        inner = _rand_nav_expr(rng, depth - 1)
+        return f"NEXT({inner}, {off})"
+    return (
+        f"{_rand_nav_expr(rng, depth - 1)} + {_rand_nav_expr(rng, depth - 1)}"
+    )
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    vals=st.lists(st.integers(0, 9), min_size=1, max_size=14),
+    thr=st.integers(0, 20),
+)
+def test_nav_excursion_bounds_are_sufficient(seed, vals, thr):
+    import random
+
+    from incubator_beam_spark.plans.cepdefine import compile_condition
+
+    rng = random.Random(seed)
+    cond = f"{_rand_nav_expr(rng, 3)} > {thr}"
+    fn = compile_condition(cond, "X", {"X"})
+    mp, mn = fn.max_prev, fn.max_next
+    full = {"v": list(vals)}
+    n = len(vals)
+    for i in range(mp, n - mn):
+        window = {"v": vals[i - mp : i + mn + 1]}
+        got_full = fn(full, i, {})
+        got_win = fn(window, mp, {})
+        assert got_full == got_win, (
+            f"{cond!r}: position {i} differs on the retention window "
+            f"[{i - mp}, {i + mn}] (max_prev={mp}, max_next={mn}) — "
+            f"excursion under-counted"
+        )
