@@ -349,3 +349,37 @@ def token_entropy(text: Column) -> tuple[Column, Column]:
     )
     entropy = F.round(F.log(n.cast("double")) - sum_clnc / n, 6)
     return F.size(starts).cast("long"), entropy
+
+
+# --- HTML main-content extraction (the crawl -> training-text step) ---------
+
+# Block-level boilerplate elements removed WHOLE (content included) before
+# tag stripping: their text is navigation/chrome, not document content.
+_HTML_BLOCK_DROP = ("script", "style", "head", "nav", "footer", "aside")
+
+
+def html_main_content(html: Column) -> Column:
+    """Extract main text from an HTML page — the crawl-to-training-text
+    step every web corpus runs (trafilatura/jusText's core move, as a
+    deterministic Catalyst chain): drop script/style/head/nav/footer/
+    aside blocks WITH their contents (boilerplate text must go, not
+    just its markup), strip remaining tags to spaces, and normalize
+    whitespace. Pure regexp_replace — scan-side, zero shuffle, shared
+    Java-regex/RE2 syntax so a DuckDB oracle can replay it."""
+    out = html
+    for tag in _HTML_BLOCK_DROP:
+        out = F.regexp_replace(out, f"(?s)<{tag}\\b[^>]*>.*?</{tag}>", " ")
+    out = F.regexp_replace(out, "<[^>]+>", " ")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def html_title(html: Column) -> Column:
+    """The <title> text (empty string when absent — regexp_extract's
+    no-match contract)."""
+    return F.regexp_extract(html, "(?s)<title>(.*?)</title>", 1)
+
+
+def html_link_count(html: Column) -> Column:
+    """Number of anchor OPENING tags — the link-density numerator
+    boilerplate classifiers use."""
+    return F.size(F.regexp_extract_all(html, F.lit(r"<a\b"), 0))

@@ -3452,6 +3452,91 @@ def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_incremental(incoming, idx, d)
 
 
+# --- HTML main-content extraction device (unregistered; r11
+# promotion — the crawl -> training-text step: synthesized pages wrap
+# each document in title/style/script/nav/footer boilerplate whose
+# TEXT must be dropped, not just its markup; a byte-exact md5 of the
+# extraction pins the whole chain) ---
+
+HTML_EXTRACT_ORACLE = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+  FROM documents)
+SELECT doc_id,
+       'Doc ' || doc_id AS title,
+       CAST(ceil(len(string_split(norm, ' ')) / 20.0) AS BIGINT)
+         AS n_paragraphs,
+       (2 + doc_id % 4)::BIGINT AS n_links,
+       md5(norm) AS content_md5
+FROM n
+"""
+
+
+def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction (dataops/text.py
+    html_main_content/html_title/html_link_count) — the step that
+    turns a crawl into training text: each document is wrapped
+    SCAN-SIDE into a full page (title + style + script + a nav bar
+    with 1 + doc_id%4 links + the text re-chunked into 20-word <p>
+    paragraphs + a linked footer), then the REAL extractor must drop
+    the boilerplate blocks WITH their text, strip the remaining
+    markup, and renormalize — ``content_md5`` equals the md5 of the
+    original normalized text only if the round trip is byte-exact, so
+    a leaked nav token, a lost paragraph boundary word, or an
+    unstripped tag fails the hash. Synthesis and extraction are both
+    pure Catalyst expression chains: zero shuffle, zero Python, only
+    ``doc_id`` and ``text`` read from parquet."""
+    from ..dataops.text import html_link_count, html_main_content, html_title
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    words = F.split(norm, " ")
+    n_par = F.ceil(F.size(words) / F.lit(20.0))
+    paras = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (n_par - 1).cast("int")),
+            lambda j: F.concat(
+                F.lit("<p>"),
+                F.array_join(F.slice(words, j * 20 + 1, 20), " "),
+                F.lit("</p>"),
+            ),
+        ),
+        "",
+    )
+    nav = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), (F.col("doc_id") % 4 + 1).cast("int")),
+            lambda k: F.concat(
+                F.lit('<a href="/s'), k, F.lit('">section '), k, F.lit("</a>")
+            ),
+        ),
+        " ",
+    )
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id"),
+        F.lit("</title><style>p{margin:0}</style><script>var d="),
+        F.col("doc_id"),
+        F.lit(";</script></head><body><nav>"),
+        nav,
+        F.lit("</nav>"),
+        paras,
+        F.lit('<footer><a href="/contact">contact</a> (c) example</footer>'),
+        F.lit("</body></html>"),
+    )
+    h = d.select("doc_id", page.alias("html"))
+    return h.select(
+        "doc_id",
+        html_title(F.col("html")).alias("title"),
+        F.ceil(
+            F.size(F.split(html_main_content(F.col("html")), " ")) / F.lit(20.0)
+        ).alias("n_paragraphs"),
+        html_link_count(F.col("html")).cast("long").alias("n_links"),
+        F.md5(html_main_content(F.col("html"))).alias("content_md5"),
+    )
+
+
 # --- minhash ingest-LOOP device (unregistered; r11 promotion — the
 # dedup twin of stream_ann_serving's freshness contract: probe, then
 # WRITE BACK the batch's band keys into the index, so the next batch

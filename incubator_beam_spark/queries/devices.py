@@ -598,6 +598,10 @@ def devices() -> dict:
             _d.stream_minhash_ingest,
             _d.STREAM_MINHASH_INGEST_ORACLE,
         ),
+        "doc_html_extract": (
+            _d.doc_html_extract,
+            _d.HTML_EXTRACT_ORACLE,
+        ),
     }
 
 

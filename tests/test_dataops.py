@@ -2906,3 +2906,22 @@ def test_stream_minhash_ingest_oracle(spark, duck):
     assert_matches_oracle_strict(
         out, duck, STREAM_MINHASH_INGEST_ORACLE, "stream_minhash_ingest"
     )
+
+
+def test_doc_html_extract_oracle(spark, duck):
+    """HTML main-content extraction (r10-built device, r11 promotion):
+    synthesized pages round-trip — the extractor must drop boilerplate
+    blocks with their text and recover the original normalized text
+    byte-exactly (md5-pinned), with title/link-count/paragraph stats
+    matching the arithmetic oracle. Dtype-strict."""
+    from incubator_beam_spark.queries.dataops import (
+        HTML_EXTRACT_ORACLE,
+        doc_html_extract,
+    )
+
+    from .conftest import assert_matches_oracle_strict
+
+    out = doc_html_extract(spark, SF_DIR)
+    assert_matches_oracle_strict(
+        out, duck, HTML_EXTRACT_ORACLE, "doc_html_extract"
+    )
