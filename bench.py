@@ -124,6 +124,18 @@ HEADLINE = [
     "doc_unigram_viterbi",
     "emb_knn_classify",
     "doc_quality_ensemble",
+    # round-10 additions (the promoted devices' batch hot paths):
+    # incremental near-dup probe vs the persisted index (the per-ingest
+    # dedup cost), the exact whitening moment matrix (one combined
+    # Exchange), and the fact-to-fact q72 stand-in (sort-merge, neither
+    # side broadcastable). Streaming devices stay out per the standing
+    # policy. doc_html_extract is BANKED (unregistered until the r11
+    # promotion) — the name-filter below skips it until then, when the
+    # crawl-to-text hot path joins the headline automatically.
+    "doc_minhash_incremental",
+    "emb_second_moments",
+    "sql_tpcds_q72_factfact",
+    "doc_html_extract",
 ]
 
 
