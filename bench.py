@@ -136,6 +136,12 @@ HEADLINE = [
     "emb_second_moments",
     "sql_tpcds_q72_factfact",
     "doc_html_extract",
+    # round-11 addition: the crawl-to-training-data funnel end to end
+    # (extract -> near-dup -> quality -> FFD pack in one gate — the
+    # composed daily job the LLM-data brief asks for; BANKED until the
+    # r12 promotion, so the name-filter below skips it till then).
+    # stream_ann_serving_et stays out per the streaming-drain policy.
+    "doc_crawl_funnel",
 ]
 
 
@@ -158,6 +164,41 @@ def _scaled_docs(spark, sf_dir: str, k: int):
             ci = ci.withColumn("text", F.translate("text", src, src[rot:] + src[:rot]))
         copies.append(ci)
     return reduce(DataFrame.unionAll, copies)
+
+
+def _minhash_pair_counters(spark, sf_dir: str, k: int, max_bucket: int = 1000) -> dict:
+    """Band-bucket occupancy counters for the minhash scale op (VERDICT
+    r10 'What's wrong' 3): ``candidate_pairs`` = sum over KEPT buckets of
+    C(n,2) — exactly the band self-join's output size, the term that
+    makes the wall exponent ~linear-plus at constant dup density;
+    ``hot_buckets_dropped`` / ``averted_pairs`` show whether and how hard
+    the max_bucket cap engaged. All computed from the same (band, key)
+    structure the op shuffles, untimed."""
+    from pyspark.sql import functions as F
+
+    from incubator_beam_spark.dataops import dedup
+
+    docs = _scaled_docs(spark, sf_dir, k)
+    sig = docs.select(
+        "doc_id", dedup.shingles(F.col("text")).alias("sh")
+    ).withColumn("sig", dedup.minhash_signature(F.col("sh"), 8))
+    bands = sig.select(
+        "doc_id", F.explode(dedup.lsh_band_keys(F.col("sig"), 2)).alias("bk")
+    ).select(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    occ = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("c"))
+    npairs = (F.col("c") * (F.col("c") - 1) / 2).cast("long")
+    row = occ.agg(
+        F.sum(F.when(F.col("c") <= max_bucket, npairs).otherwise(0)).alias("cand"),
+        F.sum(F.when(F.col("c") > max_bucket, 1).otherwise(0)).alias("hot"),
+        F.sum(F.when(F.col("c") > max_bucket, npairs).otherwise(0)).alias("averted"),
+        F.max("c").alias("max_occ"),
+    ).collect()[0]
+    return {
+        "candidate_pairs": int(row["cand"] or 0),
+        "hot_buckets_dropped": int(row["hot"] or 0),
+        "averted_pairs": int(row["averted"] or 0),
+        "max_bucket_occupancy": int(row["max_occ"] or 0),
+    }
 
 
 def _scaled_emb(spark, sf_dir: str, k: int):
@@ -464,6 +505,7 @@ def scale_lane(spark, sf_dir: str, scales=(1, 10), rounds: int = 3) -> dict:
     # batch (the base corpus re-crawled with ' rev') probing the 1x vs
     # 10x band-bucket index — band keys for the batch only, bucket
     # equi-join, exact-Jaccard verify against candidate corpus rows.
+    import shutil as _sh
     import tempfile as _tf
 
     _mh_idx: dict[int, str] = {}
@@ -485,9 +527,29 @@ def scale_lane(spark, sf_dir: str, scales=(1, 10), rounds: int = 3) -> dict:
             incoming, idx, _scaled_docs(spark, sf_dir, k)
         )
 
+    # Packing family (VERDICT r10 item 8: the one LLM-data family with
+    # no fresh-JVM exponent): FFD sequence packing and the two-level
+    # prefix-sum chunk-span map — the latter's no-global-window scaling
+    # claim is measured here, not just stated.
+    def run_pack(k):
+        from incubator_beam_spark.dataops.packing import pack_sequences
+        from incubator_beam_spark.dataops.text import token_count
+
+        d = _scaled_docs(spark, sf_dir, k).select(
+            "doc_id", token_count(F.col("text")).alias("n_tokens")
+        )
+        return pack_sequences(d, budget=512, n_partitions=32)
+
+    def run_chunk_spans(k):
+        from incubator_beam_spark.dataops.packing import concat_chunk_spans
+
+        return concat_chunk_spans(_scaled_docs(spark, sf_dir, k))
+
     ops = {
         "doc_minhash_lsh_pairs": run_minhash,
         "doc_minhash_incremental_probe": run_minhash_probe,
+        "doc_pack_sequences": run_pack,
+        "doc_chunk_spans": run_chunk_spans,
         "doc_neardup_clusters": run_clusters,
         "emb_ivfpq_topk": run_ivfpq,
         "doc_line_dedup": run_line_dedup,
@@ -506,43 +568,73 @@ def scale_lane(spark, sf_dir: str, scales=(1, 10), rounds: int = 3) -> dict:
     li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     ev_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     out = {}
-    for name, fn in ops.items():
-        rows0 = (
-            emb_rows if name.startswith("emb_")
-            else li_rows if name.startswith(("sql_", "join_"))
-            else ev_rows if name.startswith("cep_")
-            else base_rows
-        )
-        lo, hi = scales[0], scales[-1]
-        fn(lo).count()  # warmup: codegen + IO cache, untimed
-        t_lo, t_hi, exps = [], [], []
-        for _ in range(max(rounds, 1)):
-            times = {}
-            for k in scales:
-                t0 = time.perf_counter()
-                fn(k).count()
-                times[k] = time.perf_counter() - t0
-            t_lo.append(times[lo])
-            t_hi.append(times[hi])
-            exps.append(math.log(times[hi] / times[lo]) / math.log(hi / lo))
-        med = statistics.median
-        out[name] = {
-            "rows_1x": rows0 * lo,
-            "rows_10x": rows0 * hi,
-            "t_1x_sec": round(med(t_lo), 3),
-            "t_10x_sec": round(med(t_hi), 3),
-            "scaling_exponent": round(med(exps), 3),
-            "scaling_exponent_rounds": [round(e, 3) for e in exps],
-            "scaling_exponent_spread": [
-                round(min(exps), 3), round(max(exps), 3),
-            ],
-        }
-        print(
-            f"# scale {name}: {med(t_lo):.2f}s @{lo}x -> {med(t_hi):.2f}s "
-            f"@{hi}x (exp median {med(exps):.2f}, "
-            f"spread {min(exps):.2f}-{max(exps):.2f} over {len(exps)})",
-            file=sys.stderr,
-        )
+    try:
+        for name, fn in ops.items():
+            rows0 = (
+                emb_rows if name.startswith("emb_")
+                else li_rows if name.startswith(("sql_", "join_"))
+                else ev_rows if name.startswith("cep_")
+                else base_rows
+            )
+            lo, hi = scales[0], scales[-1]
+            fn(lo).count()  # warmup: codegen + IO cache, untimed
+            t_lo, t_hi, exps = [], [], []
+            res_rows = {}
+            for _ in range(max(rounds, 1)):
+                times = {}
+                for k in scales:
+                    t0 = time.perf_counter()
+                    res_rows[k] = fn(k).count()
+                    times[k] = time.perf_counter() - t0
+                t_lo.append(times[lo])
+                t_hi.append(times[hi])
+                exps.append(math.log(times[hi] / times[lo]) / math.log(hi / lo))
+            # The reported (t_1x, t_10x, exponent) triple comes from ONE
+            # round — the round whose exponent is closest to the median —
+            # so log(t_10x/t_1x)/log(10) == scaling_exponent holds for
+            # every emitted triple (ADVICE r10: three independent medians
+            # could be mutually inconsistent). Per-round exponents +
+            # spread still carry the cross-round variance.
+            med_exp = statistics.median(exps)
+            mi = min(range(len(exps)), key=lambda i: abs(exps[i] - med_exp))
+            out[name] = {
+                "rows_1x": rows0 * lo,
+                "rows_10x": rows0 * hi,
+                "result_rows_1x": res_rows[lo],
+                "result_rows_10x": res_rows[hi],
+                "t_1x_sec": round(t_lo[mi], 3),
+                "t_10x_sec": round(t_hi[mi], 3),
+                "scaling_exponent": round(exps[mi], 3),
+                "triple_from_round": mi,
+                "scaling_exponent_rounds": [round(e, 3) for e in exps],
+                "scaling_exponent_spread": [
+                    round(min(exps), 3), round(max(exps), 3),
+                ],
+            }
+            if name == "doc_minhash_lsh_pairs":
+                # Decompose the ~linear-plus wall exponent (VERDICT r10
+                # 'What's wrong' 3): candidate-pair growth inside band
+                # buckets vs scan growth. Counted untimed from the same
+                # banded structure the op shuffles.
+                out[name]["pair_counters"] = {
+                    str(k): _minhash_pair_counters(spark, sf_dir, k)
+                    for k in (lo, hi)
+                }
+                c_lo = out[name]["pair_counters"][str(lo)]["candidate_pairs"]
+                c_hi = out[name]["pair_counters"][str(hi)]["candidate_pairs"]
+                if c_lo and c_hi:
+                    out[name]["candidate_pair_exponent"] = round(
+                        math.log(c_hi / c_lo) / math.log(hi / lo), 3
+                    )
+            print(
+                f"# scale {name}: {t_lo[mi]:.2f}s @{lo}x -> {t_hi[mi]:.2f}s "
+                f"@{hi}x (exp median {exps[mi]:.2f}, "
+                f"spread {min(exps):.2f}-{max(exps):.2f} over {len(exps)})",
+                file=sys.stderr,
+            )
+    finally:
+        for _p in _mh_idx.values():
+            _sh.rmtree(_p, ignore_errors=True)
     return out
 
 
@@ -970,10 +1062,26 @@ def main() -> None:
         if ctl is not None:
             out["control"] = ctl
     out["queries"] = per_query
+    # Mirror policy (VERDICT r10 'What's wrong' 1, in code not prose):
+    # a recording whose own like-for-like control exceeds the 1.2
+    # drift threshold is an OUT-OF-BAND recording — the machine was
+    # measurably hotter than the r1 baseline re-run minutes apart on
+    # identical code — so it must not replace the committed mirror.
+    # It lands in BENCH_full_outofband.json instead (same schema),
+    # keeping BENCH_full_latest.json's control always <= 1.2.
+    ratio = (out.get("control") or {}).get("ratio")
+    mirror = "BENCH_full_latest.json"
+    if ratio is not None and ratio > 1.2:
+        mirror = "BENCH_full_outofband.json"
+        print(
+            f"# control {ratio}x > 1.2: out-of-band recording — mirror "
+            f"NOT overwritten, full JSON written to {mirror}",
+            file=sys.stderr,
+        )
     try:
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_full_latest.json"), "w"
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), mirror),
+            "w",
         ) as f:
             json.dump(out, f, indent=1)
     except OSError:

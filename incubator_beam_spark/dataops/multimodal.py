@@ -959,6 +959,7 @@ def parse_flac_meta(payload: bytes) -> dict | None:
     n_blocks = 0
     vendor_len = None
     padding_bytes = 0
+    saw_last_flag = False
     while pos + 4 <= len(payload):
         hdr = payload[pos]
         btype = hdr & 0x7F
@@ -998,8 +999,15 @@ def parse_flac_meta(payload: bytes) -> dict | None:
             padding_bytes += length
         pos += 4 + length
         if hdr & 0x80:
+            saw_last_flag = True
             break  # last-metadata-block flag: audio frames follow
     if info is None:
+        return None
+    if not saw_last_flag:
+        # The block walk fell off the end of the payload without ever
+        # seeing the last-metadata-block flag — truncated framing, even
+        # when the truncation happens to land on a block boundary
+        # (ADVICE r10: the docstring promises None for malformed framing).
         return None
     info["n_blocks"] = n_blocks
     info["vendor_len"] = vendor_len

@@ -365,10 +365,17 @@ def html_main_content(html: Column) -> Column:
     aside blocks WITH their contents (boilerplate text must go, not
     just its markup), strip remaining tags to spaces, and normalize
     whitespace. Pure regexp_replace — scan-side, zero shuffle, shared
-    Java-regex/RE2 syntax so a DuckDB oracle can replay it."""
+    Java-regex/RE2 syntax so a DuckDB oracle can replay it.
+
+    Assumptions (ADVICE r10): tag matching is case-INSENSITIVE
+    (``<SCRIPT>`` drops like ``<script>``), but each dropped block
+    must be properly CLOSED and non-nested — an unclosed ``<script>``
+    leaks its text (the non-greedy close-tag match finds no end), and
+    a nested same-tag block ends at the FIRST close tag. Real crawl
+    HTML that violates this needs a tolerant parser, not a regex."""
     out = html
     for tag in _HTML_BLOCK_DROP:
-        out = F.regexp_replace(out, f"(?s)<{tag}\\b[^>]*>.*?</{tag}>", " ")
+        out = F.regexp_replace(out, f"(?is)<{tag}\\b[^>]*>.*?</{tag}>", " ")
     out = F.regexp_replace(out, "<[^>]+>", " ")
     return F.trim(F.regexp_replace(out, r"\s+", " "))
 

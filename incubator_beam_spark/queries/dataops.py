@@ -3458,6 +3458,48 @@ def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TEXT must be dropped, not just its markup; a byte-exact md5 of the
 # extraction pins the whole chain) ---
 
+def _synth_page(doc_id_col, content_col):
+    """The synthetic crawl page template (shared by doc_html_extract and
+    doc_crawl_funnel): title + style + script boilerplate in <head>, a
+    nav bar with 1 + doc_id%4 links, the content re-chunked into
+    20-word <p> paragraphs, and a linked footer. Built as one Catalyst
+    expression — zero Python, zero shuffle."""
+    words = F.split(content_col, " ")
+    n_par = F.ceil(F.size(words) / F.lit(20.0))
+    paras = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (n_par - 1).cast("int")),
+            lambda j: F.concat(
+                F.lit("<p>"),
+                F.array_join(F.slice(words, j * 20 + 1, 20), " "),
+                F.lit("</p>"),
+            ),
+        ),
+        "",
+    )
+    nav = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), (doc_id_col % 4 + 1).cast("int")),
+            lambda k: F.concat(
+                F.lit('<a href="/s'), k, F.lit('">section '), k, F.lit("</a>")
+            ),
+        ),
+        " ",
+    )
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        doc_id_col,
+        F.lit("</title><style>p{margin:0}</style><script>var d="),
+        doc_id_col,
+        F.lit(";</script></head><body><nav>"),
+        nav,
+        F.lit("</nav>"),
+        paras,
+        F.lit('<footer><a href="/contact">contact</a> (c) example</footer>'),
+        F.lit("</body></html>"),
+    )
+
+
 HTML_EXTRACT_ORACLE = r"""
 WITH n AS (
   SELECT doc_id,
@@ -3491,41 +3533,7 @@ def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
-    words = F.split(norm, " ")
-    n_par = F.ceil(F.size(words) / F.lit(20.0))
-    paras = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), (n_par - 1).cast("int")),
-            lambda j: F.concat(
-                F.lit("<p>"),
-                F.array_join(F.slice(words, j * 20 + 1, 20), " "),
-                F.lit("</p>"),
-            ),
-        ),
-        "",
-    )
-    nav = F.array_join(
-        F.transform(
-            F.sequence(F.lit(1), (F.col("doc_id") % 4 + 1).cast("int")),
-            lambda k: F.concat(
-                F.lit('<a href="/s'), k, F.lit('">section '), k, F.lit("</a>")
-            ),
-        ),
-        " ",
-    )
-    page = F.concat(
-        F.lit("<html><head><title>Doc "),
-        F.col("doc_id"),
-        F.lit("</title><style>p{margin:0}</style><script>var d="),
-        F.col("doc_id"),
-        F.lit(";</script></head><body><nav>"),
-        nav,
-        F.lit("</nav>"),
-        paras,
-        F.lit('<footer><a href="/contact">contact</a> (c) example</footer>'),
-        F.lit("</body></html>"),
-    )
-    h = d.select("doc_id", page.alias("html"))
+    h = d.select("doc_id", _synth_page(F.col("doc_id"), norm).alias("html"))
     return h.select(
         "doc_id",
         html_title(F.col("html")).alias("title"),
@@ -4163,4 +4171,448 @@ def emb_second_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("p.xy").alias("sxy"))
+    )
+
+
+# --- crawl-shaped end-to-end funnel device (unregistered; r12
+# promotion — VERDICT r10 item 6: HTML -> extract -> near-dup ->
+# quality -> pack as ONE gate whose oracle replays the whole funnel,
+# pinning the interaction seams: extraction feeds the shingles the
+# dedup bands hash; dedup survivors feed the quality rules; quality
+# survivors feed the packer) ---
+
+_GOPHER_KEEP_SQL = """
+   (len(words) BETWEEN 50 AND 100000)
+   AND (list_sum(list_transform(words, x -> len(x))) / len(words)) BETWEEN 3 AND 10
+   AND (len(regexp_extract_all(text, '#|\\.\\.\\.')) / len(words)) <= 0.1
+   AND (CASE WHEN len(lines) = 0 THEN 0.0
+             ELSE len(list_filter(lines, l -> regexp_matches(trim(l),
+                    '^([*•▪‣-]|[0-9]+[.)])'))) / len(lines) END) <= 0.9
+   AND (CASE WHEN len(lines) = 0 THEN 0.0
+             ELSE len(list_filter(lines, l -> regexp_matches(trim(l),
+                    '(\\.\\.\\.|…)$'))) / len(lines) END) <= 0.3
+   AND (len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) / len(words)) >= 0.8
+   AND len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in)\\b')) >= 2
+"""
+
+CRAWL_FUNNEL_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS content
+  FROM documents),
+crawl AS (
+  SELECT doc_id, content FROM src
+  UNION ALL
+  SELECT doc_id + 10000000, content || ' latest revision of this page'
+  FROM src WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 20000000,
+         'page ' || (doc_id + 20000000)::VARCHAR || ' under construction'
+  FROM src WHERE doc_id % 11 = 0),
+ext AS (SELECT doc_id, content AS text FROM crawl),
+tok AS (
+  SELECT doc_id, len({_TOKENS})::BIGINT AS n_tokens,
+         ('0x' || substr(md5(text), 1, 10))::BIGINT AS h
+  FROM ext),
+sh_t AS (SELECT doc_id, {_SHINGLES} AS sh FROM ext),
+sig_t AS (SELECT doc_id, sh, [{_SIG}] AS sig FROM sh_t),
+bands AS (
+  SELECT doc_id, b AS band, md5(sig[2*b + 1] || '|' || sig[2*b + 2]) AS key
+  FROM sig_t, unnest(generate_series(0, 3)) AS t(b)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+dropped AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM cand JOIN sig_t a ON cand.id_a = a.doc_id
+            JOIN sig_t b ON cand.id_b = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))
+              / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
+surv AS (
+  SELECT e.doc_id, e.text FROM ext e
+  WHERE e.doc_id NOT IN (SELECT doc_id FROM dropped)),
+kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\\s+') AS words,
+           list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0)
+             AS lines
+    FROM surv)
+  WHERE {_GOPHER_KEEP_SQL}),
+s1 AS (
+  SELECT '1_crawl' AS stage, (SELECT count(*) FROM src)::BIGINT AS docs_in,
+         count(*)::BIGINT AS docs_out, 0::BIGINT AS tokens_out,
+         sum(doc_id)::BIGINT AS checksum
+  FROM crawl),
+s2 AS (
+  SELECT '2_extract', (SELECT count(*) FROM crawl)::BIGINT,
+         count(*)::BIGINT, sum(n_tokens)::BIGINT, sum(h)::BIGINT
+  FROM tok),
+s3 AS (
+  SELECT '3_dedup', (SELECT count(*) FROM crawl)::BIGINT,
+         count(*)::BIGINT, sum(t.n_tokens)::BIGINT, sum(s.doc_id)::BIGINT
+  FROM surv s JOIN tok t ON s.doc_id = t.doc_id),
+s4 AS (
+  SELECT '4_quality', (SELECT count(*) FROM surv)::BIGINT,
+         count(*)::BIGINT, sum(t.n_tokens)::BIGINT, sum(k.doc_id)::BIGINT
+  FROM kept k JOIN tok t ON k.doc_id = t.doc_id),
+s5 AS (
+  SELECT '5_pack', (SELECT count(*) FROM kept)::BIGINT,
+         count(*)::BIGINT, sum(t.n_tokens)::BIGINT, sum(t.n_tokens)::BIGINT
+  FROM kept k JOIN tok t ON k.doc_id = t.doc_id)
+SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5
+"""
+
+
+def doc_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-to-training-data funnel END TO END (VERDICT r10 item
+    6): synthesize a crawl with DUPLICATE and BOILERPLATE injection
+    (every doc as a full chrome-wrapped page via ``_synth_page``; every
+    7th doc re-crawled with a 5-word revision suffix — a near-dup the
+    LSH bands must catch; every 11th doc a 4-word stub page — content
+    the quality rules must drop), then run the REAL operators in
+    sequence: ``html_main_content`` extraction (dataops/text.py),
+    ``minhash_lsh_pairs`` near-dup removal dropping the higher id of
+    every verified pair (dataops/dedup.py), ``gopher_rules`` quality
+    filtering (dataops/text.py), and ``pack_sequences`` FFD packing
+    (dataops/packing.py). Output: ONE ROW PER STAGE with (docs_in,
+    docs_out, tokens_out, checksum) — stage 2's checksum is a 40-bit
+    md5-prefix sum of every extracted string (byte-exact extraction,
+    aggregated), stages 3-4 checksum surviving doc_ids, and stage 5
+    reports the packer's conservation/budget/tightness contract
+    (checksum = total tokens if ALL invariants hold, else -1; the pack
+    ASSIGNMENT is partitioning-dependent by design, its contract is
+    not). The oracle replays the entire funnel on the original text —
+    legal because extraction is byte-exact by construction, so ANY
+    leaked nav token or lost paragraph word changes the shingles, the
+    tokens, and the md5 sum, and the hash goes red.
+
+    Scale shape (100 TB): synthesis+extraction+quality are one
+    zero-shuffle scan chain; dedup shuffles (band,key,doc_id) only
+    (24 B/doc/band, hot-bucket capped); the packer shuffles (doc_id,
+    n_tokens) pairs (16 B/doc); every stage row is a one-row aggregate.
+    A production run materializes each stage to parquet between legs —
+    here the extracted corpus is persisted once and reused by the
+    three downstream legs."""
+    from ..dataops.packing import pack_sequences
+    from ..dataops.text import gopher_rules, html_main_content, token_count
+
+    budget = 512
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    base = d.select("doc_id", norm.alias("content"))
+    dups = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(norm, F.lit(" latest revision of this page")).alias("content"),
+    )
+    stubs = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("page "),
+            (F.col("doc_id") + 20_000_000).cast("string"),
+            F.lit(" under construction"),
+        ).alias("content"),
+    )
+    crawl = base.unionAll(dups).unionAll(stubs)
+    pages = crawl.select(
+        "doc_id", _synth_page(F.col("doc_id"), F.col("content")).alias("html")
+    )
+    ext = pages.select(
+        "doc_id", html_main_content(F.col("html")).alias("text")
+    ).persist()
+    toks = ext.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.conv(F.substring(F.md5(F.col("text")), 1, 10), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    pairs = dedup.minhash_lsh_pairs(ext)
+    surv = ext.join(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    ).persist()
+    kept = surv.filter(gopher_rules(F.col("text"))["keep"]).persist()
+    kept_toks = kept.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(kept_toks, budget=budget, n_partitions=8)
+
+    def stage(name, docs_in_df, body_df):
+        return body_df.crossJoin(
+            docs_in_df.agg(F.count(F.lit(1)).alias("docs_in"))
+        ).select(
+            F.lit(name).alias("stage"),
+            F.col("docs_in"),
+            F.col("docs_out"),
+            F.col("tokens_out"),
+            F.col("checksum"),
+        )
+
+    s1 = stage(
+        "1_crawl",
+        d,
+        crawl.agg(
+            F.count(F.lit(1)).alias("docs_out"),
+            F.lit(0).cast("long").alias("tokens_out"),
+            F.sum("doc_id").alias("checksum"),
+        ),
+    )
+    s2 = stage(
+        "2_extract",
+        crawl,
+        toks.agg(
+            F.count(F.lit(1)).alias("docs_out"),
+            F.sum("n_tokens").alias("tokens_out"),
+            F.sum("h").alias("checksum"),
+        ),
+    )
+    surv_t = surv.join(toks.select("doc_id", "n_tokens"), "doc_id")
+    s3 = stage(
+        "3_dedup",
+        crawl,
+        surv_t.agg(
+            F.count(F.lit(1)).alias("docs_out"),
+            F.sum("n_tokens").alias("tokens_out"),
+            F.sum("doc_id").alias("checksum"),
+        ),
+    )
+    kept_t = kept.join(toks.select("doc_id", "n_tokens"), "doc_id")
+    s4 = stage(
+        "4_quality",
+        surv,
+        kept_t.agg(
+            F.count(F.lit(1)).alias("docs_out"),
+            F.sum("n_tokens").alias("tokens_out"),
+            F.sum("doc_id").alias("checksum"),
+        ),
+    )
+    row_stats = packed.agg(
+        F.count_distinct(F.col("doc_id")).alias("docs_out"),
+        F.sum("n_tokens").alias("tokens_out"),
+        (F.count(F.lit(1)) == F.count_distinct(F.col("doc_id"))).alias("eo"),
+    )
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.count(F.lit(1)).alias("n_in"),
+        F.min("pack_tokens").alias("pt_min"),
+        F.max("pack_tokens").alias("pt_max"),
+    )
+    pack_ok = per_pack.agg(
+        F.bool_and(
+            ((F.col("n_in") == 1) | (F.col("fill") <= budget))
+            & (F.col("pt_min") == F.col("fill"))
+            & (F.col("pt_max") == F.col("fill"))
+        ).alias("budget_ok")
+    )
+    tight = (
+        per_pack.groupBy(F.expr("pack_id div 1099511627776").alias("part"))
+        .agg(F.sum((F.col("fill") <= budget / 2).cast("long")).alias("n_he"))
+        .agg(F.bool_and(F.col("n_he") <= 1).alias("anyfit_tight"))
+    )
+    s5 = stage(
+        "5_pack",
+        kept,
+        row_stats.crossJoin(pack_ok)
+        .crossJoin(tight)
+        .select(
+            "docs_out",
+            "tokens_out",
+            F.when(
+                F.col("eo") & F.col("budget_ok") & F.col("anyfit_tight"),
+                F.col("tokens_out"),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("checksum"),
+        ),
+    )
+    return s1.unionAll(s2).unionAll(s3).unionAll(s4).unionAll(s5)
+
+
+# --- EVENT-TIME streaming ANN serving device (unregistered; r12
+# promotion — VERDICT r10 item 5: index visibility follows the
+# WATERMARK, not arrival order; no current gate exercises
+# watermark-gated side-artifact freshness) ---
+
+def _ann_serving_et_oracle(nprobe: int = 2, k: int = 10) -> str:
+    """Per-watermark-prefix replay: probe wave p serves the index
+    holding exactly the vectors whose event-time MINUTE lies under the
+    p-th watermark cut (minute < 360p); waves with no NEW vectors are
+    skipped (the serving loop only re-probes when the index grew —
+    and, incidentally, that makes the device robust to Spark's
+    trailing no-new-data flush batch)."""
+    return f"""
+WITH pfx AS (SELECT unnest(generate_series(1, 4)) AS p),
+vv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label FROM embeddings),
+waves AS (
+  SELECT p FROM pfx WHERE EXISTS (
+    SELECT 1 FROM vv
+    WHERE (id % 1440) >= 360 * (p - 1) AND (id % 1440) < 360 * p)),
+cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+         FROM embeddings WHERE vec_id < 8),
+sc AS (SELECT vv.id, vv.v, vv.label, cent.cid, {_IVF_COS} AS cos_c
+       FROM vv CROSS JOIN cent),
+assigned AS (
+  SELECT id, v, label, cid AS cell, sqrt(list_dot_product(v, v)) AS vn
+  FROM sc
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cos_c DESC, cid) = 1),
+qa AS (
+  SELECT id AS query_id, cid AS cell, v AS qv,
+         sqrt(list_dot_product(v, v)) AS qn
+  FROM sc WHERE id < 10
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cos_c DESC, cid)
+          <= {nprobe}),
+pq AS (SELECT waves.p, qa.* FROM waves CROSS JOIN qa),
+topk AS (
+  SELECT p, query_id, match_id, label FROM (
+    SELECT pq.p, pq.query_id, a.id AS match_id, a.label,
+           row_number() OVER (
+             PARTITION BY pq.p, pq.query_id
+             ORDER BY round(list_dot_product(qv, a.v) / (qn * a.vn), 6) DESC,
+                      a.id) AS rank
+    FROM pq JOIN assigned a USING (cell)
+    WHERE a.id != pq.query_id
+      AND (a.id % 1440) < 360 * pq.p)
+  WHERE rank <= {k}),
+votes AS (
+  SELECT p, query_id, label AS nbr_label, count(*) AS votes
+  FROM topk GROUP BY p, query_id, label),
+nidx AS (
+  SELECT waves.p, count(*) AS n_indexed
+  FROM waves JOIN vv ON (vv.id % 1440) < 360 * waves.p
+  GROUP BY waves.p)
+SELECT nidx.n_indexed::BIGINT AS n_indexed, w.query_id,
+       w.nbr_label AS pred_label, w.votes::BIGINT AS votes
+FROM (SELECT *, row_number() OVER (PARTITION BY p, query_id
+                                   ORDER BY votes DESC, nbr_label) AS rn
+      FROM votes) w
+JOIN nidx ON nidx.p = w.p
+WHERE w.rn = 1
+"""
+
+
+STREAM_ANN_SERVING_ET_ORACLE = _ann_serving_et_oracle()
+
+
+def stream_ann_serving_et(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME continuous auto-labeling (VERDICT r10 item 5): the
+    arrival-order ``stream_ann_serving`` loop re-composed so that INDEX
+    VISIBILITY FOLLOWS THE WATERMARK — a vector becomes servable iff
+    its event-time minute window has been FINALIZED by the watermark
+    (indexed iff ts < wm), regardless of arrival order. Every vector
+    carries ts = 2024-01-01 + (vec_id % 1440) minutes; delivery is
+    wildly out of order (second half of vec_ids first), then five
+    sentinel waves push the watermark to quarter-day cuts (+30s so no
+    window end ever ties the watermark). The ingest stream runs
+    through withWatermark + a 1-minute tumbling-window aggregation in
+    APPEND mode — the engine itself releases exactly the
+    watermark-finalized rows to foreachBatch, which appends them to
+    the cell-partitioned IVF index and re-probes the FIXED query set
+    cold from disk (``ivf_topk_indexed``: probed cells pushed down as
+    partition filters) whenever the index grew. The oracle replays
+    the IVF+vote over each watermark prefix (minute < 360p), so a row
+    indexed before its window finalized (freshness leak), a dropped
+    late row, or a stale probe changes n_indexed or a prediction and
+    fails the hash. At 100 TB this is the production shape for
+    continuously-trained labelers: the watermark bounds exactly which
+    events each model refresh may see, making retrains reproducible.
+    (Reference semantics: trigger.py AfterWatermark's
+    fired-iff-watermark-past-window-end contract, applied to a side
+    artifact instead of a pane.)"""
+    import tempfile
+
+    from ..dataops.similarity import ivf_assign, ivf_topk_indexed, knn_classify
+    from .events import _stage_scripted_file
+
+    e = table(spark, sf_dir, "embeddings")
+    n = e.count()
+    base = 1704067200  # 2024-01-01 00:00:00 UTC, minute-aligned
+    with_ts = e.withColumn(
+        "ts", F.timestamp_seconds(F.lit(base) + (F.col("vec_id") % 1440) * 60)
+    )
+    centroids = e.filter(F.col("vec_id") < 8)
+    queries_df = e.filter(F.col("vec_id") < 10)
+
+    stage = tempfile.mkdtemp(prefix="ann_et_stage_")
+    t0 = 1700000000
+    _stage_scripted_file(
+        stage, with_ts.filter(F.col("vec_id") * 2 >= n), "a_late_half", t0
+    )
+    _stage_scripted_file(
+        stage, with_ts.filter(F.col("vec_id") * 2 < n), "b_early_half", t0 + 10
+    )
+    # watermark-push sentinels: after sentinel k the watermark reads
+    # base + 6h*k + 30s (ts - 60d); their own windows sit 60 days in
+    # the future and never finalize, so they never reach the index
+    one_row = with_ts.filter(F.col("vec_id") == 0)
+    for w in range(1, 6):
+        sent = one_row.select(
+            F.lit(-w).cast("long").alias("vec_id"),
+            "embedding",
+            "label",
+            F.timestamp_seconds(
+                F.lit(base + 60 * 86400 + w * 21600 + 30)
+            ).alias("ts"),
+        )
+        _stage_scripted_file(stage, sent, f"c_wm{w}", t0 + 10 * (w + 1))
+
+    index_dir = tempfile.mkdtemp(prefix="ann_et_index_")
+    results_dir = tempfile.mkdtemp(prefix="ann_et_out_")
+    ckpt = tempfile.mkdtemp(prefix="ann_et_ckpt_")
+    seen = [0]
+
+    def handle(batch_df, _epoch):
+        rows = batch_df.filter(F.col("vec_id") >= 0).select(
+            "vec_id", "embedding", "label"
+        )
+        fresh = rows.count()
+        if fresh:
+            assigned = ivf_assign(rows, centroids).join(
+                rows.select(F.col("vec_id").alias("id"), "label"), "id"
+            )
+            assigned.write.mode("append").partitionBy("cell").parquet(index_dir)
+            seen[0] += fresh
+        if not fresh or not seen[0]:
+            return  # index unchanged (or still empty): nothing to re-serve
+        idx = spark.read.parquet(index_dir)  # the maintained artifact, cold
+        n_indexed = idx.count()
+        nbrs = ivf_topk_indexed(queries_df, idx, centroids, k=10, nprobe=2)
+        pred = knn_classify(
+            queries_df,
+            idx.select(F.col("id").alias("vec_id"), "label"),
+            k=10,
+            topk=nbrs,
+        )
+        pred.withColumn("n_indexed", F.lit(n_indexed).cast("long")).write.mode(
+            "append"
+        ).parquet(results_dir)
+
+    s = (
+        spark.readStream.schema(with_ts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    finalized = (
+        s.withWatermark("ts", "60 days")
+        .groupBy(F.window("ts", "1 minute"), "vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.first("label").alias("label"),
+        )
+    )
+    q = (
+        finalized.writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(results_dir).select(
+        "n_indexed", "query_id", "pred_label", "votes"
     )

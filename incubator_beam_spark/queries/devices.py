@@ -438,9 +438,11 @@ def promoted_r10() -> dict:
     """name -> (query_fn, oracle_sql) for the SIX devices banked during
     round 9 and REGISTERED in round 10 (they lead the r10 driver
     window; COVERAGE.md §window-plan). The q72_factfact body carries
-    the r10 pre-flight fix: ``mon`` CAST to BIGINT in both CTEs (Spark
-    year()*12+month() is INT, DuckDB's is BIGINT — values were
-    identical but the driver hash is dtype-sensitive)."""
+    the r10 ``mon`` CAST to BIGINT in both CTEs (Spark
+    year()*12+month() is INT, DuckDB's BIGINT). Round 11's width audit
+    (scripts/width_audit.json) settled that the driver hash actually
+    TOLERATES integer width, so the cast was harmless-but-unneeded —
+    kept because aligned dtypes cost nothing."""
     from . import dataops as _d
     from . import tpcds as _t
 
@@ -567,10 +569,12 @@ def stream_match_recognize_compound_order_et(
     return _drain(out, "append")
 
 
-def devices() -> dict:
-    """name -> (query_fn, oracle_sql) for every CURRENTLY banked device
-    (built this round, registered next round). The bank restarts empty
-    at each promotion; r10-built devices accumulate here."""
+def promoted_r11() -> dict:
+    """name -> (query_fn, oracle_sql) for the SEVEN devices banked
+    during round 10 and REGISTERED in round 11 (they lead the r11
+    driver window; COVERAGE.md §window-plan). All seven were
+    dtype-strict emulator-clean at sf0.01 AND sf0.1 before promotion
+    (and judge-verified independently in the r10 verdict)."""
     from . import dataops as _d
 
     return {
@@ -605,11 +609,29 @@ def devices() -> dict:
     }
 
 
+def devices() -> dict:
+    """name -> (query_fn, oracle_sql) for every CURRENTLY banked device
+    (built this round, registered next round). The bank restarts empty
+    at each promotion; r11-built devices accumulate here."""
+    from . import dataops as _d
+
+    return {
+        "stream_ann_serving_et": (
+            _d.stream_ann_serving_et,
+            _d.STREAM_ANN_SERVING_ET_ORACLE,
+        ),
+        "doc_crawl_funnel": (
+            _d.doc_crawl_funnel,
+            _d.CRAWL_FUNNEL_ORACLE,
+        ),
+    }
+
+
 def _register_all() -> None:
     """Apply @query to every promoted device (runs at import)."""
     from ..registry import query
 
-    for promoted in (promoted_r9, promoted_r10):
+    for promoted in (promoted_r9, promoted_r10, promoted_r11):
         for name, (fn, oracle) in promoted().items():
             query(name, oracle=oracle)(fn)
 

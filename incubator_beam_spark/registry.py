@@ -72,64 +72,63 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # gates. Everything else (TPC-H, joins, sets — all driver-green in round 1)
 # registers after the window and stays covered by the local oracle tests.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-10 window (verdict r9 item 1, ninth rotation — the
-    # COMMITTED r10 set from COVERAGE.md §window-plan, verbatim): the
-    # six r9-built devices promoted via the mechanical devices.py path
-    # lead (growth +6, registry 419 -> 425), then cep_all_rows_running
-    # (the one CEP family member the r9 displacement rule dropped),
-    # then the 15 heavy/misc re-check slots the r9 promotions
-    # displaced, then the 28 stalest r1-era gates (driver-checked once
-    # in round 1, never since). Every row carries a hash verdict.
-    "stream_match_recognize_prev",
-    "sql_tpcds_q72_factfact",
-    "doc_minhash_incremental",
-    "stream_ivf_index_maintain",
-    "stream_match_recognize_compound_order",
-    "emb_second_moments",
-    "cep_all_rows_running",
-    "io_python_datasource",
-    "io_tfrecord_roundtrip",
-    "core_elementwise_chain",
-    "core_partition_fanout",
-    "core_reshuffle_stability",
-    "schema_surgery_roundtrip",
-    "join_lookup_broadcast",
-    "stream_nexmark_q7",
-    "stream_stream_left_join",
-    "doc_curation_pipeline",
-    "sql_tpcds_q64",
-    "sql_tpcds_q67",
-    "sql_tpcds_q78",
-    "sql_tpcds_q5",
-    "sql_tpcds_q14",
-    "agg_bit_xor",
-    "agg_count_per_element",
-    "agg_cube",
-    "agg_latest_per_key",
-    "agg_mean_per_key",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_string_agg",
-    "agg_tuple_combine",
-    "agg_variance_covariance",
-    "cogroup_by_key",
-    "distinct_rows",
-    "join_anti",
-    "join_cross",
-    "join_full_outer",
-    "join_inner",
-    "join_left_outer",
-    "join_right_outer",
-    "join_semi",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "set_except",
-    "set_intersect",
-    "set_union_all",
-    "topk_global",
+    # ROUND-11 window (verdict r10 item 1, tenth rotation — the
+    # COMMITTED r11 set from COVERAGE.md §window-plan, verbatim): the
+    # seven r10-built devices promoted via the mechanical devices.py
+    # path lead (growth +7, registry 425 -> 432), then the 43 stalest
+    # exact-oracle gates by last-driver-row age (rows-only gates
+    # excluded by design — they face the driver through their
+    # driver-green exact twins). Every row carries a hash verdict.
+    "stream_ann_serving",
+    "stream_match_recognize_compound_order_et",
+    "doc_minhash_ingest_loop",
+    "mm_flac_meta",
+    "emb_ivf_cell_split",
+    "stream_minhash_ingest",
+    "doc_html_extract",
+    "set_union_distinct",
+    "set_intersect_all",
+    "set_except_all",
+    "topk_per_key",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q22_global_sales_opportunity",
+    "win_rank_functions",
+    "win_lead_lag",
+    "win_running_sum",
+    "q2_min_cost_supplier",
+    "pardo_tagged_outputs",
+    "io_write_dynamic",
+    "agg_top_per_key_array",
+    "agg_to_list_sorted",
+    "agg_to_set",
+    "agg_count_if_any_value",
+    "win_range_frame",
+    "agg_hotkey_fanout",
+    "combine_lifted_geomean",
+    "fn_regex_suite",
+    "fn_json_suite",
+    "sql_udtf_ngrams",
+    "evt_tumbling_window",
+    "evt_sliding_window",
+    "evt_session_window",
+    "evt_timestamp_combiners",
+    "evt_group_into_batches",
+    "evt_custom_merging_window",
+    "evt_asof_join",
+    "sql_tumble",
+    "sql_session",
+    "sql_exists_subquery",
+    "sql_scalar_subquery",
+    "sql_correlated_avg",
+    "sql_grouping_sets",
+    "sql_unnest_lateral",
+    "doc_text_stats",
 )
 
 

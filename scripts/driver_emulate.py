@@ -60,9 +60,13 @@ def check(name: str, q, spark, con) -> str:
         return f"CANON-ERR {e}"
     for col in s_c.columns:
         a, b = s_c[col], d_c[col]
-        # round 1 showed the driver hash tolerates width differences
-        # (int32 vs int64, datetime ns vs us) but NOT kind differences
-        # (int64 290 vs float64 290.0)
+        # THE SETTLED RULE (r11, scripts/width_audit.json): the driver
+        # hash tolerates width differences within a kind (int32/int8 vs
+        # int64, datetime ns vs us — 44 gates with such columns all
+        # carry green driver hash rows) but NOT kind differences
+        # (int64 290 vs float64 290.0 hash-mismatched in round 1).
+        # tests/conftest.py::assert_matches_oracle_strict enforces the
+        # identical rule for banked devices.
         if a.dtype.kind != b.dtype.kind:
             return f"DTYPE {col}: spark={a.dtype} duck={b.dtype}"
         if a.dtype != b.dtype:

@@ -76,13 +76,18 @@ def normalize(columns, rows):
 
 
 def assert_matches_oracle_strict(spark_df, duck_con, oracle: str, name: str = "query"):
-    """Dtype-strict comparator for BANKED manifest pairs (verdict r9
-    item 2): mirrors the driver's pandas-level value hash the way
-    scripts/driver_emulate.py does — dtype KINDS must match, and for
-    integer kinds the WIDTH must match too (the r10 q72_factfact trap:
-    Spark year()*12+month() arrives int32, DuckDB's int64 — values
-    identical, driver hash fails). assert_matches_oracle compares
-    collected Python values and cannot see either."""
+    """Dtype-strict comparator for BANKED manifest pairs — enforces THE
+    DRIVER'S OWN RULE, settled empirically in round 11 (verdict r10
+    'What's wrong' 2; scripts/width_audit.json): dtype KINDS must match
+    (int vs float hash-mismatched in round 1), but WIDTH within a kind
+    is tolerated — 44 registered gates emit int32/int8-vs-int64 or
+    datetime64[ns]-vs-[us] columns and every one carries a green driver
+    hash row (q3/q7/agg_latest_per_key/q5/q67/q78 green in round 10
+    itself). The r9-r10 q72_factfact ``mon`` episode was therefore a
+    harmless-but-unneeded cast, not a trap class. This matches
+    scripts/driver_emulate.py exactly: one rule, both tools.
+    assert_matches_oracle compares collected Python values and cannot
+    see dtypes at all."""
     s_pdf = spark_df.toPandas()
     d_pdf = duck_con.sql(oracle).df()
     assert sorted(s_pdf.columns) == sorted(d_pdf.columns), (
@@ -106,10 +111,8 @@ def assert_matches_oracle_strict(spark_df, duck_con, oracle: str, name: str = "q
             f"{name}: dtype KIND mismatch on {col}: spark={a.dtype} duck={b.dtype}"
         )
         if a.dtype != b.dtype:
-            assert a.dtype.kind not in "iu", (
-                f"{name}: integer WIDTH mismatch on {col}: spark={a.dtype} "
-                f"duck={b.dtype} (driver hash fails on this — cast both sides)"
-            )
+            # width-only difference within a kind: tolerated, like the
+            # driver (width_audit.json) — normalize and compare values
             b = b.astype(a.dtype)
         assert a.equals(b), (
             f"{name}: value mismatch on {col}: "
