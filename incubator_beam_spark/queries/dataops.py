@@ -4616,3 +4616,81 @@ def stream_ann_serving_et(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(results_dir).select(
         "n_indexed", "query_id", "pred_label", "votes"
     )
+
+
+# --- sequence-length distribution device (unregistered; r12
+# promotion — VERDICT r10 item 8's second option: the length
+# histogram + bin-plan lower bounds a tokenizer-aware packer needs
+# BEFORE it runs, as a broadcast-sized artifact) ---
+
+CRAWL_LENGTH_PLAN_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n
+  FROM documents),
+hist AS (
+  SELECT n AS tok_len, count(*)::BIGINT AS n_docs,
+         (n * count(*))::BIGINT AS tokens,
+         (CASE WHEN n > 512 THEN 512 ELSE n END * count(*))::BIGINT
+           AS clamped
+  FROM tok GROUP BY n)
+SELECT tok_len, n_docs, tokens,
+       sum(n_docs) OVER w::BIGINT AS cum_docs,
+       sum(tokens) OVER w::BIGINT AS cum_tokens,
+       ((sum(clamped) OVER w + 511) // 512)::BIGINT AS bins_lb
+FROM hist
+WINDOW w AS (ORDER BY tok_len DESC ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+"""
+
+
+def doc_length_histogram_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution -> packing bin plan (the artifact a
+    tokenizer-aware packer broadcasts before an FFD run): one
+    map-side-combined aggregate collapses the corpus to its token-length
+    histogram (<= max-doc-length rows — broadcast-sized even at 100 TB),
+    then a single tiny window over the histogram derives, longest-first,
+    the cumulative doc/token mass and ``bins_lb`` — the ceil(mass/512)
+    lower bound on 512-token bins needed for every doc of length >= L
+    (lengths clamped to the budget: longer docs are singleton bins by
+    the packer's truncation contract, pinned by doc_pack_bounds). FFD's
+    actual bin count always sits between this bound and 2x it, so the
+    plan prices a pack run without running it. Scale shape: ONE
+    Exchange carrying per-length partials; the window runs over the
+    histogram rows, never the corpus."""
+    from ..dataops.text import token_count
+
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(token_count(F.col("text")).alias("n"))
+    hist = tok.groupBy(F.col("n").alias("tok_len")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    hist = hist.select(
+        "tok_len",
+        "n_docs",
+        (F.col("tok_len") * F.col("n_docs")).alias("tokens"),
+        (F.least(F.col("tok_len"), F.lit(512)) * F.col("n_docs")).alias(
+            "clamped"
+        ),
+    )
+    w = W.orderBy(F.col("tok_len").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return hist.select(
+        "tok_len",
+        "n_docs",
+        "tokens",
+        F.sum("n_docs").over(w).alias("cum_docs"),
+        F.sum("tokens").over(w).alias("cum_tokens"),
+        F.sum("clamped").over(w).alias("_cc"),
+    ).select(
+        "tok_len",
+        "n_docs",
+        "tokens",
+        "cum_docs",
+        "cum_tokens",
+        F.expr("(_cc + 511) div 512").cast("long").alias("bins_lb"),
+    )

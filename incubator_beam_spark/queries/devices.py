@@ -624,6 +624,10 @@ def devices() -> dict:
             _d.doc_crawl_funnel,
             _d.CRAWL_FUNNEL_ORACLE,
         ),
+        "doc_length_histogram_plan": (
+            _d.doc_length_histogram_plan,
+            _d.CRAWL_LENGTH_PLAN_ORACLE,
+        ),
     }
 
 

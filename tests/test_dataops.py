@@ -3105,3 +3105,38 @@ def test_stream_ann_serving_et_freshness(spark, duck):
     assert_matches_oracle_strict(
         out, duck, STREAM_ANN_SERVING_ET_ORACLE, "stream_ann_serving_et"
     )
+
+
+def test_length_histogram_plan_bounds_real_pack(spark, duck):
+    """The length-histogram bin plan (r11-built device, r12 promotion)
+    must actually BOUND a real FFD run: total bins used by
+    pack_sequences sits in [bins_lb, 2*bins_lb] (any-fit guarantee),
+    and the histogram's masses reconcile with the corpus. Dtype-strict
+    vs the SQL replay."""
+    from incubator_beam_spark.dataops.packing import pack_sequences
+    from incubator_beam_spark.dataops.text import token_count
+    from incubator_beam_spark.queries.dataops import (
+        CRAWL_LENGTH_PLAN_ORACLE,
+        doc_length_histogram_plan,
+    )
+
+    from .conftest import assert_matches_oracle_strict
+
+    plan = doc_length_histogram_plan(spark, SF_DIR).persist()
+    rows = plan.collect()
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    total = sorted(rows, key=lambda r: r.tok_len)[0]  # smallest length row
+    assert total.cum_docs == d.count(), "histogram loses documents"
+    bins_lb = total.bins_lb
+    packed = pack_sequences(
+        d.select("doc_id", token_count(F.col("text")).alias("n_tokens")),
+        budget=512,
+        n_partitions=8,
+    )
+    n_bins = packed.select("pack_id").distinct().count()
+    assert bins_lb <= n_bins <= 2 * bins_lb, (
+        f"FFD used {n_bins} bins, plan bound [{bins_lb}, {2 * bins_lb}]"
+    )
+    assert_matches_oracle_strict(
+        plan, duck, CRAWL_LENGTH_PLAN_ORACLE, "doc_length_histogram_plan"
+    )
