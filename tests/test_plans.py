@@ -849,3 +849,64 @@ def test_ivf_topk_indexed_partition_pruned_probe(spark, tmp_path):
         for r in ivf_topk(q, e, centroids, k=5, nprobe=2).collect()
     )
     assert got == want
+
+
+def test_length_histogram_plan_single_exchange_then_tiny_window(spark):
+    """doc_length_histogram_plan's scale claim: ONE Exchange carries
+    per-length partial counts (map-side combined), and the window runs
+    over histogram rows, never the corpus — so the plan must show a
+    partial+final HashAggregate pair around the first exchange and no
+    Python stage anywhere."""
+    import contextlib
+    import io as _io
+
+    from incubator_beam_spark.queries.dataops import doc_length_histogram_plan
+
+    df = doc_length_histogram_plan(spark, SF_DIR)
+    df.count()
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final pair
+    assert "BatchEvalPython" not in plan
+    assert "Window" in plan
+    # only the documents scan reads the corpus; it must prune to text
+    scans = [
+        b for b in plan.split("\n\n")
+        if "Scan parquet" in b and "Location:" in b
+    ]
+    assert scans and all("documents" in b for b in scans), plan
+    assert all(
+        "ReadSchema: struct<text:string>" in b for b in scans
+    ), "histogram reads columns it never uses"
+
+
+def test_crawl_funnel_extraction_scan_side_and_no_text_shuffle(spark):
+    """doc_crawl_funnel's scale claims: the synthesize+extract+quality
+    chain is scan-side Catalyst (no Python stage in the extraction
+    path), and the dedup leg's candidate join shuffles band keys — the
+    extracted TEXT column never appears in an Exchange's output
+    schema. (The FFD pack leg is the one deliberate Python stage,
+    Arrow-batched.)"""
+    import contextlib
+    import io as _io
+
+    from incubator_beam_spark.queries.dataops import doc_crawl_funnel
+
+    df = doc_crawl_funnel(spark, SF_DIR)
+    df.count()
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # exactly one Python stage family: the FFD packer (mapInPandas).
+    # extraction/quality/checksums must stay JVM-side.
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    # band-key exchanges carry (band, key, doc_id)-shaped rows; no
+    # exchange may carry the extracted text column itself
+    for block in plan.split("\n\n"):
+        if block.strip().startswith("(") and "Exchange" in block.split("\n")[0]:
+            args = block.split("Arguments:")[-1]
+            assert "text#" not in args, f"extracted text shuffles:\n{block}"
