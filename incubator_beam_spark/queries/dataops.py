@@ -4694,3 +4694,139 @@ def doc_length_histogram_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_tokens",
         F.expr("(_cc + 511) div 512").cast("long").alias("bins_lb"),
     )
+
+
+# --- EVENT-TIME streaming near-dup ingest device (unregistered; r12
+# promotion — the dedup twin of stream_ann_serving_et: INDEX
+# WRITE-BACK visibility follows the watermark, so what a re-crawl may
+# deduplicate against is a deterministic function of EVENT TIME, not
+# arrival order) ---
+
+STREAM_MINHASH_INGEST_ET_ORACLE = f"""
+WITH corpus_sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+corpus_sig AS (SELECT doc_id, sh, [{_SIG}] AS sig FROM corpus_sh),
+corpus_bands AS (
+  SELECT doc_id, b AS band, md5(sig[2*b + 1] || '|' || sig[2*b + 2]) AS key
+  FROM corpus_sig, unnest(generate_series(0, 3)) AS t(b)),
+recr AS (
+  SELECT doc_id + 1000000 AS doc_id, text || ' rev' AS text FROM documents),
+recr_sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM recr),
+recr_sig AS (SELECT doc_id, sh, [{_SIG}] AS sig FROM recr_sh),
+recr_bands AS (
+  SELECT doc_id, b AS band, md5(sig[2*b + 1] || '|' || sig[2*b + 2]) AS key
+  FROM recr_sig, unnest(generate_series(0, 3)) AS t(b)),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS old_id
+  FROM recr_bands n JOIN corpus_bands c
+    ON n.band = c.band AND n.key = c.key
+  UNION
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM recr_bands n JOIN recr_bands o
+    ON n.band = o.band AND n.key = o.key
+  WHERE ((o.doc_id % 1440) // 360) < ((n.doc_id % 1440) // 360)),
+sig_all AS (
+  SELECT doc_id, sh FROM corpus_sig UNION ALL SELECT doc_id, sh FROM recr_sig)
+SELECT new_id, old_id,
+       round(len(list_intersect(a.sh, b.sh))
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM cand JOIN recr_sig a ON cand.new_id = a.doc_id
+          JOIN sig_all b ON cand.old_id = b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh))
+            / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+"""
+
+
+def stream_minhash_ingest_et(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME streaming near-dup ingest: what a re-crawl may
+    deduplicate against is gated by the WATERMARK, not arrival order —
+    the dedup twin of ``stream_ann_serving_et``'s freshness contract.
+    Every re-crawl (' rev', ids +1e6) carries ts = 2024-01-01 +
+    (doc_id % 1440) minutes and arrives wildly out of order (second
+    half of ids first); five sentinel waves push the watermark to
+    quarter-day cuts (+30s). withWatermark + an append-mode 1-minute
+    window aggregation releases exactly the watermark-FINALIZED
+    re-crawls to foreachBatch, which probes the band-partitioned index
+    of everything finalized BEFORE (corpus + earlier quarter-day
+    waves), emits pairs, then writes the batch's band keys and docs
+    back. The contract is byte-precise: a (new, old) pair with old a
+    re-crawl exists iff old's event-time QUARTER precedes new's —
+    regardless of which file delivered either row — so the oracle
+    replays pair existence from minutes alone. A re-crawl indexed
+    before its window finalized, a late-dropped row, or a same-quarter
+    leak each create/lose a pair and fail the hash. At 100 TB this is
+    what makes continuous-crawl dedup REPRODUCIBLE: replaying the
+    stream from any checkpoint yields the same pairs because
+    visibility is an event-time fact, not an arrival-order accident."""
+    import tempfile
+
+    from .events import _stage_scripted_file
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    recr = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" rev")).alias("text"),
+    ).withColumn(
+        "ts", F.timestamp_seconds(F.lit(base) + (F.col("doc_id") % 1440) * 60)
+    )
+    n = d.count()
+
+    idx_dir = tempfile.mkdtemp(prefix="mh_et_idx_")
+    docs_dir = tempfile.mkdtemp(prefix="mh_et_docs_")
+    out_dir = tempfile.mkdtemp(prefix="mh_et_out_")
+    ckpt = tempfile.mkdtemp(prefix="mh_et_ckpt_")
+    stage = tempfile.mkdtemp(prefix="mh_et_stage_")
+    dedup.minhash_index(d).write.mode("overwrite").partitionBy("band").parquet(
+        idx_dir
+    )
+    d.write.mode("overwrite").parquet(docs_dir)
+
+    t0 = 1700000000
+    half = 1_000_000 + n // 2
+    _stage_scripted_file(stage, recr.filter(F.col("doc_id") >= half), "a_late", t0)
+    _stage_scripted_file(
+        stage, recr.filter(F.col("doc_id") < half), "b_early", t0 + 10
+    )
+    for w in range(1, 6):
+        sent = spark.createDataFrame(
+            [(-w, "wm")], "doc_id long, text string"
+        ).withColumn(
+            "ts",
+            F.timestamp_seconds(F.lit(base + 60 * 86400 + w * 21600 + 30)),
+        )
+        _stage_scripted_file(stage, sent, f"c_wm{w}", t0 + 10 * (w + 1))
+
+    def handle(batch_df, _epoch):
+        rows = batch_df.filter(F.col("doc_id") >= 0).select("doc_id", "text")
+        if not rows.count():
+            return
+        idx = spark.read.parquet(idx_dir)  # finalized strictly BEFORE
+        corpus_docs = spark.read.parquet(docs_dir)
+        pairs = dedup.minhash_lsh_incremental(rows, idx, corpus_docs)
+        pairs.write.mode("append").parquet(out_dir)
+        dedup.minhash_index(rows).write.mode("append").partitionBy(
+            "band"
+        ).parquet(idx_dir)
+        rows.write.mode("append").parquet(docs_dir)
+
+    s = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    finalized = (
+        s.withWatermark("ts", "60 days")
+        .groupBy(F.window("ts", "1 minute"), "doc_id")
+        .agg(F.first("text").alias("text"))
+    )
+    q = (
+        finalized.writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir).select("new_id", "old_id", "jaccard")

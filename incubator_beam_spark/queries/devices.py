@@ -628,6 +628,10 @@ def devices() -> dict:
             _d.doc_length_histogram_plan,
             _d.CRAWL_LENGTH_PLAN_ORACLE,
         ),
+        "stream_minhash_ingest_et": (
+            _d.stream_minhash_ingest_et,
+            _d.STREAM_MINHASH_INGEST_ET_ORACLE,
+        ),
     }
 
 

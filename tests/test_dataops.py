@@ -3140,3 +3140,33 @@ def test_length_histogram_plan_bounds_real_pack(spark, duck):
     assert_matches_oracle_strict(
         plan, duck, CRAWL_LENGTH_PLAN_ORACLE, "doc_length_histogram_plan"
     )
+
+
+def test_stream_minhash_ingest_et_freshness(spark, duck):
+    """Event-time dedup ingest (r11-built device, r12 promotion): pair
+    visibility must be an EVENT-TIME fact — a (new, old) pair with old
+    a re-crawl exists only when old's quarter-day wave strictly
+    precedes new's (write-back gated by the watermark), never within a
+    wave, regardless of the out-of-order file delivery. Dtype-strict
+    vs the minute-replay oracle."""
+    from incubator_beam_spark.queries.dataops import (
+        STREAM_MINHASH_INGEST_ET_ORACLE,
+        stream_minhash_ingest_et,
+    )
+
+    from .conftest import assert_matches_oracle_strict
+
+    out = stream_minhash_ingest_et(spark, SF_DIR).persist()
+    rows = out.collect()
+    assert rows, "no pairs at all — the ' rev' re-crawls must match corpus"
+    wave = lambda i: (i % 1440) // 360
+    for r in rows:
+        assert r.new_id >= 1_000_000
+        if r.old_id >= 1_000_000:  # recrawl-recrawl: strict wave order
+            assert wave(r.old_id) < wave(r.new_id), (
+                f"same-or-later-wave pair {r.old_id}->{r.new_id}: "
+                "watermark gating leaked"
+            )
+    assert_matches_oracle_strict(
+        out, duck, STREAM_MINHASH_INGEST_ET_ORACLE, "stream_minhash_ingest_et"
+    )
