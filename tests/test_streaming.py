@@ -540,3 +540,93 @@ def test_watermark_sentinel_advances_past_bounded_data(spark):
         assert wm.startswith("2098")
     finally:
         q.stop()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_watermark_gated_visibility_fuzz(spark, tmp_path, seed):
+    """Differential fuzz for the r11 event-time devices' load-bearing
+    claim: an append-mode 1-minute window aggregation releases a row
+    to foreachBatch exactly once, in the first micro-batch whose
+    PRE-BATCH watermark clears the row's window end — i.e. visibility
+    is the pure event-time predicate minute < cut, independent of
+    which file delivered the row. Randomizes the minute assignment,
+    the file partitioning/arrival order, and the watermark cut points
+    (+30s offsets so no window end ever ties a cut)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from incubator_beam_spark.queries.events import _stage_scripted_file
+
+    rng = random.Random(seed)
+    n = 120
+    base = 1704067200
+    minutes = {i: rng.randrange(0, 240) for i in range(n)}
+    rows = [(i, minutes[i]) for i in range(n)]
+    rng.shuffle(rows)
+    k = rng.randrange(3, 6)
+    files = [rows[j::k] for j in range(k)]
+    cuts = sorted(rng.sample(range(10, 240), 3)) + [300]
+
+    stage = str(tmp_path / "stage")
+    import os
+
+    os.makedirs(stage)
+    t0 = 1700000000
+    for fi, chunk in enumerate(f for f in files if f):
+        df = spark.createDataFrame(chunk, "id long, m long").select(
+            "id", F.timestamp_seconds(F.lit(base) + F.col("m") * 60).alias("ts")
+        )
+        _stage_scripted_file(stage, df, f"a_data{fi}", t0 + fi)
+    # one sentinel per cut, plus a final flush sentinel so the last
+    # cut's emission batch actually runs
+    for ci, cut in enumerate(cuts + [400]):
+        sent = spark.createDataFrame([(-1 - ci,)], "id long").select(
+            "id",
+            F.timestamp_seconds(
+                F.lit(base + 60 * 86400 + cut * 60 + 30)
+            ).alias("ts"),
+        )
+        _stage_scripted_file(stage, sent, f"b_wm{ci}", t0 + 100 + ci)
+
+    out = []
+
+    def handle(batch_df, epoch):
+        got = [r.id for r in batch_df.collect() if r.id >= 0]
+        if got:
+            out.append((epoch, sorted(got)))
+
+    s = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    fin = (
+        s.withWatermark("ts", "60 days")
+        .groupBy(F.window("ts", "1 minute"), "id")
+        .count()
+    )
+    q = (
+        fin.writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # expected wave of row i = index of first cut with minute < cut;
+    # emission batches, in order, must equal the non-empty waves
+    expected = {}
+    for i, m in minutes.items():
+        wave = next(ci for ci, cut in enumerate(cuts) if m < cut)
+        expected.setdefault(wave, []).append(i)
+    expected_seq = [sorted(v) for _, v in sorted(expected.items())]
+    got_seq = [ids for _, ids in sorted(out)]
+    assert got_seq == expected_seq, (
+        f"seed {seed}: emission waves diverge from the event-time "
+        f"predicate\nexpected {expected_seq}\ngot {got_seq}"
+    )
+    assert sum(len(v) for v in got_seq) == n  # exactly once, no loss
