@@ -508,13 +508,20 @@ def scale_lane(spark, sf_dir: str, scales=(1, 10), rounds: int = 3) -> dict:
     import shutil as _sh
     import tempfile as _tf
 
-    _mh_idx: dict[int, str] = {}
-    for _k in scales:
-        _p = _tf.mkdtemp(prefix=f"bench_mh_idx_{_k}_")
-        dedup.minhash_index(_scaled_docs(spark, sf_dir, _k)).write.mode(
-            "overwrite"
-        ).partitionBy("band").parquet(_p)
-        _mh_idx[_k] = _p
+    # dirs registered BEFORE the build so the finally below cleans up
+    # even when a build fails halfway (ADVICE r10: no orphaned trees)
+    _mh_idx: dict[int, str] = {
+        _k: _tf.mkdtemp(prefix=f"bench_mh_idx_{_k}_") for _k in scales
+    }
+    try:
+        for _k in scales:
+            dedup.minhash_index(_scaled_docs(spark, sf_dir, _k)).write.mode(
+                "overwrite"
+            ).partitionBy("band").parquet(_mh_idx[_k])
+    except BaseException:
+        for _p in _mh_idx.values():
+            _sh.rmtree(_p, ignore_errors=True)
+        raise
 
     def run_minhash_probe(k):
         idx = spark.read.parquet(_mh_idx[k])
