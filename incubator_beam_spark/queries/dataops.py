@@ -4830,3 +4830,229 @@ def stream_minhash_ingest_et(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(out_dir).select("new_id", "old_id", "jaccard")
+
+
+# --- STREAMING crawl funnel device (unregistered; r12 promotion —
+# the batch funnel's continuous-ingest twin: pages become visible to
+# the extract -> dedup -> quality legs only when their event-time
+# window finalizes, and the dedup memory grows wave by wave) ---
+
+STREAM_CRAWL_FUNNEL_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS content
+  FROM documents),
+crawl AS (
+  SELECT doc_id, content FROM src
+  UNION ALL
+  SELECT doc_id + 10000000, content || ' latest revision of this page'
+  FROM src WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 20000000,
+         'page ' || (doc_id + 20000000)::VARCHAR || ' under construction'
+  FROM src WHERE doc_id % 11 = 0),
+pages AS (
+  SELECT doc_id, content AS text, ((doc_id % 1440) // 360) + 1 AS wave
+  FROM crawl),
+tok AS (
+  SELECT doc_id, len({_TOKENS})::BIGINT AS n_tokens,
+         ('0x' || substr(md5(text), 1, 10))::BIGINT AS h
+  FROM pages),
+sh_t AS (SELECT doc_id, {_SHINGLES} AS sh FROM pages),
+sig_t AS (SELECT doc_id, sh, [{_SIG}] AS sig FROM sh_t),
+bands AS (
+  SELECT doc_id, b AS band, md5(sig[2*b + 1] || '|' || sig[2*b + 2]) AS key
+  FROM sig_t, unnest(generate_series(0, 3)) AS t(b)),
+matches AS (
+  SELECT DISTINCT n.doc_id AS new_id
+  FROM bands n JOIN bands o ON n.band = o.band AND n.key = o.key
+  JOIN pages pn ON pn.doc_id = n.doc_id
+  JOIN pages po ON po.doc_id = o.doc_id
+  JOIN sig_t a ON a.doc_id = n.doc_id
+  JOIN sig_t b ON b.doc_id = o.doc_id
+  WHERE po.wave < pn.wave
+    AND round(len(list_intersect(a.sh, b.sh))
+              / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
+keepflag AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\\s+') AS words,
+           list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0)
+             AS lines
+    FROM pages)
+  WHERE {_GOPHER_KEEP_SQL})
+SELECT p.wave::BIGINT AS wave,
+       count(*)::BIGINT AS docs_in,
+       sum(t.h)::BIGINT AS extract_md5_sum,
+       sum(CASE WHEN m.new_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS dup_dropped,
+       sum(CASE WHEN m.new_id IS NULL AND k.doc_id IS NOT NULL
+                THEN 1 ELSE 0 END)::BIGINT AS kept,
+       sum(CASE WHEN m.new_id IS NULL AND k.doc_id IS NOT NULL
+                THEN t.n_tokens ELSE 0 END)::BIGINT AS kept_tokens
+FROM pages p
+JOIN tok t ON t.doc_id = p.doc_id
+LEFT JOIN matches m ON m.new_id = p.doc_id
+LEFT JOIN keepflag k ON k.doc_id = p.doc_id
+GROUP BY p.wave
+"""
+
+
+def stream_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl funnel CONTINUOUSLY (the batch ``doc_crawl_funnel``'s
+    streaming twin): synthesized pages — same duplicate and stub
+    injection — carry ts = 2024-01-01 + (crawl_id % 1440) minutes and
+    arrive wildly out of order; withWatermark + an append-mode
+    1-minute window aggregation releases each page to the funnel only
+    when its window FINALIZES. Per watermark wave, foreachBatch runs
+    the REAL legs: html_main_content extraction (scan-side),
+    minhash_lsh_incremental against the band index of every page seen
+    in EARLIER waves (write-back appends the whole wave — index
+    everything seen, so transitive chains resolve without recursion),
+    gopher_rules quality on the dedup survivors — and emits ONE ROW
+    PER WAVE: (wave, docs_in, extract_md5_sum, dup_dropped, kept,
+    kept_tokens). Every number is an event-time fact: a page is
+    dropped iff it matches a page whose QUARTER precedes its own, so
+    the oracle replays the whole funnel from minutes alone, and any
+    premature write-back, late drop, extraction drift, or same-wave
+    leak moves a count or the md5 sum and fails the hash. At 100 TB
+    this is the production crawl pipeline: per-wave cost is the wave's
+    pages (probe broadcast into the index equi-join), the dedup
+    memory grows 24 B/page/band, and replay from any checkpoint
+    reproduces the same verdicts."""
+    import tempfile
+
+    from ..dataops.text import gopher_rules, html_main_content, token_count
+    from .events import _stage_scripted_file
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    crawl = (
+        d.select("doc_id", norm.alias("content"))
+        .unionAll(
+            d.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.concat(
+                    norm, F.lit(" latest revision of this page")
+                ).alias("content"),
+            )
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"),
+                F.concat(
+                    F.lit("page "),
+                    (F.col("doc_id") + 20_000_000).cast("string"),
+                    F.lit(" under construction"),
+                ).alias("content"),
+            )
+        )
+    )
+    pages = crawl.select(
+        "doc_id",
+        _synth_page(F.col("doc_id"), F.col("content")).alias("html"),
+    ).withColumn(
+        "ts", F.timestamp_seconds(F.lit(base) + (F.col("doc_id") % 1440) * 60)
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="crawl_et_idx_")
+    docs_dir = tempfile.mkdtemp(prefix="crawl_et_docs_")
+    out_dir = tempfile.mkdtemp(prefix="crawl_et_out_")
+    ckpt = tempfile.mkdtemp(prefix="crawl_et_ckpt_")
+    stage = tempfile.mkdtemp(prefix="crawl_et_stage_")
+
+    t0 = 1700000000
+    mid = 2_500  # splits base ids AND leaves dup/stub ids in file a
+    _stage_scripted_file(
+        stage, pages.filter(F.col("doc_id") >= mid), "a_high_ids", t0
+    )
+    _stage_scripted_file(
+        stage, pages.filter(F.col("doc_id") < mid), "b_low_ids", t0 + 10
+    )
+    for w in range(1, 6):
+        sent = spark.createDataFrame(
+            [(-w, "<html></html>")], "doc_id long, html string"
+        ).withColumn(
+            "ts",
+            F.timestamp_seconds(F.lit(base + 60 * 86400 + w * 21600 + 30)),
+        )
+        _stage_scripted_file(stage, sent, f"c_wm{w}", t0 + 10 * (w + 1))
+
+    def handle(batch_df, _epoch):
+        rows = batch_df.filter(F.col("doc_id") >= 0).select("doc_id", "html")
+        if not rows.count():
+            return
+        ext = rows.select(
+            "doc_id",
+            html_main_content(F.col("html")).alias("text"),
+            (F.col("doc_id") % 1440).alias("minute"),
+        )
+        ext = ext.withColumn(
+            "n_tokens", token_count(F.col("text"))
+        ).withColumn(
+            "h",
+            F.conv(F.substring(F.md5(F.col("text")), 1, 10), 16, 10).cast(
+                "long"
+            ),
+        ).persist()
+        idx = spark.read.schema("band int, key string, doc_id long").parquet(
+            idx_dir
+        )
+        corpus_docs = spark.read.schema("doc_id long, text string").parquet(
+            docs_dir
+        )
+        pairs = dedup.minhash_lsh_incremental(
+            ext.select("doc_id", "text"), idx, corpus_docs
+        )
+        dropped = pairs.select("new_id").distinct()
+        surv = ext.join(
+            dropped.withColumnRenamed("new_id", "doc_id"), "doc_id", "left_anti"
+        )
+        kept = surv.filter(gopher_rules(F.col("text"))["keep"])
+        stats = ext.agg(
+            (F.min(F.expr("minute div 360")) + 1).cast("long").alias("wave"),
+            F.count(F.lit(1)).alias("docs_in"),
+            F.sum("h").alias("extract_md5_sum"),
+        )
+        dropstats = dropped.agg(
+            F.count(F.lit(1)).cast("long").alias("dup_dropped")
+        )
+        keptstats = kept.agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        stats.crossJoin(dropstats).crossJoin(keptstats).write.mode(
+            "append"
+        ).parquet(out_dir)
+        dedup.minhash_index(ext.select("doc_id", "text")).write.mode(
+            "append"
+        ).partitionBy("band").parquet(idx_dir)
+        ext.select("doc_id", "text").write.mode("append").parquet(docs_dir)
+        ext.unpersist()
+
+    s = (
+        spark.readStream.schema("doc_id long, html string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    finalized = (
+        s.withWatermark("ts", "60 days")
+        .groupBy(F.window("ts", "1 minute"), "doc_id")
+        .agg(F.first("html").alias("html"))
+    )
+    q = (
+        finalized.writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir).select(
+        "wave", "docs_in", "extract_md5_sum", "dup_dropped", "kept",
+        "kept_tokens",
+    )

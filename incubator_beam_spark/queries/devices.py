@@ -632,6 +632,10 @@ def devices() -> dict:
             _d.stream_minhash_ingest_et,
             _d.STREAM_MINHASH_INGEST_ET_ORACLE,
         ),
+        "stream_crawl_funnel": (
+            _d.stream_crawl_funnel,
+            _d.STREAM_CRAWL_FUNNEL_ORACLE,
+        ),
     }
 
 

@@ -3170,3 +3170,37 @@ def test_stream_minhash_ingest_et_freshness(spark, duck):
     assert_matches_oracle_strict(
         out, duck, STREAM_MINHASH_INGEST_ET_ORACLE, "stream_minhash_ingest_et"
     )
+
+
+def test_stream_crawl_funnel_waves(spark, duck):
+    """Streaming crawl funnel (r11-built device, r12 promotion): the
+    per-wave funnel counts must reconcile — docs_in sums to the full
+    injected crawl, wave 1 never drops a dup (no earlier memory),
+    dedup memory GROWS (some later wave drops > 0), and kept + dropped
+    never exceed docs_in. Dtype-strict vs the minute-replay oracle."""
+    from incubator_beam_spark.queries.dataops import (
+        STREAM_CRAWL_FUNNEL_ORACLE,
+        stream_crawl_funnel,
+    )
+
+    from .conftest import assert_matches_oracle_strict
+
+    out = stream_crawl_funnel(spark, SF_DIR).persist()
+    rows = sorted(out.collect(), key=lambda r: r.wave)
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = d.count()
+    n_crawl = n + d.filter("doc_id % 7 = 0").count() + d.filter(
+        "doc_id % 11 = 0"
+    ).count()
+    assert sum(r.docs_in for r in rows) == n_crawl, "funnel loses pages"
+    assert rows[0].wave == 1 and rows[0].dup_dropped == 0, (
+        "wave 1 has no earlier memory to match against"
+    )
+    assert any(r.dup_dropped > 0 for r in rows[1:]), (
+        "the growing dedup memory never caught an injected re-crawl"
+    )
+    for r in rows:
+        assert r.kept + r.dup_dropped <= r.docs_in
+    assert_matches_oracle_strict(
+        out, duck, STREAM_CRAWL_FUNNEL_ORACLE, "stream_crawl_funnel"
+    )
