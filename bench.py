@@ -1076,13 +1076,21 @@ def main() -> None:
     # identical code — so it must not replace the committed mirror.
     # It lands in BENCH_full_outofband.json instead (same schema),
     # keeping BENCH_full_latest.json's control always <= 1.2.
+    # A recording with NO control at all (control_lane failed, or the
+    # run skipped it via --no-control/--all/--scale-lane flags) is
+    # UNVERIFIED and must not replace the committed mirror either —
+    # the guard's whole point is that the mirror's control is always
+    # present and <= 1.2 (round-11 review finding).
     ratio = (out.get("control") or {}).get("ratio")
     mirror = "BENCH_full_latest.json"
-    if ratio is not None and ratio > 1.2:
+    if ratio is None or ratio > 1.2:
         mirror = "BENCH_full_outofband.json"
+        why = "no control lane in this run" if ratio is None else (
+            f"control {ratio}x > 1.2"
+        )
         print(
-            f"# control {ratio}x > 1.2: out-of-band recording — mirror "
-            f"NOT overwritten, full JSON written to {mirror}",
+            f"# {why}: out-of-band recording — mirror NOT overwritten, "
+            f"full JSON written to {mirror}",
             file=sys.stderr,
         )
     try:

@@ -169,9 +169,15 @@ def doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sh_t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
     sig_t AS (SELECT doc_id, sh, [{_SIG}] AS sig FROM sh_t),
-    bands AS (
+    bands_all AS (
       SELECT doc_id, b AS band, md5(sig[2*b + 1] || '|' || sig[2*b + 2]) AS key
       FROM sig_t, unnest(generate_series(0, 3)) AS t(b)),
+    hot AS (
+      SELECT band, key FROM bands_all
+      GROUP BY band, key HAVING count(*) > 1000),
+    bands AS (
+      SELECT * FROM bands_all b WHERE NOT EXISTS (
+        SELECT 1 FROM hot h WHERE h.band = b.band AND h.key = b.key)),
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       FROM bands l JOIN bands r
@@ -4215,9 +4221,14 @@ tok AS (
   FROM ext),
 sh_t AS (SELECT doc_id, {_SHINGLES} AS sh FROM ext),
 sig_t AS (SELECT doc_id, sh, [{_SIG}] AS sig FROM sh_t),
-bands AS (
+bands_all AS (
   SELECT doc_id, b AS band, md5(sig[2*b + 1] || '|' || sig[2*b + 2]) AS key
   FROM sig_t, unnest(generate_series(0, 3)) AS t(b)),
+hot AS (
+  SELECT band, key FROM bands_all GROUP BY band, key HAVING count(*) > 1000),
+bands AS (
+  SELECT * FROM bands_all b WHERE NOT EXISTS (
+    SELECT 1 FROM hot h WHERE h.band = b.band AND h.key = b.key)),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
   FROM bands l JOIN bands r
@@ -4329,16 +4340,19 @@ def doc_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("h"),
     )
     pairs = dedup.minhash_lsh_pairs(ext)
+    # surv/kept derive from the one persisted node (ext) — persisting
+    # them too would pin three session-lifetime caches per invocation
+    # (round-11 review finding)
     surv = ext.join(
         pairs.select(F.col("id_b").alias("doc_id")).distinct(),
         "doc_id",
         "left_anti",
-    ).persist()
-    kept = surv.filter(gopher_rules(F.col("text"))["keep"]).persist()
-    kept_toks = kept.select(
-        "doc_id", token_count(F.col("text")).alias("n_tokens")
     )
-    packed = pack_sequences(kept_toks, budget=budget, n_partitions=8)
+    kept = surv.filter(gopher_rules(F.col("text"))["keep"])
+    kept_t = kept.join(toks.select("doc_id", "n_tokens"), "doc_id")
+    packed = pack_sequences(
+        kept_t.select("doc_id", "n_tokens"), budget=budget, n_partitions=8
+    )
 
     def stage(name, docs_in_df, body_df):
         return body_df.crossJoin(
@@ -4379,7 +4393,6 @@ def doc_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("checksum"),
         ),
     )
-    kept_t = kept.join(toks.select("doc_id", "n_tokens"), "doc_id")
     s4 = stage(
         "4_quality",
         surv,
@@ -4962,7 +4975,11 @@ def stream_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="crawl_et_stage_")
 
     t0 = 1700000000
-    mid = 2_500  # splits base ids AND leaves dup/stub ids in file a
+    # file a: the upper half of the BASE ids plus every dup/stub page;
+    # file b: the lower half — so base pages genuinely arrive in two
+    # disordered waves at EVERY fixture SF (a fixed cut like 2500 would
+    # degenerate at the 500-doc fixtures; round-11 review finding)
+    mid = d.count() // 2
     _stage_scripted_file(
         stage, pages.filter(F.col("doc_id") >= mid), "a_high_ids", t0
     )

@@ -70,10 +70,10 @@ def check(name: str, q, spark, con) -> str:
         if a.dtype.kind != b.dtype.kind:
             return f"DTYPE {col}: spark={a.dtype} duck={b.dtype}"
         if a.dtype != b.dtype:
-            try:
-                b = b.astype(a.dtype)
-            except (TypeError, ValueError):
-                return f"DTYPE {col}: spark={a.dtype} duck={b.dtype}"
+            # width-tolerated: compare as Python objects — downcasting
+            # the wider side would wrap out-of-range values and could
+            # mask a narrow-side overflow as a pass
+            a, b = a.astype(object), b.astype(object)
         if not a.equals(b):
             mism = (a != b) & ~(a.isna() & b.isna())
             idx = mism[mism].index[:3].tolist()

@@ -112,8 +112,12 @@ def assert_matches_oracle_strict(spark_df, duck_con, oracle: str, name: str = "q
         )
         if a.dtype != b.dtype:
             # width-only difference within a kind: tolerated, like the
-            # driver (width_audit.json) — normalize and compare values
-            b = b.astype(a.dtype)
+            # driver (width_audit.json). Compare as PYTHON OBJECTS —
+            # downcasting the wider side would silently WRAP
+            # out-of-range values and could mask a Spark-side int32
+            # overflow as a pass (round-11 review finding); object
+            # equality is exact at any width/resolution.
+            a, b = a.astype(object), b.astype(object)
         assert a.equals(b), (
             f"{name}: value mismatch on {col}: "
             f"{[(x, y) for x, y in zip(a.tolist(), b.tolist()) if x != y][:5]}"

@@ -3204,3 +3204,32 @@ def test_stream_crawl_funnel_waves(spark, duck):
     assert_matches_oracle_strict(
         out, duck, STREAM_CRAWL_FUNNEL_ORACLE, "stream_crawl_funnel"
     )
+
+
+def test_html_main_content_case_insensitive_and_unclosed_contract(spark):
+    """ADVICE r10 / round-11 review: the block-drop patterns are
+    case-INSENSITIVE (<SCRIPT>/<Nav> drop WITH their text like
+    lowercase), and the documented edge behaviors hold — an UNCLOSED
+    script block leaks its text (the close-tag match finds no end, only
+    the markup strips), and a nested same-tag block ends at the FIRST
+    close tag."""
+    from incubator_beam_spark.dataops.text import html_main_content
+
+    rows = [
+        (1, '<html><SCRIPT>var x=1;</SCRIPT><p>keep one</p>'
+            '<Nav><a href="/">chrome</a></Nav></html>'),
+        (2, '<html><STYLE>p{}</style><p>mixed case close</p></html>'),
+        (3, '<html><script>leaky'),            # unclosed: text leaks
+        (4, '<html><nav>a<nav>b</nav>c</nav><p>tail</p></html>'),
+    ]
+    df = spark.createDataFrame(rows, ["id", "html"])
+    got = {
+        r.id: r.t
+        for r in df.select(
+            "id", html_main_content(F.col("html")).alias("t")
+        ).collect()
+    }
+    assert got[1] == "keep one"
+    assert got[2] == "mixed case close"
+    assert got[3] == "leaky"  # documented leak: unclosed block
+    assert got[4] == "c tail"  # nested drop ends at FIRST close tag
