@@ -5073,3 +5073,127 @@ def stream_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wave", "docs_in", "extract_md5_sum", "dup_dropped", "kept",
         "kept_tokens",
     )
+
+
+# --- band-index COMPACTION device (unregistered; r12 promotion —
+# the fifth index-lifecycle leg after maintain / serve / rebalance /
+# ingest: append-only ingest leaves one small file per batch per band
+# partition; compaction rewrites each band to one file WITHOUT
+# changing a single key) ---
+
+MINHASH_INDEX_COMPACT_ORACLE = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' rev' FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' rev2' FROM documents),
+sh_t AS (SELECT doc_id, {_SHINGLES} AS sh FROM all_docs),
+sig_t AS (SELECT doc_id, sh, [{_SIG}] AS sig FROM sh_t),
+bands AS (
+  SELECT doc_id, b AS band, md5(sig[2*b + 1] || '|' || sig[2*b + 2]) AS key
+  FROM sig_t, unnest(generate_series(0, 3)) AS t(b))
+SELECT band::BIGINT AS band,
+       count(*)::BIGINT AS n_keys,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       CAST(sum(('0x' || substr(md5(key || '|' || doc_id::VARCHAR), 1, 10))
+                ::BIGINT) AS BIGINT) AS content_sum,
+       TRUE AS compacted, TRUE AS one_file_per_band
+FROM bands GROUP BY band
+"""
+
+
+def doc_minhash_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-index COMPACTION — the index-lifecycle leg append-only
+    ingest makes necessary: three ingest batches (corpus, ' rev',
+    ' rev2' — the same batches the ingest-loop devices use) each
+    append one file per band partition, so every band accumulates
+    small files; compaction repartitions by band (all of a band's rows
+    land in ONE task, so the partitioned rewrite emits exactly one
+    file per band) and must preserve the content byte-for-byte. The
+    emitted row per band carries the recount from the COMPACTED
+    artifact reopened cold — (n_keys, n_docs, content_sum over
+    md5(key|doc_id) prefixes) — so a lost or duplicated index row
+    fails the hash; ``compacted`` asserts every band's file count
+    strictly dropped and ``one_file_per_band`` that it reached 1
+    (driver-side listing of the two bounded directory trees; -1 rows
+    would appear as FALSE vs the oracle's TRUE). At 100 TB compaction
+    runs per-band with a partition filter on just the bands whose
+    file count crossed a threshold — the shuffle carries only
+    (band, key, doc_id) rows, 24 B each, and serving probes never
+    block (the rewrite lands in a fresh directory swapped in
+    atomically)."""
+    import os
+    import tempfile
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx_dir = tempfile.mkdtemp(prefix="mh_compact_idx_")
+    out_dir = tempfile.mkdtemp(prefix="mh_compact_out_")
+    batches = [
+        d,
+        d.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" rev")).alias("text"),
+        ),
+        d.select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" rev2")).alias("text"),
+        ),
+    ]
+    for b in batches:
+        dedup.minhash_index(b).write.mode("append").partitionBy(
+            "band"
+        ).parquet(idx_dir)
+
+    def files_per_band(root):
+        out = {}
+        for entry in os.listdir(root):
+            if entry.startswith("band="):
+                band = int(entry.split("=", 1)[1])
+                out[band] = len(
+                    [
+                        f
+                        for f in os.listdir(os.path.join(root, entry))
+                        if f.endswith(".parquet")
+                    ]
+                )
+        return out
+
+    before = files_per_band(idx_dir)
+    idx = spark.read.schema("band int, key string, doc_id long").parquet(
+        idx_dir
+    )
+    n_bands = len(before)
+    idx.repartition(n_bands, "band").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(out_dir)
+    after = files_per_band(out_dir)
+    compacted = all(
+        after.get(b, 0) < n for b, n in before.items() if n > 1
+    ) and set(after) == set(before)
+    one_file = all(n == 1 for n in after.values())
+
+    reopened = spark.read.schema(
+        "band int, key string, doc_id long"
+    ).parquet(out_dir)
+    return reopened.groupBy(F.col("band").cast("long").alias("band")).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col("key"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias("content_sum"),
+    ).withColumn("compacted", F.lit(bool(compacted))).withColumn(
+        "one_file_per_band", F.lit(bool(one_file))
+    )

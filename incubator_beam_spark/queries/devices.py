@@ -636,6 +636,10 @@ def devices() -> dict:
             _d.stream_crawl_funnel,
             _d.STREAM_CRAWL_FUNNEL_ORACLE,
         ),
+        "doc_minhash_index_compact": (
+            _d.doc_minhash_index_compact,
+            _d.MINHASH_INDEX_COMPACT_ORACLE,
+        ),
     }
 
 

@@ -3233,3 +3233,30 @@ def test_html_main_content_case_insensitive_and_unclosed_contract(spark):
     assert got[2] == "mixed case close"
     assert got[3] == "leaky"  # documented leak: unclosed block
     assert got[4] == "c tail"  # nested drop ends at FIRST close tag
+
+
+def test_minhash_index_compact_preserves_content(spark, duck):
+    """Index compaction (r11-built device, r12 promotion): the rewrite
+    must change the FILE layout and nothing else — per-band key/doc
+    counts and the content checksum come from the compacted artifact
+    reopened cold, and the layout booleans must both be True (files
+    strictly reduced, one file per band). Dtype-strict vs the
+    from-scratch band replay."""
+    from incubator_beam_spark.queries.dataops import (
+        MINHASH_INDEX_COMPACT_ORACLE,
+        doc_minhash_index_compact,
+    )
+
+    from .conftest import assert_matches_oracle_strict
+
+    out = doc_minhash_index_compact(spark, SF_DIR).persist()
+    rows = out.collect()
+    assert len(rows) == 4  # 8 hashes / 2 rows per band
+    assert all(r.compacted and r.one_file_per_band for r in rows)
+    n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert all(r.n_keys == 3 * n and r.n_docs == 3 * n for r in rows), (
+        "compaction lost or duplicated index rows"
+    )
+    assert_matches_oracle_strict(
+        out, duck, MINHASH_INDEX_COMPACT_ORACLE, "doc_minhash_index_compact"
+    )
