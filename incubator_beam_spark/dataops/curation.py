@@ -283,14 +283,21 @@ def bigram_logprob(
     (documents with fewer than 2 tokens emit nothing).
 
     Scale: the bigram table is |distinct bigrams| rows and is NOT
-    broadcast — scoring joins it back on the same (w1,w2) key the count
-    shuffle produced (co-partitioned, Exchange reused); the context
+    broadcast — scoring joins it back on the (w1,w2) key; the context
     (unigram) table is |vocab| and broadcasts; V is one scalar. The
-    token stream shuffles twice (bigram count, score join) carrying
-    two-word keys — never documents."""
+    TOKENIZED base (id, token-array — ~1x corpus text) is MATERIALIZED
+    ONCE (``materialize_once``) and all four consumers — the bigram
+    stream feeding the c2 count, the c1 count, the score join, and the
+    vocab count — re-derive from the stored arrays with a cheap explode
+    instead of re-running the scan + regex tokenization (four
+    evaluations before r11; ReuseExchange cannot dedupe HOF-lambda
+    subtrees). Only two-word keys shuffle — never documents."""
+    from .dedup import materialize_once
     from .text import tokens
 
-    base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("ts"))
+    base = materialize_once(
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("ts"))
+    )
     big = (
         base.filter(F.size("ts") >= 2)
         .select(

@@ -171,6 +171,27 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def materialize_once(df: DataFrame) -> DataFrame:
+    """Compute a subtree ONCE for multiple consumers: lazy
+    ``localCheckpoint`` — partitions are stored (memory, spilling to
+    disk) on first materialization and every later consumer reads the
+    stored blocks instead of re-evaluating the subtree.
+
+    Why not rely on ReuseExchange: Spark's exchange-reuse rule matches
+    CANONICALIZED subplans, and plans whose projections contain
+    higher-order-function lambdas (``transform``/``aggregate`` — the
+    minhash/simhash signature expressions) fail to canonicalize
+    identically across the re-aliased sides of a self-join, so the rule
+    never fires — measured on the r10 code: the LSH pair generators
+    re-evaluated the signature subtree 4-6x per query (0 ReusedExchange
+    nodes in the AQE final plan). On a real cluster this is the
+    checkpoint-the-signatures pattern; blocks are freed by the next
+    ``clearCache``/unpersist or session end. Lazy (``eager=False``) so
+    query CONSTRUCTION stays cheap — the materialization happens inside
+    the first action, where the bench times it honestly."""
+    return df.localCheckpoint(eager=False)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -184,12 +205,15 @@ def minhash_lsh_pairs(
     Jaccard over shingle sets.
 
     Plan shape (scale-critical): signatures computed in a parallel scan
-    stage, then hash-repartitioned by doc_id — that one Exchange is
-    computed once and REUSED by all four consumers (band self-join left +
-    right, verify join a + b), so the md5 work runs exactly once (Spark's
-    ReuseExchange; the 100 TB equivalent of checkpointing signatures).
-    Only (band, key, doc_id) — ~24 B/doc/band — flows into the candidate
-    join; raw text never shuffles.
+    stage, then MATERIALIZED ONCE (``materialize_once`` — the 100 TB
+    equivalent of checkpointing signatures) so all four consumers (band
+    self-join left + right, verify join a + b) read stored blocks
+    instead of re-running the md5 work; ReuseExchange cannot dedupe
+    these subtrees (HOF lambdas defeat canonicalization — see
+    ``materialize_once``), and before r11 the signature expression
+    genuinely evaluated 4x per run. Only (band, key, doc_id) —
+    ~24 B/doc/band — flows into the candidate join; raw text never
+    shuffles.
 
     ``max_bucket`` caps band-bucket size (default 1000): one degenerate
     band key — empty or boilerplate documents sharing a near-universal
@@ -201,11 +225,10 @@ def minhash_lsh_pairs(
     count-over-window shuffles on the same (band, key) the self-join
     shuffles on. ``max_bucket=None`` disables the cap.
     """
-    sig = (
+    sig = materialize_once(
         ensure_parallelism(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
         .select("doc_id", shingles(F.col(text_col)).alias("sh"))
         .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-        .repartition("doc_id")
     )
 
     bands = sig.select(
@@ -299,7 +322,9 @@ def minhash_lsh_incremental(
     join, and the verify join moves only candidate ids. Returns
     (new_id, old_id, jaccard >= threshold).
     """
-    new_sig = (
+    # materialized once: the band fan-out AND the verify join both read
+    # the batch signatures; without it the md5 signature work ran twice
+    new_sig = materialize_once(
         new_docs.select(F.col(id_col).alias("new_id"), F.col(text_col))
         .select("new_id", shingles(F.col(text_col)).alias("sh_new"))
         .withColumn("sig", minhash_signature(F.col("sh_new"), num_hashes))
@@ -608,9 +633,9 @@ def simhash_pairs(
     ``bit_count`` filter then drops false candidates.
 
     Scale shape mirrors ``minhash_lsh_pairs``: signatures computed
-    scan-side, one Exchange reused per band, hot buckets (e.g. simhash 0
-    from empty docs) dropped via map-side-combined count + broadcast
-    anti-join."""
+    scan-side then materialized once for every consumer
+    (``materialize_once``), hot buckets (e.g. simhash 0 from empty
+    docs) dropped via map-side-combined count + broadcast anti-join."""
     if n_bands is None:
         n_bands = max_distance + 1
     band_width = bits // n_bands
@@ -618,7 +643,10 @@ def simhash_pairs(
         F.col(id_col).alias("doc_id"),
         simhash64(F.col(text_col), bits=bits).alias("sh"),
     )
-    sig = ensure_parallelism(sig).repartition("doc_id")
+    # one row of (id, bigint) per doc: materialize once so the band
+    # fan-out, hot-bucket count and self-join sides don't re-run the
+    # per-token simhash aggregate (ReuseExchange can't — HOF lambdas)
+    sig = materialize_once(ensure_parallelism(sig))
 
     mask = (1 << band_width) - 1
     bands = sig.select(
@@ -779,8 +807,11 @@ def line_dedup(
             F.slice(toks, s * line_tokens + 1, line_tokens), " "
         ),
     )
-    segs = docs.select(
-        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    # materialized once: the boilerplate count and the anti-join left
+    # side both consume the segmented stream — without it the split +
+    # posexplode ran twice (ReuseExchange cannot dedupe HOF subtrees)
+    segs = materialize_once(
+        docs.select(F.col(id_col), F.posexplode(lines).alias("pos", "line"))
     )
     hot = (
         segs.groupBy(F.md5("line").alias("fp"))

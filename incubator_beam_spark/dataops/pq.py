@@ -97,8 +97,15 @@ def pq_encode(
             f"0L, (acc, x) -> acc + x))"
         )
 
+    # Let-bind each subspace's distance array by wrapping it in a
+    # single-element array + transform (the shingles() trick): the
+    # argmin then references the BOUND variable, so the K distance
+    # aggregates run once per subspace instead of twice (interpreted
+    # HOFs do no CSE — array_position(D, array_min(D)) with D inlined
+    # re-evaluated the whole distance transform; r11, ~2x per-row work).
     codes_sql = "array(" + ", ".join(
-        f"CAST(array_position({dists(s)}, array_min({dists(s)})) - 1 AS INT)"
+        f"element_at(transform(array({dists(s)}), d0 -> "
+        f"CAST(array_position(d0, array_min(d0)) - 1 AS INT)), 1)"
         for s in range(m)
     ) + ")"
     return df.select(

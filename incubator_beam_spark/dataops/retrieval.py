@@ -64,8 +64,13 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     # filter against the broadcast query literal BEFORE any shuffle:
-    # only (doc, query-term) pairs reach the aggregation
-    tf = (
+    # only (doc, query-term) pairs reach the aggregation. The tf table
+    # is materialized once (r11): the df_t count AND the scoring join
+    # both consume it — before, each re-ran the scan+tokenize+explode
+    # (ReuseExchange cannot dedupe HOF-lambda subtrees).
+    from .dedup import materialize_once
+
+    tf = materialize_once(
         toks.filter(F.col("term").isin(query_terms))
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))

@@ -188,7 +188,7 @@ def neardup_pairs(
     corpus scale regardless of plane count. By default over-cap buckets
     are dropped SILENTLY inside one plan: the hot-key removal is a
     map-side-combined count + broadcast anti-join whose build side
-    REUSES the bucket Exchange (ReusedExchange — zero extra scan or
+    reads the once-materialized bucket blocks (zero extra scan or
     shuffle). ``verbose=True`` makes the drop LOUD — a capped collect of
     the hot set feeds a warning with dropped bucket/vector counts and
     the anti-join probes the collected literal — at the cost of one
@@ -205,14 +205,18 @@ def neardup_pairs(
     if n_planes is None:
         n_planes = auto_planes(emb.count())
 
-    # parallel scan, bucket computed once, then one repartition Exchange
-    # that BOTH self-join sides reuse (projections compute once).
-    v = (
+    # parallel scan, bucket computed once, then MATERIALIZED once so the
+    # hot-bucket count and both self-join sides read stored blocks —
+    # ReuseExchange cannot dedupe these subtrees (the bucket projection's
+    # HOF lambdas defeat plan canonicalization; measured r10: the
+    # projection ran 4x per query, 0 ReusedExchange in the final plan).
+    from .dedup import materialize_once
+
+    v = materialize_once(
         ensure_parallelism(emb.select(F.col(id_col).alias("id"), F.col(vec_col)))
         .select("id", as_double(F.col(vec_col)).alias("v"))
         .withColumn("bucket", lsh_bucket(F.col("v"), dim, n_planes))
         .withColumn("nrm", norm(F.col("v")))
-        .repartition("bucket")
     )
     if max_bucket is not None:
         hot = (
@@ -223,7 +227,7 @@ def neardup_pairs(
         )
         if not verbose:
             # silent default: single plan, the anti-join build side
-            # reuses the bucket Exchange (ReusedExchange) — zero extra
+            # reads the materialized bucket blocks — zero extra
             # scan/shuffle. Plan shape pinned by tests/test_plans.py.
             v = v.join(
                 F.broadcast(hot.select("bucket")), ["bucket"], "left_anti"

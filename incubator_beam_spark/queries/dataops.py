@@ -4157,26 +4157,75 @@ def emb_second_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-rotation): per vector, the e4-quantized first moments (j=0
     rows) and upper-triangle second moments vq_i*vq_j — integer-exact,
     so the result is independent of partitioning and summation order.
-    At 100 TB: the pair fan-out is scan-side (one flatten-transform,
-    no join), map-side combine collapses each partition to at most
-    d(d+1)/2 + d partial rows, and the shuffle carries ONLY those
-    partials — the classic distributed Gram-matrix shape. The
-    d x d eigendecomposition consuming these is a bounded driver-side
-    artifact (d=64 here: 2,080 rows)."""
+    At 100 TB: each task computes its partition's X^T X with one
+    vectorized integer matmul (Arrow batches -> numpy; r11 — the
+    previous flatten-transform explode pushed n*d(d+3)/2 generated
+    rows through the hash aggregate, ~4.3M rows at sf0.1), emits at
+    most d(d+1)/2 + d partial rows, and the single Exchange carries
+    ONLY those partials — the classic distributed Gram-matrix shape.
+    Quantization stays JVM-side so rounding semantics are unchanged.
+    The d x d eigendecomposition consuming these is a bounded
+    driver-side artifact (d=64 here: 2,080 rows)."""
     e = table(spark, sf_dir, "embeddings")
+    # Quantization stays in the JVM (Spark's HALF_UP round) so the
+    # integers handed to Python are bit-identical to the old explode
+    # formulation; Python does ONLY exact int64 arithmetic.
     vq = "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(round(x * 10000) AS BIGINT))"
-    pair_expr = f"""
-      flatten(transform(sequence(1, size(vq)), i ->
-        transform(concat(array(0), sequence(i, size(vq))), j ->
-          struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-                 IF(j = 0, element_at(vq, i),
-                    element_at(vq, i) * element_at(vq, j)) AS xy))))
-    """
+
+    def gram(batches):
+        # One X^T X matmul per Arrow batch replaces the d(d+3)/2-wide
+        # struct explode (guide §4.2: hand whole batches to vectorized
+        # native code): the old plan pushed n*2144 generated rows
+        # through a hash aggregate; this emits at most 2144 partial
+        # rows per task. Integer matmul is exact — same partial sums
+        # the JVM aggregate produced.
+        import numpy as np
+        import pyarrow as pa
+
+        partials: dict[int, list] = {}  # d -> [n, s(d,), G(d,d)]
+        for batch in batches:
+            col = batch.column(0)
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                chunks = col.chunks
+            else:
+                chunks = [col]
+            for ch in chunks:
+                if len(ch) == 0:
+                    continue
+                offs = ch.offsets.to_numpy(zero_copy_only=False)
+                vals = ch.values.to_numpy(zero_copy_only=False)
+                lens = np.diff(offs)
+                for d in np.unique(lens):
+                    rows = vals[
+                        np.repeat(offs[:-1][lens == d], d)
+                        + np.tile(np.arange(d), int((lens == d).sum()))
+                    ].reshape(-1, int(d))
+                    acc = partials.setdefault(
+                        int(d), [0, np.zeros(int(d), np.int64),
+                                 np.zeros((int(d), int(d)), np.int64)]
+                    )
+                    acc[0] += rows.shape[0]
+                    acc[1] += rows.sum(axis=0, dtype=np.int64)
+                    acc[2] += rows.T @ rows
+        for d, (n, s, g) in partials.items():
+            iu, ju = np.triu_indices(d)
+            out_i = np.concatenate([np.arange(1, d + 1), iu + 1]).astype(np.int64)
+            out_j = np.concatenate([np.zeros(d, np.int64), ju + 1])
+            out_x = np.concatenate([s, g[iu, ju]])
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "i": pa.array(out_i, pa.int64()),
+                    "j": pa.array(out_j, pa.int64()),
+                    "n": pa.array(np.full(out_i.shape, n, np.int64), pa.int64()),
+                    "sxy": pa.array(out_x, pa.int64()),
+                }
+            )
+
     return (
         e.selectExpr(f"{vq} AS vq")
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("p.xy").alias("sxy"))
+        .mapInArrow(gram, "i long, j long, n long, sxy long")
+        .groupBy("i", "j")
+        .agg(F.sum("n").alias("n"), F.sum("sxy").alias("sxy"))
     )
 
 
