@@ -188,7 +188,13 @@ def materialize_once(df: DataFrame) -> DataFrame:
     checkpoint-the-signatures pattern; blocks are freed by the next
     ``clearCache``/unpersist or session end. Lazy (``eager=False``) so
     query CONSTRUCTION stays cheap — the materialization happens inside
-    the first action, where the bench times it honestly."""
+    the first action, where the bench times it honestly.
+
+    Streaming DataFrames pass through unchanged (checkpointing a
+    streaming plan is an analysis error; inside ``foreachBatch`` the
+    batch frame is non-streaming and materializes normally)."""
+    if df.isStreaming:
+        return df
     return df.localCheckpoint(eager=False)
 
 
