@@ -2772,10 +2772,11 @@ def test_emb_second_moments_oracle(spark, duck):
 
 
 def test_emb_second_moments_plan_single_exchange(spark):
-    """The Gram-matrix device must be the one-shuffle shape: pair
-    fan-out scan-side (Generate, no join), partial+final HashAggregate
-    around exactly ONE exchange — the shuffle carries only the
-    map-side-combined (i, j) partials."""
+    """The Gram-matrix device must be the one-shuffle shape: per-task
+    X^T X in a vectorized kernel (MapInArrow, no Generate fan-out, no
+    join — the r11 rewrite), partial+final HashAggregate around exactly
+    ONE exchange — the shuffle carries only the ≤ d(d+1)/2 + d
+    map-side-combined (i, j) partials per task."""
     import contextlib
     import io
     import re
@@ -2790,7 +2791,8 @@ def test_emb_second_moments_plan_single_exchange(spark):
     plan = buf.getvalue()
     shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
     assert len(shuffles) == 1, f"expected 1 shuffle, got {len(shuffles)}"
-    assert "Generate" in plan  # the scan-side pair fan-out
+    assert "MapInArrow" in plan  # the per-task vectorized Gram kernel
+    assert "Generate" not in plan  # r11: no d(d+3)/2-wide explode fan-out
     assert "Join" not in plan
 
 
