@@ -214,11 +214,14 @@ def _simhash_oracle(bits: int = 32) -> str:
 @query("doc_simhash", oracle=_simhash_oracle())
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit) per document — near-dup fingerprint packed to one
-    BIGINT; Hamming-distance banding joins on it at scale."""
+    BIGINT; Hamming-distance banding joins on it at scale. r11: the
+    per-bit counting runs in the vectorized numpy kernel
+    (``dedup.simhash_table``) — same hashes, bit-identical output,
+    still zero shuffle (per-partition ``mapInArrow`` pass-through)."""
     d = dedup.ensure_parallelism(
         table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    return d.select("doc_id", dedup.simhash64(F.col("text"), bits=32).alias("simhash"))
+    return dedup.simhash_table(d, bits=32, out_col="simhash")
 
 
 @query(

@@ -133,6 +133,37 @@ def test_cep_numpy_order_matches_and_fallback_engages(spark):
     assert [(r.user_id, r.n) for r in out2] == [(1, 4)]
 
 
+def test_simhash_table_bit_identical_to_hof(spark):
+    """The vectorized mapInArrow simhash must equal the column-expression
+    simhash64 EXACTLY, including the edges: null text (null simhash),
+    empty/whitespace text (empty token array -> all ``bits`` set, the
+    2*0 >= 0 majority-tie rule), single-token docs, and heavy repeats."""
+    from incubator_beam_spark.dataops.dedup import simhash64, simhash_table
+
+    rows = [
+        (0, "spark catalyst optimizes declarative dataframe plans"),
+        (1, "spark catalyst optimizes declarative dataframe plans"),
+        (2, None),
+        (3, ""),
+        (4, "   \t  "),
+        (5, "token"),
+        (6, "a a a a a a b"),
+        (7, "x " * 500),
+        (8, "Mixed CASE punct!!! 123 élève"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = {
+        r.doc_id: r.sh
+        for r in docs.select(
+            "doc_id", simhash64(F.col("text"), bits=32).alias("sh")
+        ).collect()
+    }
+    got = {r.doc_id: r.sh for r in simhash_table(docs, bits=32).collect()}
+    assert got == ref
+    # the empty-token edge really is the all-bits value, not 0 or null
+    assert got[3] == (1 << 32) - 1 and got[2] is None
+
+
 def test_pq_encode_letbound_codes_unchanged(spark):
     """The let-bound argmin must produce identical codes (ties to the
     lowest centroid index, as array_position's first match guarantees)."""
