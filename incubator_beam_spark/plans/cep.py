@@ -697,7 +697,73 @@ def match_recognize(
     # Reused empty-output template: constructing an empty DataFrame per
     # matchless key costs ~0.5 ms of pandas machinery; the same (never
     # mutated, only Arrow-serialized) instance serves every such key.
-    empty_out = pd.DataFrame({c: [] for c in out_cols})
+    # Dtypes must come from the schema, not pandas' float64 default for
+    # empty columns: a float64 empty column under a TimestampType field
+    # fails Arrow serialization ("Unsupported cast from double to
+    # timestamp") when a batch holds only matchless keys — a latent
+    # pre-r11 bug surfaced by test_cep_fast_frame_construction_types.
+    empty_out = pd.DataFrame(
+        {
+            f.name: np.array(
+                [],
+                dtype="datetime64[ns]"
+                if isinstance(
+                    f.dataType,
+                    (T.TimestampType, T.TimestampNTZType, T.DateType),
+                )
+                else object,
+            )
+            for f in out_schema.fields
+        }
+    )
+    col_index = pd.Index(out_cols)
+
+    def _col_builder(dt):
+        """Per-column array constructor for the fast output path, chosen
+        ONCE from the declared schema. Datetime-valued columns must reach
+        the serializer as datetime64 (its TimestampType converter breaks
+        on object dtype — r11 regression test stream_all_rows_event_time
+        caught exactly this); pd.Series inference over the flat column
+        reproduces the dtype the row-oriented path produced. Complex
+        types (array/map/struct cells are sequences — np.array would
+        build 2-D blocks) get no fast builder, disabling the fast path."""
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            return lambda col: pd.Series(col).to_numpy()
+        if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+            return None
+        return lambda col: np.array(col, dtype=object)
+
+    col_builders = [_col_builder(f.dataType) for f in out_schema.fields]
+    fast_frames = all(b is not None for b in col_builders)
+
+    def _frame_from_rows(rows):
+        """Column-oriented output construction. The row-oriented
+        ``pd.DataFrame(rows, columns=...)`` path walks every cell through
+        nested_data_to_arrays + per-column object inference (~0.5 ms per
+        key — 50-58% of the whole kernel wall on the one-row-per-match
+        gates, r11 cProfile); building the column arrays directly and
+        handing them straight to the block manager is ~5-10x cheaper.
+        Arrow serialization is unchanged: pyspark's _create_array applies
+        the same per-column ``correct_dtype`` converter (astype from the
+        declared schema) to object columns as to inferred ones, so the
+        emitted Arrow batches are identical."""
+        if not fast_frames:
+            return pd.DataFrame(rows, columns=out_cols)
+        arrays = []
+        for build, col in zip(col_builders, zip(*rows)):
+            a = build(col)
+            if a.ndim != 1:  # sequence cells in an atomic-typed column
+                return pd.DataFrame(rows, columns=out_cols)
+            arrays.append(a)
+        try:
+            return pd.DataFrame._from_arrays(
+                arrays,
+                columns=col_index,
+                index=pd.RangeIndex(len(rows)),
+                verify_integrity=False,
+            )
+        except Exception:  # pragma: no cover — pandas-internals drift
+            return pd.DataFrame(rows, columns=out_cols)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         # Stable numpy ordering instead of pandas sort_values: argsort/
@@ -871,7 +937,7 @@ def match_recognize(
                     rows.append(
                         _emit(key_vals, match_no, lo, hi, arrs, assignment=assignment)
                     )
-        return pd.DataFrame(rows, columns=out_cols) if rows else empty_out
+        return _frame_from_rows(rows) if rows else empty_out
 
     # Explicit repartition: AQE would coalesce this tiny shuffle to 1-2
     # tasks, serializing the (CPU-bound) Python stage; a user repartition

@@ -133,6 +133,62 @@ def test_cep_numpy_order_matches_and_fallback_engages(spark):
     assert [(r.user_id, r.n) for r in out2] == [(1, 4)]
 
 
+def test_cep_fast_frame_construction_types(spark):
+    """The column-oriented output construction must round-trip every
+    column kind the serializer treats specially: timestamps (object
+    dtype breaks its TimestampType converter — must go through datetime
+    inference), nullable ints (None in first/last measures), strings,
+    and doubles — in both one-row and ALL ROWS modes."""
+    from incubator_beam_spark.plans.cep import match_recognize
+
+    rows = [
+        (1, 1, "a", "2024-01-01 00:00:01", 10.5, "x"),
+        (1, 2, "b", "2024-01-01 00:00:02", None, None),
+        (1, 3, "c", "2024-01-01 00:00:03", 30.5, "z"),
+        (2, 4, "a", "2024-01-01 00:00:04", 1.0, "w"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "k long, eid long, et string, ts string, v double, s string"
+    ).selectExpr("k", "eid", "et", "CAST(ts AS TIMESTAMP) AS ts", "v", "s")
+    define = {
+        "A": F.col("et") == "a",
+        "B": F.col("et") == "b",
+        "C": F.col("et") == "c",
+    }
+    out = match_recognize(
+        ev,
+        partition_by=["k"],
+        order_by=["eid"],
+        define=define,
+        pattern="A B C",
+        measures={
+            "first_ts": ("first", "A", "ts"),
+            "b_v": ("last", "B", "v"),
+            "b_s": ("last", "B", "s"),
+            "sum_v": ("sum", None, "v"),
+            "n": ("count", None),
+        },
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.k, r.match_number, r.n) == (1, 1, 3)
+    assert r.first_ts.isoformat() == "2024-01-01T00:00:01"
+    assert r.b_v is None and r.b_s is None and r.sum_v == 41.0
+
+    out2 = match_recognize(
+        ev,
+        partition_by=["k"],
+        order_by=["ts"],  # timestamp ORDER BY rides the all-rows output
+        define=define,
+        pattern="A B C",
+        measures={"rn": ("count", None)},
+        all_rows=True,
+    ).collect()
+    assert [(r.k, r.classifier, r.ts.second, r.rn) for r in out2] == [
+        (1, "A", 1, 1), (1, "B", 2, 2), (1, "C", 3, 3)
+    ]
+
+
 def test_simhash_table_bit_identical_to_hof(spark):
     """The vectorized mapInArrow simhash must equal the column-expression
     simhash64 EXACTLY, including the edges: null text (null simhash),
