@@ -1081,12 +1081,39 @@ def main() -> None:
     # UNVERIFIED and must not replace the committed mirror either —
     # the guard's whole point is that the mirror's control is always
     # present and <= 1.2 (round-11 review finding).
+    # The ratio alone cannot catch a BOX-WIDE slowdown that inflates
+    # both control arms equally (r11 close-out: a host-contention storm
+    # read r1@today 65.5s where the committed mirror's control read
+    # 12.8s on IDENTICAL r1 code — ratio 0.37, guard green, every
+    # number 2-5x inflated). The r1 arm is a pure box-state anchor —
+    # same code, same SF, every run — so a large deviation from the
+    # committed mirror's r1 time proves the machine, not the code,
+    # changed: refuse the mirror in either direction.
     ratio = (out.get("control") or {}).get("ratio")
+    r1_now = (out.get("control") or {}).get("r1_today_sec")
+    r1_anchor = None
     mirror = "BENCH_full_latest.json"
-    if ratio is None or ratio > 1.2:
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), mirror)
+        ) as f:
+            r1_anchor = (json.load(f).get("control") or {}).get("r1_today_sec")
+    except (OSError, ValueError):
+        pass
+    anchor_off = (
+        r1_anchor is not None
+        and r1_now is not None
+        and not (r1_anchor / 1.5 <= r1_now <= r1_anchor * 1.5)
+    )
+    if ratio is None or ratio > 1.2 or anchor_off:
         mirror = "BENCH_full_outofband.json"
-        why = "no control lane in this run" if ratio is None else (
-            f"control {ratio}x > 1.2"
+        why = (
+            "no control lane in this run"
+            if ratio is None
+            else f"control {ratio}x > 1.2"
+            if ratio > 1.2
+            else f"r1 anchor {r1_now}s vs committed {r1_anchor}s (>1.5x off: "
+            "box state changed, recording not comparable)"
         )
         print(
             f"# {why}: out-of-band recording — mirror NOT overwritten, "
