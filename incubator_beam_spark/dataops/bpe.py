@@ -49,6 +49,30 @@ def _merge_pair(sym: F.Column, a: str, b: str) -> F.Column:
     )
 
 
+def _pair_stream(df: DataFrame, sign: int) -> DataFrame:
+    """(a, b, w) adjacent-pair counts of ``df.sym`` weighted by
+    ``sign * freq`` — every adjacent position counts (overlaps
+    included), exactly the reference pair statistic. Words with fewer
+    than two symbols contribute nothing (and ``sequence(1, 0)`` would
+    DESCEND, indexing out of bounds, so the filter is load-bearing)."""
+    return (
+        df.filter(F.size("sym") >= 2)
+        .select(
+            (F.col("freq") * sign).alias("freq"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("sym") - 1),
+                    lambda i: F.struct(
+                        F.element_at("sym", i).alias("a"),
+                        F.element_at("sym", i.cast("int") + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "freq")
+    )
+
+
 def bpe_learn(
     docs: DataFrame,
     k: int,
@@ -56,7 +80,33 @@ def bpe_learn(
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``k`` BPE merges; returns [(step, left, right, weight)].
     Ties break on (left, right) lexicographic so results are
-    deterministic across partitionings and engines."""
+    deterministic across partitionings and engines.
+
+    Incremental pair-count maintenance (r12, VERDICT r11 item 3 — the
+    old loop re-aggregated the FULL histogram and ran an extra eager
+    checkpoint job every step, 2k+1 jobs of k driver round-trips):
+
+    - One full pair-count job seeds a DRIVER-SIDE ``{(a, b): w}`` dict.
+      Its size is bounded by (alphabet + k)^2 — distinct symbols only
+      grow by one per merge — so it is scale-INDEPENDENT (at 100 TB the
+      histogram has ~10^7 words but still ~10^2 distinct symbols).
+    - Each step takes the argmax from the dict (same
+      (w DESC, a ASC, b ASC) order — Python tuple comparison on UTF-8
+      strings equals Spark's binary string ordering), then one Spark
+      job computes only the DELTA: words containing adjacent (a, b)
+      lose their old pairs and gain their merged pairs; every other
+      word's pair multiset is untouched. The delta aggregate shuffles
+      a handful of rows instead of the full histogram's pair stream.
+    - ``syms`` advances by a conditional merge projection under a LAZY
+      ``localCheckpoint`` — the step's delta job materializes it, so
+      each step costs exactly ONE job (k+1 total vs 2k+1). The advance
+      runs the merge fold ONCE per word (let-bound via the
+      single-element-array + transform idiom) and carries the
+      pre-merge symbols of CHANGED words in an ``old`` column, so the
+      delta aggregate reads only affected rows of the checkpointed
+      blocks instead of re-scanning and re-filtering the previous
+      table, and no separate `exists` pass is needed at all.
+    """
     hist = word_histogram(docs, text_col)
     syms = hist.select(
         "freq",
@@ -65,37 +115,86 @@ def bpe_learn(
         ).alias("sym"),
     ).localCheckpoint(eager=True)
 
-    merges: list[tuple[int, str, str, int]] = []
-    for step in range(k):
-        pairs = (
-            # fully-merged single-symbol words have no pairs (and
-            # sequence(1, 0) would DESCEND, indexing out of bounds)
-            syms.filter(F.size("sym") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("sym") - 1),
-                        lambda i: F.struct(
-                            F.element_at("sym", i).alias("a"),
-                            F.element_at("sym", i.cast("int") + 1).alias("b"),
-                        ),
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    # AQE off for the iterative loop (restored below): every per-step
+    # query here aggregates a BOUNDED pair set (distinct symbols grow by
+    # one per merge), so runtime re-optimization has nothing to win and
+    # its per-stage materialization DOUBLES the job count of each
+    # ~100 ms collect. Purely physical — results are unchanged.
+    spark = docs.sparkSession
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_prev = spark.conf.get(aqe_key, "true")
+    spark.conf.set(aqe_key, "false")
+    try:
+        counts: dict[tuple[str, str], int] = {}
+        for r in (
+            _pair_stream(syms, 1)
+            .groupBy("a", "b")
             .agg(F.sum("freq").alias("w"))
-            .orderBy(F.desc("w"), F.asc("a"), F.asc("b"))
-            .limit(1)
             .collect()
-        )
-        if not pairs:
-            break
-        best = pairs[0]
-        merges.append((step, best.a, best.b, best.w))
-        syms = syms.select(
-            "freq", _merge_pair(F.col("sym"), best.a, best.b).alias("sym")
-        ).localCheckpoint(eager=True)
+        ):
+            counts[(r.a, r.b)] = r.w
+
+        merges: list[tuple[int, str, str, int]] = []
+        for step in range(k):
+            if not counts:
+                break
+            (a, b), w = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((step, a, b, w))
+            if step == k - 1:
+                break  # the final step's updated counts are never read
+            syms = (
+                syms.select(
+                    "freq",
+                    # single-element-array + transform = let-binding:
+                    # the merge fold runs ONCE per word (a bare
+                    # when(merged != sym, ...) would re-evaluate the
+                    # interpreted HOF; interpreted lambdas get no
+                    # codegen CSE), and no separate `exists` pass is
+                    # needed — a word is affected iff merging CHANGED
+                    # its symbol array.
+                    F.element_at(
+                        F.transform(
+                            F.array(_merge_pair(F.col("sym"), a, b)),
+                            lambda m: F.struct(
+                                m.alias("sym"),
+                                F.when(
+                                    m != F.col("sym"), F.col("sym")
+                                ).alias("old"),
+                            ),
+                        ),
+                        1,
+                    ).alias("s"),
+                )
+                .select(
+                    "freq",
+                    F.col("s.sym").alias("sym"),
+                    F.col("s.old").alias("old"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            affected = syms.filter(F.col("old").isNotNull())
+            deltas = (
+                _pair_stream(affected, 1)
+                .unionAll(
+                    _pair_stream(
+                        affected.select(
+                            "freq", F.col("old").alias("sym")
+                        ),
+                        -1,
+                    )
+                )
+                .groupBy("a", "b")
+                .agg(F.sum("freq").alias("w"))
+                .collect()
+            )
+            for r in deltas:
+                nw = counts.get((r.a, r.b), 0) + r.w
+                if nw:
+                    counts[(r.a, r.b)] = nw
+                else:
+                    counts.pop((r.a, r.b), None)
+    finally:
+        spark.conf.set(aqe_key, aqe_prev)
     return merges
 
 

@@ -436,6 +436,14 @@ def simhash_table(
     variant was boundary-bound). The sign-extending shift pair keeps
     the ANSI bigint->int cast overflow-free while preserving the low
     32 bits exactly."""
+    if not (1 <= bits <= 32):
+        # the packed per-token hash is int32: bits beyond 31 would read
+        # numpy shifts >= the operand width (undefined) and silently
+        # diverge from simhash64 (ADVICE r11 — fail loudly instead)
+        raise ValueError(
+            f"simhash_table supports 1..32 bits (got {bits}); use "
+            "simhash64 for wider signatures"
+        )
     from .text import tokens
 
     h32 = F.transform(

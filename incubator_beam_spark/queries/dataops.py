@@ -4198,7 +4198,18 @@ def emb_second_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 offs = ch.offsets.to_numpy(zero_copy_only=False)
                 vals = ch.values.to_numpy(zero_copy_only=False)
                 lens = np.diff(offs)
+                # NULL slots may carry arbitrary (usually equal) offsets:
+                # zero their lengths so they can never contribute rows —
+                # the old explode formulation generated nothing for them
+                # (ADVICE r11: a null/empty slot made reshape(-1, 0) raise
+                # and fail the whole query).
+                valid = ch.is_valid().to_numpy(zero_copy_only=False)
+                lens = np.where(valid, lens, 0)
                 for d in np.unique(lens):
+                    if d == 0:
+                        # empty/null embeddings have no moments (matches
+                        # the explode formulation and the oracle)
+                        continue
                     rows = vals[
                         np.repeat(offs[:-1][lens == d], d)
                         + np.tile(np.arange(d), int((lens == d).sum()))

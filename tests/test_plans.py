@@ -87,11 +87,26 @@ def test_scalar_suite_single_stage(spark):
 
 def test_no_python_udfs_in_relational_plans(spark):
     """Everything except explicitly-Python stages must stay JVM-side."""
-    for name in ["q1_pricing_summary", "evt_session_window", "doc_simhash",
+    for name in ["q1_pricing_summary", "evt_session_window",
                  "emb_cosine_topk", "agg_variance_covariance"]:
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_simhash_vectorized_kernel_plan(spark):
+    """doc_simhash is deliberately a MapInArrow stage since r11 (the
+    vectorized per-bit counting kernel) — but never a row-at-a-time
+    Python UDF, and still zero-shuffle (per-partition pass-through).
+    ADVICE r11: the old JVM-only pin passed vacuously; assert the
+    intended shape instead."""
+    plan = plan_of(spark, "doc_simhash")
+    assert "MapInArrow" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # only the ensure_parallelism repartition — the signature itself is
+    # a per-partition pass-through (no aggregation shuffle)
+    assert plan.count("Exchange (") <= 1
 
 
 def test_cep_single_shuffle_and_pruned_scan(spark):
