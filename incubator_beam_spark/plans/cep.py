@@ -694,6 +694,184 @@ def match_recognize(
             vals.append(arrs[col][i] if i >= 0 else None)
         return [*key_vals, match_no, *vals]
 
+    def _batch_aggs_exact(arrs) -> bool:
+        """The batch emitter may only vectorize SUM/AVG when the column
+        is integral (prefix/segment arithmetic is exact there; float
+        summation order would change the last-bit rounding vs the
+        per-match ``sum()``), and MIN/MAX on natively comparable numpy
+        dtypes. Anything else keeps the per-match ``_emit`` loop."""
+        for kind, _sym, col, _off, _mode in specs:
+            if kind in ("sum", "avg"):
+                if arrs[col].dtype.kind not in "iu":
+                    return False
+            elif kind in ("min", "max"):
+                if arrs[col].dtype.kind not in "iufM":
+                    return False
+        return True
+
+    def _emit_batch(key_vals, los, his, arrs, syms):
+        """Vectorized ONE ROW PER MATCH emission for the fast path
+        (VERDICT r11 item 5): ``_emit`` cost ~17 us/match in Python
+        measure scans (r11 cProfile: ~0.7 s single-threaded on
+        cep_measures_complete). This computes every measure for ALL
+        matches of the key at once — per-symbol membership masks +
+        padded prefix counts turn FIRST/LAST/COUNT into O(1) array
+        lookups per match, and SUM/MIN/MAX into ``reduceat`` segments
+        over the symbol's occurrence list. Value semantics are
+        bit-identical to ``_emit``: FIRST/LAST index rows regardless of
+        NULLs, COUNT(col)/aggregates skip NULLs, empty aggregate spans
+        yield None, AVG divides the exact integral sum as float.
+        Returns the output columns (measures as object arrays — the
+        same cell values ``_emit`` rows would produce)."""
+        m = los.shape[0]
+        # utf-32-le = one uint32 per char, valid for A-Z and the
+        # private-use classifier chars beyond 26 symbols alike
+        codes = np.frombuffer(syms.encode("utf-32-le"), dtype=np.uint32)
+        mask_cache: dict = {}
+        cum_cache: dict = {}
+
+        def _mask(symk):
+            mk = mask_cache.get(symk)
+            if mk is None:
+                if isinstance(symk, str):
+                    mk = codes == ord(sym_chars[symk])
+                else:
+                    mk = np.zeros(codes.shape[0], dtype=bool)
+                    for s in symk:
+                        mk |= codes == ord(sym_chars[s])
+                mask_cache[symk] = mk
+            return mk
+
+        def _cum(key, mk):
+            c = cum_cache.get(key)
+            if c is None:
+                c = np.concatenate(
+                    ([0], np.cumsum(mk, dtype=np.int64))
+                )
+                cum_cache[key] = c
+            return c
+
+        def _null_col(dtype):
+            """All-null output column. Datetime sources stay NATIVE
+            datetime64 + NaT: numpy silently converts datetime64
+            elements assigned into an object array to raw Python ints
+            (epoch nanos), which the Spark serializer would then read
+            as microseconds."""
+            if dtype.kind == "M":
+                return np.full(m, np.datetime64("NaT"), dtype=dtype)
+            out = np.empty(m, dtype=object)
+            out[:] = None
+            return out
+
+        def _pick(a, idx_arr, valid):
+            """a[idx] where valid, None/NaT elsewhere."""
+            out = _null_col(a.dtype)
+            if valid.any():
+                safe = np.where(valid, idx_arr, 0)
+                pv = a[safe]
+                out[valid] = pv[valid]
+            return out
+
+        cols = [np.full(m, kv, dtype=object) for kv in key_vals]
+        cols.append(np.arange(1, m + 1, dtype=np.int64))
+        if with_classifier:
+            last_codes = codes[his - 1]
+            cl = np.empty(m, dtype=object)
+            for u in np.unique(last_codes):
+                cl[last_codes == u] = name_by_char[chr(u)]
+            cols.append(cl)
+        for spec in specs:
+            kind, symk, col, off, _mode = spec
+            if kind == "count":
+                if col is not None:
+                    mk = ~pd.isna(arrs[col])
+                    if symk is not None:
+                        mk = mk & _mask(symk)
+                    c = _cum((symk, col, "nn"), mk)
+                    cols.append(c[his] - c[los])
+                elif symk is None:
+                    cols.append(his - los)
+                else:
+                    c = _cum(symk, _mask(symk))
+                    cols.append(c[his] - c[los])
+                continue
+            a = arrs[col]
+            if kind in ("first", "last"):
+                if symk is None:
+                    valid = (his - los) > off
+                    sel = (los + off) if kind == "first" else (his - 1 - off)
+                    cols.append(_pick(a, sel, valid))
+                else:
+                    mk = _mask(symk)
+                    c = _cum(symk, mk)
+                    clo, chi = c[los], c[his]
+                    if kind == "first":
+                        sel = clo + off
+                        valid = sel < chi
+                    else:
+                        sel = chi - 1 - off
+                        valid = sel >= clo
+                    pos = np.flatnonzero(mk)
+                    if pos.shape[0] == 0:
+                        cols.append(_null_col(a.dtype))
+                    else:
+                        cols.append(
+                            _pick(a, pos[np.where(valid, sel, 0)], valid)
+                        )
+                continue
+            # sum / avg / min / max — NULL-skipping segment reductions
+            mk = ~pd.isna(a)
+            if symk is not None:
+                mk = mk & _mask(symk)
+            c = _cum((symk, col, "nn"), mk)
+            clo, chi = c[los], c[his]
+            cnt = chi - clo
+            nonempty = cnt > 0
+            vpos = np.flatnonzero(mk)
+            out = _null_col(a.dtype if kind in ("min", "max") else np.dtype("O"))
+            if vpos.shape[0] and nonempty.any():
+                av = a[vpos]
+                # sentinel element keeps every reduceat index < len;
+                # segments never reach it (they end at chi <= len(av))
+                av2 = np.concatenate((av, av[:1]))
+                idx = np.empty(2 * m, dtype=np.int64)
+                idx[0::2] = clo
+                idx[1::2] = chi
+                op = {
+                    "sum": np.add,
+                    "avg": np.add,
+                    "min": np.minimum,
+                    "max": np.maximum,
+                }[kind]
+                r = op.reduceat(av2, idx)[0::2]
+                if kind == "avg":
+                    vals_f = r.astype(np.float64) / np.maximum(cnt, 1)
+                    out[nonempty] = vals_f[nonempty]
+                else:
+                    out[nonempty] = r[nonempty]
+            cols.append(out)
+        return cols
+
+    def _frame_from_batch(cols, m):
+        """Assemble the batch-emitted columns; None = caller must fall
+        back to the per-match row path (pandas/numpy shape surprise)."""
+        arrays = []
+        for build, arr in zip(col_builders, cols):
+            if build is not None and arr.dtype == object:
+                arr = build(arr)
+                if not isinstance(arr, np.ndarray) or arr.ndim != 1:
+                    return None
+            arrays.append(arr)
+        try:
+            return pd.DataFrame._from_arrays(
+                arrays,
+                columns=col_index,
+                index=pd.RangeIndex(m),
+                verify_integrity=False,
+            )
+        except Exception:  # pragma: no cover — pandas-internals drift
+            return None
+
     # Reused empty-output template: constructing an empty DataFrame per
     # matchless key costs ~0.5 ms of pandas machinery; the same (never
     # mutated, only Arrow-serialized) instance serves every such key.
@@ -866,15 +1044,38 @@ def match_recognize(
                             )
                         pos = t
 
-            for lo, hi in host_matches():
-                match_no += 1
-                if all_rows:
+            if all_rows:
+                for lo, hi in host_matches():
+                    match_no += 1
                     _emit_all_rows(
                         match_no,
                         [(i, name_by_char[syms[i]]) for i in range(lo, hi)],
                     )
-                else:
-                    rows.append(_emit(key_vals, match_no, lo, hi, arrs, syms=syms))
+            else:
+                spans = list(host_matches())
+                if spans:
+                    frame = None
+                    if _batch_aggs_exact(arrs):
+                        los = np.fromiter(
+                            (s[0] for s in spans),
+                            dtype=np.int64,
+                            count=len(spans),
+                        )
+                        his = np.fromiter(
+                            (s[1] for s in spans),
+                            dtype=np.int64,
+                            count=len(spans),
+                        )
+                        frame = _frame_from_batch(
+                            _emit_batch(key_vals, los, his, arrs, syms),
+                            len(spans),
+                        )
+                    if frame is not None:
+                        return frame
+                    for match_no, (lo, hi) in enumerate(spans, 1):
+                        rows.append(
+                            _emit(key_vals, match_no, lo, hi, arrs, syms=syms)
+                        )
         else:
 
             def can_consume(sym, i, trail):
