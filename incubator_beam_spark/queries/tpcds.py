@@ -416,12 +416,14 @@ _Q51_BODY = """
     WITH store_v AS (
       SELECT l_partkey AS item, CAST(l_shipdate AS DATE) AS d,
              CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sales_um
-      FROM lineitem WHERE l_linestatus = 'F' AND year(l_shipdate) = 1998
+      FROM lineitem WHERE l_linestatus = 'F'
+        AND l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
       GROUP BY l_partkey, CAST(l_shipdate AS DATE)),
     web_v AS (
       SELECT l_partkey AS item, CAST(l_shipdate AS DATE) AS d,
              CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sales_um
-      FROM lineitem WHERE l_linestatus = 'O' AND year(l_shipdate) = 1998
+      FROM lineitem WHERE l_linestatus = 'O'
+        AND l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
       GROUP BY l_partkey, CAST(l_shipdate AS DATE)),
     store_c AS (
       SELECT item, d, CAST(sum(sales_um) OVER (PARTITION BY item
@@ -1495,7 +1497,7 @@ _Q4_BODY = """
              CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
                   AS BIGINT) AS rev_um
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      WHERE year(o.o_orderdate) IN (1997, 1998)
+      WHERE o.o_orderdate >= '1997-01-01' AND o.o_orderdate < '1999-01-01'
       GROUP BY o.o_custkey, year(o.o_orderdate),
                CASE WHEN l.l_returnflag = 'R' THEN 'ctlg'
                     WHEN l.l_linestatus = 'F' THEN 'store' ELSE 'web' END)
@@ -1878,7 +1880,7 @@ _Q67_BODY = """
              CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
                   AS BIGINT) AS sales_um
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-      WHERE year(l.l_shipdate) IN (1997, 1998)
+      WHERE l.l_shipdate >= '1997-01-01' AND l.l_shipdate < '1999-01-01'
       GROUP BY p.p_type,
                ROLLUP(p.p_brand, year(l.l_shipdate), quarter(l.l_shipdate))),
     ranked AS (
@@ -2292,7 +2294,8 @@ def sql_tpcds_q74_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                  year(o.o_orderdate) AS y,
                  l.l_extendedprice * (1 - l.l_discount) AS net
           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-          WHERE year(o.o_orderdate) IN (1997, 1998)
+          WHERE o.o_orderdate >= '1997-01-01'
+            AND o.o_orderdate < '1999-01-01'
             AND l.l_linestatus IN ('F', 'O')),
         pv AS (
           SELECT ck,
@@ -2357,7 +2360,8 @@ def sql_tpcds_q4_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS chan,
                  l.l_extendedprice * (1 - l.l_discount) AS net
           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-          WHERE year(o.o_orderdate) IN (1997, 1998)),
+          WHERE o.o_orderdate >= '1997-01-01'
+            AND o.o_orderdate < '1999-01-01'),
         pv AS (
           SELECT ck,
              {legs}
@@ -2399,7 +2403,8 @@ def sql_tpcds_q11_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                  year(o.o_orderdate) AS y,
                  l.l_extendedprice * (1 - l.l_discount) AS net
           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-          WHERE year(o.o_orderdate) IN (1997, 1998)
+          WHERE o.o_orderdate >= '1997-01-01'
+            AND o.o_orderdate < '1999-01-01'
             AND l.l_linestatus IN ('F', 'O')),
         pv AS (
           SELECT ck,
@@ -3366,7 +3371,7 @@ _Q72_BODY = """
     JOIN customer c ON o.o_custkey = c.c_custkey
     LEFT OUTER JOIN (SELECT p_partkey FROM part WHERE p_type = 'PROMO') promo
       ON l.l_partkey = promo.p_partkey
-    WHERE year(o.o_orderdate) = 2000
+    WHERE o.o_orderdate >= '2000-01-01' AND o.o_orderdate < '2001-01-01'
       AND c.c_mktsegment IN ('BUILDING', 'MACHINERY')
       AND l.l_shipdate > o.o_orderdate + INTERVAL '5' DAY
     GROUP BY p.p_brand, month(o.o_orderdate)
@@ -3588,7 +3593,8 @@ _Q86_BODY = """
                       coalesce(p.p_brand, '__ALL__')
            ) AS rank_within_parent
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_linestatus = 'O' AND year(l.l_shipdate) = 1999
+    WHERE l.l_linestatus = 'O'
+      AND l.l_shipdate >= '1999-01-01' AND l.l_shipdate < '2000-01-01'
     GROUP BY ROLLUP (p.p_type, p.p_brand)
     ORDER BY lochierarchy DESC,
              CASE WHEN lochierarchy = 0 THEN category END,
