@@ -293,8 +293,12 @@ def minhash_index(
     documents against the whole corpus WITHOUT recomputing corpus
     signatures — the artifact the pairwise ``minhash_lsh_pairs`` job
     cannot give you when documents arrive continuously."""
+    # ensure_parallelism: a small corpus parquet arrives as ONE split, so
+    # the md5 signature scan — the expensive stage — ran on one core
+    # (measured r12: 0.80s single-task vs 0.33s at 8 tasks on sf0.1).
+    # No-op at scale where the scan has natural splits (guide §2).
     sig = (
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        ensure_parallelism(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
         .select("doc_id", shingles(F.col(text_col)).alias("sh"))
         .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
     )
@@ -329,9 +333,13 @@ def minhash_lsh_incremental(
     (new_id, old_id, jaccard >= threshold).
     """
     # materialized once: the band fan-out AND the verify join both read
-    # the batch signatures; without it the md5 signature work ran twice
+    # the batch signatures; without it the md5 signature work ran twice.
+    # ensure_parallelism: the batch often arrives as one split and the
+    # signature scan would run single-task (see minhash_index).
     new_sig = materialize_once(
-        new_docs.select(F.col(id_col).alias("new_id"), F.col(text_col))
+        ensure_parallelism(
+            new_docs.select(F.col(id_col).alias("new_id"), F.col(text_col))
+        )
         .select("new_id", shingles(F.col(text_col)).alias("sh_new"))
         .withColumn("sig", minhash_signature(F.col("sh_new"), num_hashes))
     )
@@ -348,8 +356,10 @@ def minhash_lsh_incremental(
         .select("new_id", F.col("doc_id").alias("old_id"))
         .dropDuplicates(["new_id", "old_id"])
     )
-    old_sh = corpus_docs.select(
-        F.col(id_col).alias("old_id"),
+    old_sh = ensure_parallelism(
+        corpus_docs.select(F.col(id_col).alias("old_id"), F.col(text_col))
+    ).select(
+        F.col("old_id"),
         shingles(F.col(text_col)).alias("sh_old"),
     )
     return (

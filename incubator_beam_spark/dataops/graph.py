@@ -14,17 +14,22 @@ kernels (``dedup.connected_components``, ``similarity.kmeans_lloyd``):
   bit-reproducible in any engine (the gate's DuckDB oracle unrolls
   the identical iterations; float PageRank would hash-drift on
   summation order).
-- **Per iteration: ONE co-partitioned join + ONE map-side-combined
-  aggregate.** Out-degrees join into the edge list ONCE before the
-  loop; each round joins current ranks to that edge relation on src
-  (shuffle by src), aggregates contributions by dst (partial
-  aggregation shuffles one row per (partition, dst)), and
-  left-joins back to the node set for the teleport floor. No
-  all-pairs anything, no driver-side edge materialization.
-- **Lineage truncation.** Each round's rank table is
-  ``localCheckpoint``-ed (eager) — the CC lesson: an iterative plan
-  otherwise doubles in depth per round and the final collect replays
-  every join.
+- **Per iteration: ONE join + ONE map-side-combined aggregate.**
+  Out-degrees join into the edge list ONCE before the loop; each
+  round left-joins the previous round's contribution sums to that
+  edge relation on src (rank is computed INLINE — rank = teleport +
+  damping * coalesce(s, 0) — so the full |V|-row rank table is never
+  re-joined per round; the node set joins exactly once, at the end),
+  then aggregates contributions by dst (partial aggregation shuffles
+  one row per (partition, dst)). No all-pairs anything, no
+  driver-side edge materialization.
+- **Lineage truncation, lazily.** The weighted edge list is a LAZY
+  ``localCheckpoint`` (computed once inside the final action, read
+  from blocks every round, and its by-src Exchange is shared across
+  rounds by ReuseExchange); deep loops additionally truncate the
+  contribution chain every 8 rounds. The old EAGER per-round
+  checkpoints cost one driver-coordinated job per round and hid
+  every reusable partitioning from the planner (r12).
 
 Dangling nodes (no out-edges) simply leak their mass — the standard
 simplification; callers who need mass conservation add a sink node.
@@ -65,36 +70,62 @@ def pagerank(
         raise ValueError("pagerank: empty node set")
     base = total // n
     teleport = ((damping_den - damping_num) * base) // damping_den
+    damp = f"({damping_num} * coalesce(_s, 0L)) DIV {damping_den}"
+
+    if n_iters <= 0:
+        return nodes.select(F.col(id_col), F.lit(base).cast("long").alias("rank"))
 
     outdeg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("_deg"))
-    # degree rides WITH the edge list so the loop pays one join, not two
-    edges_w = edges.join(outdeg, src_col).select(
-        F.col(src_col), F.col(dst_col), F.col("_deg")
+    # degree rides WITH the edge list so the loop pays one join, not two.
+    # Srcs outside the node universe are dropped HERE (semi-join) — the
+    # old per-iteration inner join to the node-complete rank table did
+    # the same filtering once per round (``nodes`` is one row per id by
+    # contract, so semi-join ≡ inner join for edge multiplicity).
+    edges_w = (
+        edges.join(outdeg, src_col)
+        .join(
+            nodes.select(F.col(id_col).alias(src_col)), src_col, "semi"
+        )
+        .select(F.col(src_col), F.col(dst_col), F.col("_deg"))
     )
-    edges_w = edges_w.localCheckpoint(eager=True)
+    # Lazy checkpoint: computed once inside the FINAL action (honest
+    # timing), every iteration then reads stored blocks; the identical
+    # by-src Exchange over the checkpointed RDD canonicalizes, so
+    # ReuseExchange shares it across rounds (r12 — the old EAGER
+    # per-stage checkpoints cost one driver-coordinated job per round
+    # and hid every reusable partitioning from the planner).
+    edges_w = edges_w.localCheckpoint(eager=False)
 
-    ranks = nodes.select(F.col(id_col), F.lit(base).cast("long").alias("rank"))
-    for _ in range(n_iters):
-        contribs = (
-            edges_w.join(ranks, edges_w[src_col] == ranks[id_col])
-            .select(
-                F.col(dst_col).alias("_to"),
-                F.expr("rank DIV _deg").alias("_c"),
+    # Rank is a pure function of the previous round's contribution sums
+    # (rank = teleport + damping * coalesce(s, 0)), so the loop carries
+    # only the (_sid, _s) aggregate and computes rank INLINE at the next
+    # join — the per-iteration left-join back to the full node table
+    # (one shuffle of |V| rows per round) is gone; nodes are joined
+    # exactly once, at the end. Integer arithmetic is unchanged, so the
+    # trajectory stays bit-identical (oracle-verified).
+    s = None
+    for i in range(n_iters):
+        if s is None:  # round 1: every node holds the uniform base rank
+            ranked = edges_w.withColumn("_rank", F.lit(base).cast("long"))
+        else:
+            ranked = edges_w.join(
+                s, edges_w[src_col] == s["_sid"], "left"
+            ).withColumn(
+                "_rank", (F.lit(teleport) + F.expr(damp)).cast("long")
             )
-            .groupBy("_to")
+        s = (
+            ranked.select(
+                F.col(dst_col).alias("_sid"),
+                F.expr("_rank DIV _deg").alias("_c"),
+            )
+            .groupBy("_sid")
             .agg(F.sum("_c").alias("_s"))
         )
-        ranks = (
-            nodes.join(contribs, nodes[id_col] == contribs["_to"], "left")
-            .select(
-                F.col(id_col),
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"({damping_num} * coalesce(_s, 0L)) DIV {damping_den}"
-                    )
-                ).cast("long").alias("rank"),
-            )
-        )
-        ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+        # deep loops: truncate lineage every 8 rounds (plan depth grows
+        # linearly; 3-iteration gates never hit this)
+        if (i + 1) % 8 == 0 and i + 1 < n_iters:
+            s = s.localCheckpoint(eager=False)
+    return nodes.join(s, nodes[id_col] == s["_sid"], "left").select(
+        F.col(id_col),
+        (F.lit(teleport) + F.expr(damp)).cast("long").alias("rank"),
+    )

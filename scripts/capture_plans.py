@@ -1,5 +1,6 @@
 """Capture .explain('formatted') for named registered queries into
-plans/r11/<name>_<tag>.txt (the optimization round's evidence files).
+plans/<round>/<name>_<tag>.txt (the optimization round's evidence files).
+Round dir defaults to r12; override with $PLANS_ROUND.
 
 Usage: python scripts/capture_plans.py before q1 q2 ...   (tag = before/after)
        python scripts/capture_plans.py before --headline  (every headline query)
@@ -18,8 +19,10 @@ from incubator_beam_spark import registry  # noqa: E402
 from incubator_beam_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+OUT_DIR = os.environ.get("PLANS_OUT_DIR") or os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("PLANS_ROUND", "r12"),
 )
 
 
