@@ -587,12 +587,39 @@ def scale_lane(spark, sf_dir: str, scales=(1, 10), rounds: int = 3) -> dict:
             fn(lo).count()  # warmup: codegen + IO cache, untimed
             t_lo, t_hi, exps = [], [], []
             res_rows = {}
+            # Spill-pressure pin (VERDICT r11 item 6): for the two ops
+            # whose materialize_once artifact is ~1x corpus tokens, read
+            # the stored-block footprint (mem vs disk = spilled) of the
+            # RDDs each round created — driver-side, OUTSIDE the timed
+            # region, attributed by RDD-id delta.
+            probe_storage = name in ("doc_bigram_logprob", "doc_line_dedup")
+            stored = {}
             for _ in range(max(rounds, 1)):
                 times = {}
                 for k in scales:
+                    pre_ids = (
+                        {
+                            i.id()
+                            for i in spark.sparkContext._jsc.sc()
+                            .getRDDStorageInfo()
+                        }
+                        if probe_storage
+                        else None
+                    )
                     t0 = time.perf_counter()
                     res_rows[k] = fn(k).count()
                     times[k] = time.perf_counter() - t0
+                    if probe_storage:
+                        mem = disk = 0
+                        for i in spark.sparkContext._jsc.sc().getRDDStorageInfo():
+                            if i.id() not in pre_ids:
+                                mem += i.memSize()
+                                disk += i.diskSize()
+                        prev = stored.get(str(k), {"mem_bytes": 0, "disk_bytes": 0})
+                        stored[str(k)] = {
+                            "mem_bytes": max(prev["mem_bytes"], mem),
+                            "disk_bytes": max(prev["disk_bytes"], disk),
+                        }
                 t_lo.append(times[lo])
                 t_hi.append(times[hi])
                 exps.append(math.log(times[hi] / times[lo]) / math.log(hi / lo))
@@ -618,6 +645,8 @@ def scale_lane(spark, sf_dir: str, scales=(1, 10), rounds: int = 3) -> dict:
                     round(min(exps), 3), round(max(exps), 3),
                 ],
             }
+            if stored:
+                out[name]["materialized_bytes"] = stored
             if name == "doc_minhash_lsh_pairs":
                 # Decompose the ~linear-plus wall exponent (VERDICT r10
                 # 'What's wrong' 3): candidate-pair growth inside band
@@ -1155,6 +1184,18 @@ def main() -> None:
         k: out[k] for k in ("metric", "value", "unit", "sf", "queries")
         if k in out
     }
+    # Compact control anchor (~60 bytes — VERDICT r11 item 4): the r1
+    # snapshot runs inside EVERY bench invocation, so emitting its two
+    # totals lets the driver's separate 8-core and 32-core runs be
+    # normalized against each other (ratio_current / ratio_r1 cancels
+    # box-state drift between the two invocations). Lane/stress detail
+    # stays mirror-only; the stdout line stays snapshot-safe.
+    if out.get("control"):
+        slim["control"] = {
+            "r1": out["control"].get("r1_today_sec"),
+            "cur": out["control"].get("current_sec"),
+            "n": out["control"].get("n_common"),
+        }
     print(json.dumps(slim, separators=(",", ":")))
 
 

@@ -139,6 +139,12 @@ def _np_bool(series: pd.Series) -> "np.ndarray":
 
 _AGG_KINDS = ("sum", "avg", "min", "max")
 
+#: ALL ROWS batch-emitter engagement floor (matched rows per key): the
+#: vectorized path's fixed numpy setup only pays for itself on big keys;
+#: below this the per-match row loop is faster. Module-level so tests
+#: can force either path.
+_ALL_ROWS_BATCH_MIN = 256
+
 
 def _running_measure_values(specs, arrs, pairs):
     """Per-spec value list for ALL ROWS PER MATCH, one value per matched
@@ -852,6 +858,217 @@ def match_recognize(
             cols.append(out)
         return cols
 
+    def _all_rows_batch_exact(arrs) -> bool:
+        """ALL ROWS vectorization guard (VERDICT r11 item 5, second
+        half): prefix-scan RUNNING measures are emitted only when
+        provably bit-identical to ``_running_measure_values`` —
+        COUNT always; FIRST/LAST without logical offset; SUM/AVG on
+        integral columns (exact prefix arithmetic); MIN/MAX only under
+        FINAL mode (a per-segment running min cannot be reset by a
+        prefix trick) on natively comparable dtypes. Anything else
+        keeps the per-match ``_emit_all_rows`` loop."""
+        for kind, _sym, col, off, mode in specs:
+            mode = mode or "running"
+            if mode not in ("running", "final"):
+                return False
+            if kind == "count":
+                continue
+            if kind in ("first", "last"):
+                if off:
+                    return False
+                continue
+            if kind in ("sum", "avg"):
+                if arrs[col].dtype.kind not in "iu":
+                    return False
+                continue
+            if kind in ("min", "max"):
+                if mode != "final" or arrs[col].dtype.kind not in "iufM":
+                    return False
+                continue
+            return False
+        return True
+
+    def _emit_all_rows_batch(key_vals, los, his, arrs, syms):
+        """Vectorized ALL ROWS PER MATCH emission for the fast path:
+        every matched row of every match of the key at once. Row
+        universe = concatenated [lo, hi) spans; RUNNING measures are
+        global prefix scans minus the per-match offset at lo (COUNT:
+        cum[r+1]-cum[lo]; SUM: psum[r+1]-psum[lo]; FIRST/LAST: gather
+        through the hit-position array), FINAL measures are the
+        whole-match segment value repeated across the span. NULL and
+        empty-prefix semantics mirror ``_running_measure_values``
+        exactly (guard above)."""
+        lens = his - los
+        total = int(lens.sum())
+        m = los.shape[0]
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        ridx = np.arange(total, dtype=np.int64) + np.repeat(los - offs, lens)
+        codes = np.frombuffer(syms.encode("utf-32-le"), dtype=np.uint32)
+        mask_cache: dict = {}
+        cum_cache: dict = {}
+
+        def _mask(symk):
+            mk = mask_cache.get(symk)
+            if mk is None:
+                if isinstance(symk, str):
+                    mk = codes == ord(sym_chars[symk])
+                else:
+                    mk = np.zeros(codes.shape[0], dtype=bool)
+                    for s in symk:
+                        mk |= codes == ord(sym_chars[s])
+                mask_cache[symk] = mk
+            return mk
+
+        def _cum(key, mk):
+            c = cum_cache.get(key)
+            if c is None:
+                c = np.concatenate(([0], np.cumsum(mk, dtype=np.int64)))
+                cum_cache[key] = c
+            return c
+
+        def _null_rows(dtype):
+            if dtype.kind == "M":
+                return np.full(total, np.datetime64("NaT"), dtype=dtype)
+            out = np.empty(total, dtype=object)
+            out[:] = None
+            return out
+
+        cols = [np.full(total, kv, dtype=object) for kv in key_vals]
+        cols.append(np.repeat(np.arange(1, m + 1, dtype=np.int64), lens))
+        cl = np.empty(total, dtype=object)
+        row_codes = codes[ridx]
+        for u in np.unique(row_codes):
+            cl[row_codes == u] = name_by_char[chr(u)]
+        cols.append(cl)
+        for c in order_by:
+            cols.append(arrs[c][ridx])
+        for spec in specs:
+            kind, symk, col, _off, mode = spec
+            mode = mode or "running"
+            # hit mask: symbol membership, plus non-null for COUNT(col)
+            # and the null-skipping aggregates
+            if kind == "count" and col is None:
+                mk = _mask(symk) if symk is not None else None
+            elif kind in ("first", "last"):
+                mk = _mask(symk) if symk is not None else None
+            else:
+                mk = ~pd.isna(arrs[col])
+                if symk is not None:
+                    mk = mk & _mask(symk)
+            if mk is None:  # every row of the match participates
+                mk = np.ones(codes.shape[0], dtype=bool)
+                ckey = ("__all__", kind in ("count",))
+            else:
+                ckey = (symk, col, kind)
+            c = _cum(ckey, mk)
+            clo = c[los]
+            rep_clo = np.repeat(clo, lens)
+            cr = c[ridx + 1]  # hits in [lo, r] per row
+            if kind == "count":
+                if mode == "final":
+                    cols.append(np.repeat(c[his] - clo, lens))
+                else:
+                    cols.append(cr - rep_clo)
+                continue
+            a = arrs[col]
+            if kind in ("first", "last"):
+                pos = np.flatnonzero(mk)
+                if mode == "final":
+                    chi = c[his]
+                    mvalid = chi > clo
+                    sel_m = np.where(
+                        mvalid, clo if kind == "first" else chi - 1, 0
+                    )
+                    valid = np.repeat(mvalid, lens)
+                    sel = np.repeat(sel_m, lens)
+                else:
+                    valid = cr > rep_clo
+                    sel = np.where(
+                        valid, rep_clo if kind == "first" else cr - 1, 0
+                    )
+                out = _null_rows(a.dtype)
+                if pos.shape[0] and valid.any():
+                    pv = a[pos[sel]]
+                    out[valid] = pv[valid]
+                cols.append(out)
+                continue
+            if kind in ("sum", "avg"):
+                acc_dtype = a.dtype if a.dtype == np.uint64 else np.int64
+                ps = np.concatenate(
+                    (
+                        [0],
+                        np.cumsum(np.where(mk, a, 0), dtype=acc_dtype),
+                    )
+                )
+                if mode == "final":
+                    cnt = np.repeat(c[his] - clo, lens)
+                    s = np.repeat(ps[his] - ps[los], lens)
+                else:
+                    cnt = cr - rep_clo
+                    s = ps[ridx + 1] - np.repeat(ps[los], lens)
+                nonempty = cnt > 0
+                out = np.empty(total, dtype=object)
+                out[:] = None
+                if kind == "avg":
+                    vals_f = s.astype(np.float64) / np.maximum(cnt, 1)
+                    out[nonempty] = vals_f[nonempty]
+                else:
+                    out[nonempty] = s[nonempty]
+                cols.append(out)
+                continue
+            # min / max — FINAL only (guard): segment reduceat + repeat
+            chi = c[his]
+            cnt_m = chi - clo
+            nonempty_m = cnt_m > 0
+            vpos = np.flatnonzero(mk)
+            out = _null_rows(a.dtype)
+            if vpos.shape[0] and nonempty_m.any():
+                av = a[vpos]
+                av2 = np.concatenate((av, av[:1]))
+                idx = np.empty(2 * m, dtype=np.int64)
+                idx[0::2] = clo
+                idx[1::2] = chi
+                op = np.minimum if kind == "min" else np.maximum
+                r = op.reduceat(av2, idx)[0::2]
+                mvals = _null_rows(a.dtype)[:m] if a.dtype.kind == "M" else None
+                if a.dtype.kind == "M":
+                    mvals[nonempty_m] = r[nonempty_m]
+                    out[:] = np.repeat(mvals, lens)
+                else:
+                    rep = np.repeat(r, lens)
+                    rep_ne = np.repeat(nonempty_m, lens)
+                    out[rep_ne] = rep[rep_ne]
+            cols.append(out)
+        return cols, total
+
+    def _df_from_arrays(arrays, index):
+        """One-block-per-column frame: ``_from_arrays`` consolidates
+        same-dtype columns into 2-D blocks (copies — 0.15-0.25 s of the
+        kernel wall on the match-heavy gates, r12 cProfile), but the
+        Arrow serializer immediately reads the frame back column by
+        column, so consolidation is pure waste. ``arrays_to_mgr``
+        exposes ``consolidate=False``; fall back to the public path on
+        any pandas-internals drift."""
+        try:
+            from pandas.core.internals.construction import arrays_to_mgr
+
+            mgr = arrays_to_mgr(
+                arrays,
+                col_index,
+                index,
+                verify_integrity=False,
+                typ="block",
+                consolidate=False,
+            )
+            return pd.DataFrame._from_mgr(mgr, axes=mgr.axes)
+        except Exception:  # pragma: no cover — pandas-internals drift
+            return pd.DataFrame._from_arrays(
+                arrays,
+                columns=col_index,
+                index=index,
+                verify_integrity=False,
+            )
+
     def _frame_from_batch(cols, m):
         """Assemble the batch-emitted columns; None = caller must fall
         back to the per-match row path (pandas/numpy shape surprise)."""
@@ -863,12 +1080,7 @@ def match_recognize(
                     return None
             arrays.append(arr)
         try:
-            return pd.DataFrame._from_arrays(
-                arrays,
-                columns=col_index,
-                index=pd.RangeIndex(m),
-                verify_integrity=False,
-            )
+            return _df_from_arrays(arrays, pd.RangeIndex(m))
         except Exception:  # pragma: no cover — pandas-internals drift
             return None
 
@@ -934,12 +1146,7 @@ def match_recognize(
                 return pd.DataFrame(rows, columns=out_cols)
             arrays.append(a)
         try:
-            return pd.DataFrame._from_arrays(
-                arrays,
-                columns=col_index,
-                index=pd.RangeIndex(len(rows)),
-                verify_integrity=False,
-            )
+            return _df_from_arrays(arrays, pd.RangeIndex(len(rows)))
         except Exception:  # pragma: no cover — pandas-internals drift
             return pd.DataFrame(rows, columns=out_cols)
 
@@ -1045,12 +1252,42 @@ def match_recognize(
                         pos = t
 
             if all_rows:
-                for lo, hi in host_matches():
-                    match_no += 1
-                    _emit_all_rows(
-                        match_no,
-                        [(i, name_by_char[syms[i]]) for i in range(lo, hi)],
-                    )
+                spans = list(host_matches())
+                if spans:
+                    frame = None
+                    # Engage the batch emitter only past ~256 matched
+                    # rows: its fixed per-key numpy setup (classifier
+                    # decode, masks, cumsums over the WHOLE key) beats
+                    # the per-match loop on big keys (the 100 TB shape)
+                    # but loses on the many-small-keys shape (measured
+                    # r12: 0.43s -> 0.55s kernel wall at ~67 rows/key);
+                    # small keys keep the row loop — identical output.
+                    n_matched = sum(hi_ - lo_ for lo_, hi_ in spans)
+                    if n_matched >= _ALL_ROWS_BATCH_MIN and _all_rows_batch_exact(
+                        arrs
+                    ):
+                        los = np.fromiter(
+                            (s[0] for s in spans),
+                            dtype=np.int64,
+                            count=len(spans),
+                        )
+                        his = np.fromiter(
+                            (s[1] for s in spans),
+                            dtype=np.int64,
+                            count=len(spans),
+                        )
+                        cols_b, total = _emit_all_rows_batch(
+                            key_vals, los, his, arrs, syms
+                        )
+                        frame = _frame_from_batch(cols_b, total)
+                    if frame is not None:
+                        return frame
+                    for lo, hi in spans:
+                        match_no += 1
+                        _emit_all_rows(
+                            match_no,
+                            [(i, name_by_char[syms[i]]) for i in range(lo, hi)],
+                        )
             else:
                 spans = list(host_matches())
                 if spans:

@@ -609,10 +609,13 @@ def promoted_r11() -> dict:
     }
 
 
-def devices() -> dict:
-    """name -> (query_fn, oracle_sql) for every CURRENTLY banked device
-    (built this round, registered next round). The bank restarts empty
-    at each promotion; r11-built devices accumulate here."""
+def promoted_r12() -> dict:
+    """name -> (query_fn, oracle_sql) for the SIX devices banked during
+    round 11 and REGISTERED in round 12 (they lead the r12 driver
+    window; COVERAGE.md §window-plan "Committed r12 window plan"). All
+    six were dtype-strict emulator-clean at sf0.01 AND sf0.1 before
+    promotion (r11 close-out 6/6 sweeps) and re-verified at promotion
+    time (r12)."""
     from . import dataops as _d
 
     return {
@@ -643,11 +646,20 @@ def devices() -> dict:
     }
 
 
+def devices() -> dict:
+    """name -> (query_fn, oracle_sql) for every CURRENTLY banked device
+    (built this round, registered next round). The bank restarts empty
+    at each promotion; the r11 bank was promoted in r12
+    (``promoted_r12``) and r12 is an optimization round (no new
+    devices), so the bank is empty."""
+    return {}
+
+
 def _register_all() -> None:
     """Apply @query to every promoted device (runs at import)."""
     from ..registry import query
 
-    for promoted in (promoted_r9, promoted_r10, promoted_r11):
+    for promoted in (promoted_r9, promoted_r10, promoted_r11, promoted_r12):
         for name, (fn, oracle) in promoted().items():
             query(name, oracle=oracle)(fn)
 

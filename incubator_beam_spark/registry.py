@@ -72,63 +72,63 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # gates. Everything else (TPC-H, joins, sets — all driver-green in round 1)
 # registers after the window and stays covered by the local oracle tests.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-11 window (verdict r10 item 1, tenth rotation — the
-    # COMMITTED r11 set from COVERAGE.md §window-plan, verbatim): the
-    # seven r10-built devices promoted via the mechanical devices.py
-    # path lead (growth +7, registry 425 -> 432), then the 43 stalest
+    # ROUND-12 window (eleventh rotation — the COMMITTED r12 set from
+    # COVERAGE.md §window-plan "Committed r12 window plan", verbatim):
+    # the six r11-banked devices promoted via the mechanical devices.py
+    # path lead (growth +6, registry 432 -> 438), then the 44 stalest
     # exact-oracle gates by last-driver-row age (rows-only gates
     # excluded by design — they face the driver through their
     # driver-green exact twins). Every row carries a hash verdict.
-    "stream_ann_serving",
-    "stream_match_recognize_compound_order_et",
-    "doc_minhash_ingest_loop",
-    "mm_flac_meta",
-    "emb_ivf_cell_split",
-    "stream_minhash_ingest",
-    "doc_html_extract",
-    "set_union_distinct",
-    "set_intersect_all",
-    "set_except_all",
-    "topk_per_key",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q22_global_sales_opportunity",
-    "win_rank_functions",
-    "win_lead_lag",
-    "win_running_sum",
-    "q2_min_cost_supplier",
-    "pardo_tagged_outputs",
-    "io_write_dynamic",
-    "agg_top_per_key_array",
-    "agg_to_list_sorted",
-    "agg_to_set",
-    "agg_count_if_any_value",
-    "win_range_frame",
-    "agg_hotkey_fanout",
-    "combine_lifted_geomean",
-    "fn_regex_suite",
-    "fn_json_suite",
-    "sql_udtf_ngrams",
-    "evt_tumbling_window",
-    "evt_sliding_window",
-    "evt_session_window",
-    "evt_timestamp_combiners",
-    "evt_group_into_batches",
-    "evt_custom_merging_window",
-    "evt_asof_join",
-    "sql_tumble",
-    "sql_session",
-    "sql_exists_subquery",
-    "sql_scalar_subquery",
-    "sql_correlated_avg",
-    "sql_grouping_sets",
-    "sql_unnest_lateral",
-    "doc_text_stats",
+    "stream_ann_serving_et",
+    "doc_crawl_funnel",
+    "doc_length_histogram_plan",
+    "stream_minhash_ingest_et",
+    "stream_crawl_funnel",
+    "doc_minhash_index_compact",
+    "doc_quality_score",
+    "doc_langid",
+    "doc_exact_dedup",
+    "doc_minhash_signature",
+    "doc_minhash_lsh_pairs",
+    "doc_simhash",
+    "doc_ngram_jaccard",
+    "emb_cosine_topk",
+    "emb_lsh_topk",
+    "emb_neardup_pairs",
+    "mm_binary_meta",
+    "mm_frame_extract",
+    "emb_ivf_topk",
+    "mm_audio_meta",
+    "doc_neardup_clusters",
+    "emb_inference",
+    "doc_bm25_topk",
+    "doc_chunk_windows",
+    "emb_pq_codes",
+    "emb_pq_adc_topk",
+    "io_cdc_apply",
+    "io_zorder_histogram",
+    "evt_disjoint_merge_window",
+    "evt_range_join",
+    "sql_hop",
+    "sql_in_subquery",
+    "sql_cte_chain",
+    "sql_values_join",
+    "sql_order_limit_offset",
+    "sql_case_insensitive_agg",
+    "doc_repetition",
+    "doc_pii_scrub",
+    "emb_normalize",
+    "doc_quality_filter",
+    "doc_vocab_topk",
+    "doc_simhash_pairs",
+    "doc_normalize",
+    "mm_image_meta",
+    "mm_video_meta",
+    "doc_profile",
+    "doc_unigram_logprob",
+    "doc_hash_split",
+    "emb_quantize",
+    "emb_inference_keyed",
 )
 
 

@@ -3144,6 +3144,8 @@ def test_length_histogram_plan_bounds_real_pack(spark, duck):
     )
 
 
+@pytest.mark.deep  # ~20 s multi-wave drain; the gate itself stays in the
+# default tier via test_correctness (driver window) + the contract drive
 def test_stream_minhash_ingest_et_freshness(spark, duck):
     """Event-time dedup ingest (r11-built device, r12 promotion): pair
     visibility must be an EVENT-TIME fact — a (new, old) pair with old
@@ -3174,6 +3176,8 @@ def test_stream_minhash_ingest_et_freshness(spark, duck):
     )
 
 
+@pytest.mark.deep  # ~21 s multi-wave drain; the gate itself stays in the
+# default tier via test_correctness (driver window) + the contract drive
 def test_stream_crawl_funnel_waves(spark, duck):
     """Streaming crawl funnel (r11-built device, r12 promotion): the
     per-wave funnel counts must reconcile — docs_in sums to the full

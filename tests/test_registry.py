@@ -97,16 +97,33 @@ def test_promoted_r10_devices_registered_with_manifest_pairs():
 
 def test_promoted_r11_devices_registered_with_manifest_pairs():
     """The 7 r10-bank devices promoted in round 11 are registered with
-    EXACTLY their banked (fn, oracle) pairs, and all 7 LEAD the
-    50-gate driver window (COVERAGE.md §window-plan)."""
+    EXACTLY their banked (fn, oracle) pairs (window membership was an
+    r11-window property; the window has since rotated — every one of
+    the seven carries a green CORRECTNESS_r11 driver row)."""
     from incubator_beam_spark.queries.devices import promoted_r11
 
     qs = registry.load_all()
-    window = list(qs)[:50]
     promoted = promoted_r11()
     assert len(promoted) == 7
     for name, (fn, oracle) in promoted.items():
         assert name in qs, f"promoted device {name} not registered"
         assert qs[name].fn is fn, f"{name}: registered fn differs from manifest"
         assert qs[name].oracle == oracle, f"{name}: oracle differs from manifest"
-        assert name in window[:7], f"{name} promoted but not leading the window"
+
+
+def test_promoted_r12_devices_registered_with_manifest_pairs():
+    """The 6 r11-bank devices promoted in round 12 are registered with
+    EXACTLY their banked (fn, oracle) pairs, and all 6 LEAD the
+    50-gate driver window (COVERAGE.md §window-plan, committed r12
+    list)."""
+    from incubator_beam_spark.queries.devices import promoted_r12
+
+    qs = registry.load_all()
+    window = list(qs)[:50]
+    promoted = promoted_r12()
+    assert len(promoted) == 6
+    for name, (fn, oracle) in promoted.items():
+        assert name in qs, f"promoted device {name} not registered"
+        assert qs[name].fn is fn, f"{name}: registered fn differs from manifest"
+        assert qs[name].oracle == oracle, f"{name}: oracle differs from manifest"
+        assert name in window[:6], f"{name} promoted but not leading the window"
