@@ -663,7 +663,12 @@ def connected_components(
         sm_self = mins2.select("u", F.col("minv").alias("v"))
         e_new = sm_n.unionByName(sm_self).filter(F.col("u") != F.col("v")).distinct()
         before = _persistent_ids(sc)
-        e_new = e_new.localCheckpoint(eager=True)
+        # LAZY checkpoint: the convergence aggregate right below is an
+        # action anyway, so it materializes the stored blocks AND
+        # computes the fixpoint signature in ONE job — the old eager
+        # checkpoint cost a separate driver-coordinated job per round
+        # (r12; same truncated-lineage semantics either way).
+        e_new = e_new.localCheckpoint(eager=False)
         new_ids = _persistent_ids(sc) - before
         row = e_new.agg(
             F.count(F.lit(1)).alias("n"),

@@ -4395,22 +4395,29 @@ def doc_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = pages.select(
         "doc_id", html_main_content(F.col("html")).alias("text")
     ).persist()
-    toks = ext.select(
-        "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        F.conv(F.substring(F.md5(F.col("text")), 1, 10), 16, 10)
-        .cast("long")
-        .alias("h"),
+    # toks is read by THREE stage legs (s2, surv_t, kept_t): without
+    # materialize_once each leg re-ran token_count + md5 over the whole
+    # extracted corpus (r12 — the artifact is 16 B/doc + a long, tiny)
+    toks = dedup.materialize_once(
+        ext.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tokens"),
+            F.conv(F.substring(F.md5(F.col("text")), 1, 10), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
     )
     pairs = dedup.minhash_lsh_pairs(ext)
     # surv/kept derive from the one persisted node (ext) — persisting
     # them too would pin three session-lifetime caches per invocation
-    # (round-11 review finding)
-    surv = ext.join(
-        pairs.select(F.col("id_b").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_anti",
+    # (round-11 review finding). The DUP-ID SET is materialized instead
+    # (r12): surv feeds four downstream legs, and each re-evaluation
+    # re-ran the LSH candidate self-join + Jaccard verify join behind
+    # `pairs`; the stored artifact is just the dropped ids (~8 B/dup).
+    dup_ids = dedup.materialize_once(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct()
     )
+    surv = ext.join(dup_ids, "doc_id", "left_anti")
     kept = surv.filter(gopher_rules(F.col("text"))["keep"])
     kept_t = kept.join(toks.select("doc_id", "n_tokens"), "doc_id")
     packed = pack_sequences(
