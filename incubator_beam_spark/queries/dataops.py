@@ -3450,7 +3450,12 @@ def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     idx_dir = tempfile.mkdtemp(prefix="minhash_index_")
-    dedup.minhash_index(d).write.mode("overwrite").partitionBy("band").parquet(
+    # REBALANCE(band) before every band-partitioned index write (all six
+    # write sites, guide §6): the 32-task signature stage otherwise emits
+    # a file per (task, band) — 128 tiny files at sf0.1, paid again at
+    # the cold reopen. AQE sizes the rebalance shuffle, so the write
+    # stays wide at 100 TB instead of pinning a fixed task count.
+    dedup.minhash_index(d).hint("rebalance", "band").write.mode("overwrite").partitionBy("band").parquet(
         idx_dir
     )
     idx = spark.read.parquet(idx_dir)
@@ -3625,7 +3630,7 @@ def doc_minhash_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     idx_dir = tempfile.mkdtemp(prefix="minhash_loop_index_")
-    dedup.minhash_index(d).write.mode("overwrite").partitionBy("band").parquet(
+    dedup.minhash_index(d).hint("rebalance", "band").write.mode("overwrite").partitionBy("band").parquet(
         idx_dir
     )
     b1 = d.select(
@@ -3642,7 +3647,7 @@ def doc_minhash_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1_dir = tempfile.mkdtemp(prefix="minhash_loop_p1_")
     pairs1.write.mode("overwrite").parquet(p1_dir)
     # the write-back: batch 1's band keys join the index, append-only
-    dedup.minhash_index(b1).write.mode("append").partitionBy("band").parquet(
+    dedup.minhash_index(b1).hint("rebalance", "band").write.mode("append").partitionBy("band").parquet(
         idx_dir
     )
     b2 = d.select(
@@ -3741,7 +3746,7 @@ def stream_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="mh_stream_out_")
     ckpt = tempfile.mkdtemp(prefix="mh_stream_ckpt_")
     stage = tempfile.mkdtemp(prefix="mh_stream_stage_")
-    dedup.minhash_index(d).write.mode("overwrite").partitionBy("band").parquet(
+    dedup.minhash_index(d).hint("rebalance", "band").write.mode("overwrite").partitionBy("band").parquet(
         idx_dir
     )
     d.write.mode("overwrite").parquet(docs_dir)
@@ -4389,7 +4394,14 @@ def doc_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     crawl = base.unionAll(dups).unionAll(stubs)
-    pages = crawl.select(
+    # ensure_parallelism BEFORE the expensive synth+extract projection
+    # (guide §2): the crawl union arrives as 3 scan tasks (one per
+    # branch), so the base branch extracted 5/6 of the corpus in ONE
+    # straggler task — twice, concurrently, while two AQE stages raced
+    # to fill the ext cache. No-op at 100 TB where the scan has
+    # natural splits; the page text has not been synthesized yet, so
+    # the repartition moves only (doc_id, content).
+    pages = dedup.ensure_parallelism(crawl).select(
         "doc_id", _synth_page(F.col("doc_id"), F.col("content")).alias("html")
     )
     ext = pages.select(
@@ -4417,65 +4429,79 @@ def doc_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_ids = dedup.materialize_once(
         pairs.select(F.col("id_b").alias("doc_id")).distinct()
     )
+    toksel = toks.select("doc_id", "n_tokens")
     surv = ext.join(dup_ids, "doc_id", "left_anti")
+    surv_t = surv.join(toksel, "doc_id")
     kept = surv.filter(gopher_rules(F.col("text"))["keep"])
-    kept_t = kept.join(toks.select("doc_id", "n_tokens"), "doc_id")
-    packed = pack_sequences(
-        kept_t.select("doc_id", "n_tokens"), budget=budget, n_partitions=8
+    # kept_t/packed materialized once too (r12, second pass): kept_t
+    # feeds the s4 aggregate AND the packer; packed feeds three
+    # aggregate legs (row_stats + per_pack x2) that each re-ran the
+    # repartition + Python pack stage. Both artifacts are 16-32 B/doc
+    # (ids and token counts only — `text` never enters them).
+    kept_t = dedup.materialize_once(
+        kept.join(toksel, "doc_id").select("doc_id", "n_tokens")
+    )
+    packed = dedup.materialize_once(
+        pack_sequences(kept_t, budget=budget, n_partitions=8)
     )
 
-    def stage(name, docs_in_df, body_df):
-        return body_df.crossJoin(
-            docs_in_df.agg(F.count(F.lit(1)).alias("docs_in"))
-        ).select(
-            F.lit(name).alias("stage"),
-            F.col("docs_in"),
-            F.col("docs_out"),
-            F.col("tokens_out"),
-            F.col("checksum"),
+    # ONE aggregate for ALL stage stats (r12): the five stage legs each
+    # cross-joined a fresh `docs_in` count whose value is exactly the
+    # PREVIOUS stage's docs_out — count(crawl) twice over, count(surv)
+    # = count(surv_t) and count(kept) = count(kept_t) because `toks` is
+    # a 1:1 projection of `ext` with unique doc_id, so the 1:1 joins
+    # preserve row counts. All six scalar aggregates now ride one
+    # tagged-union pass (conditional counts/sums — exact, all longs):
+    # six aggregate exchanges + five one-row broadcast joins collapse
+    # into a single Exchange, cutting the query's AQE job count (38 ->
+    # ~17; the per-job driver coordination dominated this gate, not
+    # data work).
+    nul = F.lit(None).cast("long")
+
+    def leg(df, tag, doc_id, n_tokens, h):
+        return df.select(
+            F.lit(tag).alias("tag"),
+            doc_id.alias("doc_id"),
+            n_tokens.alias("n_tokens"),
+            h.alias("h"),
         )
 
-    s1 = stage(
-        "1_crawl",
-        d,
-        crawl.agg(
-            F.count(F.lit(1)).alias("docs_out"),
-            F.lit(0).cast("long").alias("tokens_out"),
-            F.sum("doc_id").alias("checksum"),
-        ),
+    tagged = (
+        leg(d, "d", nul, nul, nul)
+        .unionAll(leg(crawl, "c", F.col("doc_id"), nul, nul))
+        .unionAll(leg(toks, "t", nul, F.col("n_tokens").cast("long"), F.col("h")))
+        .unionAll(
+            leg(surv_t, "s", F.col("doc_id"), F.col("n_tokens").cast("long"), nul)
+        )
+        .unionAll(
+            leg(kept_t, "k", F.col("doc_id"), F.col("n_tokens").cast("long"), nul)
+        )
+        .unionAll(
+            leg(packed, "p", F.col("doc_id"), F.col("n_tokens").cast("long"), nul)
+        )
     )
-    s2 = stage(
-        "2_extract",
-        crawl,
-        toks.agg(
-            F.count(F.lit(1)).alias("docs_out"),
-            F.sum("n_tokens").alias("tokens_out"),
-            F.sum("h").alias("checksum"),
-        ),
-    )
-    surv_t = surv.join(toks.select("doc_id", "n_tokens"), "doc_id")
-    s3 = stage(
-        "3_dedup",
-        crawl,
-        surv_t.agg(
-            F.count(F.lit(1)).alias("docs_out"),
-            F.sum("n_tokens").alias("tokens_out"),
-            F.sum("doc_id").alias("checksum"),
-        ),
-    )
-    s4 = stage(
-        "4_quality",
-        surv,
-        kept_t.agg(
-            F.count(F.lit(1)).alias("docs_out"),
-            F.sum("n_tokens").alias("tokens_out"),
-            F.sum("doc_id").alias("checksum"),
-        ),
-    )
-    row_stats = packed.agg(
-        F.count_distinct(F.col("doc_id")).alias("docs_out"),
-        F.sum("n_tokens").alias("tokens_out"),
-        (F.count(F.lit(1)) == F.count_distinct(F.col("doc_id"))).alias("eo"),
+
+    def on(tag, col):
+        return F.when(F.col("tag") == tag, col)
+
+    stats_agg = tagged.agg(
+        F.count(on("d", F.lit(1))).alias("n_d"),
+        F.count(on("c", F.lit(1))).alias("n_crawl"),
+        F.sum(on("c", F.col("doc_id"))).alias("sum_crawl"),
+        F.count(on("t", F.lit(1))).alias("n_toks"),
+        F.sum(on("t", F.col("n_tokens"))).alias("tok_toks"),
+        F.sum(on("t", F.col("h"))).alias("h_toks"),
+        F.count(on("s", F.lit(1))).alias("n_surv"),
+        F.sum(on("s", F.col("n_tokens"))).alias("tok_surv"),
+        F.sum(on("s", F.col("doc_id"))).alias("sum_surv"),
+        F.count(on("k", F.lit(1))).alias("n_kept"),
+        F.sum(on("k", F.col("n_tokens"))).alias("tok_kept"),
+        F.sum(on("k", F.col("doc_id"))).alias("sum_kept"),
+        F.count_distinct(on("p", F.col("doc_id"))).alias("docs_pack"),
+        F.sum(on("p", F.col("n_tokens"))).alias("tok_pack"),
+        (
+            F.count(on("p", F.lit(1))) == F.count_distinct(on("p", F.col("doc_id")))
+        ).alias("eo"),
     )
     per_pack = packed.groupBy("pack_id").agg(
         F.sum("n_tokens").alias("fill"),
@@ -4495,24 +4521,60 @@ def doc_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum((F.col("fill") <= budget / 2).cast("long")).alias("n_he"))
         .agg(F.bool_and(F.col("n_he") <= 1).alias("anyfit_tight"))
     )
-    s5 = stage(
-        "5_pack",
-        kept,
-        row_stats.crossJoin(pack_ok)
-        .crossJoin(tight)
-        .select(
-            "docs_out",
-            "tokens_out",
+    stats = stats_agg.crossJoin(pack_ok).crossJoin(tight)
+
+    def srow(name, docs_in, docs_out, tokens_out, checksum):
+        return F.struct(
+            F.lit(name).alias("stage"),
+            docs_in.alias("docs_in"),
+            docs_out.alias("docs_out"),
+            tokens_out.alias("tokens_out"),
+            checksum.alias("checksum"),
+        )
+
+    rows = F.array(
+        srow(
+            "1_crawl",
+            F.col("n_d"),
+            F.col("n_crawl"),
+            F.lit(0).cast("long"),
+            F.col("sum_crawl"),
+        ),
+        srow(
+            "2_extract",
+            F.col("n_crawl"),
+            F.col("n_toks"),
+            F.col("tok_toks"),
+            F.col("h_toks"),
+        ),
+        srow(
+            "3_dedup",
+            F.col("n_crawl"),
+            F.col("n_surv"),
+            F.col("tok_surv"),
+            F.col("sum_surv"),
+        ),
+        srow(
+            "4_quality",
+            F.col("n_surv"),
+            F.col("n_kept"),
+            F.col("tok_kept"),
+            F.col("sum_kept"),
+        ),
+        srow(
+            "5_pack",
+            F.col("n_kept"),
+            F.col("docs_pack"),
+            F.col("tok_pack"),
             F.when(
                 F.col("eo") & F.col("budget_ok") & F.col("anyfit_tight"),
-                F.col("tokens_out"),
+                F.col("tok_pack"),
             )
             .otherwise(F.lit(-1))
-            .cast("long")
-            .alias("checksum"),
+            .cast("long"),
         ),
     )
-    return s1.unionAll(s2).unionAll(s3).unionAll(s4).unionAll(s5)
+    return stats.select(F.explode(rows).alias("s")).select("s.*")
 
 
 # --- EVENT-TIME streaming ANN serving device (unregistered; r12
@@ -4859,7 +4921,7 @@ def stream_minhash_ingest_et(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="mh_et_out_")
     ckpt = tempfile.mkdtemp(prefix="mh_et_ckpt_")
     stage = tempfile.mkdtemp(prefix="mh_et_stage_")
-    dedup.minhash_index(d).write.mode("overwrite").partitionBy("band").parquet(
+    dedup.minhash_index(d).hint("rebalance", "band").write.mode("overwrite").partitionBy("band").parquet(
         idx_dir
     )
     d.write.mode("overwrite").parquet(docs_dir)
@@ -5113,9 +5175,9 @@ def stream_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.crossJoin(dropstats).crossJoin(keptstats).write.mode(
             "append"
         ).parquet(out_dir)
-        dedup.minhash_index(ext.select("doc_id", "text")).write.mode(
-            "append"
-        ).partitionBy("band").parquet(idx_dir)
+        dedup.minhash_index(ext.select("doc_id", "text")).hint(
+            "rebalance", "band"
+        ).write.mode("append").partitionBy("band").parquet(idx_dir)
         ext.select("doc_id", "text").write.mode("append").parquet(docs_dir)
         ext.unpersist()
 

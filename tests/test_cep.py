@@ -2481,6 +2481,7 @@ def test_stream_match_recognize_prev_oracle(spark):
     assert_matches_oracle(got, con, STREAM_MR_PREV_ORACLE, "stream_mr_prev")
 
 
+@pytest.mark.deep  # ~14 s drain; PREV/NEXT stream parity also pinned by the in-window oracle gates
 def test_run_sql_stream_prev_next_agreement(spark):
     """PREV()/NEXT() DEFINE navigation, batch vs streaming front door:
     identical SQL through run_sql and run_sql_stream must agree, with
@@ -2975,6 +2976,7 @@ def test_match_recognize_stream_compound_order_by(spark):
     assert got == want
 
 
+@pytest.mark.deep  # ~20 s drain; the compound-order stream gates (incl. _et) are oracle-checked in-window
 def test_run_sql_stream_compound_order_by(spark):
     """Compound ORDER BY through the streaming SQL front door: same SQL
     through run_sql and run_sql_stream must agree; event-time mode now

@@ -2714,6 +2714,7 @@ def test_decimate_wav_properties():
         decimate_wav(wav, 0)
 
 
+@pytest.mark.deep  # ~7 s out-of-window oracle re-check; contract drive covers it per round
 def test_doc_minhash_incremental_oracle(spark, duck):
     """Incremental near-dup ingest against the persisted band-bucket
     index (future-window device): deterministic re-crawl variants
@@ -2796,6 +2797,7 @@ def test_emb_second_moments_plan_single_exchange(spark):
     assert "Join" not in plan
 
 
+@pytest.mark.deep  # ~13 s out-of-window re-check; stream_ann_serving_et is in-window
 def test_stream_ann_serving_oracle(spark, duck):
     """Streaming ANN serving / continuous auto-labeling (r10-built
     device, r11 promotion — verdict r9 item 8): a fixed query batch
@@ -2817,6 +2819,7 @@ def test_stream_ann_serving_oracle(spark, duck):
     )
 
 
+@pytest.mark.deep  # ~10 s out-of-window oracle re-check; contract drive covers it per round
 def test_doc_minhash_ingest_loop_oracle(spark, duck):
     """The complete incremental-dedup ingest loop (r10-built device,
     r11 promotion): batch 1 probes the corpus index and writes its
@@ -2930,6 +2933,7 @@ def test_emb_ivf_cell_split_oracle(spark, duck):
     )
 
 
+@pytest.mark.deep  # ~16 s out-of-window re-check; stream_minhash_ingest_et is in-window
 def test_stream_minhash_ingest_oracle(spark, duck):
     """Streaming near-dup ingest (r10-built device, r11 promotion):
     three re-crawl micro-batches each probe the index of everything

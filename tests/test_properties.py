@@ -8,6 +8,7 @@ randomized coverage pays the most."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -29,6 +30,8 @@ def graphs(draw):
     return n, edges
 
 
+@pytest.mark.deep  # ~19 s hypothesis sweep; CC stays covered by the
+# default-tier contract test + in-window oracle gates
 @given(graphs())
 @SET
 def test_connected_components_matches_union_find(spark, g):
@@ -156,6 +159,8 @@ def test_lifted_combine_per_key_matches_reduce(spark, kvs, parts):
         assert abs(got[k] - expected[k]) < 1e-9 * max(1.0, expected[k])
 
 
+@pytest.mark.deep  # ~13 s hypothesis sweep; join_bloom_prefilter stays
+# oracle-checked (contract drive + bench) in every round
 @given(
     st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=0, max_size=40),
     st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=1, max_size=60),
@@ -235,6 +240,8 @@ def test_slack_merge_matches_python_reference(spark, rows, slack):
     assert got == sorted(expected)
 
 
+@pytest.mark.deep  # ~22 s seeded-random sweep; the compiled DEFINE path
+# stays exercised by the default-tier CEP suite + in-window CEP gates
 def test_cepdefine_random_expressions_vs_catalyst(spark):
     """Seeded-random differential fuzz of the cross-symbol DEFINE
     compiler's scalar semantics against Catalyst: 80 generated
@@ -294,6 +301,8 @@ def test_cepdefine_random_expressions_vs_catalyst(spark):
         assert mine == catalyst, f"{cond!r}: {mine ^ catalyst}"
 
 
+@pytest.mark.deep  # ~8 s seeded-random sweep; expression measures stay
+# covered by the default-tier CEP measure tests + oracle gates
 def test_measures_expression_fuzz_vs_materialized(spark):
     """Seeded-random differential fuzz of EXPRESSION MEASURES (verdict
     r7 item 6, extending the r7 cepdefine-vs-Catalyst pattern to the

@@ -341,3 +341,33 @@ def test_cep_all_rows_batch_emit_matches_row_emit(spark):
     assert [t[17] for t in a1] == [None, None, None, 4]
     # key b: U never occurs — running FIRST(U.seq) NULL on every row
     assert all(t[17] is None for t in batch if t[0] == "b")
+
+
+def test_crawl_funnel_plan_stays_deduplicated(spark):
+    """r12 funnel restructure pin: the five stage rows assemble from ONE
+    tagged-union stats pass (docs_in(stage k) = docs_out(stage k-1) is
+    computed once, not re-aggregated per leg), and the shared artifacts
+    stay materialized — re-introducing a duplicate subtree shows up as
+    parquet-scan growth in the physical plan (pre-r12: 62 scans; after
+    the artifact materialization: 44; after the single-pass stats: 17)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from incubator_beam_spark.queries.dataops import doc_crawl_funnel
+
+    df = doc_crawl_funnel(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Scan parquet") <= 20, plan.count("Scan parquet")
+    # at most one Python pack stage (packed is checkpointed — its three
+    # aggregate consumers read stored blocks; the checkpoint may render
+    # as an ExistingRDD scan, hiding the stage from the SQL plan)
+    assert plan.count("MapInPandas") <= 1, plan.count("MapInPandas")
+    # and the five output rows assemble from ONE stats row: a single
+    # Generate sits directly under the top-level Project (the 5-struct
+    # array explode); any other Generate belongs to the LSH band
+    # fan-out, not the stage assembly
+    head = plan.split("Exchange", 1)[0]
+    assert head.count("Generate") == 1, head

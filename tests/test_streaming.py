@@ -542,6 +542,9 @@ def test_watermark_sentinel_advances_past_bounded_data(spark):
         q.stop()
 
 
+@pytest.mark.deep  # ~22 s/seed of multi-wave drains; pure differential
+# fuzz — the devices it guards stay oracle-checked in the default tier
+# (stream_*_et in-window) and by the per-round contract drive
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_watermark_gated_visibility_fuzz(spark, tmp_path, seed):
     """Differential fuzz for the r11 event-time devices' load-bearing
