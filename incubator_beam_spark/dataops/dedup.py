@@ -237,9 +237,25 @@ def minhash_lsh_pairs(
         .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
     )
 
-    bands = sig.select(
-        "doc_id", F.explode(lsh_band_keys(F.col("sig"), rows_per_band)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # Band rows are materialized ONCE, clustered on the join key (r12):
+    # previously the explode + band-key md5 evaluated three times (hot
+    # count + self-join left + right). The repartition lands the stored
+    # blocks hash-clustered by (band, key), which measured faster than
+    # an unclustered checkpoint at every A/B pair (downstream exchanges
+    # shuffle clustered runs; fewer, fuller blocks) and is what a
+    # non-broadcast self-join wants to consume at 100 TB. Trade:
+    # hot-bucket rows ride (and briefly store through) this exchange
+    # before the cap drops them — 24 B/doc, so even a 10^6-doc
+    # degenerate bucket is ~24 MB on one task; the quadratic danger the
+    # cap guards against was the candidate pairs, not the band rows.
+    bands = materialize_once(
+        sig.select(
+            "doc_id",
+            F.explode(lsh_band_keys(F.col("sig"), rows_per_band)).alias("bk"),
+        )
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .repartition("band", "key")
+    )
 
     if max_bucket is not None:
         # Degenerate buckets are RARE by construction (a hot band key means
